@@ -1,0 +1,70 @@
+package graft.etl
+
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1 — distributed synthetic delivery generator.
+  *
+  * Mirrors `/root/reference/supercourier_etl/core/extract.py:82-119`
+  * (sequential `SC{1000+i}` ids, pickup uniform in [anchor−30d, anchor],
+  * delivery = pickup + uniform(20,360) whole minutes, categorical sampling
+  * with the reference's probability vectors, distance uniform(1,50) @ 2 dp)
+  * with two deliberate upgrades for Spark scale:
+  *
+  *   - `spark.range(0, n, 1, parts)` replaces the reference's 10k-row
+  *     chunk loop — partitioning IS the chunking, so generation is
+  *     embarrassingly parallel across executors at any n.
+  *   - seeded `rand(seed)` makes every run (and every re-execution of the
+  *     plan, e.g. a multi-format write fan-out) produce identical data;
+  *     the reference is unseeded and non-deterministic.
+  */
+object Generator {
+
+  /** Probability vectors from `core/extract.py:94-95,110,112`. */
+  val PackageTypes: Seq[(String, Double)] = Seq(
+    "Small" -> 0.40, "Medium" -> 0.30, "Large" -> 0.15,
+    "Extra Large" -> 0.10, "Special" -> 0.05)
+  val Zones: Seq[(String, Double)] = Seq(
+    "Urban" -> 0.35, "Suburban" -> 0.25, "Rural" -> 0.20,
+    "Industrial" -> 0.10, "Shopping Center" -> 0.10)
+
+  /** Inverse-CDF categorical pick over a uniform [0,1) column. */
+  def categorical(r: Column, items: Seq[(String, Double)]): Column = {
+    val cum = items.scanLeft(0.0) { case (acc, (_, p)) => acc + p }.tail
+    items.init.zip(cum.init).foldRight(lit(items.last._1)) {
+      case (((name, _), hi), acc) => when(r < hi, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Sized so ~2M rows land per partition but small n still uses all
+    * cores — holds up whether n is 1e3 or 1e10 on a 1000-executor cluster.
+    */
+  def partitionsFor(spark: SparkSession, rows: Long): Int = {
+    val byDefault = spark.sparkContext.defaultParallelism
+    val bySize = math.max(1L, rows / 2000000L)
+    math.max(byDefault.toLong, bySize).min(Int.MaxValue).toInt
+  }
+
+  def deliveries(
+      spark: SparkSession,
+      rows: Long,
+      seed: Long = 42L,
+      anchor: Instant = Instant.parse("2025-09-26T00:00:00Z")): DataFrame = {
+    val anchorSec = anchor.getEpochSecond
+    val windowSec = 30L * 24 * 3600
+    // rand(seed) is deterministic per (seed, partition, row offset): the two
+    // columns referencing pickupSec each instantiate an identical stream.
+    val pickupSec =
+      lit(anchorSec - windowSec) + floor(rand(seed) * windowSec).cast("long")
+    val durSec = (lit(20L) + floor(rand(seed + 1) * 341).cast("long")) * 60
+    spark.range(0, rows, 1, partitionsFor(spark, rows)).select(
+      concat(lit("SC"), (col("id") + 1000).cast("string")).as("Delivery_ID"),
+      timestamp_seconds(pickupSec).as("Pickup_DateTime"),
+      timestamp_seconds(pickupSec + durSec).as("Delivery_Timestamp"),
+      categorical(rand(seed + 2), PackageTypes).as("Package_Type"),
+      Transform.round2(lit(1.0) + rand(seed + 3) * 49.0).as("Distance"),
+      categorical(rand(seed + 4), Zones).as("Delivery_Zone"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Sql.D
+
+/** Batch queries over the `events` table (the streaming-source analog):
+  * event-time bucketing, JSON-ish property extraction, and gap-based
+  * sessionization via window functions. The true Structured Streaming
+  * twins of these live in `graft.streaming` (same aggregation logic fed
+  * incrementally); `stream_hourly` in StreamingQueries runs one of them
+  * through a real streaming query and is hash-checked against the same
+  * oracle as `ev_hourly`.
+  *
+  * `events.ts` is nanosecond-precision parquet; Spark truncates to µs on
+  * read while DuckDB keeps ns, so every output/ordering key goes through
+  * an explicit ms/hour truncation that is identical in both engines.
+  */
+object EventQueries {
+
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** Tumbling 1-hour event-time buckets (epoch seconds — type-stable
+    * across engines), counts + exact value sums.
+    */
+  private def hourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("value_sum"))
+      .orderBy("hour_epoch", "event_type")
+
+  private[queries] val hourlyOracle = s"""SELECT
+  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+  event_type, COUNT(*) AS n_events, ${Sql.sumCents("value")} AS value_sum
+FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type"""
+
+  /** Property extraction from the JSON-string `props` column. regexp on
+    * both sides keeps the oracle byte-identical; `graft.functions` also
+    * offers the idiomatic `from_json` path for real pipelines.
+    */
+  private def propsExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        regexp_extract(col("props"), """"k"\s*:\s*(\d+)""", 1).cast("int").as("k"))
+      .groupBy(col("event_type"), pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy("event_type", "k_bucket")
+
+  private val propsOracle = """SELECT event_type,
+  CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS INT) % 10 AS k_bucket,
+  COUNT(*) AS n, CAST(SUM(CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS INT)) AS BIGINT) AS k_sum
+FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket"""
+
+  /** Gap-based sessionization (30-minute inactivity), the lag/window
+    * formulation; ms-epoch keys make Spark-µs vs DuckDB-ns invisible.
+    */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms"))
+      .withColumn("prev", lag(col("_ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || (col("_ms") - col("prev")) > 1800000L, 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val sessionizeOracle = """WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS _ms FROM events
+), l AS (
+  SELECT *, LAG(_ms) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS prev FROM e
+), s AS (
+  SELECT user_id,
+    CASE WHEN prev IS NULL OR _ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM l)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_hourly", hourly, Some(hourlyOracle)),
+    QueryDef("ev_props_extract", propsExtract, Some(propsOracle)),
+    QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)))
+}

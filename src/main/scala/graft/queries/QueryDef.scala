@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One graded query: a Spark-side implementation plus (usually) an
+  * equivalent DuckDB oracle SQL. Queries without an oracle get the driver's
+  * weaker rows-only check (non-SQL-expressible ops, e.g. the seeded
+  * generator).
+  *
+  * Oracle-parity ground rules used throughout this package:
+  *   - every floating-point output is derived from exact integer arithmetic
+  *     (cents / basis points / quantized vector components) followed by the
+  *     same deterministic IEEE ops (div, sqrt) in both engines — engine
+  *     ROUND/SUM-over-double ordering differences can never flip a hash;
+  *   - DuckDB decimal literals are DECIMAL, not DOUBLE, so oracle SQL wraps
+  *     every fractional literal in CAST(x AS DOUBLE) (`Sql.D`);
+  *   - every query ends in a total ORDER BY (nulls-position pinned) so row
+  *     order is identical;
+  *   - column names are aliased identically on both sides.
+  */
+final case class QueryDef(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set in every session this engine builds). The nanos-long is folded
+    * back to a µs TimestampType via integer division — same truncation
+    * DuckDB applies when casting ns→µs, and no double-precision loss.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+}
+
+/** Tiny helpers for generating DuckDB oracle SQL from the same Scala
+  * constants the Spark side uses — one source of truth per lookup table.
+  */
+object Sql {
+  /** Fractional literal as a true DOUBLE. */
+  def D(x: String): String = s"CAST($x AS DOUBLE)"
+  def D(x: Double): String = D(x.toString)
+
+  /** round-half-up to 2 dp via deterministic double ops — the SQL twin of
+    * `graft.etl.Transform.round2`. */
+  def round2(e: String): String =
+    s"CAST(FLOOR(($e) * ${D("100")} + ${D("0.5")}) AS BIGINT) / ${D("100")}"
+
+  /** Exact money sum: double 2-dp values → integer cents → BIGINT sum →
+    * double. Deterministic under any aggregation order. */
+  def sumCents(e: String): String =
+    s"CAST(SUM(CAST(FLOOR(($e) * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) / ${D("100")}"
+
+  /** Same at 4 dp (price × discount products). */
+  def sumBps(e: String): String =
+    s"CAST(SUM(CAST(FLOOR(($e) * ${D("10000")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) / ${D("10000")}"
+
+  def caseByIndex(keyExpr: String, items: Seq[String]): String = {
+    val whens = items.zipWithIndex.map {
+      case (null, i) => s"WHEN $i THEN NULL"
+      case (s, i)    => s"WHEN $i THEN '${s.replace("'", "''")}'"
+    }
+    s"CASE CAST($keyExpr AS INT) ${whens.mkString(" ")} END"
+  }
+
+  def caseByKey(keyExpr: String, m: Seq[(String, Double)], default: Double): String = {
+    val whens = m.map { case (k, v) => s"WHEN '${k.replace("'", "''")}' THEN ${D(v)}" }
+    s"CASE $keyExpr ${whens.mkString(" ")} ELSE ${D(default)} END"
+  }
+}

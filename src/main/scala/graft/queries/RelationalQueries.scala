@@ -1,0 +1,265 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Sql.D
+
+/** Relational surface over the TPC-H-ish tables: scan+filter+project
+  * (pushdown-checked in PlanSpec), hash aggregation with partial
+  * (map-side) combine, broadcast + shuffle joins, semi/anti joins, window
+  * functions, rollup, set ops, distinct, top-k.
+  *
+  * Scale notes (100 TB design): dimension sides (region/nation/supplier,
+  * filtered customer) are broadcast explicitly so only the fact tables
+  * shuffle; top-k uses orderBy+limit (TakeOrderedAndProject — never a full
+  * sort); aggregates are all algebraic so partial aggregation runs
+  * map-side before the exchange.
+  */
+object RelationalQueries {
+
+  /** money double (2 dp) → exact integer cents. */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+  /** price×(1−discount) products carry 4 dp → basis points. */
+  private def bps(c: Column): Column = floor(c * 10000 + 0.5).cast("long")
+
+  private val ship2000 = Timestamp.valueOf("2000-01-01 00:00:00")
+
+  // --- q1: pricing summary (TPC-H Q1 shape) -------------------------
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") < lit(ship2000))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(bps(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 10000.0)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Oracle = s"""WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+    SUM(l_quantity) AS sum_qty,
+    ${Sql.sumCents("l_extendedprice")} AS sum_base_price,
+    ${Sql.sumBps(s"l_extendedprice * (${D("1")} - l_discount)")} AS sum_disc_price,
+    COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '2000-01-01'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT *, sum_qty / CAST(count_order AS DOUBLE) AS avg_qty
+FROM a ORDER BY l_returnflag, l_linestatus"""
+
+  // --- q3: top revenue orders for a segment (TPC-H Q3 shape) --------
+  private def q3(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = Tables(s, dir, "orders")
+      .where(col("o_orderdate") < lit(Timestamp.valueOf("1999-01-01 00:00:00")))
+    val l = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(bps(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Oracle = s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+  ${Sql.sumBps(s"l_extendedprice * (${D("1")} - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  // --- q5: revenue by nation within a region (TPC-H Q5 shape) -------
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables(s, dir, "region").where(col("r_name") === "ASIA")
+    val n = Tables(s, dir, "nation")
+    val sup = Tables(s, dir, "supplier")
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(bps(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Oracle = s"""SELECT n_name,
+  ${Sql.sumBps(s"l_extendedprice * (${D("1")} - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name"""
+
+  // --- semi / anti joins --------------------------------------------
+  private def qSemi(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers_with_orders"))
+      .orderBy("c_nationkey")
+
+  private val qSemiOracle = """SELECT c_nationkey, COUNT(*) AS n_customers_with_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  private def qAnti(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  private val qAntiOracle = """SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey"""
+
+  // --- window functions ---------------------------------------------
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_nationkey", "rn")
+  }
+
+  private val qWindowRankOracle = """SELECT c_nationkey, rn, c_custkey, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+  FROM customer)
+WHERE rn <= 3 ORDER BY c_nationkey, rn"""
+
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(cents(col("o_totalprice"))).over(w) / 100.0).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowRunningOracle = s"""SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(FLOOR(o_totalprice * ${D("100")} + ${D("0.5")}) AS BIGINT)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / ${D("100")} AS running_spend
+FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  private def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))).as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowLagOracle = """SELECT o_custkey, o_orderkey,
+  CAST(date_diff('day',
+    CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+    CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  // --- distinct / top-k / set ops / rollup --------------------------
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_suppliers"),
+      count(lit(1)).as("n_rows"))
+
+  private val qDistinctOracle = """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_suppliers, COUNT(*) AS n_rows FROM lineitem"""
+
+  private def qTopK(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  private val qTopKOracle = """SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val cn = Tables(s, dir, "customer")
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = Tables(s, dir, "supplier")
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    cn.intersect(sn).withColumn("op", lit("both"))
+      .unionByName(cn.except(sn).withColumn("op", lit("customer_only")))
+      .unionByName(sn.except(cn).withColumn("op", lit("supplier_only")))
+      .select(col("op"), col("nationkey"))
+      .orderBy("op", "nationkey")
+  }
+
+  private val qSetOpsOracle = """SELECT 'both' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_only' AS op, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'supplier_only' AS op, nationkey FROM (
+  SELECT s_nationkey AS nationkey FROM supplier EXCEPT SELECT c_nationkey FROM customer)
+ORDER BY op, nationkey"""
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("c_acctbal"))) / 100.0).as("acctbal_sum"),
+        grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("c_nationkey")).cast("int").as("g_nat"))
+      .orderBy(col("g_seg"), col("g_nat"),
+        col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+
+  private val qRollupOracle = s"""SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+  ${Sql.sumCents("c_acctbal")} AS acctbal_sum,
+  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+  CAST(GROUPING(c_nationkey) AS INT) AS g_nat
+FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", q1, Some(q1Oracle)),
+    QueryDef("q3_top_orders", q3, Some(q3Oracle)),
+    QueryDef("q5_nation_revenue", q5, Some(q5Oracle)),
+    QueryDef("q_semi_join", qSemi, Some(qSemiOracle)),
+    QueryDef("q_anti_join", qAnti, Some(qAntiOracle)),
+    QueryDef("q_window_rank", qWindowRank, Some(qWindowRankOracle)),
+    QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
+    QueryDef("q_window_lag", qWindowLag, Some(qWindowLagOracle)),
+    QueryDef("q_distinct_agg", qDistinct, Some(qDistinctOracle)),
+    QueryDef("q_topk", qTopK, Some(qTopKOracle)),
+    QueryDef("q_setops", qSetOps, Some(qSetOpsOracle)),
+    QueryDef("q_rollup", qRollup, Some(qRollupOracle)))
+}

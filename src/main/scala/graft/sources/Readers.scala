@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** S2-S8 — file readers + extension dispatch + the datetime normalization
+  * cast, mirroring `/root/reference/supercourier_etl/sources/readers.py` and
+  * `core/extract.py:16-22,57-80`. All readers return a plain DataFrame; the
+  * schema contract is enforced downstream exactly like the reference
+  * (column references fail at analysis, not read, time).
+  */
+object Readers {
+
+  /** S2 (`sources/readers.py:30-33`): header + inferred schema. */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S3 (`sources/readers.py:35-38`): the reference reads a whole-file JSON
+    * array; Spark's default JSON is NDJSON, so try multiLine first and fall
+    * back so both layouts (and our own W2 NDJSON output) round-trip.
+    */
+  def json(spark: SparkSession, path: String): DataFrame = {
+    val multi = spark.read.option("multiLine", "true").json(path)
+    if (multi.columns.contains("_corrupt_record") || multi.columns.isEmpty)
+      spark.read.json(path)
+    else multi
+  }
+
+  /** S4 (`sources/readers.py:40-43`). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S5 (`sources/readers.py:45-50`): `SELECT * FROM deliveries` over a
+    * local DB. The environment ships no sqlite-jdbc jar, so the same JDBC
+    * path is exercised against embedded Derby (`jdbc:derby:<path>`); a
+    * sqlite URL works unchanged once its driver jar is on the classpath.
+    */
+  def jdbc(spark: SparkSession, url: String, table: String = "deliveries"): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  /** S6 (`sources/readers.py:52-55`): XLSX needs POI/spark-excel, neither of
+    * which is available offline — documented unsupported (SURVEY §7.3).
+    */
+  def xlsx(spark: SparkSession, path: String): DataFrame =
+    throw new UnsupportedOperationException(
+      s"xlsx source unsupported in this build (no POI offline): $path")
+
+  /** S7 (`core/extract.py:16-22,57-72`): extension dispatch; unknown
+    * extension → IllegalArgumentException, missing file surfaces as
+    * AnalysisException like the reference's FileNotFoundError.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    ext match {
+      case "csv"            => csv(spark, path)
+      case "json"           => json(spark, path)
+      case "parquet"        => parquet(spark, path)
+      case "db" | "sqlite"  => jdbc(spark, s"jdbc:sqlite:$path")
+      case "xlsx"           => xlsx(spark, path)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported source format: .$other ($path)")
+    }
+  }
+
+  /** S8 (`core/extract.py:77-80`): the normalization cast applied after
+    * every extract path — makes CSV (string timestamps) and Parquet (native
+    * timestamps) sources equivalent.
+    */
+  def normalizeTimestamps(df: DataFrame): DataFrame =
+    Seq("Pickup_DateTime", "Delivery_Timestamp").foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(TimestampType)) else d
+    }
+}

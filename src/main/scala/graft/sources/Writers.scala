@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** W1-W5, W7 — sinks mirroring
+  * `/root/reference/supercourier_etl/sources/writers.py`.
+  *
+  * The reference writes exactly one file per format; Spark writes
+  * directories of part files. `singleFile = true` coalesces to one task to
+  * mirror the reference's artifact layout (right for ≤ a few GB); leave it
+  * false at scale so every executor writes its own part — a 100 TB result
+  * must never funnel through one task.
+  */
+object Writers {
+
+  /** W1 (`sources/writers.py:24-29`). */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    part(df, singleFile).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** W2 (`sources/writers.py:31-36`): Spark JSON is natively NDJSON. */
+  def ndjson(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    part(df, singleFile).write.mode("overwrite").json(path)
+
+  /** W3 (`sources/writers.py:38-43`). */
+  def parquet(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    part(df, singleFile).write.mode("overwrite").parquet(path)
+
+  /** W4 (`sources/writers.py:45-59`): chunked append → JDBC batch insert,
+    * which Spark's JDBC writer already does per partition. Derby stands in
+    * for sqlite offline (same code path, different URL).
+    */
+  def jdbc(df: DataFrame, url: String, table: String = "deliveries"): Unit =
+    df.write.mode("append").format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+
+  /** W5 (`sources/writers.py:61-70`): unsupported offline (no POI). */
+  def xlsx(df: DataFrame, path: String): Unit =
+    throw new UnsupportedOperationException(
+      s"xlsx sink unsupported in this build (no POI offline): $path")
+
+  /** W7 (`core/load.py:50-52`): 5-row preview. */
+  def preview(df: DataFrame): Unit = df.show(5, truncate = false)
+
+  private def part(df: DataFrame, singleFile: Boolean): DataFrame =
+    if (singleFile) df.coalesce(1) else df
+}
