@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    EtlQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs
+    EtlQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs ++
+      TextQueries.defs ++ SimilarityQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

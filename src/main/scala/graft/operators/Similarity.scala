@@ -1,0 +1,129 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), Spark-first:
+  *
+  *   - brute-force cosine top-k: the exact baseline. Query vectors are
+  *     broadcast; the scan side streams — no shuffle except the final
+  *     per-query top-k (a window over q_id, which AQE keeps tiny because
+  *     k rows per query survive the rank filter);
+  *   - random-hyperplane LSH bucketing: the 100 TB path — per-row bucket
+  *     signatures (pure array math inside codegen, zero shuffle), then a
+  *     band-key equi-join that only pairs vectors sharing a band.
+  *
+  * All arithmetic is exact-integer (vectors quantized to 1e-4 units →
+  * BIGINT dot products) so results are bit-reproducible across engines
+  * and partitionings — float summation order can never flip a rank.
+  * For raw-float scoring (when portability doesn't matter) use
+  * [[cosineF]].
+  */
+object Similarity {
+
+  val Scale = 10000
+
+  /** float vector → exact integer units (1e-4). */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * Scale + 0.5).cast("long"))
+
+  /** Exact integer dot product (order-independent). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def normSqQ(a: Column): Column =
+    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+
+  /** Deterministic cosine from quantized vectors + precomputed squared
+    * norms: one division and one sqrt in double — bit-identical in any
+    * engine that reads the same integers.
+    */
+  def cosineQ(dot: Column, normA: Column, normB: Column): Column =
+    dot.cast("double") / sqrt(normA.cast("double") * normB.cast("double"))
+
+  /** Raw float cosine (double accumulation, NOT cross-engine stable). */
+  def cosineF(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    dot / sqrt(na * nb)
+  }
+
+  /** Brute-force cosine top-k: for each query vector (small set,
+    * broadcast), the k nearest non-identical vectors. `emb` must have
+    * (id, vec: array<float>).
+    */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val base = emb.select(col("id").as("n_id"), quantize(col("vec")).as("qv"))
+      .withColumn("nn", normSqQ(col("qv")))
+    val qs = queries.select(col("id").as("q_id"), quantize(col("vec")).as("qqv"))
+      .withColumn("qn", normSqQ(col("qqv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    base.crossJoin(broadcast(qs))
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("cosine",
+        cosineQ(dotQ(col("qv"), col("qqv")), col("nn"), col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
+  /** ±1 hyperplane components, deterministic from md5 — portable to any
+    * engine by materializing the literals (see SimilarityQueries).
+    */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = md.digest(s"$p:$i".getBytes(StandardCharsets.UTF_8))
+        if ((h(0) & 0xff) < 128) -1 else 1
+      }
+    }
+  }
+
+  /** 1-char-per-plane bucket signature ('1' = positive side). Pure
+    * per-row array math — stays in codegen, no shuffle.
+    */
+  def bucketSignature(qvec: Column, planes: Seq[Seq[Int]]): Column =
+    concat(planes.map { plane =>
+      val dot = dotQ(qvec, typedLit(plane.map(_.toLong)))
+      when(dot > 0, "1").otherwise("0")
+    }: _*)
+
+  /** LSH candidate pairs: vectors sharing any of `bands` contiguous
+    * `rowsPerBand`-bit slices of the bucket signature, scored with the
+    * exact quantized cosine and thresholded.
+    */
+  def lshCandidates(
+      emb: DataFrame, planes: Seq[Seq[Int]], bands: Int, rowsPerBand: Int,
+      minCosine: Double): DataFrame = {
+    require(planes.size == bands * rowsPerBand)
+    val sig = emb.select(col("id"), quantize(col("vec")).as("qv"))
+      .withColumn("nn", normSqQ(col("qv")))
+      .withColumn("bucket", bucketSignature(col("qv"), planes))
+    val bandRows = sig.select(col("id"), col("qv"), col("nn"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("bucket"), b * rowsPerBand + 1, rowsPerBand).as("bkey"))): _*))
+        .as("x"))
+      .select(col("id"), col("qv"), col("nn"),
+        col("x.band").as("band"), col("x.bkey").as("bkey"))
+    val a = bandRows.select(col("band"), col("bkey"), col("id").as("a_id"),
+      col("qv").as("a_qv"), col("nn").as("a_nn"))
+    val b = bandRows.select(col("band"), col("bkey"), col("id").as("b_id"),
+      col("qv").as("b_qv"), col("nn").as("b_nn"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosineQ(dotQ(col("a_qv"), col("b_qv")), col("a_nn"), col("b_nn"))
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .distinct()
+  }
+}

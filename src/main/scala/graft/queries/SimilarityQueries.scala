@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import Sql.D
+
+/** Similarity-search surface over `embeddings`: brute-force cosine top-k
+  * (exact baseline) and hyperplane-LSH candidate pairs (scale path),
+  * both on quantized-integer math so the DuckDB oracle reproduces every
+  * bit. The oracle re-derives dot products by flattening lists and
+  * summing BIGINTs (order-free), and materializes the SAME hyperplanes
+  * as literal VALUES generated from `Similarity.planes`.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+  private val QueryStride = 50 // vec_id % 50 == 0 → 10 queries @ sf0.01
+
+  private val NPlanes = 16
+  private val Bands = 4
+  private val RowsPerBand = 4
+  private val Dim = 64
+  private val MinCos = 0.25
+
+  private lazy val planes = Similarity.planes(NPlanes, Dim)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def topk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(
+      e, e.where(pmod(col("id"), lit(QueryStride)) === 0), K)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Shared oracle plumbing: quantized vectors flattened to
+    * (vec_id, i, e) with BIGINT components.
+    */
+  private val quantCtes: String = s"""q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${Similarity.Scale} + ${D("0.5")}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, unnest(qv) AS e, unnest(generate_series(1, len(qv))) AS i FROM q
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(e * e) AS BIGINT) AS nn FROM flat GROUP BY vec_id
+)"""
+
+  private val topkOracle: String = s"""WITH $quantCtes,
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_id, n_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+  FROM dots JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank"""
+
+  private def lsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshCandidates(emb(s, dir), planes, Bands, RowsPerBand, MinCos)
+      .orderBy("a_id", "b_id")
+
+  private val lshOracle: String = {
+    val planeValues = (for {
+      (plane, p) <- planes.zipWithIndex
+      (r, i) <- plane.zipWithIndex
+    } yield s"($p,${i + 1},$r)").mkString(",")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, $b AS band, substring(bucket, ${b * RowsPerBand + 1}, $RowsPerBand) AS bkey FROM buckets"
+    }.mkString(" UNION ALL ")
+    s"""WITH $quantCtes,
+planes(p, i, r) AS (VALUES $planeValues),
+bits AS (
+  SELECT f.vec_id, pl.p,
+    CASE WHEN CAST(SUM(f.e * pl.r) AS BIGINT) > 0 THEN '1' ELSE '0' END AS bit
+  FROM flat f JOIN planes pl ON f.i = pl.i
+  GROUP BY f.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+),
+bands AS ($bandSelects),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.a_id, c.b_id, CAST(SUM(fa.e * fb.e) AS BIGINT) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.a_id
+  JOIN flat fb ON fb.vec_id = c.b_id AND fb.i = fa.i
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+  CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+FROM dots JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= ${D(MinCos)}
+ORDER BY a_id, b_id"""
+  }
+
+  /** Bucket occupancy histogram — the observability query you'd run
+    * before trusting an LSH configuration at scale.
+    */
+  private def buckets(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(col("id"),
+        Similarity.bucketSignature(Similarity.quantize(col("vec")), planes)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("id")).as("min_id"))
+      .orderBy("bucket")
+
+  private val bucketsOracle: String = {
+    val planeValues = (for {
+      (plane, p) <- planes.zipWithIndex
+      (r, i) <- plane.zipWithIndex
+    } yield s"($p,${i + 1},$r)").mkString(",")
+    s"""WITH $quantCtes,
+planes(p, i, r) AS (VALUES $planeValues),
+bits AS (
+  SELECT f.vec_id, pl.p,
+    CASE WHEN CAST(SUM(f.e * pl.r) AS BIGINT) > 0 THEN '1' ELSE '0' END AS bit
+  FROM flat f JOIN planes pl ON f.i = pl.i
+  GROUP BY f.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+)
+SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_id
+FROM buckets GROUP BY bucket ORDER BY bucket"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("s_cosine_topk", topk, Some(topkOracle)),
+    QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
+    QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)))
+}

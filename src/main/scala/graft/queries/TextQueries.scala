@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextDedup
+import Sql.D
+
+/** Text-analysis + deduplication surface over `documents` (the LLM-data-
+  * pipeline operators): token/quality stats, BPE-ish token counting,
+  * language ID, fingerprinting, exact dedup, exact n-gram Jaccard
+  * near-dup pairs, and MinHash+LSH candidate generation — every one
+  * hash-checked against a DuckDB re-statement of the same math.
+  */
+object TextQueries {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  // --- per-doc stats ------------------------------------------------
+  private def stats(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokenCount(col("text"))
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      toks.as("n_tokens"),
+      TextFunctions.stopwordCount(col("text"), Stopwords).as("n_stopwords"),
+      TextFunctions.punctCount(col("text")).as("n_punct"),
+      when(toks === 0, 0.0).otherwise(
+        graft.etl.Transform.round2(
+          length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+            / toks.cast("double"))).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  private def reaCount(expr: String): String =
+    s"CAST(length(regexp_extract_all($expr)) AS INT)"
+
+  private val statsOracle = s"""SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars_calc,
+  ${reaCount("text, '\\S+'")} AS n_tokens,
+  ${reaCount(s"text, '\\b(${Stopwords.mkString("|")})\\b'")} AS n_stopwords,
+  ${reaCount("text, '[^\\w\\s]'")} AS n_punct,
+  CASE WHEN ${reaCount("text, '\\S+'")} = 0 THEN ${D("0")} ELSE
+    ${Sql.round2(s"CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(${reaCount("text, '\\S+'")} AS DOUBLE)")}
+  END AS avg_token_len
+FROM documents ORDER BY doc_id"""
+
+  // --- corpus quality summary by source -----------------------------
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(TextFunctions.bpeishTokenCount(col("text")).cast("long")).as("sum_bpeish_tokens"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+      .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+
+  private val qualityOracle = s"""SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+  CAST(SUM(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_bpeish_tokens,
+  CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
+  CAST(CAST(SUM(length(text)) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+FROM documents GROUP BY source ORDER BY source"""
+
+  // --- language ID --------------------------------------------------
+  private def langid(s: SparkSession, dir: String): DataFrame = {
+    val profiles = TextFunctions.DefaultProfiles
+    val hitCols = profiles.map { case (l, ws) =>
+      TextFunctions.stopwordCount(col("text"), ws).as(s"n_$l")
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id") +: col("lang") +: col("text") +: hitCols: _*)
+      .withColumn("pred_lang",
+        TextFunctions.languageGuess(col("text"), profiles))
+      .withColumn("is_match",
+        when(col("pred_lang") === col("lang"), 1).otherwise(0))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  private val langidOracle: String = {
+    val profiles = TextFunctions.DefaultProfiles
+    val hits = profiles.map { case (l, ws) =>
+      s"${reaCount(s"text, '\\b(${ws.mkString("|")})\\b'")} AS n_$l"
+    }
+    // same tie-break chain as TextFunctions.languageGuess
+    val whens = profiles.zipWithIndex.init.map { case ((l, _), i) =>
+      val cond = profiles.drop(i + 1)
+        .map { case (m, _) => s"n_$l >= n_$m" }.mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"""WITH h AS (
+  SELECT doc_id, lang, ${hits.mkString(",\n    ")}, text FROM documents
+)
+SELECT doc_id, lang, ${profiles.map(p => "n_" + p._1).mkString(", ")},
+  CASE ${whens.mkString(" ")} ELSE '${profiles.last._1}' END AS pred_lang,
+  CASE WHEN (CASE ${whens.mkString(" ")} ELSE '${profiles.last._1}' END) = lang THEN 1 ELSE 0 END AS is_match
+FROM h ORDER BY doc_id"""
+  }
+
+  /** `languageGuess` consumes the text column directly, so the Spark side
+    * recomputes hits; the oracle reuses its CTE — identical values.
+    */
+
+  // --- fingerprint / exact dedup ------------------------------------
+  private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      substring(TextFunctions.fingerprint(col("text")), 1, 4).as("fp_bucket"))
+      .orderBy("doc_id")
+
+  private val fpExpr =
+    "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))"
+
+  private val fingerprintOracle = s"""SELECT doc_id, $fpExpr AS fp,
+  substring($fpExpr, 1, 4) AS fp_bucket
+FROM documents ORDER BY doc_id"""
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactDupGroups(
+      Tables(s, dir, "documents"), "doc_id", TextFunctions.fingerprint(col("text")))
+      .orderBy("keeper_id")
+
+  private val dedupExactOracle = s"""SELECT $fpExpr AS dup_key,
+  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keeper_id"""
+
+  // --- n-gram Jaccard near-dup pairs --------------------------------
+  private def jaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(
+      TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3),
+      0.5)
+      .orderBy("a_id", "b_id")
+
+  private val shingleCtes = """docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(w)-2),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM docs WHERE len(w) >= 3
+)"""
+
+  private val jaccardOracle = s"""WITH $shingleCtes,
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_inter, sa.n + sb.n - n_inter AS n_union,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+FROM p JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= ${D("0.5")}
+ORDER BY a_id, b_id"""
+
+  // --- MinHash + LSH candidates -------------------------------------
+  private val K = 9
+  private val Bands = 3
+  private val Rows = 3
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    TextDedup.lshCandidates(
+      TextDedup.minHashSignatures(
+        TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3), K),
+      Bands, Rows)
+      .orderBy("a_id", "b_id")
+
+  private val minhashOracle: String = {
+    val mins = (0 until K)
+      .map(i => s"MIN(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = s"md5(${(0 until Rows).map(r => s"h${b * Rows + r}").mkString(" || ")})"
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleCtes,
+sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+bands AS ($bandSelects)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+ORDER BY a_id, b_id"""
+  }
+
+  // --- BPE-ish token count per doc ----------------------------------
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+      TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+      .orderBy("doc_id")
+
+  private val tokenCountOracle = s"""SELECT doc_id,
+  ${reaCount("text, '\\S+'")} AS n_ws_tokens,
+  ${reaCount("lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'")} AS n_bpeish_tokens
+FROM documents ORDER BY doc_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_text_stats", stats, Some(statsOracle)),
+    QueryDef("t_quality_by_source", quality, Some(qualityOracle)),
+    QueryDef("t_langid", langid, Some(langidOracle)),
+    QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)),
+    QueryDef("t_fingerprint", fingerprintQ, Some(fingerprintOracle)),
+    QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
+    QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
+    QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)))
+}
