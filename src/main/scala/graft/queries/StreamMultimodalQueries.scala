@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Multimodal
+import graft.streaming.EventStreams
+
+/** Streaming + multimodal surface.
+  *
+  * The `stream_*` queries run REAL Structured Streaming queries (file
+  * source → windowed agg / mapGroupsWithState → memory sink, driven
+  * synchronously) and are hash-checked against the SAME DuckDB oracles
+  * as their batch twins — proving the incremental plans compute the
+  * batch answer.
+  *
+  * The `m_*` queries run the multimodal plumbing (binary payloads,
+  * partition-batched stub decode, frame sampling) with the stub's
+  * hash-derived dimensions re-stated in SQL.
+  */
+object StreamMultimodalQueries {
+
+  // --- streaming ------------------------------------------------------
+  private def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    val out = EventStreams.hourlyCounts(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"))
+    EventStreams.runToMemory(s, out, "graft_stream_hourly", OutputMode.Complete())
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = EventStreams.eventsStream(s, s"$dir/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val out = EventStreams.sessionize(events).toDF()
+    EventStreams.runToMemory(s, out, "graft_stream_sessionize", OutputMode.Update())
+      .orderBy("user_id")
+  }
+
+  // reuse the batch oracles — streaming must produce the same answer
+  private val streamHourlyOracle = EventQueries.hourlyOracle
+  private val streamSessionizeOracle = """WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS _ms FROM events
+), l AS (
+  SELECT *, LAG(_ms) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS prev FROM e
+), s AS (
+  SELECT user_id,
+    CASE WHEN prev IS NULL OR _ms - prev > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM l)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id"""
+
+  // --- multimodal -----------------------------------------------------
+  private def media(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[Multimodal.MediaRow]
+  }
+
+  private def payloadMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(media(s, dir)).toDF().orderBy("media_id")
+
+  private val nib: Int => String = i =>
+    s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
+
+  private val payloadMetaOracle = s"""SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  md5(text) AS checksum,
+  CAST(256 + (${nib(1)} * 16 + ${nib(2)}) * 8 AS INT) AS width,
+  CAST(144 + (${nib(3)} * 16 + ${nib(4)}) * 4 AS INT) AS height,
+  CAST(1 + ${nib(5)} AS INT) AS n_frames
+FROM documents ORDER BY media_id"""
+
+  private val MaxFrames = 4
+
+  private def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.decodeStub(media(s, dir)), MaxFrames)
+      .toDF().orderBy("media_id", "frame_idx")
+
+  private val frameSampleOracle = s"""WITH meta AS (
+  SELECT doc_id AS media_id, least(1 + ${nib(5)}, $MaxFrames) AS n FROM documents
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+  CASE WHEN n = 1 THEN ${Sql.D("0")}
+       ELSE CAST(i AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS offset_pct
+FROM (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM meta)
+ORDER BY media_id, frame_idx"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_hourly", streamHourly, Some(streamHourlyOracle)),
+    QueryDef("stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
+    QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
+    QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)))
+}

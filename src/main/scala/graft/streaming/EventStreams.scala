@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming over the `events` table shape — the streaming
+  * surface the reference lacks (SURVEY §2.6/§7.3 extension). The same
+  * aggregation logic as the batch `ev_*` queries, fed incrementally:
+  *
+  *   - tumbling event-time windows (`window(ts, "1 hour")`) with
+  *     watermarking;
+  *   - stateful gap sessionization via `mapGroupsWithState` (the
+  *     `KeyValueGroupedDataset` API), incremental across micro-batches.
+  *
+  * For local verification a parquet file drives a file-source stream to
+  * a memory sink synchronously (`processAllAvailable`); on a cluster the
+  * same code runs against Kafka/files with a real trigger.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(lastMs: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Tumbling 1-hour counts + exact cent sums; identical semantics to the
+    * batch `ev_hourly` query (hour bucket as epoch seconds).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("value_sum"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  /** 30-minute-gap sessionization, incremental: per-user state carries
+    * (last event ms, session count, event count) across micro-batches.
+    * Within a batch events are sorted by (ms, event_id) — iterator order
+    * from shuffle is not deterministic, the sort makes the result so.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): UserSessions = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        val isNew = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+        st = SessionState(ms, st.nSessions + (if (isNew) 1 else 0), st.nEvents + 1)
+      }
+      state.update(st)
+      UserSessions(userId, st.nSessions, st.nEvents)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Drive a streaming DataFrame to a memory sink synchronously and
+    * return the result table. `complete` for aggregations, `update` for
+    * stateful maps.
+    */
+  def runToMemory(spark: SparkSession, out: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = out.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** File-source stream over an events parquet (schema from a batch
+    * peek; ns-timestamp folded to µs like `Tables.events`).
+    */
+  def eventsStream(spark: SparkSession, path: String): DataFrame = {
+    val batchSchema = spark.read.parquet(path).schema
+    // the file source wants a directory; when given a single file, stream
+    // its parent filtered down to that file
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(batchSchema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(batchSchema).parquet(path)
+    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}
