@@ -54,17 +54,24 @@ object Generator {
       anchor: Instant = Instant.parse("2025-09-26T00:00:00Z")): DataFrame = {
     val anchorSec = anchor.getEpochSecond
     val windowSec = 30L * 24 * 3600
-    // rand(seed) is deterministic per (seed, partition, row offset): the two
-    // columns referencing pickupSec each instantiate an identical stream.
+    // Each rand() is materialized in its own projection FIRST: a
+    // nondeterministic expression referenced from several branches of a
+    // when-chain is re-evaluated per reference (advancing the RNG and
+    // skewing the distribution) if inlined. CollapseProject never merges
+    // multiply-referenced nondeterministic columns, so this is safe.
+    val withRand = spark.range(0, rows, 1, partitionsFor(spark, rows))
+      .select(col("id"), rand(seed).as("_r0"), rand(seed + 1).as("_r1"),
+        rand(seed + 2).as("_r2"), rand(seed + 3).as("_r3"),
+        rand(seed + 4).as("_r4"))
     val pickupSec =
-      lit(anchorSec - windowSec) + floor(rand(seed) * windowSec).cast("long")
-    val durSec = (lit(20L) + floor(rand(seed + 1) * 341).cast("long")) * 60
-    spark.range(0, rows, 1, partitionsFor(spark, rows)).select(
+      lit(anchorSec - windowSec) + floor(col("_r0") * windowSec).cast("long")
+    val durSec = (lit(20L) + floor(col("_r1") * 341).cast("long")) * 60
+    withRand.select(
       concat(lit("SC"), (col("id") + 1000).cast("string")).as("Delivery_ID"),
       timestamp_seconds(pickupSec).as("Pickup_DateTime"),
       timestamp_seconds(pickupSec + durSec).as("Delivery_Timestamp"),
-      categorical(rand(seed + 2), PackageTypes).as("Package_Type"),
-      Transform.round2(lit(1.0) + rand(seed + 3) * 49.0).as("Distance"),
-      categorical(rand(seed + 4), Zones).as("Delivery_Zone"))
+      categorical(col("_r2"), PackageTypes).as("Package_Type"),
+      Transform.round2(lit(1.0) + col("_r3") * 49.0).as("Distance"),
+      categorical(col("_r4"), Zones).as("Delivery_Zone"))
   }
 }

@@ -21,10 +21,14 @@ object Readers {
     * back so both layouts (and our own W2 NDJSON output) round-trip.
     */
   def json(spark: SparkSession, path: String): DataFrame = {
-    val multi = spark.read.option("multiLine", "true").json(path)
-    if (multi.columns.contains("_corrupt_record") || multi.columns.isEmpty)
-      spark.read.json(path)
-    else multi
+    // NDJSON (Spark's native layout, and our W2 output) first; a
+    // whole-file JSON array yields _corrupt_record lines → retry multiLine.
+    // (The reverse order would silently read only the first value of an
+    // NDJSON file.)
+    val ndjson = spark.read.json(path)
+    if (ndjson.columns.contains("_corrupt_record") || ndjson.columns.isEmpty)
+      spark.read.option("multiLine", "true").json(path)
+    else ndjson
   }
 
   /** S4 (`sources/readers.py:40-43`). */

@@ -1,0 +1,68 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** S1 determinism + domain properties (SURVEY §2.1). */
+class GeneratorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Generator.deliveries(spark, 2000, seed = 42L).cache()
+
+  test("seeded generation is deterministic across plan re-executions") {
+    val a = Generator.deliveries(spark, 500, seed = 1L)
+      .select("Delivery_ID", "Distance").as[(String, Double)].collect().toSeq
+    val b = Generator.deliveries(spark, 500, seed = 1L)
+      .select("Delivery_ID", "Distance").as[(String, Double)].collect().toSeq
+    assert(a == b)
+    val c = Generator.deliveries(spark, 500, seed = 2L)
+      .select("Distance").as[Double].collect().toSeq
+    assert(c != b.map(_._2))
+  }
+
+  test("ids are sequential SC1000..") {
+    val ids = df.select("Delivery_ID").as[String].collect()
+    assert(ids.toSet.size == 2000)
+    assert(ids.forall(_.startsWith("SC")))
+    assert(ids.map(_.drop(2).toLong).sorted.toSeq == (1000L until 3000L))
+  }
+
+  test("domains: categorical values, distance range, duration 20..360 min") {
+    val bad = df.where(
+      !col("Package_Type").isin(Generator.PackageTypes.map(_._1): _*) ||
+      !col("Delivery_Zone").isin(Generator.Zones.map(_._1): _*) ||
+      col("Distance") < 1.0 || col("Distance") > 50.0)
+    assert(bad.isEmpty)
+    val durSec = df.select(
+      (unix_timestamp(col("Delivery_Timestamp")) -
+        unix_timestamp(col("Pickup_DateTime"))).as[Long]).collect()
+    assert(durSec.forall(s => s >= 20 * 60 && s <= 360 * 60 && s % 60 == 0))
+  }
+
+  test("categorical sampling roughly follows the probability vectors") {
+    val freq = df.groupBy("Package_Type").count()
+      .as[(String, Long)].collect().toMap
+    Generator.PackageTypes.foreach { case (name, p) =>
+      val got = freq.getOrElse(name, 0L).toDouble / 2000
+      assert(math.abs(got - p) < 0.05, s"$name: got $got want ~$p")
+    }
+  }
+
+  test("full pipeline over generated data keeps invariants (property)") {
+    val out = Transform(None)(Generator.deliveries(spark, 300, seed = 3L))
+    val rows = out.select("Status", "Actual_Delivery_Time_Minutes",
+      "Theoretical_Time_Minutes", "Actual_Delivery_Time_Display")
+      .as[(String, Double, Double, String)].collect()
+    rows.foreach { case (status, actual, theo, display) =>
+      assert(status == "Delayed" || status == "On-time")
+      assert(actual >= 20.0 && actual <= 360.0)
+      assert(theo >= 30.0 * 0.9 * 0.9)  // min factors
+      assert(display.matches("""\d+\.\d{2}"""))
+      val Array(m, s) = display.split("\\.")
+      // display round-trips to the rounded minutes
+      val backMin = m.toLong + s.toLong / 60.0
+      assert(math.abs(backMin - actual) < 0.02)
+    }
+  }
+}

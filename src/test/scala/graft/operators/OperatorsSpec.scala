@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+/** Dedup / similarity / multimodal operator behavior on controlled
+  * fixtures (testdata-driven checks live in the oracle gate).
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups duplicates under whitespace/punct noise") {
+    val docs = Seq(
+      (1L, "Hello, world!"),
+      (2L, "hello   WORLD"),
+      (3L, "entirely different text")).toDF("doc_id", "text")
+    val groups = TextDedup.exactDupGroups(docs, "doc_id",
+      TextFunctions.fingerprint(col("text")))
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs finds planted near-dups and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val nearDup = base.replace("lazy", "sleepy")
+    val other = "completely unrelated content about spark query engines here"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextDedup.jaccardPairs(
+      TextDedup.wordShingles(docs, "doc_id", "text"), 0.3)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0)
+  }
+
+  test("identical docs have jaccard exactly 1.0") {
+    val t = "one two three four five six seven"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val pairs = TextDedup.jaccardPairs(
+      TextDedup.wordShingles(docs, "doc_id", "text"), 0.99)
+      .select("jaccard").as[Double].collect()
+    assert(pairs.toSeq == Seq(1.0))
+  }
+
+  test("minhash LSH candidates contain the exact-jaccard pairs (recall)") {
+    val docs = graft.queries.Tables(spark, Sf, "documents")
+    val shingles = TextDedup.wordShingles(docs, "doc_id", "text")
+    val exact = TextDedup.jaccardPairs(shingles, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val cands = TextDedup.lshCandidates(
+      TextDedup.minHashSignatures(shingles, 9), 3, 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(cands.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
+  }
+
+  test("brute-force top-k: quantized ranking agrees with float cosine") {
+    val emb = graft.queries.Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val topQ = Similarity.bruteForceTopK(
+      emb, emb.where(col("id") === 0), 5)
+      .select("rank", "n_id", "cosine").as[(Int, Long, Double)].collect()
+      .sortBy(_._1)
+    // float-math reference ranking for the same query
+    val q = emb.where(col("id") === 0)
+      .select(col("id").as("q_id"), col("vec").as("qvec"))
+    val topF = emb.crossJoin(q).where(col("id") =!= col("q_id"))
+      .select(col("id"), Similarity.cosineF(col("vec"), col("qvec")).as("c"))
+      .orderBy(col("c").desc, col("id")).limit(5)
+      .select("id").as[Long].collect().toSeq
+    assert(topQ.map(_._2).toSeq == topF)
+    // quantization error bounded: cosines within 1e-3 of float values
+    assert(topQ.forall { case (_, _, c) => c.abs <= 1.0 + 1e-9 })
+  }
+
+  test("LSH bucket signature: same vector → same bucket; candidates scored") {
+    val planes = Similarity.planes(16, 64)
+    assert(planes.flatten.forall(v => v == 1 || v == -1))
+    // deterministic: recomputing yields identical planes
+    assert(planes == Similarity.planes(16, 64))
+    val emb = graft.queries.Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cands = Similarity.lshCandidates(emb, planes, 4, 4, 0.25)
+    val bad = cands.where(col("cosine") < 0.25 || col("a_id") >= col("b_id"))
+    assert(bad.isEmpty)
+  }
+
+  test("multimodal: stub decode is deterministic, frames evenly spaced") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", "some video bytes".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "image", "img".getBytes("UTF-8")))
+      .toDS()
+    val meta = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    val meta2 = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    assert(meta.toSeq == meta2.toSeq)
+    assert(meta.forall(m => m.width >= 256 && m.height >= 144 && m.n_frames >= 1))
+    assert(meta.forall(_.checksum.length == 32))
+
+    val frames = Multimodal.sampleFrames(Multimodal.decodeStub(media), 4)
+      .collect().groupBy(_.media_id)
+    frames.values.foreach { fs =>
+      val sorted = fs.sortBy(_.frame_idx)
+      assert(sorted.head.offset_pct == 0.0)
+      if (sorted.length > 1) assert(sorted.last.offset_pct == 1.0)
+    }
+  }
+
+  test("feature stub: fixed dim, deterministic, values in [0,1)") {
+    val df = Seq("abc", "def").toDF("text")
+      .select(Multimodal.featureStub(col("text").cast("binary"), 16).as("f"))
+    val rows = df.as[Seq[Double]].collect()
+    assert(rows.forall(_.length == 16))
+    assert(rows.forall(_.forall(v => v >= 0.0 && v < 1.0)))
+  }
+
+  test("language guess picks the profile with most hits, first wins ties") {
+    val df = Seq(
+      "the cat and the dog is in to the house",
+      "el perro y la casa de los gatos que",
+      "der hund und die katze ist von mit",
+      "xyzzy plugh").toDF("text")
+    val got = df.select(TextFunctions.languageGuess(col("text"),
+      TextFunctions.DefaultProfiles).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "es", "de", "en")) // zero hits everywhere → first profile
+  }
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Reader/writer round-trips + dispatch errors (S2-S8, W1-W4). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft_src").resolve(name).toString
+
+  private lazy val sample = Seq(
+    ("SC1", "2025-01-01T10:00:00", "2025-01-01T11:00:00", "Small", 5.0, "Urban"),
+    ("SC2", "2025-01-02T12:00:00", "2025-01-02T12:30:00", "Large", 9.5, "Rural"))
+    .toDF("Delivery_ID", "Pickup_DateTime", "Delivery_Timestamp",
+      "Package_Type", "Distance", "Delivery_Zone")
+
+  test("csv round-trip + normalization cast yields timestamps") {
+    val p = tmp("t.csv")
+    Writers.csv(sample, p, singleFile = true)
+    val back = Readers.normalizeTimestamps(Readers.read(spark, p))
+    assert(back.count() == 2)
+    assert(back.schema("Pickup_DateTime").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("ndjson writer output reads back via the json reader") {
+    val p = tmp("t.json")
+    Writers.ndjson(sample, p, singleFile = true)
+    val back = Readers.read(spark, p)
+    assert(back.count() == 2)
+    assert(back.columns.toSet.contains("Delivery_ID"))
+  }
+
+  test("whole-file JSON array (the reference's layout) also reads") {
+    val dir = Files.createTempDirectory("graft_src")
+    val p = dir.resolve("arr.json").toString
+    Files.writeString(Paths.get(p),
+      """[{"Delivery_ID":"SC1","Distance":5.0},{"Delivery_ID":"SC2","Distance":7.0}]""")
+    val back = Readers.read(spark, p)
+    assert(back.count() == 2)
+  }
+
+  test("parquet round-trip preserves schema exactly") {
+    val p = tmp("t.parquet")
+    val typed = Readers.normalizeTimestamps(sample)
+    Writers.parquet(typed, p)
+    val back = Readers.read(spark, p)
+    // parquet read-back is always-nullable by design; names+types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      typed.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 2)
+  }
+
+  test("jdbc (embedded Derby standing in for sqlite) write then read") {
+    val db = Files.createTempDirectory("graft_derby").resolve("db").toString
+    val url = s"jdbc:derby:$db;create=true"
+    Writers.jdbc(sample.select(col("Delivery_ID"), col("Distance")), url)
+    val back = Readers.jdbc(spark, url)
+    assert(back.count() == 2)
+    assert(back.columns.map(_.toLowerCase).toSet == Set("delivery_id", "distance"))
+    // W4 semantics: append, not overwrite
+    Writers.jdbc(sample.select(col("Delivery_ID"), col("Distance")), url)
+    assert(Readers.jdbc(spark, url).count() == 4)
+  }
+
+  test("dispatch: unknown extension raises, xlsx documented-unsupported") {
+    intercept[IllegalArgumentException](Readers.read(spark, "/tmp/x.tsv"))
+    intercept[UnsupportedOperationException](Readers.read(spark, "/tmp/x.xlsx"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming == batch equivalence, plus genuinely-incremental state:
+  * the sessionizer must carry state across micro-batches, not just
+  * recompute within one.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourly windowed agg over a file stream equals the batch answer") {
+    val streamed = graft.queries.StreamMultimodalQueries // via SparkEntry
+    val got = graft.SparkEntry.queries("stream_hourly")(spark, Sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = graft.SparkEntry.queries("ev_hourly")(spark, Sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
+  test("sessionization carries state across two micro-batches") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    def ev(id: Long, user: Long, minute: Int): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        user, "click", 1.0)
+
+    // the file source lists flat files, not nested write-dirs: write each
+    // micro-batch to a staging dir and move its part file up
+    def writeBatch(name: String, events: Seq[EventStreams.Event]): Unit = {
+      val stage = s"$dir/_stage_$name"
+      events.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+
+    // batch 1: two events 5 min apart → 1 session
+    writeBatch("b1", Seq(ev(1, 7, 0), ev(2, 7, 5)))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[EventStreams.Event]
+    val out = EventStreams.sessionize(stream, gapMs = 30 * 60 * 1000).toDF()
+
+    spark.streams.active.filter(_.name == "sess_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sess_test").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess_test")
+        .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(afterB1 == Set((7L, 1L, 2L)))
+
+      // batch 2: 6 min after last (same session) + 40 min later (new session)
+      writeBatch("b2", Seq(ev(3, 7, 11), ev(4, 7, 51)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sess_test")
+        .groupBy("user_id").agg(max("n_sessions").as("s"), max("n_events").as("e"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(afterB2 == Set((7L, 2L, 4L)),
+        "state must persist across micro-batches")
+    } finally q.stop()
+  }
+}
