@@ -29,9 +29,25 @@ object Writers {
     * which Spark's JDBC writer already does per partition. Derby stands in
     * for sqlite offline (same code path, different URL).
     */
-  def jdbc(df: DataFrame, url: String, table: String = "deliveries"): Unit =
+  def jdbc(df: DataFrame, url: String, table: String = "deliveries"): Unit = {
+    if (url.startsWith("jdbc:derby:"))
+      // embedded Derby stands in for the reference's sqlite artifact sink;
+      // per-commit fsync is pure overhead for a derived, rebuildable
+      // artifact (read once at engine boot, so set before first connect)
+      System.setProperty("derby.system.durability",
+        sys.props.getOrElse("derby.system.durability", "test"))
+    val embedded = url.startsWith("jdbc:derby:") || url.startsWith("jdbc:sqlite:")
     df.write.mode("append").format("jdbc")
-      .option("url", url).option("dbtable", table).save()
+      .option("url", url).option("dbtable", table)
+      // default batchsize is 1000; embedded DBs are round-trip-cheap but
+      // statement-overhead-heavy, so larger batches win
+      .option("batchsize", "10000")
+      // embedded engines serialize on table latches — concurrent writer
+      // connections only add contention (measured 12.8 s @1 vs 21.9 s @32
+      // for 1M rows); networked targets keep the df's parallelism
+      .option("numPartitions", if (embedded) "1" else df.rdd.getNumPartitions.toString)
+      .save()
+  }
 
   /** W5 (`sources/writers.py:61-70`): unsupported offline (no POI). */
   def xlsx(df: DataFrame, path: String): Unit =
