@@ -62,6 +62,68 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
+  /** Distinct lowercase whitespace tokens per document. */
+  def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+
+  val SimHashBits = 32
+
+  /** 32-bit SimHash over a (doc_id, token) table: bit b of the signature
+    * is the sign of Σ_tokens (±1), where the per-token bit comes from the
+    * md5 hex digest (nibble b/4, bit b%4 — pure string/integer ops, so
+    * the DuckDB oracle reproduces it exactly). Emitted as a 32-char
+    * '0'/'1' string: one groupBy with 32 integer sum-aggregates,
+    * map-side combined.
+    *
+    * Near-dup docs differ in few tokens → small Hamming distance; with
+    * 32 bits a random pair sits at ~16, so a ≤3 threshold has negligible
+    * noise.
+    */
+  def simHashSignatures(tokens: DataFrame): DataFrame = {
+    val withHash = tokens.withColumn("_h", md5(col("token")))
+    val sums = (0 until SimHashBits).map { b =>
+      val bit = s"((instr('0123456789abcdef', substring(_h, ${b / 4 + 1}, 1)) - 1) div ${1 << (3 - b % 4)}) % 2"
+      sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"s$b")
+    }
+    withHash.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until SimHashBits).map(b =>
+          when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found
+    * via band-join: the signature splits into (maxHamming+1) bands, and
+    * any pair within the threshold must agree on >= 1 whole band
+    * (pigeonhole) — so the band equi-join is candidate-COMPLETE, not
+    * approximate. Distance is scored by the native codegen'd
+    * [[graft.plans.StringHammingDistance]] expression.
+    */
+  def simHashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    val bandLen = SimHashBits / bands
+    val bandRows = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * bandLen + 1, bandLen).as("bkey"))): _*))
+        .as("x"))
+      .select(col("doc_id"), col("simhash"),
+        col("x.band").as("band"), col("x.bkey").as("bkey"))
+    val a = bandRows.select(col("band"), col("bkey"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sig"))
+    val b = bandRows.select(col("band"), col("bkey"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sig"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.plans.StringHammingDistance.hamming(col("a_sig"), col("b_sig"))
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** MinHash signatures: k independent min-hashes per doc, each the MIN of
     * `md5("<i>:" || shingle)` — one groupBy with k min-aggregates (single
     * shuffle, map-side partials).

@@ -1,0 +1,142 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextDedup
+import graft.sources.{Readers, Writers}
+
+/** SimHash dedup, as-of-join composition, and reader/writer round-trips
+  * — each hash-checked against DuckDB.
+  */
+object ExtraQueries {
+
+  // --- SimHash --------------------------------------------------------
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simHashSignatures(
+      TextDedup.wordTokens(Tables(s, dir, "documents"), "doc_id", "text"))
+      .orderBy("doc_id")
+
+  private val MaxHamming = 3
+
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simHashPairs(
+      TextDedup.simHashSignatures(
+        TextDedup.wordTokens(Tables(s, dir, "documents"), "doc_id", "text")),
+      MaxHamming)
+      .orderBy("a_id", "b_id")
+
+  private val simhashCtes: String = {
+    val bits = TextDedup.SimHashBits
+    val sums = (0 until bits).map { b =>
+      val bit = s"((instr('0123456789abcdef', substring(_h, ${b / 4 + 1}, 1)) - 1) // ${1 << (3 - b % 4)}) % 2"
+      s"SUM(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val sigChars = (0 until bits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""toks AS (
+  SELECT DISTINCT doc_id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+th AS (SELECT doc_id, md5(token) AS _h FROM toks WHERE token <> ''),
+sums AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+sigs AS (SELECT doc_id, $sigChars AS simhash FROM sums)"""
+  }
+
+  private val simhashOracle: String =
+    s"""WITH $simhashCtes
+SELECT doc_id, simhash FROM sigs ORDER BY doc_id"""
+
+  private val simhashPairsOracle: String = {
+    val bits = TextDedup.SimHashBits
+    val bands = MaxHamming + 1
+    val bandLen = bits / bands
+    val bandSelects = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS band, substring(simhash, ${b * bandLen + 1}, $bandLen) AS bkey, simhash FROM sigs")
+      .mkString(" UNION ALL ")
+    val hamming = (1 to bits).map(i =>
+      s"(CASE WHEN substring(a.simhash, $i, 1) = substring(b.simhash, $i, 1) THEN 0 ELSE 1 END)")
+      .mkString(" + ")
+    s"""WITH $simhashCtes,
+bands AS ($bandSelects)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST($hamming AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE $hamming <= $MaxHamming
+ORDER BY a_id, b_id"""
+  }
+
+  // --- as-of join (composed, SURVEY §2.3 extension) -------------------
+  /** For every purchase event: the most recent STRICTLY-PRIOR 'view' by
+    * the same user, as a max-over-window of conditional event times —
+    * the build-side-free as-of formulation that needs one shuffle on
+    * user_id and no range-join support.
+    */
+  private def asof(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("prev_view_ms",
+        max(when(col("event_type") === "view", col("_ms"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("_ms").as("purchase_ms"), col("prev_view_ms"),
+        (col("_ms") - col("prev_view_ms")).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  private val asofOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS _ms FROM events
+), w AS (
+  SELECT *, MAX(CASE WHEN event_type = 'view' THEN _ms END) OVER (
+    PARTITION BY user_id ORDER BY _ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ms
+  FROM e)
+SELECT event_id, user_id, _ms AS purchase_ms, prev_view_ms,
+  _ms - prev_view_ms AS gap_ms
+FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
+
+  // --- reader/writer round-trips (W1/W2 + S2/S3 through the oracle) ---
+  private def roundtrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+      col("l_returnflag"), col("l_shipdate"))
+    val tmp = Files.createTempDirectory(s"graft_rt_$fmt").toString
+    val path = s"$tmp/lineitem.$fmt"
+    fmt match {
+      case "csv"  => Writers.csv(li, path)
+      case "json" => Writers.ndjson(li, path)
+    }
+    val back0 = Readers.read(s, path)
+    // S8-style normalization: JSON carries timestamps as ISO strings
+    val back = back0.withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    back.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0)
+          .as("sum_price"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  private val roundtripOracle = s"""SELECT l_returnflag, COUNT(*) AS n,
+  SUM(l_quantity) AS sum_qty,
+  ${Sql.sumCents("l_extendedprice")} AS sum_price,
+  MAX(l_shipdate) AS max_ship
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d_simhash", simhash, Some(simhashOracle)),
+    QueryDef("d_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
+    QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),
+    QueryDef("io_csv_roundtrip", (s, d) => roundtrip(s, d, "csv"), Some(roundtripOracle)),
+    QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)))
+}

@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TextDedup
+
+/** Native expression + SQL registration + SimHash behavior. */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("StringHammingDistance: interpreted and codegen'd paths agree") {
+    val df = Seq(
+      ("0000", "0000", Some(0)),
+      ("0101", "0000", Some(2)),
+      ("1111", "0000", Some(4)),
+      ("abc", "abd", Some(1)),
+      ("ab", "abcd", None)) // length mismatch → null
+      .toDF("a", "b", "want")
+    val got = df.select(
+      StringHammingDistance.hamming(col("a"), col("b")).as("d"), col("want"))
+      .collect()
+    got.foreach { r =>
+      assert(Option(r.get(0)).map(_.asInstanceOf[Int]) ==
+        Option(r.get(1)).map(_.asInstanceOf[Int]))
+    }
+    // null input → null
+    val n = Seq((null: String, "x")).toDF("a", "b")
+      .select(StringHammingDistance.hamming(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("graft_hamming registered for SQL via GraftFunctions") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT graft_hamming('10110', '10011') AS d")
+      .head().getInt(0)
+    assert(got == 2)
+  }
+
+  test("simhash: identical docs identical sigs; near-dups within hamming 3") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val near = base.replace("sigma", "sygma")
+    val far = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val sigs = TextDedup.simHashSignatures(
+      TextDedup.wordTokens(docs, "doc_id", "text"))
+    val byId = sigs.as[(Long, String)].collect().toMap
+    assert(byId(1L) == byId(2L))
+    assert(byId.values.forall(_.length == TextDedup.SimHashBits))
+
+    val pairs = TextDedup.simHashPairs(sigs, 3)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L))) // identical → hamming 0
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 0)
+    assert(pairSet.contains((1L, 3L)) || pairSet.contains((2L, 3L)),
+      s"near-dup should fall within hamming 3: $pairs")
+    assert(!pairSet.exists(p => p._2 == 4L && p._1 <= 3L) ||
+      pairs.filter(p => p._2 == 4L).forall(_._3 <= 3))
+  }
+
+  test("simhash pairs on testdata find the planted jaccard near-dups") {
+    val docs = graft.queries.Tables(spark, Sf, "documents")
+    val exact = TextDedup.jaccardPairs(
+      TextDedup.wordShingles(docs, "doc_id", "text"), 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sim = TextDedup.simHashPairs(
+      TextDedup.simHashSignatures(TextDedup.wordTokens(docs, "doc_id", "text")), 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"simhash recall $recall on ${exact.size} true pairs")
+  }
+}
