@@ -133,7 +133,27 @@ FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
   MAX(l_shipdate) AS max_ship
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --- salted skew join (result must equal the plain join) ------------
+  private def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    graft.operators.Joins.saltedJoin(l, o, "k", 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + 0.5)
+          .cast("long")) / 10000.0).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val saltedOracle = s"""SELECT o_orderpriority, COUNT(*) AS n,
+  ${Sql.sumBps(s"l_extendedprice * (${Sql.D("1")} - l_discount)")} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_salted_skew_join", saltedSkewJoin, Some(saltedOracle)),
     QueryDef("d_simhash", simhash, Some(simhashOracle)),
     QueryDef("d_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),

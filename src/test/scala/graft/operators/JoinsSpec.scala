@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result on skewed data") {
+    // heavy skew: 90% of left rows share one key
+    val left = (1 to 2000)
+      .map(i => (if (i % 10 == 0) i.toLong else 7L, s"row$i"))
+      .toDF("k", "payload")
+    val right = Seq((7L, "hot"), (20L, "cold"), (999L, "unused"))
+      .toDF("k", "dim")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "payload", "dim").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    val salted = Joins.saltedJoin(left, right, "k", 8)
+      .select("k", "payload", "dim").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("graft_bucketed").toString
+    val orders = Tables(spark, Sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables(spark, Sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Joins.writeBucketed(orders, "b_orders", "o_orderkey", 8, s"$wh/o")
+    Joins.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 8, s"$wh/l")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // sf0.001 tables are broadcast-size; force the shuffle-join path the
+    // bucketing exists to optimize
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+      // bucketed join side must not re-shuffle; only the groupBy may
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinPart = plan.split("HashAggregate").last // below the agg
+      assert(joinPart.contains("SortMergeJoin") || joinPart.contains("ShuffledHashJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed join must be shuffle-free:\n${plan.take(3000)}")
+      // and it computes the right answer
+      val viaBuckets = joined.as[(Long, Double)].collect().toMap
+      val plain = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+        .as[(Long, Double)].collect().toMap
+      assert(viaBuckets == plain)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
