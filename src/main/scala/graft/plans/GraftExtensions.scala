@@ -2,7 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL-surface registration for the engine's native expressions.
   *
@@ -12,9 +15,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `GraftFunctions.register(spark)` on an already-running session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach { case (ident, info, builder) =>
       e.injectFunction((ident, info, builder))
+    }
+    e.injectOptimizerRule(_ => HammingIdentityFold)
+  }
+}
+
+/** `Rule[LogicalPlan]` demo of the custom-optimization extension point:
+  * `graft_hamming(x, x)` over a deterministic x folds to 0 (null-safe),
+  * removing the byte-loop from the plan entirely. Registered via
+  * [[GraftExtensions]] or `spark.experimental.extraOptimizations`.
+  */
+object HammingIdentityFold extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case StringHammingDistance(a, b) if a.deterministic && a.semanticEquals(b) =>
+        If(IsNull(a), Literal(null, IntegerType), Literal(0, IntegerType))
     }
 }
 

@@ -65,8 +65,75 @@ ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
   MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Spark's NATIVE gap-based session operator (`session_window`) —
+    * hash-checked against the lag/window formulation in the oracle
+    * (µs-exact: new session ⇔ gap >= 30 min, half-open windows).
+    */
+  private def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy("user_id")
+
+  private val sessionWindowOracle = """WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS u FROM events
+), l AS (
+  SELECT user_id,
+    CASE WHEN prev IS NULL OR u - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT *, LAG(u) OVER (PARTITION BY user_id ORDER BY u, event_id) AS prev FROM e)
+)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM l GROUP BY user_id ORDER BY user_id"""
+
+  /** C4-style quality gate over documents: every rule exposed as a flag
+    * plus the final verdict — the cleaning pass of a training-data
+    * pipeline, entirely in codegen'd column expressions.
+    */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val toks = tokenCount(col("text"))
+    val noSpace = length(regexp_replace(col("text"), "\\s+", ""))
+    val avgLen = noSpace.cast("double") / toks.cast("double")
+    val punctRatio = punctCount(col("text")).cast("double") /
+      length(col("text")).cast("double")
+    val stops = stopwordCount(col("text"),
+      Seq("the", "a", "of", "and", "in", "to", "is"))
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      when(toks.between(10, 1000), 1).otherwise(0).as("ok_len"),
+      when(toks > 0 && avgLen >= 2.0 && avgLen <= 12.0, 1).otherwise(0).as("ok_avg_token"),
+      when(punctRatio < 0.2, 1).otherwise(0).as("ok_punct"),
+      when(stops >= 1, 1).otherwise(0).as("ok_stopwords"))
+      .withColumn("passes",
+        when(col("ok_len") === 1 && col("ok_avg_token") === 1 &&
+          col("ok_punct") === 1 && col("ok_stopwords") === 1, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
+  private val qualityFilterOracle: String = {
+    val toks = "CAST(length(regexp_extract_all(text, '\\S+')) AS INT)"
+    val noSpace = "length(regexp_replace(text, '\\s+', '', 'g'))"
+    val avgLen = s"CAST($noSpace AS DOUBLE) / CAST($toks AS DOUBLE)"
+    val punct = "CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS INT)"
+    val punctRatio = s"CAST($punct AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val stops = "CAST(length(regexp_extract_all(text, '\\b(the|a|of|and|in|to|is)\\b')) AS INT)"
+    s"""WITH f AS (
+  SELECT doc_id,
+    CASE WHEN $toks BETWEEN 10 AND 1000 THEN 1 ELSE 0 END AS ok_len,
+    CASE WHEN $toks > 0 AND $avgLen >= ${D("2")} AND $avgLen <= ${D("12")} THEN 1 ELSE 0 END AS ok_avg_token,
+    CASE WHEN $punctRatio < ${D("0.2")} THEN 1 ELSE 0 END AS ok_punct,
+    CASE WHEN $stops >= 1 THEN 1 ELSE 0 END AS ok_stopwords
+  FROM documents)
+SELECT *, CASE WHEN ok_len = 1 AND ok_avg_token = 1 AND ok_punct = 1 AND ok_stopwords = 1 THEN 1 ELSE 0 END AS passes
+FROM f ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_pivot", pivot, Some(pivotOracle)),
     QueryDef("q_cube", cube, Some(cubeOracle)),
-    QueryDef("q_quantiles", quantiles, Some(quantilesOracle)))
+    QueryDef("q_quantiles", quantiles, Some(quantilesOracle)),
+    QueryDef("ev_session_window", sessionWindow, Some(sessionWindowOracle)),
+    QueryDef("t_quality_filter", qualityFilter, Some(qualityFilterOracle)))
 }

@@ -37,6 +37,18 @@ class PlansSpec extends SparkSpec {
     assert(got == 2)
   }
 
+  test("HammingIdentityFold rule removes hamming(x, x) from the plan") {
+    if (!spark.experimental.extraOptimizations.contains(HammingIdentityFold))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HammingIdentityFold
+    val df = Seq("abc", null: String).toDF("x")
+      .select(col("x"), StringHammingDistance.hamming(col("x"), col("x")).as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("stringhammingdistance"),
+      df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(r => Option(r.get(1)))
+    assert(got.toSeq == Seq(Some(0), None))
+  }
+
   test("simhash: identical docs identical sigs; near-dups within hamming 3") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
