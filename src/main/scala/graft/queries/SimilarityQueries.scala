@@ -145,8 +145,68 @@ SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_id
 FROM buckets GROUP BY bucket ORDER BY bucket"""
   }
 
+  /** Embedding-cosine near-dup DEDUP decision: a vector is dropped when
+    * any LSH-candidate neighbor with a smaller id has cosine >= τ
+    * (keep-first policy, like the text dedup). Output = the full
+    * keep/drop verdict per vector.
+    */
+  private val DedupCos = 0.35
+
+  private def embDedup(s: SparkSession, dir: String): DataFrame = {
+    val drops = Similarity
+      .lshCandidates(emb(s, dir), planes, Bands, RowsPerBand, DedupCos)
+      .select(col("b_id").as("id")).distinct()
+    emb(s, dir).select(col("id"))
+      .join(drops.withColumn("_drop", lit(1)), Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        when(col("_drop").isNotNull, 0).otherwise(1).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val embDedupOracle: String = {
+    val planeValues = (for {
+      (plane, p) <- planes.zipWithIndex
+      (r, i) <- plane.zipWithIndex
+    } yield s"($p,${i + 1},$r)").mkString(",")
+    val bandSelects = (0 until Bands).map { b =>
+      s"SELECT vec_id, $b AS band, substring(bucket, ${b * RowsPerBand + 1}, $RowsPerBand) AS bkey FROM buckets"
+    }.mkString(" UNION ALL ")
+    s"""WITH $quantCtes,
+planes(p, i, r) AS (VALUES $planeValues),
+bits AS (
+  SELECT f.vec_id, pl.p,
+    CASE WHEN CAST(SUM(f.e * pl.r) AS BIGINT) > 0 THEN '1' ELSE '0' END AS bit
+  FROM flat f JOIN planes pl ON f.i = pl.i
+  GROUP BY f.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+),
+bands AS ($bandSelects),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.a_id, c.b_id, CAST(SUM(fa.e * fb.e) AS BIGINT) AS dot
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.a_id
+  JOIN flat fb ON fb.vec_id = c.b_id AND fb.i = fa.i
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT b_id AS vec_id FROM dots
+  JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= ${D(DedupCos)}
+)
+SELECT e.vec_id, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+ORDER BY e.vec_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
-    QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)))
+    QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)),
+    QueryDef("d_embedding_dedup", embDedup, Some(embDedupOracle)))
 }
