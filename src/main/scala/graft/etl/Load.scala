@@ -57,10 +57,7 @@ object Load {
         case "json"    => Writers.ndjson(df, out.path + ".json", singleFile)
         case "parquet" => Writers.parquet(df, out.path + ".parquet", singleFile)
         case "sqlite"  => Writers.jdbc(df, jdbcUrlFor(out.path))
-        case "xlsx" =>
-          // documented-unsupported (SURVEY §7.3); fan-out modes skip it
-          // rather than fail the run, a lone explicit request raises.
-          if (!fanOut) Writers.xlsx(df, out.path + ".xlsx")
+        case "xlsx"    => Writers.xlsx(df, out.path + ".xlsx")
         case other =>
           throw new IllegalArgumentException(s"Unsupported output format: $other")
       }

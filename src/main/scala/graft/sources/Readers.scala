@@ -43,12 +43,11 @@ object Readers {
   def jdbc(spark: SparkSession, url: String, table: String = "deliveries"): DataFrame =
     spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
 
-  /** S6 (`sources/readers.py:52-55`): XLSX needs POI/spark-excel, neither of
-    * which is available offline — documented unsupported (SURVEY §7.3).
+  /** S6 (`sources/readers.py:52-55`): dependency-free OOXML reader —
+    * see [[Xlsx]] (no POI offline, so the zip-of-XML is parsed directly).
     */
   def xlsx(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException(
-      s"xlsx source unsupported in this build (no POI offline): $path")
+    Xlsx.read(spark, path)
 
   /** S7 (`core/extract.py:16-22,57-72`): extension dispatch; unknown
     * extension → IllegalArgumentException, missing file surfaces as

@@ -49,10 +49,11 @@ object Writers {
       .save()
   }
 
-  /** W5 (`sources/writers.py:61-70`): unsupported offline (no POI). */
-  def xlsx(df: DataFrame, path: String): Unit =
-    throw new UnsupportedOperationException(
-      s"xlsx sink unsupported in this build (no POI offline): $path")
+  /** W5 (`sources/writers.py:61-70`): dependency-free, row-streamed OOXML
+    * writer (see [[Xlsx]]) — driver-side single file, mirroring the
+    * reference's `constant_memory` xlsxwriter.
+    */
+  def xlsx(df: DataFrame, path: String): Unit = Xlsx.write(df, path)
 
   /** W7 (`core/load.py:50-52`): 5-row preview. */
   def preview(df: DataFrame): Unit = df.show(5, truncate = false)

@@ -68,8 +68,36 @@ class SourcesSpec extends SparkSpec {
     assert(Readers.jdbc(spark, url).count() == 4)
   }
 
-  test("dispatch: unknown extension raises, xlsx documented-unsupported") {
+  test("dispatch: unknown extension raises") {
     intercept[IllegalArgumentException](Readers.read(spark, "/tmp/x.tsv"))
-    intercept[UnsupportedOperationException](Readers.read(spark, "/tmp/x.xlsx"))
+  }
+
+  test("xlsx round-trip: header, strings, numbers, nulls, timestamps, escaping") {
+    val dir = Files.createTempDirectory("graft_xlsx")
+    val p = dir.resolve("t.xlsx").toString
+    val df = Readers.normalizeTimestamps(sample)
+      .withColumn("Tricky", org.apache.spark.sql.functions.lit("""a<b&"c">d"""))
+      .withColumn("MaybeNull",
+        org.apache.spark.sql.functions.when(col("Distance") > 6, "x"))
+    Writers.xlsx(df, p)
+    val back = Readers.read(spark, p)
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.count() == 2)
+    val r = back.orderBy("Delivery_ID").collect()
+    assert(r(0).getAs[String]("Delivery_ID") == "SC1")
+    assert(r(0).getAs[Double]("Distance") == 5.0) // numeric inferred
+    assert(r(0).getAs[String]("Tricky") == """a<b&"c">d""")
+    assert(r(0).getAs[String]("MaybeNull") == null)
+    assert(r(1).getAs[String]("MaybeNull") == "x")
+    assert(r(0).getAs[String]("Pickup_DateTime").startsWith("2025-01-01T10:00:00"))
+
+    // xlsx through the full pipeline "all" fan-out
+    val out = dir.resolve("res").toString
+    val cfg = graft.etl.PipelineConfig(
+      graft.etl.SourceConfig.Generate(50), graft.etl.OutputConfig(out, "all"))
+    val (_, res) = new graft.etl.Pipeline(spark, cfg).run()
+    assert(res.rows == 50)
+    val xl = Readers.read(spark, s"$out.xlsx")
+    assert(xl.count() == 50 && xl.columns.length == 13)
   }
 }
