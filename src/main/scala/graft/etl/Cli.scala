@@ -28,10 +28,15 @@ object Cli {
         throw new IllegalArgumentException(s"Unknown argument: $other")
     }
     val a = go(argv.toList, Args())
-    if (a.generateRows.isDefined == a.sourceFile.isDefined)
+    if (argv.isEmpty)
+      // E2: no flags → interactive wizard, like the reference's fallback
+      Wizard.run(
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+        System.out)
+    else if (a.generateRows.isDefined == a.sourceFile.isDefined)
       throw new IllegalArgumentException(
         "Exactly one of --generate-rows and --source-file is required")
-    a
+    else a
   }
 
   def toConfig(a: Args): PipelineConfig = {

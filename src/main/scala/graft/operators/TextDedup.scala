@@ -83,12 +83,19 @@ object TextDedup {
     * noise.
     */
   def simHashSignatures(tokens: DataFrame): DataFrame = {
-    val withHash = tokens.withColumn("_h", md5(col("token")))
+    // project each hex nibble ONCE (8 string ops/row), then the 32 bit
+    // contributions are integer arithmetic over those — 4× less string
+    // work than deriving every bit from the digest directly
+    val nNibbles = SimHashBits / 4
+    val withNibbles = tokens
+      .withColumn("_h", md5(col("token")))
+      .select(col("doc_id") +: (0 until nNibbles).map(j =>
+        expr(s"instr('0123456789abcdef', substring(_h, ${j + 1}, 1)) - 1").as(s"_n$j")): _*)
     val sums = (0 until SimHashBits).map { b =>
-      val bit = s"((instr('0123456789abcdef', substring(_h, ${b / 4 + 1}, 1)) - 1) div ${1 << (3 - b % 4)}) % 2"
+      val bit = s"(_n${b / 4} div ${1 << (3 - b % 4)}) % 2"
       sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"s$b")
     }
-    withHash.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    withNibbles.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
         concat((0 until SimHashBits).map(b =>
           when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("simhash"))
