@@ -25,8 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up (JIT + codegen caches), mirroring benchmarks.py:37-43
-    SparkEntry.queries.get("q1_pricing_summary")
+    // warm-up (JIT + codegen caches) across the engine's main code
+    // shapes — relational scan/agg, regex text path, array/vector path —
+    // mirroring benchmarks.py:37-43's untimed first run
+    Seq("q1_pricing_summary", "t_token_count", "s_lsh_buckets")
+      .flatMap(SparkEntry.queries.get)
       .foreach(fn => fn(spark, sfDir).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

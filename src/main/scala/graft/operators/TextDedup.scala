@@ -69,21 +69,24 @@ object TextDedup {
       .where(col("token") =!= "")
       .distinct()
 
-  val SimHashBits = 32
+  val SimHashBits = 64
 
-  /** 32-bit SimHash over a (doc_id, token) table: bit b of the signature
+  /** 64-bit SimHash over a (doc_id, token) table: bit b of the signature
     * is the sign of Σ_tokens (±1), where the per-token bit comes from the
     * md5 hex digest (nibble b/4, bit b%4 — pure string/integer ops, so
-    * the DuckDB oracle reproduces it exactly). Emitted as a 32-char
-    * '0'/'1' string: one groupBy with 32 integer sum-aggregates,
+    * the DuckDB oracle reproduces it exactly). Emitted as a 64-char
+    * '0'/'1' string: one groupBy with 64 integer sum-aggregates,
     * map-side combined.
     *
-    * Near-dup docs differ in few tokens → small Hamming distance; with
-    * 32 bits a random pair sits at ~16, so a ≤3 threshold has negligible
-    * noise.
+    * 64-bit/hamming≤3 is the classic near-dup config and targets VERY
+    * similar docs (jaccard ≳ 0.95; expected hamming for jaccard-0.9
+    * token sets is already ~9 bits). For mid-similarity dedup (0.7-0.9)
+    * use the MinHash path — simhash trades recall there for a far more
+    * selective band join (32-bit bands produced ~1.5M candidates on 5k
+    * small-vocab docs; 16-bit bands collapse that).
     */
   def simHashSignatures(tokens: DataFrame): DataFrame = {
-    // project each hex nibble ONCE (8 string ops/row), then the 32 bit
+    // project each hex nibble ONCE (16 string ops/row), then the 64 bit
     // contributions are integer arithmetic over those — 4× less string
     // work than deriving every bit from the digest directly
     val nNibbles = SimHashBits / 4
@@ -136,20 +139,37 @@ object TextDedup {
     * shuffle, map-side partials).
     */
   def minHashSignatures(shingles: DataFrame, k: Int): DataFrame =
+    minHashSignaturesWith(shingles, k,
+      (i, s) => md5(concat(lit(s"$i:"), s)))
+
+  /** As [[minHashSignatures]] with a pluggable per-seed hash. md5 strings
+    * are the engine-portable default (DuckDB-oracle parity); production
+    * swaps `(i, s) => xxhash64(lit(i), s)` — native 64-bit ints, ~5-10×
+    * cheaper (see `d_minhash_lsh_fast` in the bench).
+    */
+  def minHashSignaturesWith(shingles: DataFrame, k: Int,
+      hashFn: (Int, Column) => Column): DataFrame =
     shingles.groupBy(col("doc_id")).agg(
-      min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
-      (1 until k).map(i =>
-        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")): _*)
+      min(hashFn(0, col("shingle"))).as("h0"),
+      (1 until k).map(i => min(hashFn(i, col("shingle"))).as(s"h$i")): _*)
 
   /** LSH banding over [[minHashSignatures]] output: docs sharing any
     * band-key (md5 of that band's signature slice) become candidate
     * pairs. Probability a pair with Jaccard j collides:
     * 1 − (1 − j^rows)^bands.
     */
-  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    lshCandidatesWith(sigs, bands, rows,
+      cols => md5(concat(cols: _*)))
+
+  /** As [[lshCandidates]] with a pluggable band-key hash (md5-of-concat
+    * is the portable default; `xxhash64(cols: _*)` the fast path).
+    */
+  def lshCandidatesWith(sigs: DataFrame, bands: Int, rows: Int,
+      keyFn: Seq[Column] => Column): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val key = md5(concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*))
-      struct(lit(b).as("band"), key.as("bkey"))
+      val key = keyFn((0 until rows).map(r => col(s"h${b * rows + r}")))
+      struct(lit(b).as("band"), key.cast("string").as("bkey"))
     }
     val bandsDf = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("x"))

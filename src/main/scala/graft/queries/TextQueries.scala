@@ -130,11 +130,15 @@ FROM documents ORDER BY doc_id"""
 FROM documents GROUP BY 1 ORDER BY keeper_id"""
 
   // --- n-gram Jaccard near-dup pairs --------------------------------
-  private def jaccard(s: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardPairs(
-      TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3),
-      0.5)
-      .orderBy("a_id", "b_id")
+  private def jaccard(s: SparkSession, dir: String): DataFrame = {
+    // the shingle table feeds three subplans (sizes + both join sides);
+    // without an exchange between them Spark would rescan the parquet
+    // and re-shingle 3× — persist the narrow intermediate instead
+    val sh = TextDedup.wordShingles(
+      Tables(s, dir, "documents"), "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TextDedup.jaccardPairs(sh, 0.5).orderBy("a_id", "b_id")
+  }
 
   private val shingleCtes = """docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
@@ -169,6 +173,17 @@ ORDER BY a_id, b_id"""
       TextDedup.minHashSignatures(
         TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3), K),
       Bands, Rows)
+      .orderBy("a_id", "b_id")
+
+  /** Production-hash twin of `d_minhash_lsh` (xxhash64 end to end, no
+    * portable oracle — rows-only check; bench shows the md5 delta).
+    */
+  private def minhashLshFast(s: SparkSession, dir: String): DataFrame =
+    TextDedup.lshCandidatesWith(
+      TextDedup.minHashSignaturesWith(
+        TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3), K,
+        (i, sh) => xxhash64(lit(i), sh)),
+      Bands, Rows, cols => xxhash64(cols: _*))
       .orderBy("a_id", "b_id")
 
   private val minhashOracle: String = {
@@ -208,5 +223,6 @@ FROM documents ORDER BY doc_id"""
     QueryDef("t_fingerprint", fingerprintQ, Some(fingerprintOracle)),
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
-    QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)))
+    QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
+    QueryDef("d_minhash_lsh_fast", minhashLshFast, None))
 }
