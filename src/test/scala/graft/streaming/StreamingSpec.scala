@@ -24,21 +24,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch && got.nonEmpty)
   }
 
+  // the file source lists flat files, not nested write-dirs: write each
+  // micro-batch to a staging dir and move its part file up
+  private def writeBatch(dir: String, name: String,
+      events: Seq[EventStreams.Event]): Unit = {
+    val stage = s"$dir/_stage_$name"
+    events.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/$name.parquet"))
+  }
+
   test("sessionization carries state across two micro-batches") {
     val dir = Files.createTempDirectory("graft_stream").toString
     def ev(id: Long, user: Long, minute: Int): EventStreams.Event =
       EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
         user, "click", 1.0)
-
-    // the file source lists flat files, not nested write-dirs: write each
-    // micro-batch to a staging dir and move its part file up
-    def writeBatch(name: String, events: Seq[EventStreams.Event]): Unit = {
-      val stage = s"$dir/_stage_$name"
-      events.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      Files.move(part.toPath, java.nio.file.Paths.get(s"$dir/$name.parquet"))
-    }
+    def writeBatch(name: String, events: Seq[EventStreams.Event]): Unit =
+      this.writeBatch(dir, name, events)
 
     // batch 1: two events 5 min apart → 1 session
     writeBatch("b1", Seq(ev(1, 7, 0), ev(2, 7, 5)))
@@ -67,6 +70,43 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
       assert(afterB2 == Set((7L, 2L, 4L)),
         "state must persist across micro-batches")
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    val dir = Files.createTempDirectory("graft_wm").toString
+    def ev(id: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), 1L, "click", 1.0)
+    def epoch(time: String): Long =
+      Timestamp.valueOf(s"2024-01-01 $time").getTime / 1000
+
+    // batch 1: window [10:00) gets one event; 12:30 advances the
+    // watermark (1 h) to 11:30, past that window's end
+    writeBatch(dir, "b1", Seq(ev(1, "10:00:00"), ev(2, "12:30:00")))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.hourlyCounts(stream)
+
+    spark.streams.active.filter(_.name == "wm_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_test").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: 10:15 is behind the 11:30 watermark → must be dropped;
+      // 14:30 advances the watermark to 13:30 so window [12:00) finalizes
+      writeBatch(dir, "b2", Seq(ev(3, "10:15:00"), ev(4, "14:30:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("wm_test")
+        .select("hour_epoch", "n_events").as[(Long, Long)].collect().toMap
+      assert(got.get(epoch("10:00:00")) == Some(1L),
+        s"late event must not reopen the finalized 10:00 window: $got")
+      assert(got.get(epoch("12:00:00")) == Some(1L),
+        s"12:00 window should finalize once the watermark passes it: $got")
+      assert(!got.contains(epoch("14:00:00")),
+        "the 14:00 window is still open and must not be in append output")
     } finally q.stop()
   }
 }
