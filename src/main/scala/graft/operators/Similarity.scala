@@ -107,9 +107,6 @@ object Similarity {
     val sig = emb.select(col("id"), quantize(col("vec")).as("qv"))
       .withColumn("nn", normSqQ(col("qv")))
       .withColumn("bucket", bucketSignature(col("qv"), planes))
-      // quantized vectors + norms + bucket: one narrow row per vector,
-      // reused by both sides of the band join — persist beats 2× recompute
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = sig.select(col("id"), col("qv"), col("nn"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),

@@ -111,12 +111,9 @@ object TextDedup {
     * approximate. Distance is scored by the native codegen'd
     * [[graft.plans.StringHammingDistance]] expression.
     */
-  def simHashPairs(sigs0: DataFrame, maxHamming: Int): DataFrame = {
+  def simHashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
     val bandLen = SimHashBits / bands
-    // signatures are one short row per doc — persisting them costs ~nothing
-    // and stops both join sides re-scanning the corpus to recompute them
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -168,11 +165,8 @@ object TextDedup {
   /** As [[lshCandidates]] with a pluggable band-key hash (md5-of-concat
     * is the portable default; `xxhash64(cols: _*)` the fast path).
     */
-  def lshCandidatesWith(sigs0: DataFrame, bands: Int, rows: Int,
+  def lshCandidatesWith(sigs: DataFrame, bands: Int, rows: Int,
       keyFn: Seq[Column] => Column): DataFrame = {
-    // k-row signatures per doc: persist so the band self-join's two sides
-    // share one computation instead of two corpus scans
-    val sigs = sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until bands).map { b =>
       val key = keyFn((0 until rows).map(r => col(s"h${b * rows + r}")))
       struct(lit(b).as("band"), key.cast("string").as("bkey"))
