@@ -99,6 +99,13 @@ object Similarity {
   /** LSH candidate pairs: vectors sharing any of `bands` contiguous
     * `rowsPerBand`-bit slices of the bucket signature, scored with the
     * exact quantized cosine and thresholded.
+    *
+    * Shape matters at scale: the band self-join carries ONLY ids (a pair
+    * colliding in j bands would otherwise ship its vectors j times and
+    * be scored j times), pairs are deduped BEFORE scoring, and the
+    * vectors are fetched by two id-equi-joins against the slim signature
+    * projection — which Catalyst broadcasts while the corpus is small
+    * and shuffles on id once it isn't, with no code change.
     */
   def lshCandidates(
       emb: DataFrame, planes: Seq[Seq[Int]], bands: Int, rowsPerBand: Int,
@@ -106,24 +113,28 @@ object Similarity {
     require(planes.size == bands * rowsPerBand)
     val sig = emb.select(col("id"), quantize(col("vec")).as("qv"))
       .withColumn("nn", normSqQ(col("qv")))
+    val bandRows = sig
       .withColumn("bucket", bucketSignature(col("qv"), planes))
-    val bandRows = sig.select(col("id"), col("qv"), col("nn"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          substring(col("bucket"), b * rowsPerBand + 1, rowsPerBand).as("bkey"))): _*))
-        .as("x"))
-      .select(col("id"), col("qv"), col("nn"),
-        col("x.band").as("band"), col("x.bkey").as("bkey"))
-    val a = bandRows.select(col("band"), col("bkey"), col("id").as("a_id"),
-      col("qv").as("a_qv"), col("nn").as("a_nn"))
-    val b = bandRows.select(col("band"), col("bkey"), col("id").as("b_id"),
-      col("qv").as("b_qv"), col("nn").as("b_nn"))
-    a.join(b, Seq("band", "bkey"))
+      .select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            substring(col("bucket"), b * rowsPerBand + 1, rowsPerBand).as("bkey"))): _*))
+          .as("x"))
+      .select(col("id"), col("x.band").as("band"), col("x.bkey").as("bkey"))
+    val cand = bandRows.select(col("band"), col("bkey"), col("id").as("a_id"))
+      .join(bandRows.select(col("band"), col("bkey"), col("id").as("b_id")),
+        Seq("band", "bkey"))
       .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(sig.select(col("id").as("a_id"), col("qv").as("a_qv"),
+        col("nn").as("a_nn")), Seq("a_id"))
+      .join(sig.select(col("id").as("b_id"), col("qv").as("b_qv"),
+        col("nn").as("b_nn")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         cosineQ(dotQ(col("a_qv"), col("b_qv")), col("a_nn"), col("b_nn"))
           .as("cosine"))
       .where(col("cosine") >= minCosine)
-      .distinct()
   }
 }
