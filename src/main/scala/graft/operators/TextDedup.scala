@@ -162,6 +162,48 @@ object TextDedup {
     lshCandidatesWith(sigs, bands, rows,
       cols => md5(concat(cols: _*)))
 
+  /** Connected components over an undirected candidate-pair edge list
+    * ((a_id, b_id), as from [[lshCandidates]]/[[jaccardPairs]]): returns
+    * (id, comp) where `comp` is the MINIMUM id in the component — i.e.
+    * the keep-first keeper every other member duplicates.
+    *
+    * Pure-DataFrame iterative min-label propagation: each round, a
+    * node's label becomes the min of its own and its neighbours'; rounds
+    * run until a fixpoint (the labels' sum is monotone non-increasing,
+    * so one cheap agg detects convergence). Near-dup clusters are dense,
+    * so this converges in a handful of rounds; `localCheckpoint`
+    * truncates the growing join lineage each round. At a 1000-executor
+    * scale the same loop holds (shuffles are keyed on id); graphs with
+    * long chains would want the large-star/small-star variant, which
+    * bounds rounds by log(n) instead of the diameter.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .union(edges
+        .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val newSum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head.getLong(0)
+      converged = newSum == sum
+      sum = newSum
+      iter += 1
+    }
+    labels
+  }
+
   /** As [[lshCandidates]] with a pluggable band-key hash (md5-of-concat
     * is the portable default; `xxhash64(cols: _*)` the fast path).
     */

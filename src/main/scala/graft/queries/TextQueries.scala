@@ -202,6 +202,49 @@ FROM bands a JOIN bands b
 ORDER BY a_id, b_id"""
   }
 
+  // --- dedup clusters: LSH candidates → connected components --------
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val cand = TextDedup.lshCandidates(
+      TextDedup.minHashSignatures(
+        TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3), K),
+      Bands, Rows)
+    TextDedup.connectedComponents(cand)
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("comp_id")
+  }
+
+  /** Oracle recomputes the same candidate pairs, then takes the
+    * transitive closure with a recursive CTE — min reachable id ==
+    * the propagation fixpoint.
+    */
+  private val dedupClustersOracle: String = {
+    val mins = (0 until K)
+      .map(i => s"MIN(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = s"md5(${(0 until Rows).map(r => s"h${b * Rows + r}").mkString(" || ")})"
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $shingleCtes,
+sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+bands AS ($bandSelects),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+          UNION SELECT b_id, a_id FROM cand),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+),
+labels AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
+SELECT comp AS comp_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM labels GROUP BY comp ORDER BY comp_id"""
+  }
+
   // --- BPE-ish token count per doc ----------------------------------
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
@@ -224,5 +267,6 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
-    QueryDef("d_minhash_lsh_fast", minhashLshFast, None))
+    QueryDef("d_minhash_lsh_fast", minhashLshFast, None),
+    QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)))
 }

@@ -56,6 +56,20 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  test("connected components: chains, cliques, and isolated pairs") {
+    // a 7-node path (min label must travel 6 hops), a triangle, a pair
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("a_id", "b_id")
+    val comps = TextDedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 16L).forall(comps(_) == 10L), s"path: $comps")
+    assert((20L to 22L).forall(comps(_) == 20L), s"triangle: $comps")
+    assert(comps(30L) == 30L && comps(31L) == 30L, s"pair: $comps")
+    assert(comps.size == 12)
+  }
+
   test("brute-force top-k: quantized ranking agrees with float cosine") {
     val emb = graft.queries.Tables(spark, Sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
