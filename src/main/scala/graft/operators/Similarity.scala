@@ -74,6 +74,57 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) top-k ANN — the other classic scale path next
+    * to hyperplane LSH. A small coarse codebook partitions the corpus
+    * into cells (each vector belongs to its max-cosine centroid, ties to
+    * the smaller centroid id); a query probes only its `nprobe` nearest
+    * cells and scores the exact quantized cosine inside them.
+    *
+    * Dataflow at scale: the codebook broadcasts (it's ~√N rows);
+    * assignment is one crossJoin + map-side-combined max-of-struct agg
+    * keyed on id (no wide shuffle — vectors never leave their
+    * partitions); the probe join broadcasts the (query, cell) pairs and
+    * shuffles nothing but the final per-query top-k. Centroid choice is
+    * the caller's: production trains k-means, tests pass a
+    * deterministic id-stride subset — the dataflow is identical.
+    */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val base = emb.select(col("id"), quantize(col("vec")).as("qv"))
+      .withColumn("nn", normSqQ(col("qv")))
+    val cb = centroids.select(col("id").as("c_id"), quantize(col("vec")).as("cqv"))
+      .withColumn("cnn", normSqQ(col("cqv")))
+    val cells = base.crossJoin(broadcast(cb))
+      .select(col("id"),
+        struct(
+          cosineQ(dotQ(col("qv"), col("cqv")), col("nn"), col("cnn")).as("ccos"),
+          (-col("c_id")).as("negc")).as("sc"))
+      .groupBy(col("id")).agg(max(col("sc")).as("m"))
+      .select(col("id"), (-col("m.negc")).cast("long").as("cell"))
+    val celled = base.join(cells, Seq("id"))
+
+    val qs = queries.select(col("id").as("q_id"), quantize(col("vec")).as("qqv"))
+      .withColumn("qn", normSqQ(col("qqv")))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("c_id"))
+    val probes = qs.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("qqv"), col("qn"), col("c_id"),
+        cosineQ(dotQ(col("qqv"), col("cqv")), col("qn"), col("cnn")).as("ccos"))
+      .withColumn("pr", row_number().over(wq))
+      .where(col("pr") <= nprobe)
+      .select(col("q_id"), col("qqv"), col("qn"), col("c_id").as("cell"))
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    celled.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosineQ(dotQ(col("qv"), col("qqv")), col("nn"), col("qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
   /** ±1 hyperplane components, deterministic from md5 — portable to any
     * engine by materializing the literals (see SimilarityQueries).
     */

@@ -113,6 +113,68 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) 
 ORDER BY a_id, b_id"""
   }
 
+  // --- IVF top-k: coarse-codebook inverted-file ANN -----------------
+  private val CentroidStride = 25 // vec_id % 25 == 0 → ~N/25 cells
+  private val NProbe = 4
+
+  private def ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(
+      e,
+      e.where(pmod(col("id"), lit(QueryStride)) === 0),
+      e.where(pmod(col("id"), lit(CentroidStride)) === 0),
+      NProbe, K)
+      .orderBy("q_id", "rank")
+  }
+
+  private val ivfOracle: String = s"""WITH $quantCtes,
+cdots AS (
+  SELECT a.vec_id AS id, c.vec_id AS c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat c ON a.i = c.i
+  WHERE c.vec_id % $CentroidStride = 0
+  GROUP BY 1, 2
+),
+cscored AS (
+  SELECT id, c_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(n1.nn AS DOUBLE) * CAST(n2.nn AS DOUBLE)) AS ccos
+  FROM cdots JOIN norms n1 ON id = n1.vec_id JOIN norms n2 ON c_id = n2.vec_id
+),
+cells AS (
+  SELECT id, c_id AS cell FROM (
+    SELECT id, c_id,
+      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS q_id, c_id AS cell FROM (
+    SELECT id, c_id,
+      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) AS rn
+    FROM cscored WHERE id % $QueryStride = 0
+  ) WHERE rn <= $NProbe
+),
+cand AS (
+  SELECT p.q_id, c.id AS n_id FROM probes p JOIN cells c ON p.cell = c.cell
+  WHERE c.id <> p.q_id
+),
+dots AS (
+  SELECT cd.q_id, cd.n_id, CAST(SUM(fa.e * fb.e) AS BIGINT) AS dot
+  FROM cand cd
+  JOIN flat fa ON fa.vec_id = cd.q_id
+  JOIN flat fb ON fb.vec_id = cd.n_id AND fb.i = fa.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT q_id, n_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+  FROM dots JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+)
+SELECT q_id, rank, n_id, cosine FROM (
+  SELECT q_id, n_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= $K ORDER BY q_id, rank"""
+
   /** Bucket occupancy histogram — the observability query you'd run
     * before trusting an LSH configuration at scale.
     */
@@ -207,6 +269,7 @@ ORDER BY e.vec_id"""
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
+    QueryDef("s_ivf_topk", ivf, Some(ivfOracle)),
     QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)),
     QueryDef("d_embedding_dedup", embDedup, Some(embDedupOracle)))
 }

@@ -89,6 +89,23 @@ class OperatorsSpec extends SparkSpec {
     assert(topQ.forall { case (_, _, c) => c.abs <= 1.0 + 1e-9 })
   }
 
+  test("IVF top-k: results come from probed cells only, decent recall vs exact") {
+    val emb = graft.queries.Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("id") % 10 === 0)
+    val centroids = emb.where(col("id") % 10 === 3)
+    val ivf = Similarity.ivfTopK(emb, queries, centroids, nprobe = 3, k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty && exact.nonEmpty)
+    // synthetic embeddings are uniform-random (no cluster structure), so
+    // recall ~ probed mass; this guards the plumbing, not tuned quality —
+    // exactness of the IVF semantics is the oracle gate's job
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.15, s"IVF recall $recall collapsed — probe routing is broken")
+  }
+
   test("LSH bucket signature: same vector → same bucket; candidates scored") {
     val planes = Similarity.planes(16, 64)
     assert(planes.flatten.forall(v => v == 1 || v == -1))
