@@ -7,11 +7,16 @@ import org.apache.spark.sql.SparkSession
   * wall-clock seconds). Prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Each query is driven to completion with `count()` (forces the full
-  * plan — scans, shuffles, windows — without collecting results to the
-  * driver).
+  * Each query is driven to completion with a `noop`-sink write: unlike
+  * `count()` (where Catalyst prunes unevaluated projections and
+  * eliminates sorts above the agg), the noop sink materializes every
+  * output row and column without collecting to the driver — the honest
+  * full-query cost.
   */
 object Bench {
+  private def drive(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,11 +35,11 @@ object Bench {
     // mirroring benchmarks.py:37-43's untimed first run
     Seq("q1_pricing_summary", "t_token_count", "s_lsh_buckets")
       .flatMap(SparkEntry.queries.get)
-      .foreach(fn => fn(spark, sfDir).count())
+      .foreach(fn => drive(fn(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { drive(fn(spark, sfDir)) }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")

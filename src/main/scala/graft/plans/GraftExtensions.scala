@@ -42,7 +42,13 @@ object GraftFunctions {
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[StringHammingDistance].getName, "graft_hamming"),
-      (exprs: Seq[Expression]) => StringHammingDistance(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => StringHammingDistance(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_norm_sq"),
+      new ExpressionInfo(classOf[LongArrayNormSq].getName, "graft_norm_sq"),
+      (exprs: Seq[Expression]) => LongArrayNormSq(exprs(0))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

@@ -37,6 +37,33 @@ class PlansSpec extends SparkSpec {
     assert(got == 2)
   }
 
+  test("LongArrayDot/NormSq: native == interpreted aggregate formulation") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 2L), Seq(3L, 9L, -1L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+    val got = df.select(
+      LongArrayMath.dot(col("a"), col("b")).as("dot"),
+      LongArrayMath.normSq(col("a")).as("nsq"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("dot_ref"),
+      aggregate(col("a"), lit(0L), (acc, x) => acc + x * x).as("nsq_ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(2) && r.getLong(1) == r.getLong(3), r)
+    }
+    // length mismatch → null, null input → null
+    val edge = Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+      .select(LongArrayMath.dot(col("a"), col("b"))).head()
+    assert(edge.isNullAt(0))
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_dot(array(1L,2L), array(3L,4L))")
+      .head().getLong(0) == 11L)
+    assert(spark.sql("SELECT graft_norm_sq(array(3L,4L))")
+      .head().getLong(0) == 25L)
+  }
+
   test("HammingIdentityFold rule removes hamming(x, x) from the plan") {
     if (!spark.experimental.extraOptimizations.contains(HammingIdentityFold))
       spark.experimental.extraOptimizations =
