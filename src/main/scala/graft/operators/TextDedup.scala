@@ -85,24 +85,11 @@ object TextDedup {
     * selective band join (32-bit bands produced ~1.5M candidates on 5k
     * small-vocab docs; 16-bit bands collapse that).
     */
-  def simHashSignatures(tokens: DataFrame): DataFrame = {
-    // project each hex nibble ONCE (16 string ops/row), then the 64 bit
-    // contributions are integer arithmetic over those — 4× less string
-    // work than deriving every bit from the digest directly
-    val nNibbles = SimHashBits / 4
-    val withNibbles = tokens
+  def simHashSignatures(tokens: DataFrame): DataFrame =
+    tokens
       .withColumn("_h", md5(col("token")))
-      .select(col("doc_id") +: (0 until nNibbles).map(j =>
-        expr(s"instr('0123456789abcdef', substring(_h, ${j + 1}, 1)) - 1").as(s"_n$j")): _*)
-    val sums = (0 until SimHashBits).map { b =>
-      val bit = s"(_n${b / 4} div ${1 << (3 - b % 4)}) % 2"
-      sum(expr(s"CASE WHEN $bit = 1 THEN 1 ELSE -1 END")).as(s"s$b")
-    }
-    withNibbles.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"),
-        concat((0 until SimHashBits).map(b =>
-          when(col(s"s$b") > 0, "1").otherwise("0")): _*).as("simhash"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(graft.plans.SimHashAgg.simhash(col("_h")).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found
     * via band-join: the signature splits into (maxHamming+1) bands, and
