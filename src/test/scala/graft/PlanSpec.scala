@@ -65,4 +65,49 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("q5_nation_revenue")(spark, Sf))
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("ANN band join carries only ids — no vector arrays through the shuffle") {
+    import graft.operators.Similarity
+    // AQE's wrapper node hides the join subtree from collect(); the
+    // static plan is what we want to assert on anyway
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val emb = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val df = Similarity.lshCandidates(emb, Similarity.planes(16, 64), 4, 4, 0.25)
+    // the band self-join inputs must project (id, band, bkey) only; the
+    // quantized vectors re-enter later via the id-equi fetch joins
+    val joins =
+      try df.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val bandJoin = joins.find(_.leftKeys.length == 2).get // (band, bkey)
+    val carried = bandJoin.left.output ++ bandJoin.right.output
+    assert(carried.forall(a => !a.dataType.typeName.startsWith("array")),
+      s"band join must not ship vectors: ${carried.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+  }
+
+  test("IVF: codebook joins broadcast; cell assignment is one aggregate") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val plan = planOf(Similarity.ivfTopK(
+      emb, emb.where(col("id") % 50 === 0), emb.where(col("id") % 25 === 0), 4, 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      "small codebook/probe sides must broadcast at this scale")
+  }
+
+  test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("qv"))
+    val df = emb.select(Similarity.dotQ(col("qv"), col("qv")).as("d"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("*(1)"), s"dot must be codegen'd:\n${plan.take(1500)}")
+    assert(!plan.toLowerCase.contains("aggregate(zip_with"),
+      "interpreted higher-order-function formulation must be gone")
+  }
 }
