@@ -149,6 +149,40 @@ object TextDedup {
     lshCandidatesWith(sigs, bands, rows,
       cols => md5(concat(cols: _*)))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS algorithm): hash every char k-gram of the normalized text,
+    * slide a w-gram window, keep the minimal hash per window (rightmost
+    * on ties). Guarantees: any shared substring of length ≥ k+w-1
+    * yields a shared fingerprint, and selection density is ~2/(w+1).
+    *
+    * Output: distinct (doc_id, fp_hash, fp_pos). Engine-portable
+    * determinism: the per-window argmin is encoded as
+    * `min(hash || '#' || lpad(bigN - pos))` — one string `MIN`, same
+    * result in any engine, no nested-window tricks. Scales as a single
+    * per-doc window (shuffle keyed on doc_id), no self-joins.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    df.select(col(idCol).as("doc_id"),
+      lower(regexp_replace(col(textCol), "[^a-zA-Z0-9]+", "")).as("s"))
+      .where(length(col("s")) >= k + w - 1)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(1, length(s) - ${k - 1}), i -> substring(s, i, $k))"))
+        .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        concat(md5(col("gram")), lit("#"),
+          lpad((lit(99999999) - col("pos0") - 1).cast("string"), 8, "0")).as("key"))
+      .withColumn("sel", min(col("key")).over(win))
+      .where(col("pos") >= w)
+      .select(col("doc_id"),
+        substring(col("sel"), 1, 32).as("fp_hash"),
+        (lit(99999999) - substring(col("sel"), 34, 8).cast("int")).as("fp_pos"))
+      .distinct()
+  }
+
   /** Connected components over an undirected candidate-pair edge list
     * ((a_id, b_id), as from [[lshCandidates]]/[[jaccardPairs]]): returns
     * (id, comp) where `comp` is the MINIMUM id in the component — i.e.

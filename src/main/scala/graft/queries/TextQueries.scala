@@ -202,6 +202,43 @@ FROM bands a JOIN bands b
 ORDER BY a_id, b_id"""
   }
 
+  // --- winnowing (rolling k-gram) fingerprints ----------------------
+  private val WinK = 5
+  private val WinW = 4
+
+  private def winnow(s: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowingFingerprints(
+      Tables(s, dir, "documents"), "doc_id", "text", WinK, WinW)
+      .orderBy("doc_id", "fp_pos", "fp_hash")
+
+  private val winnowOracle: String = s"""WITH t AS (
+  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g')) AS s
+  FROM documents WHERE length(lower(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g'))) >= ${WinK + WinW - 1}
+),
+grams AS (
+  SELECT doc_id,
+    unnest(generate_series(1, length(s) - ${WinK - 1})) AS pos,
+    unnest(list_transform(generate_series(1, length(s) - ${WinK - 1}),
+      i -> md5(substring(s, i, $WinK)))) AS h
+  FROM t
+),
+keyed AS (
+  SELECT doc_id, pos,
+    h || '#' || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0') AS key
+  FROM grams
+),
+sel AS (
+  SELECT doc_id, pos,
+    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS sel
+  FROM keyed
+)
+SELECT DISTINCT doc_id,
+  substring(sel, 1, 32) AS fp_hash,
+  99999999 - CAST(substring(sel, 34, 8) AS INT) AS fp_pos
+FROM sel WHERE pos >= $WinW
+ORDER BY doc_id, fp_pos, fp_hash"""
+
   // --- dedup clusters: LSH candidates → connected components --------
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val cand = TextDedup.lshCandidates(
@@ -268,5 +305,6 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
     QueryDef("d_minhash_lsh_fast", minhashLshFast, None),
-    QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)))
+    QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    QueryDef("t_winnow_fingerprint", winnow, Some(winnowOracle)))
 }

@@ -89,6 +89,28 @@ class OperatorsSpec extends SparkSpec {
     assert(topQ.forall { case (_, _, c) => c.abs <= 1.0 + 1e-9 })
   }
 
+  test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
+    val shared = "thequickbrownfoxjumpsoverthelazydog"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different head $shared and tail"),
+      (3L, "no overlap with anything else here at all")).toDF("doc_id", "text")
+    val fp = TextDedup.winnowingFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+    val byDoc = fp.select("doc_id", "fp_hash").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "docs sharing a 35-char substring must share a fingerprint")
+    // density sanity: winnowing selects ~2/(w+1) of positions, far fewer
+    // than one fingerprint per gram
+    val grams1 = docs.where($"doc_id" === 1).select(
+      length(regexp_replace(lower($"text"), "[^a-z0-9]+", ""))).head.getInt(0) - 4
+    assert(byDoc(1L).size < grams1 / 2)
+    // deterministic
+    val fp2 = TextDedup.winnowingFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().toSet
+    assert(fp.collect().toSet == fp2)
+  }
+
   test("IVF top-k: results come from probed cells only, decent recall vs exact") {
     val emb = graft.queries.Tables(spark, Sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
