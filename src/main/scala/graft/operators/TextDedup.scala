@@ -162,7 +162,16 @@ object TextDedup {
     * per-doc window (shuffle keyed on doc_id), no self-joins.
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = 5, w: Int = 4): DataFrame =
+    winnowingFingerprintsWith(df, idCol, textCol, k, w, md5, 32)
+
+  /** As [[winnowingFingerprints]] with a pluggable fixed-width string
+    * gram hash (md5/32 is the portable oracle default; production:
+    * `c => lpad(hex(xxhash64(c)), 16, "0")` with width 16 — native
+    * 64-bit hashing, no digest allocation).
+    */
+  def winnowingFingerprintsWith(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, hashFn: Column => Column, hashLen: Int): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
@@ -173,13 +182,13 @@ object TextDedup {
         expr(s"transform(sequence(1, length(s) - ${k - 1}), i -> substring(s, i, $k))"))
         .as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        concat(md5(col("gram")), lit("#"),
+        concat(hashFn(col("gram")), lit("#"),
           lpad((lit(99999999) - col("pos0") - 1).cast("string"), 8, "0")).as("key"))
       .withColumn("sel", min(col("key")).over(win))
       .where(col("pos") >= w)
       .select(col("doc_id"),
-        substring(col("sel"), 1, 32).as("fp_hash"),
-        (lit(99999999) - substring(col("sel"), 34, 8).cast("int")).as("fp_pos"))
+        substring(col("sel"), 1, hashLen).as("fp_hash"),
+        (lit(99999999) - substring(col("sel"), hashLen + 2, 8).cast("int")).as("fp_pos"))
       .distinct()
   }
 

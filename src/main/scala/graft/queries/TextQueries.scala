@@ -239,6 +239,15 @@ SELECT DISTINCT doc_id,
 FROM sel WHERE pos >= $WinW
 ORDER BY doc_id, fp_pos, fp_hash"""
 
+  /** Production-hash twin of `t_winnow_fingerprint` (xxhash64 grams, no
+    * portable oracle — rows-only check; bench shows the md5 delta).
+    */
+  private def winnowFast(s: SparkSession, dir: String): DataFrame =
+    TextDedup.winnowingFingerprintsWith(
+      Tables(s, dir, "documents"), "doc_id", "text", WinK, WinW,
+      c => lpad(hex(xxhash64(c)), 16, "0"), 16)
+      .orderBy("doc_id", "fp_pos", "fp_hash")
+
   // --- dedup clusters: LSH candidates → connected components --------
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val cand = TextDedup.lshCandidates(
@@ -306,5 +315,6 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
     QueryDef("d_minhash_lsh_fast", minhashLshFast, None),
     QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
-    QueryDef("t_winnow_fingerprint", winnow, Some(winnowOracle)))
+    QueryDef("t_winnow_fingerprint", winnow, Some(winnowOracle)),
+    QueryDef("t_winnow_fast", winnowFast, None))
 }
