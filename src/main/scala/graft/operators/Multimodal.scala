@@ -22,6 +22,9 @@ object Multimodal {
   final case class DecodedMeta(media_id: Long, kind: String, n_bytes: Int,
       checksum: String, width: Int, height: Int, n_frames: Int)
   final case class Frame(media_id: Long, frame_idx: Int, offset_pct: Double)
+  final case class Resized(media_id: Long, kind: String,
+      src_width: Int, src_height: Int, out_width: Int, out_height: Int,
+      scale: Double)
 
   /** Attach a binary payload column (here: utf8 text bytes; in a real
     * pipeline: the raw image/audio bytes from the lake).
@@ -73,6 +76,26 @@ object Multimodal {
       (0 until n).map { i =>
         Frame(m.media_id, i, if (n == 1) 0.0 else i.toDouble / (n - 1))
       }
+    }
+  }
+
+  /** Aspect-fit resize PLANNING: the largest scale ≤ 1 that fits the
+    * decoded dimensions inside `maxW × maxH` (never upscales), with
+    * even output dims (codec-friendly). The geometry is exact column
+    * math here; the pixel resampling itself is the same stub seam as
+    * `decodeStub` — the real implementation replaces the payload
+    * transform, the planned dimensions stay authoritative.
+    */
+  def resizePlan(meta: Dataset[DecodedMeta], maxW: Int, maxH: Int): Dataset[Resized] = {
+    import meta.sparkSession.implicits._
+    meta.map { m =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      def even(x: Int) = math.max(2, x - x % 2)
+      Resized(m.media_id, m.kind, m.width, m.height,
+        even(math.floor(m.width * scale).toInt),
+        even(math.floor(m.height * scale).toInt),
+        scale)
     }
   }
 

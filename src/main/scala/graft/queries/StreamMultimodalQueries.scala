@@ -93,9 +93,37 @@ SELECT media_id, CAST(i AS INT) AS frame_idx,
 FROM (SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i FROM meta)
 ORDER BY media_id, frame_idx"""
 
+  private val MaxW = 640
+  private val MaxH = 360
+
+  private def resizePlan(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(Multimodal.decodeStub(media(s, dir)), MaxW, MaxH)
+      .toDF().orderBy("media_id")
+
+  private val resizePlanOracle = s"""WITH meta AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CAST(256 + (${nib(1)} * 16 + ${nib(2)}) * 8 AS INT) AS src_width,
+    CAST(144 + (${nib(3)} * 16 + ${nib(4)}) * 4 AS INT) AS src_height
+  FROM documents
+), scaled AS (
+  SELECT *, LEAST(CAST(1 AS DOUBLE),
+    LEAST(CAST($MaxW AS DOUBLE) / CAST(src_width AS DOUBLE),
+          CAST($MaxH AS DOUBLE) / CAST(src_height AS DOUBLE))) AS scale
+  FROM meta
+)
+SELECT media_id, kind, src_width, src_height,
+  GREATEST(2, CAST(FLOOR(CAST(src_width AS DOUBLE) * scale) AS INT)
+    - CAST(FLOOR(CAST(src_width AS DOUBLE) * scale) AS INT) % 2) AS out_width,
+  GREATEST(2, CAST(FLOOR(CAST(src_height AS DOUBLE) * scale) AS INT)
+    - CAST(FLOOR(CAST(src_height AS DOUBLE) * scale) AS INT) % 2) AS out_height,
+  scale
+FROM scaled ORDER BY media_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_hourly", streamHourly, Some(streamHourlyOracle)),
     QueryDef("stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
-    QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)))
+    QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
+    QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)))
 }

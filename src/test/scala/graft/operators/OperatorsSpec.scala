@@ -160,6 +160,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("resize plan: aspect-fit, never upscales, even output dims") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "a tiny payload".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "video", ("x" * 500).getBytes("UTF-8")))
+      .toDS()
+    val plans = Multimodal.resizePlan(Multimodal.decodeStub(media), 640, 360)
+      .collect()
+    plans.foreach { p =>
+      assert(p.scale <= 1.0 && p.scale > 0.0)
+      assert(p.out_width <= 640 && p.out_height <= 360)
+      assert(p.out_width % 2 == 0 && p.out_height % 2 == 0)
+      assert(p.out_width <= p.src_width && p.out_height <= p.src_height)
+      // aspect ratio preserved within the even-rounding slack
+      val srcAr = p.src_width.toDouble / p.src_height
+      val outAr = p.out_width.toDouble / p.out_height
+      assert(math.abs(srcAr - outAr) / srcAr < 0.05, s"$p")
+    }
+  }
+
   test("feature stub: fixed dim, deterministic, values in [0,1)") {
     val df = Seq("abc", "def").toDF("text")
       .select(Multimodal.featureStub(col("text").cast("binary"), 16).as("f"))
