@@ -29,6 +29,37 @@ object Joins {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Point-in-interval RANGE JOIN via interval bucketing — the
+    * 100 TB-safe shape for `point >= lo AND point < hi` joins, which
+    * Spark would otherwise execute as a broadcast nested loop (every
+    * point against every interval).
+    *
+    * Both sides map to integer buckets of width `bucketSize`: a point
+    * falls in exactly ONE bucket, an interval explodes to the few
+    * buckets it covers. The bucket equi-join then pairs each point with
+    * only the intervals overlapping its bucket, and the residual range
+    * predicate filters within — a plain shuffled hash join keyed on
+    * bucket, no replication of the point side, no dedup needed (one
+    * bucket per point ⇒ each qualifying pair appears exactly once).
+    * Pick `bucketSize` ≈ the typical interval length: coverage explode
+    * factor stays ~2-3×.
+    *
+    * `point`, `lo`, `hi` must be integral (cents/µs/…) for exact bucket
+    * arithmetic; `hi` is exclusive.
+    */
+  def pointInRangeJoin(points: DataFrame, point: Column,
+      intervals: DataFrame, lo: Column, hi: Column,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0)
+    val pts = points.withColumn("_bucket", (point / bucketSize).cast("long"))
+    val ivs = intervals.withColumn("_bucket",
+      explode(sequence((lo / bucketSize).cast("long"),
+        ((hi - 1) / bucketSize).cast("long"))))
+    pts.join(ivs, Seq("_bucket"))
+      .where(point >= lo && point < hi)
+      .drop("_bucket")
+  }
+
   /** Write `df` as a bucketed+sorted catalog table: co-locates and
     * pre-sorts by the join key so subsequent equi-joins between tables
     * bucketed the same way need NO shuffle (and no sort) — the pattern

@@ -152,7 +152,47 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // --- range join via interval bucketing ------------------------------
+  /** Orders matched to overlapping price bands (derived from `nation`,
+    * $10k-spaced, $15k-wide — every order can hit 1-2 bands) with
+    * [[graft.operators.Joins.pointInRangeJoin]]: a bucketed equi-join,
+    * NOT the broadcast-nested-loop plan Spark picks for a raw
+    * non-equi predicate. The oracle states the same join as a plain
+    * BETWEEN — results must be identical.
+    */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(s, dir, "orders").select(
+      col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val bands = Tables(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("band_id"),
+      (col("n_nationkey").cast("long") * 1000000L).as("lo_c"),
+      (col("n_nationkey").cast("long") * 1000000L + 1500000L).as("hi_c"))
+    graft.operators.Joins.pointInRangeJoin(
+        pts, col("cents"), bands, col("lo_c"), col("hi_c"), 500000L)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("cents")) / 100.0).as("sum_price"))
+      .orderBy("band_id")
+  }
+
+  private val rangeJoinOracle = s"""WITH pts AS (
+  SELECT o_orderkey,
+    CAST(FLOOR(o_totalprice * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT) AS cents
+  FROM orders
+), bands AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS band_id,
+    CAST(n_nationkey AS BIGINT) * 1000000 AS lo_c,
+    CAST(n_nationkey AS BIGINT) * 1000000 + 1500000 AS hi_c
+  FROM nation
+)
+SELECT band_id, COUNT(*) AS n_orders,
+  CAST(SUM(cents) AS BIGINT) / ${Sql.D("100")} AS sum_price
+FROM pts JOIN bands ON cents >= lo_c AND cents < hi_c
+GROUP BY band_id ORDER BY band_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_range_join", rangeJoin, Some(rangeJoinOracle)),
     QueryDef("q_salted_skew_join", saltedSkewJoin, Some(saltedOracle)),
     QueryDef("d_simhash", simhash, Some(simhashOracle)),
     QueryDef("d_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),

@@ -26,6 +26,24 @@ class JoinsSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("range join via bucketing equals the naive non-equi join") {
+    val pts = (1 to 500).map(i => (i.toLong, (i * 37 % 1000).toLong))
+      .toDF("id", "v")
+    // overlapping, irregular intervals incl. bucket-boundary cases
+    val ivs = Seq((1L, 0L, 100L), (2L, 50L, 250L), (3L, 100L, 101L),
+      (4L, 240L, 900L), (5L, 999L, 1000L), (6L, 1000L, 1100L))
+      .toDF("iv_id", "lo", "hi")
+    val naive = pts.crossJoin(ivs)
+      .where(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    val bucketed = Joins.pointInRangeJoin(
+      pts, col("v"), ivs, col("lo"), col("hi"), 64L)
+      .select("id", "iv_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketed == naive && naive.nonEmpty)
+    // each qualifying pair appears exactly once (no bucket-overlap dups)
+    assert(bucketed.distinct == bucketed)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val orders = Tables(spark, Sf, "orders")
