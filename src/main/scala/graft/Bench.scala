@@ -31,9 +31,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warm-up (JIT + codegen caches) across the engine's main code
-    // shapes — relational scan/agg, regex text path, array/vector path —
-    // mirroring benchmarks.py:37-43's untimed first run
-    Seq("q1_pricing_summary", "t_token_count", "s_lsh_buckets")
+    // shapes — relational scan/agg, regex text path, array/vector path,
+    // gram-explode/window path — mirroring benchmarks.py:37-43's
+    // untimed first run
+    Seq("q1_pricing_summary", "t_token_count", "s_lsh_buckets", "t_winnow_fast")
       .flatMap(SparkEntry.queries.get)
       .foreach(fn => drive(fn(spark, sfDir)))
 
