@@ -291,6 +291,55 @@ SELECT comp AS comp_id, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM labels GROUP BY comp ORDER BY comp_id"""
   }
 
+  // --- capstone: the full training-data cleaning flow ---------------
+  /** documents → exact-dedup keepers (keep-first) → quality gate (the
+    * `t_quality_filter` criteria) → English only → per-source corpus
+    * stats. The composed pipeline every individual operator exists
+    * for; one left-semi join + two aggs, all map-side-combinable.
+    */
+  private def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val keepers = docs
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val toks = TextFunctions.tokenCount(col("text"))
+    val noSpace = length(regexp_replace(col("text"), "\\s+", ""))
+    val avgLen = noSpace.cast("double") / toks.cast("double")
+    val punctRatio = TextFunctions.punctCount(col("text")).cast("double") /
+      length(col("text")).cast("double")
+    val stops = TextFunctions.stopwordCount(col("text"), Stopwords)
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .where(toks.between(10, 1000) && avgLen >= 2.0 && avgLen <= 12.0 &&
+        punctRatio < 0.2 && stops >= 1 && col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+      .orderBy("source")
+  }
+
+  private val corpusCleanOracle: String = {
+    val toks = reaCount("text, '\\S+'")
+    val noSpace = "length(regexp_replace(text, '\\s+', '', 'g'))"
+    val avgLen = s"CAST($noSpace AS DOUBLE) / CAST($toks AS DOUBLE)"
+    val punctRatio =
+      s"CAST(${reaCount("text, '[^\\w\\s]'")} AS DOUBLE) / CAST(length(text) AS DOUBLE)"
+    val stops = reaCount(s"text, '\\b(${Stopwords.mkString("|")})\\b'")
+    s"""WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY $fpExpr
+), f AS (
+  SELECT source, $toks AS toks FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM keepers)
+    AND $toks BETWEEN 10 AND 1000
+    AND $avgLen >= ${D("2")} AND $avgLen <= ${D("12")}
+    AND $punctRatio < ${D("0.2")}
+    AND $stops >= 1
+    AND lang = 'en'
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_tokens
+FROM f GROUP BY source ORDER BY source"""
+  }
+
   // --- BPE-ish token count per doc ----------------------------------
   private def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
@@ -316,5 +365,6 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_minhash_lsh_fast", minhashLshFast, None),
     QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("t_winnow_fingerprint", winnow, Some(winnowOracle)),
-    QueryDef("t_winnow_fast", winnowFast, None))
+    QueryDef("t_winnow_fast", winnowFast, None),
+    QueryDef("d_corpus_clean", corpusClean, Some(corpusCleanOracle)))
 }
