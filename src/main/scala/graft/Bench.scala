@@ -12,14 +12,37 @@ import org.apache.spark.sql.SparkSession
   * eliminates sorts above the agg), the noop sink materializes every
   * output row and column without collecting to the driver — the honest
   * full-query cost.
+  *
+  * Variance control (round-2 protocol): each query runs
+  * `SPARK_GRAFT_BENCH_REPS` times (default 3) and reports the MEDIAN;
+  * before every rep the catalog cache and all persistent RDD blocks
+  * (persisted frames AND `localCheckpoint` leftovers) are swept, so no
+  * query's session state can poison a later one and reps are i.i.d.
+  * `value` is the sum of per-query medians.
   */
 object Bench {
   private def drive(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Clear every block-manager resident between reps: cached tables /
+    * persisted frames via the catalog, plus raw persistent RDDs (which
+    * is where eager `localCheckpoint` blocks live — `clearCache` alone
+    * does not touch those).
+    */
+  private def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,18 +62,23 @@ object Bench {
       .foreach(fn => drive(fn(spark, sfDir)))
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { drive(fn(spark, sfDir)) }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        sweep(spark)
+        val t0 = System.nanoTime()
+        try { drive(fn(spark, sfDir)) }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = median(times)
+      System.err.println(
+        f"[bench] $name%-24s $med%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

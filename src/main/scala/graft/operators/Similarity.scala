@@ -58,24 +58,38 @@ object Similarity {
     dot / sqrt(na * nb)
   }
 
+  /** Per-query top-k from a (q_id, n_id, cosine) scored frame via the
+    * bounded [[graft.functions.TopKPairs]] aggregate, NOT a global
+    * `row_number` window: the window plan funnels every scored row into
+    * one task per query (N×Q rows into Q partitions — a scale-killer
+    * with few queries), while the aggregate's map-side partials keep ≤k
+    * pairs per query per partition, so the shuffle carries
+    * O(partitions × k) rows per query. Ordering (cosine DESC, n_id ASC)
+    * is identical to the window's, so ranks are bit-for-bit the same.
+    */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKPairs.topK(k)(
+        col("cosine"), col("n_id").cast("long")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("p", "x")))
+      .select(col("q_id"), (col("p") + 1).as("rank"),
+        col("x._2").as("n_id"), col("x._1").as("cosine"))
+
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), the k nearest non-identical vectors. `emb` must have
-    * (id, vec: array<float>).
+    * (id, vec: array<float>). No shuffle until the final top-k combine,
+    * and that one moves ≤k pre-ranked rows per (query, partition).
     */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val base = emb.select(col("id").as("n_id"), quantize(col("vec")).as("qv"))
       .withColumn("nn", normSqQ(col("qv")))
     val qs = queries.select(col("id").as("q_id"), quantize(col("vec")).as("qqv"))
       .withColumn("qn", normSqQ(col("qqv")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    base.crossJoin(broadcast(qs))
+    val scored = base.crossJoin(broadcast(qs))
       .where(col("n_id") =!= col("q_id"))
-      .withColumn("cosine",
-        cosineQ(dotQ(col("qv"), col("qqv")), col("nn"), col("qn")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+      .select(col("q_id"), col("n_id"),
+        cosineQ(dotQ(col("qv"), col("qqv")), col("nn"), col("qn")).as("cosine"))
+    perQueryTopK(scored, k)
   }
 
   /** IVF (inverted-file) top-k ANN — the other classic scale path next
@@ -118,15 +132,11 @@ object Similarity {
       .where(col("pr") <= nprobe)
       .select(col("q_id"), col("qqv"), col("qn"), col("c_id").as("cell"))
 
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("n_id"))
-    celled.join(broadcast(probes), Seq("cell"))
+    val scored = celled.join(broadcast(probes), Seq("cell"))
       .where(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id").as("n_id"),
         cosineQ(dotQ(col("qv"), col("qqv")), col("nn"), col("qn")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+    perQueryTopK(scored, k)
   }
 
   /** ±1 hyperplane components, deterministic from md5 — portable to any

@@ -121,13 +121,30 @@ object TextDedup {
       .distinct()
   }
 
-  /** MinHash signatures: k independent min-hashes per doc, each the MIN of
-    * `md5("<i>:" || shingle)` — one groupBy with k min-aggregates (single
-    * shuffle, map-side partials).
+  /** MinHash signatures: k independent min-hashes per doc — one groupBy
+    * with k min-aggregates (single shuffle, map-side partials).
+    *
+    * Hash economics: one md5 digest is 128 bits = FOUR independent
+    * 32-bit lanes, so lane i is
+    * `substring(md5("<i/4>:" || shingle), (i%4)*8+1, 8)` — ⌈k/4⌉
+    * digests per shingle instead of k (3 not 9 at k=9, ~3× less
+    * hashing on the hot path). The digests are computed ONCE in a
+    * projection below the agg so each is evaluated exactly once per
+    * row; everything is md5+substring, reproducible verbatim in the
+    * DuckDB oracle. Min-of-8-hex-chars is a valid min-hash: each lane
+    * is uniform on [0, 2^32) and the hex encoding is order-preserving.
     */
-  def minHashSignatures(shingles: DataFrame, k: Int): DataFrame =
-    minHashSignaturesWith(shingles, k,
-      (i, s) => md5(concat(lit(s"$i:"), s)))
+  def minHashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val nDigests = (k + 3) / 4
+    val digests = shingles.select(col("doc_id") +:
+      (0 until nDigests).map(d =>
+        md5(concat(lit(s"$d:"), col("shingle"))).as(s"_d$d")): _*)
+    digests.groupBy(col("doc_id")).agg(
+      min(substring(col("_d0"), 1, 8)).as("h0"),
+      (1 until k).map(i =>
+        min(substring(col(s"_d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")): _*)
+  }
 
   /** As [[minHashSignatures]] with a pluggable per-seed hash. md5 strings
     * are the engine-portable default (DuckDB-oracle parity); production
@@ -207,6 +224,20 @@ object TextDedup {
     * long chains would want the large-star/small-star variant, which
     * bounds rounds by log(n) instead of the diameter.
     */
+  /** Frees the MEMORY_AND_DISK blocks behind an eager `localCheckpoint`
+    * result (the checkpointed RDD sits directly in the `LogicalRDD`
+    * leaf). `localCheckpoint` never releases its blocks on its own, so
+    * an iterative algorithm MUST free each superseded round or it
+    * strands O(rounds) block sets in the block manager for the session
+    * lifetime.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
@@ -222,15 +253,21 @@ object TextDedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val newSum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head.getLong(0)
+      val newSum = next.agg(org.apache.spark.sql.functions.sum("comp")).head.getLong(0)
+      freeCheckpoint(labels) // next is materialized (eager) — previous round's blocks can go
+      labels = next
       converged = newSum == sum
       sum = newSum
       iter += 1
     }
+    freeCheckpoint(sym)
+    // The returned frame reads the LAST round's checkpoint blocks (one
+    // small (id, comp) set — O(nodes), not O(rounds)); they are freed by
+    // the session-level sweep between bench/verify queries.
     labels
   }
 

@@ -131,12 +131,17 @@ FROM documents GROUP BY 1 ORDER BY keeper_id"""
 
   // --- n-gram Jaccard near-dup pairs --------------------------------
   private def jaccard(s: SparkSession, dir: String): DataFrame = {
-    // the shingle table feeds three subplans (sizes + both join sides);
-    // without an exchange between them Spark would rescan the parquet
-    // and re-shingle 3× — persist the narrow intermediate instead
+    // the shingle table feeds three subplans (the sizes agg + both join
+    // sides). The two join sides are canonically identical, so
+    // ReuseExchange shares their one shuffle-on-shingle; only the sizes
+    // agg rescans — a cheap narrow re-shingle. An internal persist was
+    // faster in isolation but leaked MEMORY_AND_DISK blocks for the
+    // session lifetime (no safe unpersist point inside an operator that
+    // returns a lazy frame) and poisoned every query after it in a
+    // shared 56-query session — same measured-negative-result story as
+    // the LSH signature persists in BASELINE.md.
     val sh = TextDedup.wordShingles(
       Tables(s, dir, "documents"), "doc_id", "text", 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     TextDedup.jaccardPairs(sh, 0.5).orderBy("a_id", "b_id")
   }
 
@@ -168,6 +173,13 @@ ORDER BY a_id, b_id"""
   private val Bands = 3
   private val Rows = 3
 
+  /** Oracle twin of [[TextDedup.minHashSignatures]]'s 4-lanes-per-digest
+    * scheme: lane i = substring(md5('<i/4>:' || shingle), (i%4)*8+1, 8).
+    */
+  private val minhashMins = (0 until K)
+    .map(i => s"MIN(substring(md5('${i / 4}:' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+    .mkString(", ")
+
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     TextDedup.lshCandidates(
       TextDedup.minHashSignatures(
@@ -187,8 +199,7 @@ ORDER BY a_id, b_id"""
       .orderBy("a_id", "b_id")
 
   private val minhashOracle: String = {
-    val mins = (0 until K)
-      .map(i => s"MIN(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val mins = minhashMins
     val bandSelects = (0 until Bands).map { b =>
       val key = s"md5(${(0 until Rows).map(r => s"h${b * Rows + r}").mkString(" || ")})"
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
@@ -265,8 +276,7 @@ ORDER BY doc_id, fp_pos, fp_hash"""
     * the propagation fixpoint.
     */
   private val dedupClustersOracle: String = {
-    val mins = (0 until K)
-      .map(i => s"MIN(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val mins = minhashMins
     val bandSelects = (0 until Bands).map { b =>
       val key = s"md5(${(0 until Rows).map(r => s"h${b * Rows + r}").mkString(" || ")})"
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
