@@ -271,6 +271,24 @@ ORDER BY doc_id, fp_pos, fp_hash"""
       .orderBy("comp_id")
   }
 
+  /** As [[dedupClusters]] but resolving components with the
+    * O(log n)-round large-star/small-star contraction instead of
+    * min-label propagation — identical output (comp = component min),
+    * so it shares the recursive-CTE oracle. The scale pick: propagation
+    * wins on dense low-diameter near-dup clusters (fewer jobs/round),
+    * contraction wins when the candidate graph may contain long chains.
+    */
+  private def dedupClustersStars(s: SparkSession, dir: String): DataFrame = {
+    val cand = TextDedup.lshCandidates(
+      TextDedup.minHashSignatures(
+        TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3), K),
+      Bands, Rows)
+    TextDedup.connectedComponentsStars(cand)
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("comp_id")
+  }
+
   /** Oracle recomputes the same candidate pairs, then takes the
     * transitive closure with a recursive CTE — min reachable id ==
     * the propagation fixpoint.
@@ -374,6 +392,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
     QueryDef("d_minhash_lsh_fast", minhashLshFast, None),
     QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
+    QueryDef("d_dedup_clusters_stars", dedupClustersStars, Some(dedupClustersOracle)),
     QueryDef("t_winnow_fingerprint", winnow, Some(winnowOracle)),
     QueryDef("t_winnow_fast", winnowFast, None),
     QueryDef("d_corpus_clean", corpusClean, Some(corpusCleanOracle)))

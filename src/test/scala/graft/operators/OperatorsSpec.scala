@@ -70,6 +70,58 @@ class OperatorsSpec extends SparkSpec {
     assert(comps.size == 12)
   }
 
+  test("star-contraction CC matches label propagation; converges on a 1000-node chain") {
+    // correctness parity on mixed shapes
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)).toDF("a_id", "b_id")
+    val stars = TextDedup.connectedComponentsStars(edges)
+      .as[(Long, Long)].collect().toMap
+    val prop = TextDedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(stars == prop, s"stars=$stars prop=$prop")
+
+    // a 1000-node chain has diameter 999: label propagation needs ~999
+    // rounds, star contraction must finish in O(log n) alternations —
+    // maxIter = 20 would leave a plain propagation nowhere near done
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val chainComps = TextDedup.connectedComponentsStars(chain, maxIter = 20)
+      .as[(Long, Long)].collect()
+    assert(chainComps.length == 1000)
+    assert(chainComps.forall(_._2 == 0L),
+      s"chain not contracted: ${chainComps.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("winnowing chunking is invisible: multi-MB doc, many chunks, same fingerprints") {
+    // deterministic pseudo-random long text (~200k chars) plus a small doc
+    val big = {
+      val sb = new StringBuilder
+      var x = 12345L
+      while (sb.length < 200000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(java.lang.Long.toUnsignedString(x, 36)).append(' ')
+      }
+      sb.toString
+    }
+    val docs = Seq((1L, big), (2L, "a small document about winnowing")).toDF("doc_id", "text")
+    val k = 5; val w = 4
+    val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => lpad(hex(xxhash64(c)), 16, "0")
+    val unchunked = TextDedup
+      .winnowingFingerprintsWith(docs, "doc_id", "text", k, w, hashFn, 16,
+        chunkChars = Int.MaxValue / 2)
+      .as[(Long, String, Int)].collect().toSet
+    val chunked = TextDedup
+      .winnowingFingerprintsWith(docs, "doc_id", "text", k, w, hashFn, 16,
+        chunkChars = 4096)
+      .as[(Long, String, Int)].collect().toSet
+    assert(chunked == unchunked,
+      s"chunked diff: +${(chunked -- unchunked).size} -${(unchunked -- chunked).size}")
+    // the big doc really was split: > 40 chunks at 4096 chars
+    assert(big.length > 40 * 4096)
+  }
+
   test("brute-force top-k: quantized ranking agrees with float cosine") {
     val emb = graft.queries.Tables(spark, Sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
