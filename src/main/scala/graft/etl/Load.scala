@@ -16,11 +16,19 @@ object Load {
 
   val AllFormats: Seq[String] = Seq("csv", "json", "parquet", "sqlite", "xlsx")
 
-  /** Resolve the reference's 8 format choices (`core/load.py:54-72`). */
+  /** Resolve the reference's format choices (`core/load.py:79-94`), plus
+    * two liberties the reference's own web form needs: `db` is accepted
+    * as an alias of `sqlite` (the reference UI posts `db`,
+    * `templates/index.html` format selector), and a comma-separated
+    * list (`"csv,json"`) writes exactly the named formats — the
+    * reference silently coerced any multi-select to `all_but_xlsx`.
+    */
   def resolveFormats(format: String): Seq[String] = format match {
     case "all"          => AllFormats
     case "all_but_xlsx" => AllFormats.filterNot(_ == "xlsx")
-    case other          => Seq(other)
+    case other =>
+      other.split(",").toSeq.map(_.trim).filter(_.nonEmpty).distinct
+        .map { case "db" => "sqlite"; case f => f }
   }
 
   final case class LoadResult(rows: Long, columns: Seq[String], manifestPath: Option[String])

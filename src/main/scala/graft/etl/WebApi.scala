@@ -132,9 +132,15 @@ final class WebApi(spark: SparkSession, port: Int = 0,
         SourceConfig.File(dest.toString)
       case _ => throw new IllegalStateException("unreachable")
     }
-    val fmt = if (formats.size == 1) formats.head
-      else if (formats.toSet == Load.AllFormats.toSet) "all"
-      else "all_but_xlsx" // reference semantics: multi-select → fan-out
+    // normalize the form's `db` alias, then write EXACTLY the selected
+    // formats — `all`/`all_but_xlsx` only when the selection is that set
+    // (the reference coerced any partial multi-select to all_but_xlsx,
+    // writing formats the client never asked for and dropping xlsx)
+    val norm = formats.map { case "db" => "sqlite"; case f => f }.distinct
+    val fmt =
+      if (norm.toSet == Load.AllFormats.toSet) "all"
+      else if (norm.toSet == Load.AllFormats.filterNot(_ == "xlsx").toSet) "all_but_xlsx"
+      else norm.mkString(",")
     val config = PipelineConfig(source,
       OutputConfig(workDir.resolve("out/results").toString, fmt))
 
@@ -160,7 +166,71 @@ final class WebApi(spark: SparkSession, port: Int = 0,
       case _    => respondJson(ex, 409, Map("error" -> "not completed"))
     }
 
+  /** The browse surface (`GET /`) — same 3-step flow as the reference's
+    * `templates/index.html` (source: upload or generate N rows; output:
+    * format checkboxes; run + poll `/status/` + `/download/`), served
+    * as one self-contained page with no template engine or static dir.
+    */
+  private val indexHtml: String =
+    """<!DOCTYPE html>
+      |<html lang="en"><head><meta charset="utf-8">
+      |<title>SuperCourier ETL (Spark)</title>
+      |<style>
+      | body{font-family:sans-serif;max-width:640px;margin:2em auto;padding:0 1em}
+      | fieldset{margin-bottom:1em;border:1px solid #999;border-radius:6px}
+      | button{padding:.4em 1.2em} #status{white-space:pre-wrap}
+      |</style></head><body>
+      |<h1>SuperCourier ETL Pipeline</h1>
+      |<form id="f">
+      |<fieldset><legend>1 — Data source</legend>
+      | <label>Upload: <input type="file" name="file"></label>
+      | <span> or </span>
+      | <label>Generate rows: <input type="number" name="rows" value="1000" min="10" max="100000"></label>
+      |</fieldset>
+      |<fieldset><legend>2 — Output formats</legend>
+      | <label><input type="checkbox" name="fmt" value="csv" checked> CSV</label>
+      | <label><input type="checkbox" name="fmt" value="json"> JSON</label>
+      | <label><input type="checkbox" name="fmt" value="parquet"> Parquet</label>
+      | <label><input type="checkbox" name="fmt" value="db"> SQLite</label>
+      | <label><input type="checkbox" name="fmt" value="xlsx"> XLSX</label>
+      |</fieldset>
+      |<fieldset><legend>3 — Process</legend>
+      | <button type="submit">Run ETL pipeline</button>
+      |</fieldset>
+      |</form>
+      |<div id="status"></div>
+      |<script>
+      |const f=document.getElementById('f'),st=document.getElementById('status');
+      |f.addEventListener('submit',async ev=>{
+      |  ev.preventDefault();
+      |  const fd=new FormData();
+      |  const picks=[...f.querySelectorAll('input[name=fmt]:checked')].map(c=>c.value);
+      |  fd.append('formats',JSON.stringify(picks));
+      |  const up=f.querySelector('input[name=file]');
+      |  if(up.files.length>0){fd.append('file',up.files[0]);}
+      |  else{fd.append('rows',f.querySelector('input[name=rows]').value);}
+      |  st.textContent='submitting...';
+      |  const r=await fetch('/run-etl',{method:'POST',body:fd});
+      |  const j=await r.json();
+      |  if(!r.ok){st.textContent='error: '+JSON.stringify(j);return;}
+      |  const id=j.session_id;
+      |  const poll=setInterval(async()=>{
+      |    const s=await (await fetch('/status/'+id)).json();
+      |    st.textContent='status: '+s.status+(s.detail?' — '+s.detail:'');
+      |    if(s.status==='completed'){
+      |      clearInterval(poll);
+      |      st.innerHTML='done — <a href="/download/'+id+'">download results.zip</a>';
+      |    } else if(s.status==='error'){clearInterval(poll);}
+      |  },500);
+      |});
+      |</script></body></html>""".stripMargin
+
   def start(): WebApi = {
+    server.createContext("/", (ex: HttpExchange) =>
+      if (ex.getRequestURI.getPath == "/" && ex.getRequestMethod == "GET")
+        respond(ex, 200, indexHtml.getBytes(StandardCharsets.UTF_8),
+          "text/html; charset=utf-8")
+      else respondJson(ex, 404, Map("error" -> "not found")))
     server.createContext("/run-etl", (ex: HttpExchange) =>
       try {
         if (ex.getRequestMethod == "POST") handleRunEtl(ex)

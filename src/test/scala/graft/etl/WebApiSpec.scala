@@ -51,6 +51,11 @@ class WebApiSpec extends SparkSpec {
     "timeout"
   }
 
+  private def zipEntries(body: Array[Byte]): List[String] = {
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(body))
+    Iterator.continually(zin.getNextEntry).takeWhile(_ != null).map(_.getName).toList
+  }
+
   test("generate job: submit, poll, download zip with csv+json+parquet") {
     val api = new WebApi(spark).start()
     try {
@@ -62,16 +67,40 @@ class WebApiSpec extends SparkSpec {
       assert(st.contains("completed"), st)
       val zip = get(api.boundPort, s"/download/$id")
       assert(zip.statusCode() == 200)
-      val entries = {
-        val zin = new java.util.zip.ZipInputStream(
-          new java.io.ByteArrayInputStream(zip.body()))
-        Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-          .map(_.getName).toList
-      }
+      val entries = zipEntries(zip.body())
       assert(entries.exists(_.contains("results_manifest.json")), entries)
       assert(entries.exists(_.startsWith("results.csv")), entries)
       assert(entries.exists(_.startsWith("results.json")), entries)
       assert(entries.exists(_.startsWith("results.parquet")), entries)
+      // exactly the selection: no stealth sqlite dir, no xlsx
+      assert(!entries.exists(_.startsWith("results/")), entries)
+      assert(!entries.exists(_.startsWith("results.xlsx")), entries)
+    } finally api.stop()
+  }
+
+  test("GET / serves the form; partial selection writes exactly what was picked") {
+    val api = new WebApi(spark).start()
+    try {
+      val idx = get(api.boundPort, "/")
+      assert(idx.statusCode() == 200)
+      val html = new String(idx.body(), StandardCharsets.UTF_8)
+      assert(html.contains("<form") && html.contains("/run-etl"), "form page")
+      Seq("csv", "json", "parquet", "db", "xlsx").foreach(f =>
+        assert(html.contains(s"""value="$f""""), s"format $f on the page"))
+
+      // csv+xlsx was the reference's silent-coercion case (→ all_but_xlsx:
+      // xlsx dropped, json/parquet/sqlite written unasked)
+      val b = "graftBoundary44"
+      val resp = post(api.boundPort,
+        multipart(b, Map("rows" -> "50", "formats" -> """["csv","xlsx"]"""), None), b)
+      val id = """"session_id": "([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      assert(awaitDone(api.boundPort, id).contains("completed"))
+      val entries = zipEntries(get(api.boundPort, s"/download/$id").body())
+      assert(entries.exists(_.startsWith("results.csv")), entries)
+      assert(entries.exists(_.startsWith("results.xlsx")), entries)
+      assert(!entries.exists(_.startsWith("results.json")), entries)
+      assert(!entries.exists(_.startsWith("results.parquet")), entries)
+      assert(!entries.exists(_.startsWith("results/")), entries)
     } finally api.stop()
   }
 
