@@ -65,7 +65,9 @@ object Generator {
         rand(seed + 4).as("_r4"))
     val pickupSec =
       lit(anchorSec - windowSec) + floor(col("_r0") * windowSec).cast("long")
-    val durSec = (lit(20L) + floor(col("_r1") * 341).cast("long")) * 60
+    // int(uniform(20, 360)) truncates the half-open [20, 360) → 20..359
+    // (`generator.py` duration domain); ×340, not ×341, or 360 leaks in
+    val durSec = (lit(20L) + floor(col("_r1") * 340).cast("long")) * 60
     withRand.select(
       concat(lit("SC"), (col("id") + 1000).cast("string")).as("Delivery_ID"),
       timestamp_seconds(pickupSec).as("Pickup_DateTime"),

@@ -21,14 +21,43 @@ object Readers {
     * back so both layouts (and our own W2 NDJSON output) round-trip.
     */
   def json(spark: SparkSession, path: String): DataFrame = {
-    // NDJSON (Spark's native layout, and our W2 output) first; a
-    // whole-file JSON array yields _corrupt_record lines → retry multiLine.
-    // (The reverse order would silently read only the first value of an
-    // NDJSON file.)
-    val ndjson = spark.read.json(path)
-    if (ndjson.columns.contains("_corrupt_record") || ndjson.columns.isEmpty)
-      spark.read.option("multiLine", "true").json(path)
-    else ndjson
+    // Sniff the first non-whitespace byte (one 256-byte driver-side
+    // read of one file) instead of fully parsing the data twice: '['
+    // means a whole-file JSON array (the reference layout → multiLine),
+    // anything else NDJSON (Spark's native layout, and our W2 output).
+    // On any sniff hiccup (glob paths, empty dir) fall back to the old
+    // parse-then-retry probe.
+    val arraySniff: Option[Boolean] =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val st = fs.getFileStatus(p)
+        val file =
+          if (st.isFile) Some(p)
+          else fs.listStatus(p).iterator
+            .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+              && !s.getPath.getName.startsWith("."))
+            .map(_.getPath).toSeq.sortBy(_.getName).headOption
+        file.map { f =>
+          val in = fs.open(f)
+          try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            (0 until math.max(n, 0)).iterator.map(buf(_).toChar)
+              .find(c => !c.isWhitespace).contains('[')
+          } finally in.close()
+        }
+      } catch { case _: Exception => None }
+
+    arraySniff match {
+      case Some(true)  => spark.read.option("multiLine", "true").json(path)
+      case Some(false) => spark.read.json(path)
+      case None =>
+        val ndjson = spark.read.json(path)
+        if (ndjson.columns.contains("_corrupt_record") || ndjson.columns.isEmpty)
+          spark.read.option("multiLine", "true").json(path)
+        else ndjson
+    }
   }
 
   /** S4 (`sources/readers.py:40-43`). */

@@ -137,16 +137,31 @@ object Xlsx {
       val sheet = partText("xl/worksheets/sheet1.xml")
         .getOrElse(throw new IllegalArgumentException(s"no sheet1 in $path"))
 
+      // Honour cell references (r="B2"): Excel and most writers omit
+      // EMPTY cells entirely, so positional appending would silently
+      // shift later cells left into the wrong columns. Cells without an
+      // r attribute (our own writer's output) fall back to position.
+      val refRe = """r="([A-Z]+)\d*"""".r
+      def colIndex(letters: String): Int =
+        letters.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
       val rows: Seq[Seq[String]] = RowRe.findAllMatchIn(sheet).map { rm =>
-        CellRe.findAllMatchIn(rm.group(0)).map { cm =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        CellRe.findAllMatchIn(rm.group(0)).foreach { cm =>
           val cell = cm.group(0)
+          val openTag = cell.substring(0, cell.indexOf('>') + 1)
           val body = Option(cm.group(1)).getOrElse("")
-          if (cell.contains("t=\"s\""))
-            VRe.findFirstMatchIn(body).map(v => shared(v.group(1).trim.toInt)).getOrElse("")
-          else if (cell.contains("inlineStr"))
-            TRe.findAllMatchIn(body).map(m => xmlUnescape(m.group(1))).mkString
-          else VRe.findFirstMatchIn(body).map(v => xmlUnescape(v.group(1))).getOrElse("")
-        }.toSeq
+          val v =
+            if (openTag.contains("t=\"s\""))
+              VRe.findFirstMatchIn(body).map(m => shared(m.group(1).trim.toInt)).getOrElse("")
+            else if (openTag.contains("inlineStr"))
+              TRe.findAllMatchIn(body).map(m => xmlUnescape(m.group(1))).mkString
+            else VRe.findFirstMatchIn(body).map(m => xmlUnescape(m.group(1))).getOrElse("")
+          val idx = refRe.findFirstMatchIn(openTag)
+            .map(m => colIndex(m.group(1))).getOrElse(buf.length)
+          while (buf.length <= idx) buf.append("")
+          buf(idx) = v
+        }
+        buf.toSeq
       }.toSeq
 
       require(rows.nonEmpty, s"empty sheet in $path")

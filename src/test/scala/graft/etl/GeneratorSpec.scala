@@ -28,7 +28,7 @@ class GeneratorSpec extends SparkSpec {
     assert(ids.map(_.drop(2).toLong).sorted.toSeq == (1000L until 3000L))
   }
 
-  test("domains: categorical values, distance range, duration 20..360 min") {
+  test("domains: categorical values, distance range, duration 20..359 min") {
     val bad = df.where(
       !col("Package_Type").isin(Generator.PackageTypes.map(_._1): _*) ||
       !col("Delivery_Zone").isin(Generator.Zones.map(_._1): _*) ||
@@ -37,7 +37,8 @@ class GeneratorSpec extends SparkSpec {
     val durSec = df.select(
       (unix_timestamp(col("Delivery_Timestamp")) -
         unix_timestamp(col("Pickup_DateTime"))).as[Long]).collect()
-    assert(durSec.forall(s => s >= 20 * 60 && s <= 360 * 60 && s % 60 == 0))
+    // int(uniform(20,360)) is the half-open reference domain: max 359
+    assert(durSec.forall(s => s >= 20 * 60 && s <= 359 * 60 && s % 60 == 0))
   }
 
   test("categorical sampling roughly follows the probability vectors") {
@@ -56,7 +57,7 @@ class GeneratorSpec extends SparkSpec {
       .as[(String, Double, Double, String)].collect()
     rows.foreach { case (status, actual, theo, display) =>
       assert(status == "Delayed" || status == "On-time")
-      assert(actual >= 20.0 && actual <= 360.0)
+      assert(actual >= 20.0 && actual <= 359.0)
       assert(theo >= 30.0 * 0.9 * 0.9)  // min factors
       assert(display.matches("""\d+\.\d{2}"""))
       val Array(m, s) = display.split("\\.")

@@ -100,4 +100,28 @@ class SourcesSpec extends SparkSpec {
     val xl = Readers.read(spark, s"$out.xlsx")
     assert(xl.count() == 50 && xl.columns.length == 13)
   }
+
+  test("xlsx reader honours r= cell refs: omitted empty cells don't shift columns") {
+    // Excel/xlsxwriter omit empty cells entirely and address the rest by
+    // reference — build such a sheet by hand (external-upload shape)
+    val dir = Files.createTempDirectory("graft_xlsx_sparse")
+    val p = dir.resolve("sparse.xlsx")
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c><c r="B1" t="inlineStr"><is><t>note</t></is></c><c r="C1" t="inlineStr"><is><t>score</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>alpha</t></is></c><c r="C2"><v>7</v></c></row>
+        |<row r="3"><c r="B3" t="inlineStr"><is><t>only-note</t></is></c><c r="C3"><v>9</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(sheet.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    zos.closeEntry(); zos.close()
+
+    val back = Readers.read(spark, p.toString).orderBy("score").collect()
+    assert(back.map(_.getAs[Double]("score")).toSeq == Seq(7.0, 9.0))
+    assert(back(0).getAs[String]("name") == "alpha")
+    assert(back(0).getAs[String]("note") == null)     // B2 omitted, not shifted
+    assert(back(1).getAs[String]("name") == null)     // A3 omitted
+    assert(back(1).getAs[String]("note") == "only-note")
+  }
 }
