@@ -17,7 +17,8 @@ object SparkEntry {
   private def modules: Seq[QueryDef] =
     EtlQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++
-      StreamMultimodalQueries.defs ++ ExtraQueries.defs ++ Olap2Queries.defs
+      StreamMultimodalQueries.defs ++ ExtraQueries.defs ++ Olap2Queries.defs ++
+      CorpusQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators a large-scale training-data pipeline runs
+  * beyond per-doc stats: intra-document repetition metrics (the
+  * Gopher/MassiveText repetition filters), train-vs-eval n-gram
+  * decontamination, and deterministic hash-bucket sampling.
+  *
+  * Everything is codegen'd builtins over exploded token n-grams; the
+  * shuffles are keyed on (doc_id, gram) then doc_id, both map-side
+  * combinable — no windows, no driver-side state, no UDFs.
+  */
+object CorpusQuality {
+
+  /** (doc_id, gram) word n-grams WITH multiplicity (unlike
+    * [[TextDedup.wordShingles]], which dedups — repetition metrics need
+    * the duplicates).
+    */
+  def ngramOccurrences(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', ${(0 until n).map(j => s"w[i-1+$j]").mkString(", ")}))"))
+        .as("gram"))
+  }
+
+  /** Per-document repetition metrics (Gopher filters: docs dominated by
+    * a few repeated n-grams are boilerplate/spam):
+    * top-bigram fraction (occurrences of the most frequent bigram over
+    * all bigram occurrences) and duplicate-trigram fraction
+    * (occurrences of trigrams that appear more than once, over all
+    * trigram occurrences). Docs with fewer than 2 tokens are skipped;
+    * trigram stats are 0 for 2-token docs.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def grouped(n: Int): DataFrame =
+      ngramOccurrences(df, idCol, textCol, n)
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val bi = grouped(2).groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_bigrams"),
+      max(col("cnt")).as("top_bigram_cnt"))
+    val tri = grouped(3).groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_trigrams"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_trigram_occ"))
+    bi.join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_bigrams"), col("top_bigram_cnt"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("dup_trigram_occ"), lit(0L)).as("dup_trigram_occ"),
+        when(coalesce(col("n_trigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dup_trigram_occ").cast("double") / col("n_trigrams").cast("double"))
+          .as("dup_trigram_frac"))
+  }
+
+  /** Train-vs-eval decontamination: documents of `corpusShingles` that
+    * share at least one shingle with `probeShingles` (the held-out /
+    * benchmark set), with the count of distinct shared shingles — the
+    * standard n-gram-overlap contamination check run before training.
+    * Both inputs are (doc_id, shingle) tables as from
+    * [[TextDedup.wordShingles]]. The probe side is deduped to a bare
+    * shingle set before the join, so Catalyst broadcasts it while the
+    * probe corpus is small and shuffles on the shingle hash once it
+    * isn't — no code change either way.
+    */
+  def contaminatedDocs(corpusShingles: DataFrame, probeShingles: DataFrame): DataFrame =
+    corpusShingles
+      .join(probeShingles.select(col("shingle")).distinct(), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+
+  /** Deterministic hash-bucket membership: true iff the first byte of
+    * `md5(<strata>:<id>)` falls below `threshold` (of 256). Stable
+    * across runs, engines, and partitionings — the reproducible way to
+    * carve a fixed-rate per-stratum sample out of 100 TB (vs `rand()`,
+    * which changes under retry/re-partitioning).
+    */
+  def hashBucketMember(strata: Column, id: Column, threshold: Int): Column =
+    conv(substring(md5(concat(strata, lit(":"), id.cast("string"))), 1, 2), 16, 10)
+      .cast("int") < threshold
+}

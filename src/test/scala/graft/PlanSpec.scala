@@ -99,6 +99,26 @@ class PlanSpec extends SparkSpec {
       "small codebook/probe sides must broadcast at this scale")
   }
 
+  test("brute-force top-k pre-combines per partition — no N×Q window funnel") {
+    import graft.operators.Similarity
+    val emb = Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val df = Similarity.bruteForceTopK(emb, emb.where(col("id") % 50 === 0), 5)
+    val plan = planOf(df)
+    // the per-query top-k must be a partial-then-final typed aggregate
+    // (bounded k-pair buffers map-side), NOT a row_number window over
+    // all scored rows
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"top-k must not rank via a window:\n${plan.take(1500)}")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    // sparkPlan, not executedPlan: AQE's wrapper hides the subtree
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "map-side partial top-k aggregate missing")
+  }
+
   test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
     import graft.operators.Similarity
     val emb = Tables(spark, Sf, "embeddings")
