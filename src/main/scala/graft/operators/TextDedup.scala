@@ -264,9 +264,12 @@ object TextDedup {
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .union(edges
         .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // lazy checkpoints: the convergence agg is the round's ONE action
+    // and materializes the checkpoint as a side effect — an eager
+    // checkpoint would run a second job per round just to persist
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).localCheckpoint(eager = false)
     var sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head.getLong(0)
     var iter = 0
     var converged = false
@@ -277,9 +280,9 @@ object TextDedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val newSum = next.agg(org.apache.spark.sql.functions.sum("comp")).head.getLong(0)
-      freeCheckpoint(labels) // next is materialized (eager) — previous round's blocks can go
+      freeCheckpoint(labels) // next is materialized by the agg — previous round's blocks can go
       labels = next
       converged = newSum == sum
       sum = newSum
@@ -337,11 +340,9 @@ object TextDedup {
   def connectedComponentsStars(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     val raw = edges
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
-    val nodes = raw.select(col("u").as("id"))
-      .union(raw.select(col("v").as("id"))).distinct()
     var e = raw.where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     // cheap per-round fingerprint: (edge count, hash-sum mod p) — the
     // mod keeps the ANSI sum from overflowing at any edge count; on a
     // fingerprint match the fixpoint is CONFIRMED with an exact except
@@ -356,7 +357,9 @@ object TextDedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // lazy: the fingerprint agg is the round's one action and
+      // materializes the checkpoint as a side effect
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val nfp = fingerprint(next)
       converged = nfp == fp && next.exceptAll(e).isEmpty
       freeCheckpoint(e)
@@ -365,10 +368,17 @@ object TextDedup {
       iter += 1
     }
     // At the fixpoint the edge set is a union of stars (u → component
-    // min); nodes never on a left side are the minima themselves.
+    // min) and still mentions EVERY input node (minima appear on the v
+    // side) — so labels derive from the final small checkpoint, never
+    // re-running the (expensive) upstream candidate plan. Nodes present
+    // ONLY as self-loops in the input are dropped with the self-loops;
+    // candidate generators (LSH, Jaccard, SimHash) emit a_id < b_id, so
+    // none exist on the documented path.
     val direct = e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
-    nodes.join(direct, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val minima = e.select(col("v").as("id")).distinct()
+      .join(direct.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    direct.unionByName(minima)
   }
 
   /** As [[lshCandidates]] with a pluggable band-key hash (md5-of-concat
