@@ -73,6 +73,68 @@ object CorpusQuality {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
 
+  /** C4/CCNet-style segment-level duplication: cut each document into
+    * fixed-`segWords`-word segments (trailing partial segment included),
+    * hash each segment, and report per document how many of its segments
+    * also occur in at least one OTHER document. The classic "duplicate
+    * line fraction" boilerplate signal, generalized to corpora whose
+    * text carries no newlines.
+    *
+    * Scale shape: only 32-byte md5 segment hashes cross the shuffle
+    * (never segment text); the docs-per-hash aggregation and the
+    * hash-keyed join back share the same `seg_hash` Exchange
+    * (ReuseExchange), and both per-doc aggregations are map-side
+    * combinable.
+    */
+  def segmentDuplication(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
+    require(segWords >= 1)
+    val seg = df
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(w) + ${segWords - 1}) div $segWords - 1), " +
+          s"i -> md5(concat_ws(' ', slice(w, i * $segWords + 1, $segWords))))"))
+        .as("seg_hash"))
+    val docsPerSeg = seg.groupBy(col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    seg.join(docsPerSeg, Seq("seg_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs_with") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_segments"))
+      .withColumn("dup_segment_frac",
+        col("n_dup_segments").cast("double") / col("n_segments").cast("double"))
+  }
+
+  /** PII patterns portable across Java regex (Spark) and RE2 (DuckDB,
+    * and most log/scrub tooling): plain character classes and bounded
+    * repetition only — no lookaround, no `\d`/`\b` shorthand drift.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[+(]?[0-9][0-9 ()-]{5,}[0-9]"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII redaction for training corpora: masks emails, then phone-shaped
+    * digit runs, then IPv4 literals (order matters — the email local
+    * part and the IP octets both contain digits a phone pattern could
+    * otherwise claim). Pure `regexp_replace` chain: codegen'd, no UDF,
+    * no shuffle — runs at scan speed on 100 TB.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-kind PII match counts (audit/reporting side of [[redactPii]]). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)),
+    "n_phones" -> regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(PhoneRe)),
+    "n_ips" -> regexp_count(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+      lit(Ipv4Re)))
+
   /** Deterministic hash-bucket membership: true iff the first byte of
     * `md5(<strata>:<id>)` falls below `threshold` (of 256). Stable
     * across runs, engines, and partitionings — the reproducible way to

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.operators.{CorpusQuality, TextDedup}
 import Sql.D
 
@@ -114,8 +115,125 @@ GROUP BY doc_id ORDER BY doc_id"""
 FROM documents GROUP BY source ORDER BY source"""
   }
 
+  // --- C4-style segment-level duplication ---------------------------
+  private val SegWords = 5
+
+  private def segmentDedup(s: SparkSession, dir: String): DataFrame =
+    CorpusQuality.segmentDuplication(Tables(s, dir, "documents"), "doc_id", "text", SegWords)
+      .orderBy("doc_id")
+
+  private val segmentDedupOracle: String = s"""WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+seg AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(w, i * $SegWords + 1, i * $SegWords + $SegWords), ' ')) AS seg_hash
+  FROM (
+    SELECT doc_id, w,
+      unnest(generate_series(0, (len(w) + ${SegWords - 1}) // $SegWords - 1)) AS i
+    FROM docs
+  )
+),
+per AS (SELECT seg_hash, COUNT(DISTINCT doc_id) AS n_docs_with FROM seg GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_segments,
+  CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+  CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_segment_frac
+FROM seg JOIN per USING (seg_hash)
+GROUP BY doc_id ORDER BY doc_id"""
+
+  // --- PII redaction ------------------------------------------------
+  /** Deterministic PII-bearing contact strings synthesized from
+    * `customer` (emails on keys %3≠0, phones on keys %2=0, an IPv4
+    * always) — guaranteed matches for the redaction regexes without
+    * needing PII in the shared test tables. The operator under test is
+    * [[CorpusQuality.redactPii]]; the construction is restated
+    * verbatim in the oracle.
+    */
+  private def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val contact = concat(
+      lit("Reach "), col("c_mktsegment"), lit(" customer"),
+      when(pmod(k, lit(3)) =!= 0,
+        concat(lit(" at user"), k.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(k, lit(2)) === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(k, lit(10000000)).cast("string"), 7, "0")))
+        .otherwise(lit("")),
+      lit(" ip 10."), pmod(k, lit(256)).cast("string"),
+      lit(".0."), col("c_nationkey").cast("string"))
+    val base = Tables(s, dir, "customer")
+      .select(k.as("c_custkey"), contact.as("contact"))
+    val countCols = CorpusQuality.piiCounts(col("contact"))
+      .map { case (name, c) => c.as(name) }
+    base.select(
+      (col("c_custkey") +: countCols :+
+        CorpusQuality.redactPii(col("contact")).as("redacted")): _*)
+      .orderBy("c_custkey")
+  }
+
+  private val piiRedactOracle: String = {
+    val email = CorpusQuality.EmailRe
+    val phone = CorpusQuality.PhoneRe
+    val ip = CorpusQuality.Ipv4Re
+    val noEmail = s"regexp_replace(contact, '$email', '<EMAIL>', 'g')"
+    val noPhone = s"regexp_replace($noEmail, '$phone', '<PHONE>', 'g')"
+    s"""WITH c AS (
+  SELECT c_custkey,
+    'Reach ' || c_mktsegment || ' customer' ||
+    CASE WHEN c_custkey % 3 <> 0
+      THEN ' at user' || CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END ||
+    CASE WHEN c_custkey % 2 = 0
+      THEN ' call +1-555-' || lpad(CAST(c_custkey % 10000000 AS VARCHAR), 7, '0') ELSE '' END ||
+    ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.' || CAST(c_nationkey AS VARCHAR) AS contact
+  FROM customer
+)
+SELECT c_custkey,
+  CAST(len(regexp_extract_all(contact, '$email')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all($noEmail, '$phone')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all($noPhone, '$ip')) AS INT) AS n_ips,
+  regexp_replace($noPhone, '$ip', '<IP>', 'g') AS redacted
+FROM c ORDER BY c_custkey"""
+  }
+
+  // --- per-language median quality gate ------------------------------
+  /** Keep-above-median length filter per language: the adaptive twin of
+    * a fixed token-count threshold (short-doc spam differs per
+    * language). Exact interpolated median on both sides; the per-lang
+    * medians table is broadcast back onto the docs.
+    */
+  private def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val med = docs.groupBy(col("lang"))
+      .agg(expr("percentile(n_tokens, 0.5)").as("median_tokens"))
+    docs.join(broadcast(med), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") >= col("median_tokens"), lit(1L)).otherwise(lit(0L)))
+          .as("n_kept"),
+        min(col("median_tokens")).as("median_tokens"))
+      .orderBy("lang")
+  }
+
+  private val qualityGateOracle: String = """WITH d AS (
+  SELECT lang, CAST(length(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens
+  FROM documents
+), m AS (
+  SELECT lang, quantile_cont(n_tokens, 0.5) AS median_tokens FROM d GROUP BY 1
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n_tokens >= median_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  MIN(median_tokens) AS median_tokens
+FROM d JOIN m USING (lang)
+GROUP BY lang ORDER BY lang"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t_repetition", repetition, Some(repetitionOracle)),
     QueryDef("d_contamination", contamination, Some(contaminationOracle)),
-    QueryDef("t_sample_hash", hashSample, Some(hashSampleOracle)))
+    QueryDef("t_sample_hash", hashSample, Some(hashSampleOracle)),
+    QueryDef("d_segment_dedup", segmentDedup, Some(segmentDedupOracle)),
+    QueryDef("t_pii_redact", piiRedact, Some(piiRedactOracle)),
+    QueryDef("t_quality_gate", qualityGate, Some(qualityGateOracle)))
 }

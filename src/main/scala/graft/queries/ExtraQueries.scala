@@ -114,6 +114,7 @@ FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
     fmt match {
       case "csv"  => Writers.csv(li, path)
       case "json" => Writers.ndjson(li, path)
+      case "orc"  => Writers.orc(li, path)
     }
     val back0 = Readers.read(s, path)
     // S8-style normalization: JSON carries timestamps as ISO strings
@@ -198,5 +199,6 @@ GROUP BY band_id ORDER BY band_id"""
     QueryDef("d_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),
     QueryDef("io_csv_roundtrip", (s, d) => roundtrip(s, d, "csv"), Some(roundtripOracle)),
-    QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)))
+    QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)),
+    QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)))
 }

@@ -64,6 +64,12 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S4b (extension; pairs with [[Writers.orc]]): ORC scan — vectorized,
+    * filter-pushdown-capable, same as the parquet path.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5 (`sources/readers.py:45-50`): `SELECT * FROM deliveries` over a
     * local DB. The environment ships no sqlite-jdbc jar, so the same JDBC
     * path is exercised against embedded Derby (`jdbc:derby:<path>`); a
@@ -88,6 +94,7 @@ object Readers {
       case "csv"            => csv(spark, path)
       case "json"           => json(spark, path)
       case "parquet"        => parquet(spark, path)
+      case "orc"            => orc(spark, path)
       case "db" | "sqlite"  => jdbc(spark, s"jdbc:sqlite:$path")
       case "xlsx"           => xlsx(spark, path)
       case other =>

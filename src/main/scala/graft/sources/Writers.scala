@@ -25,6 +25,14 @@ object Writers {
   def parquet(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
     part(df, singleFile).write.mode("overwrite").parquet(path)
 
+  /** W3b (extension; no reference twin): ORC — the second columnar
+    * format Spark ships natively. Same splittable/predicate-pushdown
+    * properties as parquet, so interchange with ORC-based warehouses
+    * costs no scale behavior.
+    */
+  def orc(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    part(df, singleFile).write.mode("overwrite").orc(path)
+
   /** W4 (`sources/writers.py:45-59`): chunked append → JDBC batch insert,
     * which Spark's JDBC writer already does per partition. Derby stands in
     * for sqlite offline (same code path, different URL).

@@ -239,6 +239,43 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall(_.forall(v => v >= 0.0 && v < 1.0)))
   }
 
+  test("segment duplication flags shared segments, counts partial tails") {
+    // segWords=3: doc1/doc2 share their first segment "a b c"; doc3 is
+    // 4 words → 2 segments (one partial tail), none shared.
+    val docs = Seq(
+      (1L, "a b c x y z"),
+      (2L, "a b c q r s"),
+      (3L, "p q r t")).toDF("doc_id", "text")
+    val got = CorpusQuality.segmentDuplication(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_segments", "n_dup_segments")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
+  }
+
+  test("segment duplication counts within-doc repeats but needs a second doc to flag") {
+    // "a b c" appears twice in doc 1 but in no other doc → not a dup
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val got = CorpusQuality.segmentDuplication(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_segments", "n_dup_segments")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 0L)))
+  }
+
+  test("PII redaction masks emails, phones, and IPs; counts agree") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call +1-555-123 4567 or (555) 765-4321 today",
+      "host 192.168.0.1 and 10.0.255.254",
+      "no pii here at all").toDF("text")
+    val counts = CorpusQuality.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val got = df.select((counts :+ CorpusQuality.redactPii(col("text")).as("r")): _*)
+      .as[(Int, Int, Int, String)].collect().toSeq
+    assert(got(0) == ((1, 0, 0, "mail <EMAIL> now")))
+    assert(got(1)._2 == 2 && got(1)._4 == "call <PHONE> or <PHONE> today")
+    assert(got(2)._3 == 2 && got(2)._4 == "host <IP> and <IP>")
+    assert(got(3) == ((0, 0, 0, "no pii here at all")))
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",
