@@ -39,6 +39,16 @@ object StreamMultimodalQueries {
       .orderBy("user_id")
   }
 
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val out = EventStreams.dedupPairs(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"))
+    EventStreams.runToMemory(s, out, "graft_stream_dedup", OutputMode.Append())
+      .orderBy("user_id", "event_type")
+  }
+
+  private val streamDedupOracle =
+    "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"
+
   // reuse the batch oracles — streaming must produce the same answer
   private val streamHourlyOracle = EventQueries.hourlyOracle
   private val streamSessionizeOracle = """WITH e AS (
@@ -123,6 +133,7 @@ FROM scaled ORDER BY media_id"""
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_hourly", streamHourly, Some(streamHourlyOracle)),
     QueryDef("stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
+    QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)))

@@ -60,6 +60,18 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** Streaming exact dedup: emit the first occurrence of each
+    * (user_id, event_type) pair, suppress every later one — the
+    * incremental twin of `SELECT DISTINCT`. State holds one entry per
+    * distinct pair; at 100 TB-of-stream scale bound it by event time
+    * instead (`withWatermark` + `dropDuplicatesWithinWatermark`), which
+    * keeps the same emit-first semantics inside the watermark horizon
+    * and lets Spark expire state beyond it.
+    */
+  def dedupPairs(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+
   /** Drive a streaming DataFrame to a memory sink synchronously and
     * return the result table. `complete` for aggregations, `update` for
     * stateful maps.

@@ -73,6 +73,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses re-occurrences across micro-batches") {
+    val dir = Files.createTempDirectory("graft_dd").toString
+    def ev(id: Long, user: Long, kind: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), user, kind, 1.0)
+
+    // batch 1: two distinct pairs (one duplicated within the batch)
+    writeBatch(dir, "b1", Seq(ev(1, 1, "click"), ev(2, 1, "click"), ev(3, 2, "view")))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.dedupPairs(stream)
+
+    spark.streams.active.filter(_.name == "dd_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dd_test").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("dd_test").as[(Long, String)].collect().toSeq
+      assert(afterB1.sorted == Seq((1L, "click"), (2L, "view")))
+
+      // batch 2: one pair already seen in batch 1 (must stay suppressed
+      // — state carries across batches), one genuinely new
+      writeBatch(dir, "b2", Seq(ev(4, 1, "click"), ev(5, 2, "purchase")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("dd_test").as[(Long, String)].collect().toSeq
+      assert(afterB2.sorted == Seq((1L, "click"), (2L, "purchase"), (2L, "view")))
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     val dir = Files.createTempDirectory("graft_wm").toString
     def ev(id: Long, time: String): EventStreams.Event =
