@@ -60,6 +60,39 @@ object Joins {
       .drop("_bucket")
   }
 
+  /** Interval-overlap JOIN (both sides are intervals) via the same
+    * bucketing idea as [[pointInRangeJoin]] — the scale-safe shape for
+    * `aLo < bHi AND bLo < aHi`, which Spark would otherwise run as a
+    * broadcast nested loop.
+    *
+    * Both sides explode to the integer buckets they cover, the bucket
+    * equi-join pairs only locally-overlapping intervals, and the
+    * residual predicate filters exactly. An overlapping pair shares
+    * every bucket from `max(aLo,bLo) div bucket` up, so emitting it
+    * ONLY in that first shared bucket (`_bucket == greatest(...)`)
+    * makes each pair appear exactly once — no distinct, no extra
+    * shuffle. Bounds must be integral (days/µs/cents); `hi` exclusive;
+    * pick `bucketSize` ≈ the typical interval length.
+    */
+  def intervalOverlapJoin(a: DataFrame, aLo: Column, aHi: Column,
+      b: DataFrame, bLo: Column, bHi: Column, bucketSize: Long): DataFrame = {
+    require(bucketSize > 0)
+    val left = a.withColumn("_alo", aLo).withColumn("_ahi", aHi)
+      .withColumn("_bucket", explode(sequence(
+        (col("_alo") / bucketSize).cast("long"),
+        ((col("_ahi") - 1) / bucketSize).cast("long"))))
+    val right = b.withColumn("_blo", bLo).withColumn("_bhi", bHi)
+      .withColumn("_bucket", explode(sequence(
+        (col("_blo") / bucketSize).cast("long"),
+        ((col("_bhi") - 1) / bucketSize).cast("long"))))
+    left.join(right, Seq("_bucket"))
+      .where(col("_alo") < col("_bhi") && col("_blo") < col("_ahi"))
+      .where(col("_bucket") === greatest(
+        (col("_alo") / bucketSize).cast("long"),
+        (col("_blo") / bucketSize).cast("long")))
+      .drop("_bucket", "_alo", "_ahi", "_blo", "_bhi")
+  }
+
   /** Write `df` as a bucketed+sorted catalog table: co-locates and
     * pre-sorts by the join key so subsequent equi-joins between tables
     * bucketed the same way need NO shuffle (and no sort) — the pattern

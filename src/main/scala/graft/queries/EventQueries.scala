@@ -83,8 +83,41 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket"""
 SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id"""
 
+  /** Sliding event-time aggregate: per event, count + exact-cent sum of
+    * the SAME user's events in the trailing hour — a RANGE window frame
+    * on the ms epoch, shuffled/sorted once per user partition (the plan
+    * a per-entity rolling feature needs at 100 TB; no self-join, no
+    * explode).
+    */
+  private def rolling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"))
+      .rangeBetween(-3600000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("_ms"),
+        cents(col("value")).as("_cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("_cents")).over(w) / 100.0)
+      .select(col("event_id"), col("user_id"), col("_ms").as("ms"),
+        col("n_1h"), col("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  private val rollingOracle = s"""WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+    CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ms,
+  COUNT(*) OVER w AS n_1h,
+  CAST(SUM(cents) OVER w AS BIGINT) / ${D("100")} AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ms
+  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_hourly", hourly, Some(hourlyOracle)),
     QueryDef("ev_props_extract", propsExtract, Some(propsOracle)),
-    QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)))
+    QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
+    QueryDef("ev_rolling_1h", rolling, Some(rollingOracle)))
 }

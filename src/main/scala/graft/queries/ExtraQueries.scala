@@ -192,7 +192,48 @@ SELECT band_id, COUNT(*) AS n_orders,
 FROM pts JOIN bands ON cents >= lo_c AND cents < hi_c
 GROUP BY band_id ORDER BY band_id"""
 
+  // --- interval-overlap join via bucketing ----------------------------
+  /** Order activity intervals (1-8 days from `o_orderdate`, length keyed
+    * on the order key) matched to 14-day review windows derived from
+    * `nation`, with [[graft.operators.Joins.intervalOverlapJoin]] — a
+    * bucketed equi-join emitting each overlapping pair exactly once.
+    * The oracle states the same join as a plain `aLo < bHi AND bLo <
+    * aHi` — results must be identical.
+    */
+  private def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("lo"))
+      .withColumn("hi", col("lo") + lit(1L) + pmod(col("o_orderkey"), lit(7L)))
+    val b = Tables(s, dir, "nation").select(
+      col("n_nationkey").cast("long").as("window_id"),
+      (col("n_nationkey").cast("long") * 100L).as("wlo"),
+      (col("n_nationkey").cast("long") * 100L + 14L).as("whi"))
+    graft.operators.Joins.intervalOverlapJoin(
+        a, col("lo"), col("hi"), b, col("wlo"), col("whi"), 7L)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy("window_id")
+  }
+
+  private val intervalOverlapOracle = """WITH a AS (
+  SELECT o_orderkey,
+    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS lo,
+    datediff('day', TIMESTAMP '1995-01-01', o_orderdate) + 1 + o_orderkey % 7 AS hi
+  FROM orders
+), b AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS window_id,
+    CAST(n_nationkey AS BIGINT) * 100 AS wlo,
+    CAST(n_nationkey AS BIGINT) * 100 + 14 AS whi
+  FROM nation
+)
+SELECT window_id, COUNT(*) AS n_orders, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM a JOIN b ON a.lo < b.whi AND b.wlo < a.hi
+GROUP BY window_id ORDER BY window_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_interval_overlap", intervalOverlap, Some(intervalOverlapOracle)),
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinOracle)),
     QueryDef("q_salted_skew_join", saltedSkewJoin, Some(saltedOracle)),
     QueryDef("d_simhash", simhash, Some(simhashOracle)),

@@ -44,6 +44,26 @@ class JoinsSpec extends SparkSpec {
     assert(bucketed.distinct == bucketed)
   }
 
+  test("interval overlap join equals the naive non-equi join, no dup pairs") {
+    // irregular intervals: nested, touching (no overlap under half-open),
+    // spanning many buckets, zero-gap adjacency
+    val as = Seq((1L, 0L, 10L), (2L, 5L, 200L), (3L, 64L, 65L),
+      (4L, 120L, 128L), (5L, 300L, 301L)).toDF("a_id", "alo", "ahi")
+    val bs = Seq((10L, 8L, 9L), (11L, 10L, 20L), (12L, 0L, 400L),
+      (13L, 128L, 130L), (14L, 65L, 120L)).toDF("b_id", "blo", "bhi")
+    val naive = as.crossJoin(bs)
+      .where(col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    val bucketed = Joins.intervalOverlapJoin(
+      as, col("alo"), col("ahi"), bs, col("blo"), col("bhi"), 64L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(bucketed == naive && naive.nonEmpty)
+    assert(bucketed.distinct == bucketed,
+      "each overlapping pair must be emitted exactly once")
+    // touching intervals must NOT match: a1=[0,10) vs b11=[10,20)
+    assert(!bucketed.contains((1L, 11L)))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val orders = Tables(spark, Sf, "orders")
