@@ -266,10 +266,73 @@ FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
 ORDER BY e.vec_id"""
   }
 
+  // --- BM25 lexical retrieval -----------------------------------------
+  private val Bm25K = 10
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "query", "fast"),
+    1L -> Seq("window", "join"),
+    2L -> Seq("vector", "stream", "batch"))
+
+  private def bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        Bm25Queries, Bm25K, Bm25K1, Bm25B)
+      .orderBy("q_id", "rank")
+
+  /** The oracle restates BM25 with the exact same expression shape and
+    * literal spellings (both engines parse "1.2"/"0.75" to the same
+    * doubles and apply the same IEEE op order), then ranks on the
+    * 1e-4-quantized score with a doc_id tie-break, like the operator.
+    */
+  private val bm25Oracle: String = {
+    val values = Bm25Queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+q(q_id, term) AS (VALUES $values),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+scored AS (
+  SELECT q_id, tf.doc_id,
+    SUM(
+      ln(${D("1")} + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + ${D("0.5")})
+        / (CAST(df AS DOUBLE) + ${D("0.5")}))
+      * (CAST(tf AS DOUBLE) * (${D(Bm25K1.toString)} + ${D("1")})
+        / (CAST(tf AS DOUBLE) + ${D(Bm25K1.toString)}
+          * (${D("1")} - ${D(Bm25B.toString)} + ${D(Bm25B.toString)}
+            * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+    ) AS s
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY 1, 2
+),
+rr AS (
+  SELECT q_id, doc_id,
+    CAST(FLOOR(s * ${D("10000")} + ${D("0.5")}) AS BIGINT) AS sq
+  FROM scored
+), ranked AS (
+  SELECT q_id, doc_id, sq,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq DESC, doc_id) AS rank
+  FROM rr
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+  CAST(sq AS BIGINT) / ${D("10000")} AS score
+FROM ranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
     QueryDef("s_ivf_topk", ivf, Some(ivfOracle)),
     QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)),
+    QueryDef("s_bm25_topk", bm25, Some(bm25Oracle)),
     QueryDef("d_embedding_dedup", embDedup, Some(embDedupOracle)))
 }

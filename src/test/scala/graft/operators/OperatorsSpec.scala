@@ -276,6 +276,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3) == ((0, 0, 0, "no pii here at all")))
   }
 
+  test("bm25: matching docs rank first, rare terms outweigh common ones") {
+    val docs = Seq(
+      (1L, "spark spark spark common common"),  // high tf on rare term
+      (2L, "spark common other words here"),    // one rare hit
+      (3L, "common common common words here"),  // only the common term
+      (4L, "entirely unrelated content body")). // no hits
+      toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(0L -> Seq("spark", "common")), k = 10)
+      .select("rank", "doc_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc 4 never scores; docs with the rarer 'spark' beat common-only doc 3
+    assert(got.map(_._2) == Seq(1L, 2L, 3L))
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got.forall(_._3 > 0.0), s"Lucene idf must stay positive: $got")
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",
