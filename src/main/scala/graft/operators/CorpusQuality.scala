@@ -80,11 +80,13 @@ object CorpusQuality {
     * line fraction" boilerplate signal, generalized to corpora whose
     * text carries no newlines.
     *
-    * Scale shape: only 32-byte md5 segment hashes cross the shuffle
-    * (never segment text); the docs-per-hash aggregation and the
-    * hash-keyed join back share the same `seg_hash` Exchange
-    * (ReuseExchange), and both per-doc aggregations are map-side
-    * combinable.
+    * Scale shape: only 32-byte md5 segment hashes cross the shuffles
+    * (never segment text). The segment explode is computed twice (once
+    * under the docs-per-hash aggregate, once as the join probe) — the
+    * partial-agg subtree differs from the probe subtree so ReuseExchange
+    * cannot share them, and re-scanning is the right trade vs persisting
+    * inside an operator (which leaks block-manager memory across a
+    * shared session). All aggregations are map-side combinable.
     */
   def segmentDuplication(df: DataFrame, idCol: String, textCol: String,
       segWords: Int): DataFrame = {

@@ -119,6 +119,52 @@ class PlanSpec extends SparkSpec {
       "map-side partial top-k aggregate missing")
   }
 
+  test("segment dedup joins on the md5 hash — no text through the shuffle") {
+    import graft.operators.CorpusQuality
+    val df = CorpusQuality.segmentDuplication(
+      Tables(spark, Sf, "documents"), "doc_id", "text", 5)
+    val plan = planOf(df)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Window"), plan.take(1500))
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    val hashJoin = joins.find(_.leftKeys.exists(_.references.exists(_.name == "seg_hash")))
+    assert(hashJoin.isDefined, "docs-per-hash join must key on seg_hash")
+    // the shuffled sides must carry only (doc_id, seg_hash)-shaped rows,
+    // never the raw document text
+    val carried = hashJoin.get.left.output ++ hashJoin.get.right.output
+    assert(carried.forall(_.name != "text"),
+      s"raw text must not cross the join: ${carried.map(_.name)}")
+  }
+
+  test("bm25 top-k pre-combines per partition, query terms broadcast") {
+    import graft.operators.Retrieval
+    val df = Retrieval.bm25TopK(Tables(spark, Sf, "documents"),
+      "doc_id", "text", Seq(0L -> Seq("spark", "query")), 5)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"),
+      s"top-k must not rank via a window:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "map-side partial top-k aggregate missing")
+  }
+
+  test("interval overlap join stays an equi-join on the bucket key") {
+    import graft.operators.Joins
+    val a = Tables(spark, Sf, "orders").select(col("o_orderkey"),
+      col("o_orderkey").as("lo"), (col("o_orderkey") + 5).as("hi"))
+    val b = Tables(spark, Sf, "nation").select(
+      (col("n_nationkey").cast("long") * 100).as("blo"),
+      (col("n_nationkey").cast("long") * 100 + 14).as("bhi"))
+    val plan = planOf(Joins.intervalOverlapJoin(
+      a, col("lo"), col("hi"), b, col("blo"), col("bhi"), 7L))
+    assert(!plan.contains("NestedLoop"),
+      s"bucketed overlap join must never nested-loop:\n${plan.take(2000)}")
+  }
+
   test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
     import graft.operators.Similarity
     val emb = Tables(spark, Sf, "embeddings")
