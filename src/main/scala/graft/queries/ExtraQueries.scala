@@ -134,6 +134,30 @@ FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
   MAX(l_shipdate) AS max_ship
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --- partitioned layout + partition pruning -------------------------
+  /** Hive-style partitioned parquet write, read back with a partition
+    * filter: the layout that turns a 100 TB scan into a single-partition
+    * read. The pruning itself (PartitionFilters on the scan, not a
+    * post-read filter) is pinned in PlanSpec; the oracle checks the
+    * numbers on the unpartitioned source.
+    */
+  private def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    s.read.parquet(tmp)
+      .where(col("l_returnflag") === "R")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val partitionPruneOracle = """SELECT l_returnflag, COUNT(*) AS n,
+  SUM(l_quantity) AS sum_qty
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // --- salted skew join (result must equal the plain join) ------------
   private def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables(s, dir, "lineitem")
@@ -241,5 +265,6 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),
     QueryDef("io_csv_roundtrip", (s, d) => roundtrip(s, d, "csv"), Some(roundtripOracle)),
     QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)),
-    QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)))
+    QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)),
+    QueryDef("io_partition_prune", partitionPrune, Some(partitionPruneOracle)))
 }

@@ -165,6 +165,22 @@ class PlanSpec extends SparkSpec {
       s"bucketed overlap join must never nested-loop:\n${plan.take(2000)}")
   }
 
+  test("partitioned layout prunes at the scan (PartitionFilters, not post-filter)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val df = spark.read.parquet(tmp).where(col("l_returnflag") === "R")
+    val scan = planOf(df).linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("l_returnflag"),
+      s"partition filter must reach the scan:\n${planOf(df).take(2000)}")
+    // the pruned column is directory metadata, not file data
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(planOf(df)).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("l_returnflag"), readSchema)
+  }
+
   test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
     import graft.operators.Similarity
     val emb = Tables(spark, Sf, "embeddings")

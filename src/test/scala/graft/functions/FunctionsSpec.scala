@@ -54,4 +54,32 @@ class FunctionsSpec extends SparkSpec {
     assert(df.count() ==
       Tables.events(spark, Sf).where(col("event_type") === "purchase").count())
   }
+
+  test("approx_count_distinct (HLL++) lands within its error bound") {
+    // the sketch path for 100 TB cardinalities: mergeable, bounded
+    // memory, no exact-distinct shuffle of raw keys
+    val li = Tables(spark, Sf, "lineitem")
+    val (approx, exact) = li.select(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a"),
+      countDistinct(col("l_orderkey")).as("e"))
+      .as[(Long, Long)].collect().head
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr < 0.05, s"approx=$approx exact=$exact relErr=$relErr")
+  }
+
+  test("approx_percentile tracks the exact percentile within rank tolerance") {
+    val li = Tables(spark, Sf, "lineitem")
+    val (approx, exact) = li.select(
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a"),
+      expr("percentile(l_extendedprice, 0.5)").as("e"))
+      .as[(Double, Double)].collect().head
+    // 1/accuracy = 0.1% rank tolerance; translate via the value at the
+    // p49/p51 band — the approx answer must sit inside it
+    val Seq(lo, hi) = li.select(
+      expr("percentile(l_extendedprice, 0.49)"),
+      expr("percentile(l_extendedprice, 0.51)"))
+      .as[(Double, Double)].collect().head.productIterator.toSeq
+      .map(_.asInstanceOf[Double])
+    assert(approx >= lo && approx <= hi, s"approx=$approx exact=$exact band=[$lo,$hi]")
+  }
 }
