@@ -61,7 +61,14 @@ object Bench {
       .flatMap(SparkEntry.queries.get)
       .foreach(fn => drive(fn(spark, sfDir)))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 — iterate on specific queries without
+    // paying for the whole surface (dev loop only; driver runs all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         sweep(spark)
         val t0 = System.nanoTime()

@@ -230,6 +230,35 @@ object TextDedup {
       .distinct()
   }
 
+  /** [[winnowingFingerprints]] semantics through the native one-pass
+    * [[graft.plans.WinnowFingerprints]] expression: same chunking, same
+    * output (property-tested equal to the declarative form), but the
+    * per-gram hashing and sliding min run as one monotonic-deque pass
+    * inside the expression — no gram explode, no window sort, and only
+    * the ~2/(w+1)-density selections ever become rows. The declarative
+    * window formulation above stays as the cross-checkable reference
+    * (and the shape any engine without expression extension would run).
+    */
+  def winnowingFingerprintsNative(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, useMd5: Boolean = true,
+      chunkChars: Int = 8192): DataFrame = {
+    val minLen = k + w - 1
+    val stride = chunkChars - (k + w - 2)
+    require(stride >= 1, s"chunkChars ($chunkChars) must exceed k+w-2 (${k + w - 2})")
+    df.select(col(idCol).as("doc_id"),
+        lower(regexp_replace(col(textCol), "[^a-zA-Z0-9]+", "")).as("s"))
+      .where(length(col("s")) >= minLen)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(floor((length(s)-1) / $stride) AS INT)),
+           c -> named_struct('off', c * $stride, 'cs', substring(s, c * $stride + 1, $chunkChars)))"""))
+        .as("ch"))
+      .select(col("doc_id"), explode(graft.plans.WinnowFingerprints.of(
+        col("ch.cs"), col("ch.off"), k, w, useMd5)).as("fp"))
+      .select(col("doc_id"), col("fp.fp_hash").as("fp_hash"),
+        col("fp.fp_pos").as("fp_pos"))
+      .distinct()
+  }
+
   /** Connected components over an undirected candidate-pair edge list
     * ((a_id, b_id), as from [[lshCandidates]]/[[jaccardPairs]]): returns
     * (id, comp) where `comp` is the MINIMUM id in the component — i.e.

@@ -218,8 +218,8 @@ ORDER BY a_id, b_id"""
   private val WinW = 4
 
   private def winnow(s: SparkSession, dir: String): DataFrame =
-    TextDedup.winnowingFingerprints(
-      Tables(s, dir, "documents"), "doc_id", "text", WinK, WinW)
+    TextDedup.winnowingFingerprintsNative(
+      Tables(s, dir, "documents"), "doc_id", "text", WinK, WinW, useMd5 = true)
       .orderBy("doc_id", "fp_pos", "fp_hash")
 
   private val winnowOracle: String = s"""WITH t AS (
@@ -254,9 +254,8 @@ ORDER BY doc_id, fp_pos, fp_hash"""
     * portable oracle — rows-only check; bench shows the md5 delta).
     */
   private def winnowFast(s: SparkSession, dir: String): DataFrame =
-    TextDedup.winnowingFingerprintsWith(
-      Tables(s, dir, "documents"), "doc_id", "text", WinK, WinW,
-      c => lpad(hex(xxhash64(c)), 16, "0"), 16)
+    TextDedup.winnowingFingerprintsNative(
+      Tables(s, dir, "documents"), "doc_id", "text", WinK, WinW, useMd5 = false)
       .orderBy("doc_id", "fp_pos", "fp_hash")
 
   // --- dedup clusters: LSH candidates → connected components --------

@@ -53,4 +53,32 @@ class WinnowPropsSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("native winnow expression == declarative window formulation (ScalaCheck)") {
+    import org.apache.spark.sql.functions._
+    // small chunkChars forces multi-chunk docs through both paths, so
+    // the equivalence also covers the chunk-overlap seams
+    val prop = Prop.forAll(Gen.listOfN(3, genChunk)) { parts =>
+      val docs = parts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t + parts.mkString) }
+        .toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+        df.as[(Long, String, Int)].collect().toSet
+      val declMd5 = canon(TextDedup.winnowingFingerprintsWith(
+        docs, "doc_id", "text", K, W, md5, 32, chunkChars = 24))
+      val nativeMd5 = canon(TextDedup.winnowingFingerprintsNative(
+        docs, "doc_id", "text", K, W, useMd5 = true, chunkChars = 24))
+      val declFast = canon(TextDedup.winnowingFingerprintsWith(
+        docs, "doc_id", "text", K, W,
+        c => lpad(hex(xxhash64(c)), 16, "0"), 16, chunkChars = 24))
+      val nativeFast = canon(TextDedup.winnowingFingerprintsNative(
+        docs, "doc_id", "text", K, W, useMd5 = false, chunkChars = 24))
+      (Prop(declMd5 == nativeMd5) :| s"md5 mode diverged: ${declMd5.diff(nativeMd5)} vs ${nativeMd5.diff(declMd5)}") &&
+      (Prop(declFast == nativeFast) :| "xxhash64 mode diverged") &&
+      (Prop(nativeMd5.nonEmpty) :| "degenerate empty result")
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
