@@ -46,6 +46,33 @@ FROM events GROUP BY 1 ORDER BY user_bucket"""
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  /** GROUPING SETS with an explicit (detail, subtotal, grand-total)
+    * lattice — the cheap alternative to CUBE when only some rollup
+    * levels are wanted (CUBE at 100 TB materializes 2^n grouping
+    * combinations; sets materialize exactly the requested ones).
+    */
+  private def groupingSetsQ(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0)
+          .as("sum_price"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"),
+        grouping(col("o_orderstatus")).cast("int").as("g_s"))
+      .orderBy(col("g_p"), col("g_s"),
+        col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  private val groupingSetsOracle = s"""SELECT o_orderpriority, o_orderstatus,
+  COUNT(*) AS n, ${Sql.sumCents("o_totalprice")} AS sum_price,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_s
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+
   /** Exact interpolated quantiles ((n−1)·p definition in both engines),
     * rounded to 2 dp to absorb any last-ulp interpolation difference.
     */
@@ -134,6 +161,7 @@ FROM f ORDER BY doc_id"""
     QueryDef("q_pivot", pivot, Some(pivotOracle)),
     QueryDef("q_cube", cube, Some(cubeOracle)),
     QueryDef("q_quantiles", quantiles, Some(quantilesOracle)),
+    QueryDef("q_grouping_sets", groupingSetsQ, Some(groupingSetsOracle)),
     QueryDef("ev_session_window", sessionWindow, Some(sessionWindowOracle)),
     QueryDef("t_quality_filter", qualityFilter, Some(qualityFilterOracle)))
 }
