@@ -141,6 +141,57 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 ORDER BY c_custkey"""
 
+  // --- full outer join ----------------------------------------------
+  /** FULL OUTER completes the join-type matrix (inner/broadcast/left in
+    * the ETL path, semi/anti above): high-balance customers vs the
+    * per-customer order rollup — unmatched rows survive on BOTH sides
+    * (low-balance customers' orders, order-less rich customers).
+    */
+  private def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer").where(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    val o = Tables(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNull, 0).otherwise(1).as("has_cust"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
+  private val qFullOuterOracle = """WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+), o AS (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+  CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS has_cust,
+  COALESCE(n_orders, 0) AS n_orders
+FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+ORDER BY custkey"""
+
+  // --- SQL entry point (correlated subquery) -------------------------
+  /** The `spark.sql` front door: the same Catalyst plans come out of
+    * SQL text as out of the DataFrame API — here a correlated EXISTS,
+    * which Catalyst rewrites to the semi-join the operators above build
+    * explicitly.
+    */
+  private def qSqlExists(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+    Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+    s.sql("""SELECT c_nationkey, COUNT(*) AS n_with_big_order
+      FROM v_customer
+      WHERE EXISTS (SELECT 1 FROM v_orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
+  private val qSqlExistsOracle = """SELECT c_nationkey, COUNT(*) AS n_with_big_order
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   // --- window functions ---------------------------------------------
   private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
@@ -255,6 +306,8 @@ ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""
     QueryDef("q5_nation_revenue", q5, Some(q5Oracle)),
     QueryDef("q_semi_join", qSemi, Some(qSemiOracle)),
     QueryDef("q_anti_join", qAnti, Some(qAntiOracle)),
+    QueryDef("q_full_outer", qFullOuter, Some(qFullOuterOracle)),
+    QueryDef("q_sql_exists", qSqlExists, Some(qSqlExistsOracle)),
     QueryDef("q_window_rank", qWindowRank, Some(qWindowRankOracle)),
     QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
     QueryDef("q_window_lag", qWindowLag, Some(qWindowLagOracle)),
