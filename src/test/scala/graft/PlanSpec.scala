@@ -181,6 +181,13 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.nonEmpty && !readSchema.contains("l_returnflag"), readSchema)
   }
 
+  test("quality gate broadcasts the per-language medians, never sort-merges") {
+    val plan = planOf(SparkEntry.queries("t_quality_gate")(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"),
+      "a ~25-row medians table must broadcast back onto the docs")
+  }
+
   test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
     import graft.operators.Similarity
     val emb = Tables(spark, Sf, "embeddings")
