@@ -137,6 +137,43 @@ object CorpusQuality {
       regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
       lit(Ipv4Re)))
 
+  /** First byte (0-255) of `md5(<strata>:<id>)` — the shared primitive
+    * behind [[hashBucketMember]] and [[mixtureOversample]]'s fractional
+    * emit.
+    */
+  def hashByte(strata: Column, id: Column): Column =
+    conv(substring(md5(concat(strata, lit(":"), id.cast("string"))), 1, 2), 16, 10)
+      .cast("int")
+
+  /** Data-mixture oversampling: replicate each row according to its
+    * stratum's target weight, expressed EXACTLY as
+    * `whole + thresholdByte/256` — a doc is emitted `whole` times, plus
+    * once more iff its [[hashByte]] falls below `thresholdByte`. All
+    * integer arithmetic on a content hash: the same doc gets the same
+    * copy count under retries, re-partitioning, and in any engine —
+    * `rand()`-based mixing does not. Weight 0 (= (0,0)) drops the
+    * stratum entirely.
+    *
+    * Output = input columns + `copy` (1-based). Scale shape: a pure
+    * projection + explode, no shuffle at all; the blow-up factor is the
+    * mixture weight itself.
+    */
+  def mixtureOversample(df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, (Int, Int)], default: (Int, Int) = (1, 0)): DataFrame = {
+    require((weights.values ++ Seq(default)).forall {
+      case (w, t) => w >= 0 && t >= 0 && t <= 256 })
+    val whole = weights.foldLeft(lit(default._1)) { case (acc, (k, (w, _))) =>
+      when(col(strataCol) === k, lit(w)).otherwise(acc) }
+    val thr = weights.foldLeft(lit(default._2)) { case (acc, (k, (_, t))) =>
+      when(col(strataCol) === k, lit(t)).otherwise(acc) }
+    val reps = whole +
+      when(hashByte(col(strataCol), col(idCol)) < thr, lit(1)).otherwise(lit(0))
+    df.withColumn("__graft_reps", reps)
+      .withColumn("copy", explode(expr(
+        "transform(array_repeat(1, __graft_reps), (x, i) -> i + 1)")))
+      .drop("__graft_reps")
+  }
+
   /** Deterministic hash-bucket membership: true iff the first byte of
     * `md5(<strata>:<id>)` falls below `threshold` (of 256). Stable
     * across runs, engines, and partitionings — the reproducible way to

@@ -229,7 +229,62 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM d JOIN m USING (lang)
 GROUP BY lang ORDER BY lang"""
 
+  // --- data-mixture oversampling -------------------------------------
+  /** Per-source mixture weights as exact (whole, byteThreshold/256)
+    * pairs: src0 ×2.5, src1 ×0.25, src5 dropped, everything else ×1.
+    */
+  private val MixWeights: Map[String, (Int, Int)] = Map(
+    "src0" -> (2, 128), "src1" -> (0, 64), "src5" -> (0, 0))
+
+  private def mixture(s: SparkSession, dir: String): DataFrame =
+    CorpusQuality.mixtureOversample(
+        Tables(s, dir, "documents"), "source", "doc_id", MixWeights)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_emitted"),
+        max(col("copy")).as("max_copy"))
+      .orderBy("source")
+
+  private val mixtureOracle: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    def byCase(sel: (Int, Int) => Int, default: Int): String = {
+      val whens = MixWeights.toSeq.sortBy(_._1)
+        .map { case (k, (w, t)) => s"WHEN '$k' THEN ${sel(w, t)}" }
+      s"CASE source ${whens.mkString(" ")} ELSE $default END"
+    }
+    s"""WITH r AS (
+  SELECT source, doc_id,
+    ${byCase((w, _) => w, 1)}
+      + CASE WHEN ${nib(1)} * 16 + ${nib(2)} < ${byCase((_, t) => t, 0)}
+        THEN 1 ELSE 0 END AS reps
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(reps) AS BIGINT) AS n_emitted,
+  CAST(MAX(reps) AS INT) AS max_copy
+FROM r WHERE reps > 0
+GROUP BY source ORDER BY source"""
+  }
+
+  // --- deterministic corpus shuffle ----------------------------------
+  /** Reproducible global training order: sort by a content hash, take
+    * the head. TakeOrdered (sort + limit pushdown) on the Spark side —
+    * no full materialized sort for a bounded prefix.
+    */
+  private def shuffleOrder(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .orderBy("shuffle_key")
+      .limit(100)
+
+  private val shuffleOrderOracle = """SELECT doc_id,
+  md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 100"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_mixture_sample", mixture, Some(mixtureOracle)),
+    QueryDef("t_shuffle_order", shuffleOrder, Some(shuffleOrderOracle)),
     QueryDef("t_repetition", repetition, Some(repetitionOracle)),
     QueryDef("d_contamination", contamination, Some(contaminationOracle)),
     QueryDef("t_sample_hash", hashSample, Some(hashSampleOracle)),

@@ -293,6 +293,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(_._3 > 0.0), s"Lucene idf must stay positive: $got")
   }
 
+  test("mixture oversample: exact whole copies, hash-gated extras, weight-0 drop") {
+    val docs = (0L until 64L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    val out = CorpusQuality.mixtureOversample(docs, "source", "doc_id",
+      Map("src0" -> (3, 0), "src1" -> (0, 0)))
+      .select("doc_id", "source", "copy").as[(Long, String, Int)].collect()
+    assert(out.forall(_._2 == "src0"), "weight-0 stratum must vanish")
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byDoc.values.forall(_ == Seq(1, 2, 3)), "exactly 3 ordered copies each")
+    // fractional part: (0, 256) always emits one extra vs (0, 0) never
+    val always = CorpusQuality.mixtureOversample(docs, "source", "doc_id",
+      Map("src0" -> (0, 256), "src1" -> (0, 256))).count()
+    assert(always == 64L, "threshold 256 covers every hash byte")
+    // determinism: same inputs → same copy counts on a re-run
+    val rerun = CorpusQuality.mixtureOversample(docs, "source", "doc_id",
+      Map("src0" -> (3, 0), "src1" -> (0, 0)))
+      .select("doc_id", "source", "copy").as[(Long, String, Int)].collect()
+    assert(rerun.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",
