@@ -130,11 +130,43 @@ SELECT media_id, kind, src_width, src_height,
   scale
 FROM scaled ORDER BY media_id"""
 
+  // --- feature-extraction stub ---------------------------------------
+  private val FeatDim = 16
+
+  /** Drives [[Multimodal.featureStub]] (the embedding-extraction seam)
+    * through the graded surface: emitted components are k/1000 exact
+    * values, spot-checked at the first/middle/last lanes.
+    */
+  private def features(s: SparkSession, dir: String): DataFrame = {
+    val f = Multimodal.featureStub(col("text").cast("binary"), FeatDim)
+    Tables(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        size(f).as("dim"),
+        element_at(f, 1).as("f0"),
+        element_at(f, 5).as("f4"),
+        element_at(f, FeatDim).as("f15"))
+      .orderBy("media_id")
+  }
+
+  private val featuresOracle: String = {
+    // 16-bit lane i of the md5 hex (chars (i%8)*4+1 .. +4) → % 1000 / 1000
+    def lane(i: Int): String = {
+      val base = (i % 8) * 4
+      val v = (1 to 4).map(j => nib(base + j))
+        .reduce((a, b) => s"($a) * 16 + $b")
+      s"CAST((($v) % 1000) AS DOUBLE) / ${Sql.D("1000")}"
+    }
+    s"""SELECT doc_id AS media_id, CAST($FeatDim AS INT) AS dim,
+  ${lane(0)} AS f0, ${lane(4)} AS f4, ${lane(15)} AS f15
+FROM documents ORDER BY media_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_hourly", streamHourly, Some(streamHourlyOracle)),
     QueryDef("stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
-    QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)))
+    QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)),
+    QueryDef("m_features", features, Some(featuresOracle)))
 }
