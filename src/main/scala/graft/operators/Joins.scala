@@ -93,6 +93,49 @@ object Joins {
       .drop("_bucket", "_alo", "_ahi", "_blo", "_bhi")
   }
 
+  /** Backward AS-OF join: each left row picks the single most recent
+    * right row with `rightTime <= leftTime` on the same keys (the
+    * quote-to-trade / feature-at-event join), left-outer — unmatched
+    * left rows keep nulls.
+    *
+    * Implemented as union-tag + running `last(_, ignoreNulls)` window:
+    * ONE shuffle/sort on (keys, time), never a per-row range probe or
+    * non-equi join (which Spark would nested-loop). Right rows sort
+    * before left rows at equal time, making the match inclusive.
+    *
+    * Contract: time columns must be integral (epoch ms/µs — timestamps
+    * cast to seconds would silently truncate); right value column names
+    * must not collide with left columns; the right side must be unique
+    * per (keys, rightTime) — pre-aggregate duplicates, or the pick
+    * among equal-time rows is nondeterministic. Right value columns
+    * should be non-null: each is carried by its own running `last`, so
+    * a null value would be filled from an older right row.
+    */
+  def asofJoin(left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && !keys.contains(leftTime) && !keys.contains(rightTime))
+    val rVals = right.columns.filterNot(keys.contains).toSeq // incl. rightTime
+    val lCols = left.columns.filterNot(keys.contains).toSeq
+    require(rVals.intersect(lCols).isEmpty,
+      s"right value columns collide with left: ${rVals.intersect(lCols).mkString(",")}")
+    val lTagged = left.select(
+      (keys.map(col) ++ Seq(col(leftTime).cast("long").as("_t"), lit(1).as("_side"))
+        ++ lCols.map(col)
+        ++ rVals.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val rTagged = right.select(
+      (keys.map(col) ++ Seq(col(rightTime).cast("long").as("_t"), lit(0).as("_side"))
+        ++ lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
+        ++ rVals.map(col)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    rVals.foldLeft(lTagged.unionByName(rTagged)) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)) }
+      .where(col("_side") === 1)
+      .drop("_t", "_side")
+  }
+
   /** Write `df` as a bucketed+sorted catalog table: co-locates and
     * pre-sorts by the join key so subsequent equi-joins between tables
     * bucketed the same way need NO shuffle (and no sort) — the pattern

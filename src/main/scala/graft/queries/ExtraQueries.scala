@@ -104,6 +104,41 @@ SELECT event_id, user_id, _ms AS purchase_ms, prev_view_ms,
   _ms - prev_view_ms AS gap_ms
 FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  // --- generic two-table AS-OF join -----------------------------------
+  /** [[graft.operators.Joins.asofJoin]] as a library operator (the
+    * same-stream composition above stays as `ev_asof_view_purchase`):
+    * every purchase matched to the user's latest at-or-before view —
+    * checked against DuckDB's NATIVE `ASOF LEFT JOIN`, so the
+    * union-tag + running-last implementation must reproduce the
+    * reference as-of semantics exactly (inclusive match, left-outer).
+    */
+  private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_millis(col("ts")).as("ms"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ms").as("purchase_ms"))
+    val views = e.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ms").as("view_ms"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.operators.Joins.asofJoin(
+        purchases, "purchase_ms", views, "view_ms", Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("purchase_ms"),
+        col("view_ms"), col("view_id"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+), p AS (
+  SELECT user_id, event_id, ms AS purchase_ms FROM e WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ms AS view_ms, MAX(event_id) AS view_id
+  FROM e WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.purchase_ms, v.view_ms, v.view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.purchase_ms >= v.view_ms
+ORDER BY p.event_id"""
+
   // --- reader/writer round-trips (W1/W2 + S2/S3 through the oracle) ---
   private def roundtrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select(
@@ -263,6 +298,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("d_simhash", simhash, Some(simhashOracle)),
     QueryDef("d_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),
+    QueryDef("ev_asof_join", asofJoinQ, Some(asofJoinOracle)),
     QueryDef("io_csv_roundtrip", (s, d) => roundtrip(s, d, "csv"), Some(roundtripOracle)),
     QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)),
     QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)),

@@ -64,6 +64,21 @@ class JoinsSpec extends SparkSpec {
     assert(!bucketed.contains((1L, 11L)))
   }
 
+  test("asof join: latest at-or-before match, inclusive ties, left-outer nulls") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 5L, "t2"), (2L, 7L, "t3"), (3L, 1L, "t4"))
+      .toDF("k", "trade_ms", "trade")
+    val quotes = Seq((1L, 4L, 100.0), (1L, 10L, 200.0), (4L, 1L, 999.0))
+      .toDF("k", "quote_ms", "px")
+    val got = Joins.asofJoin(trades, "trade_ms", quotes, "quote_ms", Seq("k"))
+      .select("k", "trade_ms", "trade", "quote_ms", "px")
+      .as[(Long, Long, String, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, "t1", Some(10L), Some(200.0)), // equal time matches (inclusive)
+      (1L, 5L, "t2", Some(4L), Some(100.0)),   // strictly-before match
+      (2L, 7L, "t3", None, None),              // key with no quotes → nulls
+      (3L, 1L, "t4", None, None)))             // key only on the left
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val orders = Tables(spark, Sf, "orders")
