@@ -49,6 +49,24 @@ object StreamMultimodalQueries {
   private val streamDedupOracle =
     "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"
 
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val out = EventStreams.viewPurchaseJoin(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"))
+    EventStreams.runToMemory(s, out, "graft_stream_join", OutputMode.Append())
+      .orderBy("purchase_id", "view_id")
+  }
+
+  private val streamJoinOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+  p.ms AS purchase_ms, v.ms AS view_ms
+FROM e p JOIN e v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+  AND p.user_id = v.user_id
+  AND v.ms >= p.ms - 3600000 AND v.ms <= p.ms
+ORDER BY purchase_id, view_id"""
+
   // reuse the batch oracles — streaming must produce the same answer
   private val streamHourlyOracle = EventQueries.hourlyOracle
   private val streamSessionizeOracle = """WITH e AS (
@@ -165,6 +183,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_hourly", streamHourly, Some(streamHourlyOracle)),
     QueryDef("stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
+    QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)),

@@ -72,6 +72,32 @@ object EventStreams {
     events.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream inner join: purchases matched to the same user's
+    * views in the trailing hour. Both sides carry watermarks and the
+    * join condition is a bounded event-time range, so Spark can expire
+    * join state — the only shape a stream-stream join can run with
+    * bounded memory on an unbounded stream.
+    *
+    * Timestamps are truncated to ms BEFORE the join so the boundary
+    * comparisons are exactly the batch oracle's epoch-ms arithmetic
+    * (µs-precision inputs would straddle the window edge differently).
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val ms = events.withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+    val views = ms.where(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val purchases = ms.where(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    purchases.join(views, expr(
+        "user_id = p_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"))
+      .select(col("purchase_id"), col("view_id"),
+        unix_millis(col("p_ts")).as("purchase_ms"),
+        unix_millis(col("v_ts")).as("view_ms"))
+  }
+
   /** Drive a streaming DataFrame to a memory sink synchronously and
     * return the result table. `complete` for aggregations, `update` for
     * stateful maps.
