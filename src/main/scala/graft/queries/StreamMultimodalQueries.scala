@@ -56,7 +56,7 @@ object StreamMultimodalQueries {
       .orderBy("purchase_id", "view_id")
   }
 
-  private val streamJoinOracle = """WITH e AS (
+  private val streamJoinOracle = s"""WITH e AS (
   SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
 )
 SELECT p.event_id AS purchase_id, v.event_id AS view_id,

@@ -105,12 +105,25 @@ object EventStreams {
   def runToMemory(spark: SparkSession, out: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = out.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
+    // Stateful operators allocate one state store PER shuffle partition
+    // PER stateful op per micro-batch; a fresh local query pays that
+    // setup every run, so right-size the state partition count to the
+    // local data volume (a deployment knob — on a cluster you size it
+    // to throughput; the batch default stays untouched for everything
+    // else). The partition count is pinned into the query's checkpoint
+    // at start, so restoring the conf afterwards is safe.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    val q =
+      try out.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      finally spark.conf.set(key, prev)
     q.processAllAvailable()
     q.stop()
     spark.table(name)
