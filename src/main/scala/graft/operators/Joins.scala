@@ -98,42 +98,94 @@ object Joins {
     * quote-to-trade / feature-at-event join), left-outer — unmatched
     * left rows keep nulls.
     *
-    * Implemented as union-tag + running `last(_, ignoreNulls)` window:
-    * ONE shuffle/sort on (keys, time), never a per-row range probe or
-    * non-equi join (which Spark would nested-loop). Right rows sort
-    * before left rows at equal time, making the match inclusive.
+    * Implemented as union-tag + running `last(_, ignoreNulls)` window
+    * over ONE struct of all right value columns: one shuffle/sort on
+    * (keys, time), never a per-row range probe or non-equi join (which
+    * Spark would nested-loop). Right rows sort before left rows at
+    * equal time, making the match inclusive. The struct makes a match
+    * ATOMIC: a null in one right value column can never back-fill from
+    * an older right row while its neighbors come from a newer one.
+    *
+    * Skew: with `chunkSpan = None` the running window partitions by
+    * `keys` only, so one hot key sorts in a single task — fine until a
+    * key holds ~10⁹ rows. `chunkSpan = Some(span)` switches to the
+    * skew-safe shape: the timeline splits into fixed `span`-wide time
+    * chunks, the running `last` runs per (key, chunk) — a hot key now
+    * spreads over (#chunks) tasks — and rows whose chunk holds no
+    * earlier right row take the carry from a second, chunk-granular
+    * pass: per (key, chunk) last-right summaries (one row per chunk,
+    * map-side combinable `max_by`) get a per-key prefix `last` window
+    * whose input is #chunks rows, not #events. Both event-scale
+    * shuffles hash on (keys, chunk); nothing event-scale ever
+    * serializes through a single task.
     *
     * Contract: time columns must be integral (epoch ms/µs — timestamps
     * cast to seconds would silently truncate); right value column names
     * must not collide with left columns; the right side must be unique
     * per (keys, rightTime) — pre-aggregate duplicates, or the pick
-    * among equal-time rows is nondeterministic. Right value columns
-    * should be non-null: each is carried by its own running `last`, so
-    * a null value would be filled from an older right row.
+    * among equal-time rows is nondeterministic.
     */
   def asofJoin(left: DataFrame, leftTime: String,
-      right: DataFrame, rightTime: String, keys: Seq[String]): DataFrame = {
+      right: DataFrame, rightTime: String, keys: Seq[String],
+      chunkSpan: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty && !keys.contains(leftTime) && !keys.contains(rightTime))
+    require(chunkSpan.forall(_ > 0), "chunkSpan must be positive")
     val rVals = right.columns.filterNot(keys.contains).toSeq // incl. rightTime
     val lCols = left.columns.filterNot(keys.contains).toSeq
     require(rVals.intersect(lCols).isEmpty,
       s"right value columns collide with left: ${rVals.intersect(lCols).mkString(",")}")
+    val keyCols = keys.map(col)
     val lTagged = left.select(
-      (keys.map(col) ++ Seq(col(leftTime).cast("long").as("_t"), lit(1).as("_side"))
+      (keyCols ++ Seq(col(leftTime).cast("long").as("_t"), lit(1).as("_side"))
         ++ lCols.map(col)
         ++ rVals.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
     val rTagged = right.select(
-      (keys.map(col) ++ Seq(col(rightTime).cast("long").as("_t"), lit(0).as("_side"))
+      (keyCols ++ Seq(col(rightTime).cast("long").as("_t"), lit(0).as("_side"))
         ++ lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))
         ++ rVals.map(col)): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_side"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    rVals.foldLeft(lTagged.unionByName(rTagged)) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(w)) }
-      .where(col("_side") === 1)
-      .drop("_t", "_side")
+    // the match is one struct: null for left rows (skipped by the
+    // ignoreNulls last), non-null for every right row even when some of
+    // its fields are null — the atomicity guarantee
+    val tagged = lTagged.unionByName(rTagged)
+      .withColumn("_rv", when(col("_side") === 0, struct(rVals.map(col): _*)))
+      .drop(rVals: _*)
+    val W = org.apache.spark.sql.expressions.Window
+
+    val matched = chunkSpan match {
+      case None =>
+        val w = W.partitionBy(keyCols: _*).orderBy(col("_t"), col("_side"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        tagged.withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      case Some(span) =>
+        // exact floor division (negative-time safe): pmod is the
+        // non-negative remainder, so (_t - pmod) is a span multiple
+        val chunked = tagged.withColumn("_chunk",
+          ((col("_t") - pmod(col("_t"), lit(span))) / span).cast("long"))
+        val ck = keys :+ "_chunk"
+        val wc = W.partitionBy(ck.map(col): _*).orderBy(col("_t"), col("_side"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val run = chunked.withColumn("_m0",
+          last(col("_rv"), ignoreNulls = true).over(wc))
+        // one row per (key, chunk): the chunk's last right struct
+        // (right times are unique per key, so max_by has no ties)
+        val summaries = chunked.where(col("_side") === 0)
+          .groupBy(ck.map(col): _*)
+          .agg(max_by(col("_rv"), col("_t")).as("_last_rv"))
+        // prefix-carry across chunks, over ALL chunks present in the
+        // data (a chunk with left rows but no right rows still needs
+        // the carry from the nearest earlier right-bearing chunk)
+        val wk = W.partitionBy(keyCols: _*).orderBy(col("_chunk"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val carry = chunked.select(ck.map(col): _*).distinct()
+          .join(summaries, ck, "left")
+          .withColumn("_carry", last(col("_last_rv"), ignoreNulls = true).over(wk))
+          .select((ck.map(col) :+ col("_carry")): _*)
+        run.join(carry, ck)
+          .withColumn("_m", coalesce(col("_m0"), col("_carry")))
+    }
+    matched.where(col("_side") === 1)
+      .select((keyCols ++ lCols.map(col)
+        ++ rVals.map(c => col("_m").getField(c).as(c))): _*)
   }
 
   /** Write `df` as a bucketed+sorted catalog table: co-locates and

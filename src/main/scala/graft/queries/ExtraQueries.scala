@@ -127,6 +127,27 @@ FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
       .orderBy("event_id")
   }
 
+  /** The skew-safe chunked path of the same operator (1-hour time
+    * chunks), graded against the IDENTICAL DuckDB native-ASOF oracle:
+    * the two-pass chunk/carry plan must be bit-equal to the one-window
+    * plan, boundary cases and all.
+    */
+  private def asofJoinChunkedQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_millis(col("ts")).as("ms"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ms").as("purchase_ms"))
+    val views = e.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ms").as("view_ms"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.operators.Joins.asofJoin(
+        purchases, "purchase_ms", views, "view_ms", Seq("user_id"),
+        chunkSpan = Some(3600000L))
+      .select(col("event_id"), col("user_id"), col("purchase_ms"),
+        col("view_ms"), col("view_id"))
+      .orderBy("event_id")
+  }
+
   private val asofJoinOracle = """WITH e AS (
   SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
 ), p AS (
@@ -299,6 +320,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("d_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),
     QueryDef("ev_asof_join", asofJoinQ, Some(asofJoinOracle)),
+    QueryDef("ev_asof_join_chunked", asofJoinChunkedQ, Some(asofJoinOracle)),
     QueryDef("io_csv_roundtrip", (s, d) => roundtrip(s, d, "csv"), Some(roundtripOracle)),
     QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)),
     QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)),

@@ -79,6 +79,47 @@ class JoinsSpec extends SparkSpec {
       (3L, 1L, "t4", None, None)))             // key only on the left
   }
 
+  test("asof join: a match is atomic — nulls in right value columns never back-fill") {
+    val trades = Seq((1L, 12L, "t1")).toDF("k", "trade_ms", "trade")
+    // newer quote has px = null: the match must carry (10, null, 7)
+    // as one unit, not mix px=100.0 from the older quote into it
+    val quotes = Seq((1L, 4L, Some(100.0), 5L), (1L, 10L, None, 7L))
+      .toDF("k", "quote_ms", "px", "sz")
+    val got = Joins.asofJoin(trades, "trade_ms", quotes, "quote_ms", Seq("k"))
+      .select("k", "trade_ms", "trade", "quote_ms", "px", "sz")
+      .as[(Long, Long, String, Option[Long], Option[Double], Option[Long])]
+      .collect().toSet
+    assert(got == Set((1L, 12L, "t1", Some(10L), None, Some(7L))))
+  }
+
+  test("asof join chunked path equals the plain path on hot-key data") {
+    // one key holds ~all rows; right rows are sparse so many chunks
+    // carry across empty chunks (incl. a left row chunks before any
+    // right row, and chunk-boundary time collisions)
+    val trades = (0 until 2000)
+      .map(i => (if (i % 100 == 0) 2L else 1L, (i * 13 % 3000).toLong, s"t$i"))
+      .toDF("k", "trade_ms", "trade")
+    val quotes = Seq((1L, 64L, 1.0), (1L, 128L, 2.0), (1L, 129L, 3.0),
+      (1L, 1500L, 4.0), (2L, 700L, 9.0))
+      .toDF("k", "quote_ms", "px")
+    val plain = Joins.asofJoin(trades, "trade_ms", quotes, "quote_ms", Seq("k"))
+      .select("k", "trade_ms", "trade", "quote_ms", "px")
+      .as[(Long, Long, String, Option[Long], Option[Double])]
+      .collect().sorted.toSeq
+    val chunked = Joins.asofJoin(trades, "trade_ms", quotes, "quote_ms", Seq("k"),
+        chunkSpan = Some(64L))
+      .select("k", "trade_ms", "trade", "quote_ms", "px")
+      .as[(Long, Long, String, Option[Long], Option[Double])]
+      .collect().sorted.toSeq
+    assert(chunked == plain && plain.size == 2000)
+    // the event-scale window must partition by (key, chunk) — the plan
+    // proof that a hot key no longer sorts in a single task
+    val plan = Joins.asofJoin(trades, "trade_ms", quotes, "quote_ms", Seq("k"),
+        chunkSpan = Some(64L)).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k") && plan.contains("_chunk"),
+      s"expected a (key, chunk) exchange in:\n${plan.take(3000)}")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_bucketed").toString
     val orders = Tables(spark, Sf, "orders")

@@ -103,6 +103,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked dedup: suppresses within the horizon, expires state beyond it") {
+    val dir = Files.createTempDirectory("graft_ddwm").toString
+    def ev(id: Long, user: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, "click", 1.0)
+
+    // batch 1: u1 at 10:00, u9 at 12:30 — the 1 h horizon puts the
+    // watermark at 11:30 after this batch, past u1's state expiry
+    // (10:00 + 1 h = 11:00) but not u9's (13:30)
+    writeBatch(dir, "b1", Seq(ev(1, 1, "10:00:00"), ev(2, 9, "12:30:00")))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.dedupPairsWatermarked(stream, horizon = "1 hour")
+
+    spark.streams.active.filter(_.name == "ddwm_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ddwm_test").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("ddwm_test").as[(Long, String)].collect().toSeq
+      assert(afterB1.sorted == Seq((1L, "click"), (9L, "click")))
+
+      // batch 2: u1's duplicate arrives beyond the horizon → its state
+      // is expired and it RE-EMITS (the deliberate bounded-memory
+      // trade); u9's duplicate is inside the horizon → suppressed
+      writeBatch(dir, "b2", Seq(ev(3, 1, "12:40:00"), ev(4, 9, "12:45:00")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ddwm_test").as[(Long, String)].collect().toSeq
+      assert(afterB2.sorted == Seq((1L, "click"), (1L, "click"), (9L, "click")),
+        s"expired pair must re-emit, in-horizon duplicate must not: $afterB2")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     val dir = Files.createTempDirectory("graft_wm").toString
     def ev(id: Long, time: String): EventStreams.Event =
