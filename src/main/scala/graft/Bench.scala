@@ -59,7 +59,8 @@ object Bench {
     // untimed first run
     Seq("q1_pricing_summary", "t_token_count", "s_lsh_buckets", "t_winnow_fast")
       .flatMap(SparkEntry.queries.get)
-      .foreach(fn => drive(fn(spark, sfDir)))
+      .foreach(fn => try drive(fn(spark, sfDir))
+        catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") })
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 — iterate on specific queries without
     // paying for the whole surface (dev loop only; driver runs all)
@@ -68,24 +69,52 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // A failed rep is an ERROR, never a timing: a query that starts
+    // erroring must surface in the JSON (`errors` object), not post the
+    // elapsed-time-of-the-failure as a plausible-looking number.
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val reps0 = (1 to reps).map { _ =>
         sweep(spark)
         val t0 = System.nanoTime()
-        try { drive(fn(spark, sfDir)) }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try { drive(fn(spark, sfDir)); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
       }
-      val med = median(times)
-      System.err.println(
-        f"[bench] $name%-24s $med%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> med
+      val times = reps0.collect { case Right(t) => t }
+      val firstErr = reps0.collectFirst { case Left(m) => m }
+      firstErr match {
+        case Some(err) if times.size < reps =>
+          System.err.println(f"[bench] $name%-24s ERR ($err)")
+          name -> Left(err)
+        case _ =>
+          val med = median(times)
+          System.err.println(
+            f"[bench] $name%-24s $med%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
+          name -> Right(med)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errs = results.collect { case (k, Left(m)) => k -> m }
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errs.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errs.size},"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // also write the line to a file: the artifact must never depend on
+    // scraping the JSON out of sbt-wrapped stdout (r2 lost its total
+    // to log truncation)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }
