@@ -121,6 +121,14 @@ final class WebApi(spark: SparkSession, port: Int = 0,
         Map("error" -> "provide exactly one of 'rows' and 'file'"))
       return
     }
+    // a formats field that parses to the empty selection (every checkbox
+    // unchecked) would run the whole job and "complete" with an empty
+    // zip — reject it up front (a MISSING field still defaults to csv)
+    if (formats.isEmpty) {
+      respondJson(ex, 400,
+        Map("error" -> "formats selection is empty — pick at least one format"))
+      return
+    }
 
     val id = UUID.randomUUID().toString
     val workDir = Files.createTempDirectory(s"graft_api_$id")

@@ -111,9 +111,18 @@ object CorpusQuality {
   /** PII patterns portable across Java regex (Spark) and RE2 (DuckDB,
     * and most log/scrub tooling): plain character classes and bounded
     * repetition only — no lookaround, no `\d`/`\b` shorthand drift.
+    *
+    * The phone pattern demands phone-shaped STRUCTURE, not just a long
+    * digit run — one of: international (`+` then 7-15 digits with
+    * spaces/dashes/parens), parenthesized area code, or the 3-3-4
+    * separator layout. A bare `[0-9][0-9 -]{5,}` alternative would also
+    * claim ISO dates (2024-08-12), order/ID numbers, and numeric table
+    * rows — at corpus scale that rewrites non-PII training text.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "[+(]?[0-9][0-9 ()-]{5,}[0-9]"
+  val PhoneRe = "([+][0-9][0-9 ()-]{5,16}[0-9])" + // +1-555-000-1234 / +33 6 12 34 56 78
+    "|([(][0-9]{2,4}[)][ .-]?[0-9][0-9 .-]{3,10}[0-9])" + // (555) 123-4567
+    "|([0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4})" // 555-123-4567 / 555.123.4567
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   /** PII redaction for training corpora: masks emails, then phone-shaped
@@ -129,13 +138,23 @@ object CorpusQuality {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
-  /** Per-kind PII match counts (audit/reporting side of [[redactPii]]). */
-  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
-    "n_emails" -> regexp_count(text, lit(EmailRe)),
-    "n_phones" -> regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(PhoneRe)),
-    "n_ips" -> regexp_count(
-      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
-      lit(Ipv4Re)))
+  /** Per-kind PII match counts + the redacted text in ONE pass over the
+    * replace chain (audit/reporting side of [[redactPii]]): each
+    * intermediate redaction stage is its own projection column consumed
+    * twice (by its count and by the next stage), which stops Catalyst's
+    * CollapseProject from inlining it — so each of the three
+    * `regexp_replace`s runs exactly once per row, where expressing the
+    * counts over nested replace chains re-ran the email/phone replaces
+    * up to 3×. Adds `n_emails`, `n_phones`, `n_ips`, `redacted`.
+    */
+  def piiAudit(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("_no_email", regexp_replace(text, EmailRe, "<EMAIL>"))
+      .withColumn("_no_phone", regexp_replace(col("_no_email"), PhoneRe, "<PHONE>"))
+      .withColumn("n_emails", regexp_count(text, lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col("_no_email"), lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(col("_no_phone"), lit(Ipv4Re)))
+      .withColumn("redacted", regexp_replace(col("_no_phone"), Ipv4Re, "<IP>"))
+      .drop("_no_email", "_no_phone")
 
   /** First byte (0-255) of `md5(<strata>:<id>)` — the shared primitive
     * behind [[hashBucketMember]] and [[mixtureOversample]]'s fractional

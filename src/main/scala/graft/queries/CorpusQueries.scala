@@ -165,11 +165,8 @@ GROUP BY doc_id ORDER BY doc_id"""
       lit(".0."), col("c_nationkey").cast("string"))
     val base = Tables(s, dir, "customer")
       .select(k.as("c_custkey"), contact.as("contact"))
-    val countCols = CorpusQuality.piiCounts(col("contact"))
-      .map { case (name, c) => c.as(name) }
-    base.select(
-      (col("c_custkey") +: countCols :+
-        CorpusQuality.redactPii(col("contact")).as("redacted")): _*)
+    CorpusQuality.piiAudit(base, col("contact"))
+      .select("c_custkey", "n_emails", "n_phones", "n_ips", "redacted")
       .orderBy("c_custkey")
   }
 

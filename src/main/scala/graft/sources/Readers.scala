@@ -38,13 +38,17 @@ object Readers {
             .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
               && !s.getPath.getName.startsWith("."))
             .map(_.getPath).toSeq.sortBy(_.getName).headOption
-        file.map { f =>
+        // an all-whitespace (or empty) sample proves nothing — return
+        // None so it falls through to the parse-then-retry probe, not
+        // Some(false) (which would mis-read a whitespace-padded array
+        // file as NDJSON and yield _corrupt_record rows)
+        file.flatMap { f =>
           val in = fs.open(f)
           try {
             val buf = new Array[Byte](256)
             val n = in.read(buf)
             (0 until math.max(n, 0)).iterator.map(buf(_).toChar)
-              .find(c => !c.isWhitespace).contains('[')
+              .find(c => !c.isWhitespace).map(_ == '[')
           } finally in.close()
         }
       } catch { case _: Exception => None }

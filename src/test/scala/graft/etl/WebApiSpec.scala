@@ -119,6 +119,10 @@ class WebApiSpec extends SparkSpec {
       val bad = post(api.boundPort,
         multipart(b, Map("rows" -> "5"), Some(("file", "x.csv", csv))), b)
       assert(bad.contains("exactly one"), bad)
+      // every format checkbox unchecked → 400, not an empty-output job
+      val noFmt = post(api.boundPort,
+        multipart(b, Map("rows" -> "5", "formats" -> "[]"), None), b)
+      assert(noFmt.contains("at least one format"), noFmt)
       // unknown session
       assert(get(api.boundPort, "/status/nope").statusCode() == 404)
       assert(get(api.boundPort, "/download/nope").statusCode() == 404)

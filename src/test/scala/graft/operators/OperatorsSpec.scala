@@ -267,13 +267,45 @@ class OperatorsSpec extends SparkSpec {
       "call +1-555-123 4567 or (555) 765-4321 today",
       "host 192.168.0.1 and 10.0.255.254",
       "no pii here at all").toDF("text")
-    val counts = CorpusQuality.piiCounts(col("text")).map { case (n, c) => c.as(n) }
-    val got = df.select((counts :+ CorpusQuality.redactPii(col("text")).as("r")): _*)
-      .as[(Int, Int, Int, String)].collect().toSeq
+    val audited = CorpusQuality.piiAudit(df, col("text"))
+      .select("n_emails", "n_phones", "n_ips", "redacted")
+    val got = audited.as[(Int, Int, Int, String)].collect().toSeq
     assert(got(0) == ((1, 0, 0, "mail <EMAIL> now")))
     assert(got(1)._2 == 2 && got(1)._4 == "call <PHONE> or <PHONE> today")
     assert(got(2)._3 == 2 && got(2)._4 == "host <IP> and <IP>")
     assert(got(3) == ((0, 0, 0, "no pii here at all")))
+    // audit and redactPii agree
+    val viaRedact = df.select(CorpusQuality.redactPii(col("text")).as("r"))
+      .as[String].collect().toSeq
+    assert(got.map(_._4) == viaRedact)
+    // single-pass: each of the 3 redaction regexes appears exactly once
+    // in the physical plan (the counts reuse the replace stages instead
+    // of re-running the chain per count column) — checked over a
+    // file-backed frame so ConvertToLocalRelation can't pre-fold it
+    val plan = CorpusQuality.piiAudit(
+        graft.queries.Tables(spark, Sf, "documents"), col("text"))
+      .select("n_emails", "n_phones", "n_ips", "redacted")
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding("regexp_replace".length).count(_ == "regexp_replace") == 3,
+      s"expected exactly 3 regexp_replace in:\n$plan")
+  }
+
+  test("phone redaction requires phone structure: dates and ids survive") {
+    val df = Seq(
+      "shipped 2024-08-12 at 12:30",          // ISO date + time
+      "order 123456789 qty 1000000",          // long plain integers
+      "rows 10 20 30 40 50 60 70",            // numeric table
+      "+33 6 12 34 56 78 ok",                 // international
+      "(02) 9876 5432 works",                 // parenthesized area code
+      "555.123.4567 dotted").toDF("text")
+    val got = df.select(CorpusQuality.redactPii(col("text")).as("r"))
+      .as[String].collect().toSeq
+    assert(got(0) == "shipped 2024-08-12 at 12:30", s"date mangled: ${got(0)}")
+    assert(got(1) == "order 123456789 qty 1000000", s"ids mangled: ${got(1)}")
+    assert(got(2) == "rows 10 20 30 40 50 60 70", s"table mangled: ${got(2)}")
+    assert(got(3) == "<PHONE> ok", s"intl phone missed: ${got(3)}")
+    assert(got(4) == "<PHONE> works", s"area-code phone missed: ${got(4)}")
+    assert(got(5) == "<PHONE> dotted", s"dotted phone missed: ${got(5)}")
   }
 
   test("bm25: matching docs rank first, rare terms outweigh common ones") {

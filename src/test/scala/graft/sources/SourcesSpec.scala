@@ -45,6 +45,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("JSON array behind >256 bytes of leading whitespace still reads as array") {
+    // the sniff's 256-byte sample sees only whitespace → it must fall
+    // through to the parse-then-retry probe, not declare NDJSON
+    val dir = Files.createTempDirectory("graft_srcws")
+    val p = dir.resolve("padded.json").toString
+    Files.writeString(Paths.get(p),
+      " " * 300 +
+        """[{"Delivery_ID":"SC1","Distance":5.0},{"Delivery_ID":"SC2","Distance":7.0}]""")
+    val back = Readers.read(spark, p)
+    assert(!back.columns.contains("_corrupt_record"), back.columns.mkString(","))
+    assert(back.count() == 2)
+  }
+
   test("parquet round-trip preserves schema exactly") {
     val p = tmp("t.parquet")
     val typed = Readers.normalizeTimestamps(sample)
