@@ -47,11 +47,18 @@ object Generator {
     math.max(byDefault.toLong, bySize).min(Int.MaxValue).toInt
   }
 
+  /** `partitions <= 0` → [[partitionsFor]] (the deployment default).
+    * Pass an explicit count when the BYTES must be reproducible across
+    * environments: `rand(seed)` derives each partition's stream from
+    * (seed, partitionId), so the output is a function of the partition
+    * count — same n + seed + partitions ⇒ identical rows anywhere.
+    */
   def deliveries(
       spark: SparkSession,
       rows: Long,
       seed: Long = 42L,
-      anchor: Instant = Instant.parse("2025-09-26T00:00:00Z")): DataFrame = {
+      anchor: Instant = Instant.parse("2025-09-26T00:00:00Z"),
+      partitions: Int = -1): DataFrame = {
     val anchorSec = anchor.getEpochSecond
     val windowSec = 30L * 24 * 3600
     // Each rand() is materialized in its own projection FIRST: a
@@ -59,7 +66,8 @@ object Generator {
     // when-chain is re-evaluated per reference (advancing the RNG and
     // skewing the distribution) if inlined. CollapseProject never merges
     // multiply-referenced nondeterministic columns, so this is safe.
-    val withRand = spark.range(0, rows, 1, partitionsFor(spark, rows))
+    val nParts = if (partitions > 0) partitions else partitionsFor(spark, rows)
+    val withRand = spark.range(0, rows, 1, nParts)
       .select(col("id"), rand(seed).as("_r0"), rand(seed + 1).as("_r1"),
         rand(seed + 2).as("_r2"), rand(seed + 3).as("_r3"),
         rand(seed + 4).as("_r4"))

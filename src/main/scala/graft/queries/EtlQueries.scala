@@ -132,11 +132,41 @@ object EtlQueries {
         Transform.weatherFactor(col("Weather_Condition")).as("weather_factor"))
       .orderBy("Delivery_ID")
 
-  /** S1 — seeded generator output (no SQL oracle: Spark-internal rand;
-    * driver rows-only check. Determinism is covered by GeneratorSpec.)
+  /** S1 — seeded generator, graded against a GOLDEN SNAPSHOT: the
+    * seeded rand stream has no DuckDB twin, but it can match ITSELF, so
+    * the query reduces the pinned (rows=10000, seed=42) output to an
+    * order-independent content fingerprint (row count + sum and xor of
+    * per-row hashes; sum is mod-reduced so 10k terms can't overflow
+    * ANSI bigint addition) and the oracle re-states the committed
+    * golden values as constants. Any accidental change to seeding,
+    * distributions, or column derivations fails the hash loudly —
+    * where the old rows-only check passed anything with 10000 rows.
     */
-  private def generator(s: SparkSession, dir: String): DataFrame =
-    graft.etl.Generator.deliveries(s, rows = 10000, seed = 42L)
+  private def generator(s: SparkSession, dir: String): DataFrame = {
+    val rowHash = xxhash64(
+      col("Delivery_ID"),
+      unix_timestamp(col("Pickup_DateTime")),
+      unix_timestamp(col("Delivery_Timestamp")),
+      col("Package_Type"), col("Distance"), col("Delivery_Zone"))
+    // partitions pinned: rand(seed) streams derive from (seed,
+    // partitionId), so the fingerprint is only stable if the partition
+    // count doesn't float with the session's core count
+    graft.etl.Generator.deliveries(s, rows = 10000, seed = 42L, partitions = 32)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(pmod(rowHash, lit(100000000000000L))).as("hash_sum"),
+        expr("bit_xor(" +
+          "xxhash64(Delivery_ID, unix_timestamp(Pickup_DateTime), " +
+          "unix_timestamp(Delivery_Timestamp), Package_Type, Distance, " +
+          "Delivery_Zone))").as("hash_xor"))
+  }
+
+  /** Golden fingerprint of `Generator.deliveries(rows=10000, seed=42)`
+    * — recorded from the committed generator; the graded oracle.
+    */
+  private val generatorOracle: String =
+    """SELECT CAST(10000 AS BIGINT) AS n_rows,
+  CAST(496248693372412042 AS BIGINT) AS hash_sum,
+  CAST(8206647550908345066 AS BIGINT) AS hash_xor"""
 
   // ------------------------------------------------------------------
   // DuckDB oracle side — generated from the SAME constants
@@ -263,5 +293,5 @@ $statusSelect"""
     QueryDef("etl_factors", factors, Some(factorsOracle)),
     QueryDef("etl_full_pipeline", fullPipeline _, Some(fullOracle)),
     QueryDef("etl_weather_join", weatherJoinPipeline _, Some(weatherJoinOracle)),
-    QueryDef("etl_generator", generator, None))
+    QueryDef("etl_generator", generator, Some(generatorOracle)))
 }

@@ -21,6 +21,16 @@ class GeneratorSpec extends SparkSpec {
     assert(c != b.map(_._2))
   }
 
+  test("golden fingerprint: pinned (rows, seed, partitions) output is frozen") {
+    // the same golden the graded etl_generator oracle pins — any change
+    // to seeding, distributions, or column derivations fails here
+    // before it reaches the driver
+    val got = graft.SparkEntry.queries("etl_generator")(spark, Sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10000L, 496248693372412042L, 8206647550908345066L)),
+      s"generator output drifted from the committed golden: $got")
+  }
+
   test("ids are sequential SC1000..") {
     val ids = df.select("Delivery_ID").as[String].collect()
     assert(ids.toSet.size == 2000)
