@@ -139,6 +139,68 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Deterministic seeded k-means (Lloyd) trainer for IVF coarse
+    * codebooks, so [[ivfTopK]] doesn't depend on caller-supplied
+    * centroids. Returns (id: 0..k-1, vec: array<float>) ready to pass
+    * as `centroids`.
+    *
+    * Determinism (same inputs ⇒ same codebook on any partitioning):
+    * init picks the k rows with the smallest `xxhash64(seed, id)` (a
+    * content-hash order, not head()'s partition order); assignment
+    * breaks cosine ties toward the smaller centroid id exactly like
+    * [[ivfTopK]]'s cell assign; per-cell means sum exact quantized
+    * longs (order-independent, unlike float accumulation) before one
+    * double division.
+    *
+    * Scale shape: per iteration, one broadcast crossJoin against the k
+    * centroids + a max-struct agg keyed on id (map-side combinable, no
+    * wide shuffle of vectors), then a (cell, pos) sum — k×dim groups.
+    * Only the k×dim codebook ever reaches the driver (it is what gets
+    * broadcast anyway), so the loop is lineage-free without
+    * checkpoints. Empty cells keep their previous centroid.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def centDf(cs: Seq[Seq[Float]]): DataFrame =
+      cs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+
+    val base = emb.select(col("id"), quantize(col("vec")).as("qv"))
+      .withColumn("nn", normSqQ(col("qv")))
+    var cents: Seq[Seq[Float]] = base
+      .orderBy(xxhash64(lit(seed), col("id")), col("id")).limit(k)
+      .select(col("qv")).collect()
+      .map(_.getSeq[Long](0).map(_.toFloat / Scale).toSeq).toSeq
+
+    for (_ <- 0 until iters) {
+      val cb = centDf(cents)
+        .select(col("id").as("c_id"), quantize(col("vec")).as("cqv"))
+        .withColumn("cnn", normSqQ(col("cqv")))
+      val assigned = base.crossJoin(broadcast(cb))
+        .groupBy(col("id"))
+        .agg(max(struct(
+            cosineQ(dotQ(col("qv"), col("cqv")), col("nn"), col("cnn")).as("ccos"),
+            (-col("c_id")).as("negc"))).as("m"),
+          first(col("qv")).as("qv")) // same qv on every row of the group
+      val means = assigned
+        .select((-col("m.negc")).cast("long").as("cell"),
+          posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s").cast("double") / col("n").cast("double")).as("mv")))),
+          x => x.getField("mv").cast("float")).as("vec"))
+        .collect().map(r => r.getLong(0).toInt ->
+          r.getSeq[Float](1).toSeq).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    centDf(cents)
+  }
+
   /** ±1 hyperplane components, deterministic from md5 — portable to any
     * engine by materializing the literals (see SimilarityQueries).
     */

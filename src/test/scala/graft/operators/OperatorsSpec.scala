@@ -180,6 +180,59 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall collapsed — probe routing is broken")
   }
 
+  test("minhash fast twin: xxhash64 candidates recall >= md5 path on true near-dups") {
+    // ground truth: exact n-gram Jaccard >= 0.5 over the planted
+    // near-dups in the shared documents table — the same threshold the
+    // graded d_ngram_jaccard uses. Both LSH paths run the identical
+    // (k=9, bands=3, rows=3) banding; only the hash family differs, so
+    // the fast twin must not lose discovery power vs the oracle-checked
+    // md5 path (the twin itself has no portable oracle — this spec is
+    // its correctness pin)
+    val docs = graft.queries.Tables(spark, Sf, "documents")
+    val shingles = TextDedup.wordShingles(docs, "doc_id", "text", 3)
+    val truth = TextDedup.jaccardPairs(shingles, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test corpus must contain planted near-dups")
+    val md5Cands = TextDedup.lshCandidates(
+        TextDedup.minHashSignatures(shingles, 9), 3, 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val fastCands = TextDedup.lshCandidatesWith(
+        TextDedup.minHashSignaturesWith(shingles, 9,
+          (i, sh) => xxhash64(lit(i), sh)),
+        3, 3, cols => xxhash64(cols: _*))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val md5Recall = truth.count(md5Cands.contains).toDouble / truth.size
+    val fastRecall = truth.count(fastCands.contains).toDouble / truth.size
+    assert(fastRecall >= md5Recall,
+      s"fast-twin recall regressed: fast=$fastRecall md5=$md5Recall (truth=${truth.size})")
+    assert(fastRecall > 0.8, s"fast-twin recall implausibly low: $fastRecall")
+  }
+
+  test("k-means IVF centroids: deterministic, and recall >= id-stride centroids") {
+    val emb = graft.queries.Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("id") % 10 === 0)
+    val trained = Similarity.kmeansCentroids(emb, k = 50, iters = 4)
+    // deterministic: retraining yields the identical codebook
+    val again = Similarity.kmeansCentroids(emb, k = 50, iters = 4)
+    assert(trained.collect().toSet == again.collect().toSet)
+    assert(trained.count() == 50)
+
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfTopK(emb, queries, centroids, nprobe = 4, k = 5)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    // the graded query's centroid choice, at the same cell count
+    val stride = emb.where(col("id") % 10 === 3)
+    val rTrained = recall(trained)
+    val rStride = recall(stride)
+    assert(rTrained >= rStride,
+      s"trained centroids must not lose recall: trained=$rTrained stride=$rStride")
+  }
+
   test("LSH bucket signature: same vector → same bucket; candidates scored") {
     val planes = Similarity.planes(16, 64)
     assert(planes.flatten.forall(v => v == 1 || v == -1))
