@@ -62,6 +62,54 @@ object StreamMultimodalQueries {
       .orderBy("user_id", "event_type")
   }
 
+  private val SessGapMs = 1800000L  // 30 min, same gap as the batch twin
+  private val SessHorizonMs = 7200000L // 2 h watermark
+
+  /** Finalized-session stream (bounded state via EventTimeTimeout).
+    * Oracle subtlety: sessions closed by a later event emit in-batch
+    * regardless of the watermark, but each user's LAST session emits
+    * only if the end-of-replay watermark (max ts − horizon) strictly
+    * passed its `end + gap` timeout — the SQL twin applies exactly that
+    * cutoff, so the hash-compare pins the timeout semantics too.
+    */
+  private def streamSessionsWm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = EventStreams.eventsStream(s, s"$dir/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val out = EventStreams.finalizedSessions(events, SessGapMs, "2 hours").toDF()
+    EventStreams.runToMemory(s, out, "graft_stream_sessions_wm", OutputMode.Append())
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  private val streamSessionsWmOracle = s"""WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+), l AS (
+  SELECT user_id, event_id, ms,
+    LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e
+), s AS (
+  SELECT user_id, event_id, ms,
+    CASE WHEN prev IS NULL OR ms - prev > $SessGapMs THEN 1 ELSE 0 END AS is_new
+  FROM l
+), g AS (
+  SELECT user_id, ms,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM s
+), sess AS (
+  SELECT user_id, sess,
+    MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+    COUNT(*) AS n_events,
+    MAX(sess) OVER (PARTITION BY user_id) AS last_sess
+  FROM g GROUP BY user_id, sess
+)
+SELECT user_id, session_start_ms, session_end_ms,
+  CAST(n_events AS BIGINT) AS n_events
+FROM sess
+WHERE sess < last_sess
+   OR session_end_ms + $SessGapMs < (SELECT MAX(ms) FROM e) - $SessHorizonMs
+ORDER BY user_id, session_start_ms"""
+
   private def streamJoin(s: SparkSession, dir: String): DataFrame = {
     val out = EventStreams.viewPurchaseJoin(
       EventStreams.eventsStream(s, s"$dir/events.parquet"))
@@ -197,6 +245,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
     QueryDef("stream_dedup_wm", streamDedupWm, Some(streamDedupOracle)),
+    QueryDef("stream_sessions_wm", streamSessionsWm, Some(streamSessionsWmOracle)),
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),

@@ -71,6 +71,64 @@ object EventStreams {
     events.select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
 
+  final case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** Bounded-state sessionization — the 100 TB-of-stream shape next to
+    * [[sessionize]] (whose per-user cumulative counts keep one state
+    * entry per user FOREVER, like any NoTimeout mapGroupsWithState).
+    * Emits each session once, FINALIZED (start, end, event count):
+    *
+    *   - a session closed by a later event (gap exceeded) emits in that
+    *     event's micro-batch;
+    *   - the trailing open session emits via `EventTimeTimeout` once
+    *     the watermark passes `lastMs + gap` — at which point no future
+    *     event can extend it, so dropping its state is lossless. State
+    *     size is bounded by the count of sessions open within the
+    *     watermark horizon, not by lifetime users.
+    *
+    * `setTimeoutTimestamp(lastMs + gap)` re-arms on every event; the
+    * timeout invocation removes the state and emits the session.
+    */
+  def finalizedSessions(events: Dataset[Event], gapMs: Long = 1800000L,
+      horizon: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(userId, s.startMs, s.lastMs, s.nEvents))
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val out = Seq.newBuilder[SessionOut]
+        var open = state.getOption
+        sorted.foreach { e =>
+          val ms = e.ts.getTime
+          open match {
+            case Some(s) if ms - s.lastMs <= gapMs =>
+              open = Some(OpenSession(s.startMs, math.max(s.lastMs, ms), s.nEvents + 1))
+            case Some(s) =>
+              out += SessionOut(userId, s.startMs, s.lastMs, s.nEvents)
+              open = Some(OpenSession(ms, ms, 1L))
+            case None =>
+              open = Some(OpenSession(ms, ms, 1L))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+    events.withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   /** Bounded-state streaming dedup — the 100 TB-of-stream shape:
     * `withWatermark(horizon)` + `dropDuplicatesWithinWatermark`, which
     * keeps the same emit-first semantics as [[dedupPairs]] for

@@ -103,6 +103,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("finalized sessions: in-batch close emits immediately, timeout closes the tail") {
+    val dir = Files.createTempDirectory("graft_fsess").toString
+    def ev(id: Long, user: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, "click", 1.0)
+    def ms(time: String): Long = Timestamp.valueOf(s"2024-01-01 $time").getTime
+
+    // batch 1: u1 has two events 5 min apart (one open session), then a
+    // 40-min gap to a third event — the first session closes IN BATCH
+    // (no watermark needed) and must emit right away
+    writeBatch(dir, "b1", Seq(ev(1, 1, "10:00:00"), ev(2, 1, "10:05:00"),
+      ev(3, 1, "10:45:00")))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[EventStreams.Event]
+    // 30 min gap, 1 h horizon
+    val out = EventStreams.finalizedSessions(stream, gapMs = 30 * 60 * 1000,
+      horizon = "1 hour").toDF()
+
+    spark.streams.active.filter(_.name == "fsess_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fsess_test").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("fsess_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterB1 == Set((1L, ms("10:00:00"), ms("10:05:00"), 2L)),
+        s"session closed by a later event must emit in-batch: $afterB1")
+
+      // batch 2: another user far in the future advances the watermark
+      // (14:00 − 1 h = 13:00) past u1's open-session timeout
+      // (10:45 + 30 min = 11:15) → the tail session emits via timeout
+      writeBatch(dir, "b2", Seq(ev(4, 9, "14:00:00")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("fsess_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterB2.contains((1L, ms("10:45:00"), ms("10:45:00"), 1L)),
+        s"tail session must emit once the watermark passes end+gap: $afterB2")
+
+      // batch 3: u1 returns at 14:10 (fresh open session — its old state
+      // was removed at timeout); watermark only reaches 13:10, so u9's
+      // open session (timeout 14:30) must NOT have emitted
+      writeBatch(dir, "b3", Seq(ev(5, 1, "14:10:00")))
+      q.processAllAvailable()
+      val afterB3 = spark.table("fsess_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(!afterB3.exists(_._1 == 9L),
+        s"u9's open session is inside the horizon and must not emit: $afterB3")
+
+      // batch 4: a later u1 event closes the 14:10 session in-batch —
+      // it emits as a FRESH 1-event session, and the expired 10:45
+      // session does NOT re-emit (its state really was removed)
+      writeBatch(dir, "b4", Seq(ev(6, 1, "15:30:00")))
+      q.processAllAvailable()
+      val afterB4 = spark.table("fsess_test")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(afterB4.contains((1L, ms("14:10:00"), ms("14:10:00"), 1L)),
+        s"a returning user starts a fresh session after expiry: $afterB4")
+      assert(afterB4.count(_ == ((1L, ms("10:45:00"), ms("10:45:00"), 1L))) == 1,
+        s"an expired session must emit exactly once: $afterB4")
+    } finally q.stop()
+  }
+
   test("watermarked dedup: suppresses within the horizon, expires state beyond it") {
     val dir = Files.createTempDirectory("graft_ddwm").toString
     def ev(id: Long, user: Long, time: String): EventStreams.Event =
