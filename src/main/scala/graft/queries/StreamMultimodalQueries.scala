@@ -62,6 +62,31 @@ object StreamMultimodalQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** Append-mode twin of `stream_hourly`: Complete mode re-emits every
+    * window each batch and its state NEVER evicts (unbounded on a real
+    * stream); Append emits each window once, finalized, when the
+    * watermark passes its end — the bounded-state production shape. The
+    * oracle applies the same cutoff (window end ≤ end-of-replay
+    * watermark), so the hash-compare pins the eviction boundary.
+    */
+  private def streamHourlyAppend(s: SparkSession, dir: String): DataFrame = {
+    val out = EventStreams.hourlyCounts(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"))
+    EventStreams.runToMemory(s, out, "graft_stream_hourly_append", OutputMode.Append())
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  private val streamHourlyAppendOracle = s"""WITH h AS (
+  SELECT
+    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+    event_type, COUNT(*) AS n_events, ${Sql.sumCents("value")} AS value_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_epoch, event_type, n_events, value_sum
+FROM h
+WHERE (hour_epoch + 3600) * 1000 <= (SELECT MAX(epoch_ms(ts)) FROM events) - 3600000
+ORDER BY hour_epoch, event_type"""
+
   private val SessGapMs = 1800000L  // 30 min, same gap as the batch twin
   private val SessHorizonMs = 7200000L // 2 h watermark
 
@@ -242,6 +267,7 @@ FROM documents ORDER BY media_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_hourly", streamHourly, Some(streamHourlyOracle)),
+    QueryDef("stream_hourly_append", streamHourlyAppend, Some(streamHourlyAppendOracle)),
     QueryDef("stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
     QueryDef("stream_dedup_wm", streamDedupWm, Some(streamDedupOracle)),
