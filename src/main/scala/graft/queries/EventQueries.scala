@@ -89,18 +89,30 @@ FROM s GROUP BY user_id ORDER BY user_id"""
     * a per-entity rolling feature needs at 100 TB; no self-join, no
     * explode).
     */
-  private def rolling(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"))
-      .rangeBetween(-3600000L, Window.currentRow)
-    Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("_ms"),
-        cents(col("value")).as("_cents"))
-      .withColumn("n_1h", count(lit(1)).over(w))
-      .withColumn("sum_1h", sum(col("_cents")).over(w) / 100.0)
+  private def rolling(s: SparkSession, dir: String): DataFrame =
+    rollingWith(s, dir, chunkSpan = None)
+
+  /** The same feature via [[graft.operators.Windows.trailingRangeAgg]]'s
+    * skew-safe chunked path (2 h chunks for the 1 h frame): identical
+    * output, but a hot user spreads over (user, chunk) tasks instead of
+    * serializing one sort — graded against the SAME oracle.
+    */
+  private def rollingChunked(s: SparkSession, dir: String): DataFrame =
+    rollingWith(s, dir, chunkSpan = Some(7200000L))
+
+  private def rollingWith(s: SparkSession, dir: String,
+      chunkSpan: Option[Long]): DataFrame =
+    graft.operators.Windows.trailingRangeAgg(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("_ms"),
+            cents(col("value")).as("_cents")),
+        Seq("user_id"), "_ms", 3600000L,
+        Seq("n_1h" -> count(lit(1)), "_sum_c" -> sum(col("_cents"))),
+        chunkSpan)
+      .withColumn("sum_1h", col("_sum_c") / 100.0)
       .select(col("event_id"), col("user_id"), col("_ms").as("ms"),
         col("n_1h"), col("sum_1h"))
       .orderBy("event_id")
-  }
 
   private val rollingOracle = s"""WITH e AS (
   SELECT event_id, user_id, epoch_ms(ts) AS ms,
@@ -119,5 +131,6 @@ ORDER BY event_id"""
     QueryDef("ev_hourly", hourly, Some(hourlyOracle)),
     QueryDef("ev_props_extract", propsExtract, Some(propsOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
-    QueryDef("ev_rolling_1h", rolling, Some(rollingOracle)))
+    QueryDef("ev_rolling_1h", rolling, Some(rollingOracle)),
+    QueryDef("ev_rolling_1h_chunked", rollingChunked, Some(rollingOracle)))
 }
