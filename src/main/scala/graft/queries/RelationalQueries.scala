@@ -210,6 +210,73 @@ FROM (
   FROM customer)
 WHERE rn <= 3 ORDER BY c_nationkey, rn"""
 
+  /** The same top-3-per-nation result as [[qWindowRank]] via the bounded
+    * [[graft.functions.TopKPairs]] aggregate instead of a row_number
+    * window — graded against the IDENTICAL oracle. The scale story: the
+    * window plan funnels every customer into one task per nation (25
+    * tasks at any data size — a low-cardinality partition key is the
+    * window's hidden scale cliff), while the aggregate's map-side
+    * partials keep ≤3 rows per nation per partition, so the shuffle
+    * carries O(partitions × 3) rows and no task ever sorts a whole
+    * nation. Ordering (acctbal DESC, custkey ASC) is the window's
+    * exactly.
+    */
+  private def qGroupTopN(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(graft.functions.TopKPairs.topK(3)(
+        col("c_acctbal"), col("c_custkey")).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")).as(Seq("p", "x")))
+      .select(col("c_nationkey"), (col("p") + 1).cast("int").as("rn"),
+        col("x._2").as("c_custkey"), col("x._1").as("c_acctbal"))
+      .orderBy("c_nationkey", "rn")
+
+  // --- q7: volume shipping between two nations (TPC-H Q7 shape) -----
+  /** Six-way join with two roles for the same dimension (supplier's
+    * nation vs customer's nation) and a disjunctive pair filter — the
+    * join-order/broadcast-mix workout: both nation role copies
+    * broadcast, supplier broadcasts, and only lineitem/orders/customer
+    * shuffle on their keys.
+    */
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val l = Tables(s, dir, "lineitem").where(
+      col("l_shipdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+    l.join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg((sum(bps(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 10000.0)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  private val q7Oracle = s"""SELECT
+  n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  ${Sql.sumBps(s"l_extendedprice * (${D("1")} - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year"""
+
   private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -309,6 +376,8 @@ ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""
     QueryDef("q_full_outer", qFullOuter, Some(qFullOuterOracle)),
     QueryDef("q_sql_exists", qSqlExists, Some(qSqlExistsOracle)),
     QueryDef("q_window_rank", qWindowRank, Some(qWindowRankOracle)),
+    QueryDef("q_group_topn", qGroupTopN, Some(qWindowRankOracle)),
+    QueryDef("q7_volume_shipping", q7, Some(q7Oracle)),
     QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
     QueryDef("q_window_lag", qWindowLag, Some(qWindowLagOracle)),
     QueryDef("q_distinct_agg", qDistinct, Some(qDistinctOracle)),

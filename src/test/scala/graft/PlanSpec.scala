@@ -119,6 +119,21 @@ class PlanSpec extends SparkSpec {
       "map-side partial top-k aggregate missing")
   }
 
+  test("relational group-top-N pre-combines per partition — no window funnel") {
+    // q_group_topn: same result as the row_number window, but the plan
+    // must be a partial-then-final bounded aggregate — with 25 nations a
+    // window plan caps at 25 tasks forever, the aggregate does not
+    val df = graft.SparkEntry.queries("q_group_topn")(spark, Sf)
+    val plan = planOf(df)
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      s"group-top-N must not rank via a window:\n${plan.take(1500)}")
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "map-side partial top-k aggregate missing")
+  }
+
   test("segment dedup joins on the md5 hash — no text through the shuffle") {
     import graft.operators.CorpusQuality
     val df = CorpusQuality.segmentDuplication(
