@@ -309,6 +309,31 @@ FROM orders ORDER BY o_custkey, o_orderkey"""
     CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
 FROM orders ORDER BY o_custkey, o_orderkey"""
 
+  /** Distribution window functions (ntile / percent_rank / cume_dist)
+    * per customer over order value. The ordering is made total with the
+    * orderkey tie-break so percent_rank and cume_dist are exact
+    * fractions — (rank−1)/(n−1) and rank/n in both engines, no
+    * tie-group ambiguity.
+    */
+  private def qWindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowDistOracle = """SELECT o_custkey, o_orderkey,
+  CAST(NTILE(4) OVER w AS INT) AS quartile,
+  PERCENT_RANK() OVER w AS pct_rank,
+  CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey"""
+
   // --- distinct / top-k / set ops / rollup --------------------------
   private def qDistinct(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem").agg(
@@ -380,6 +405,7 @@ ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""
     QueryDef("q7_volume_shipping", q7, Some(q7Oracle)),
     QueryDef("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
     QueryDef("q_window_lag", qWindowLag, Some(qWindowLagOracle)),
+    QueryDef("q_window_dist", qWindowDist, Some(qWindowDistOracle)),
     QueryDef("q_distinct_agg", qDistinct, Some(qDistinctOracle)),
     QueryDef("q_topk", qTopK, Some(qTopKOracle)),
     QueryDef("q_setops", qSetOps, Some(qSetOpsOracle)),
