@@ -167,14 +167,17 @@ object Similarity {
     def centDf(cs: Seq[Seq[Float]]): DataFrame =
       cs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
 
+    // the quantized base is re-scanned by the init orderBy and every
+    // Lloyd iteration unchanged — persist once for the loop's lifetime
     val base = emb.select(col("id"), quantize(col("vec")).as("qv"))
       .withColumn("nn", normSqQ(col("qv")))
+      .persist()
     var cents: Seq[Seq[Float]] = base
       .orderBy(xxhash64(lit(seed), col("id")), col("id")).limit(k)
       .select(col("qv")).collect()
       .map(_.getSeq[Long](0).map(_.toFloat / Scale).toSeq).toSeq
 
-    for (_ <- 0 until iters) {
+    try for (_ <- 0 until iters) {
       val cb = centDf(cents)
         .select(col("id").as("c_id"), quantize(col("vec")).as("cqv"))
         .withColumn("cnn", normSqQ(col("cqv")))
@@ -197,7 +200,7 @@ object Similarity {
         .collect().map(r => r.getLong(0).toInt ->
           r.getSeq[Float](1).toSeq).toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
-    }
+    } finally base.unpersist(blocking = false)
     centDf(cents)
   }
 

@@ -41,8 +41,11 @@ object TextDedup {
 
   /** Exact pairwise n-gram Jaccard over a shingle table
     * ((doc_id, shingle), as from [[wordShingles]]): pairs with
-    * jaccard >= threshold. Shingle-set sizes are broadcast (they're one
-    * row per doc); the self-join shuffles on the shingle string.
+    * jaccard >= threshold. The self-join shuffles on the shingle string;
+    * the per-doc size table (one row per document — corpus-sized, so
+    * never hint-broadcast) joins back by id and Catalyst picks
+    * broadcast-vs-shuffle from its measured size, like the ANN vector
+    * re-fetch joins in Similarity.
     */
   def jaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -53,8 +56,8 @@ object TextDedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("_na"))), Seq("a_id"))
-      .join(broadcast(sizes.select(col("doc_id").as("b_id"), col("n").as("_nb"))), Seq("b_id"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("_na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("_nb")), Seq("b_id"))
       .withColumn("n_union", col("_na") + col("_nb") - col("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / col("n_union").cast("double"))

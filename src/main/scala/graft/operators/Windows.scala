@@ -39,6 +39,7 @@ object Windows {
           .rangeBetween(-rangeMs, 0)
         aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
       case Some(span) =>
+        require(span > 0, "chunkSpan must be positive (pmod(t, 0) is a division by zero)")
         require(span >= rangeMs, "chunkSpan must be >= rangeMs for frame completeness")
         // exact floor division (negative-time safe), as in Joins.asofJoin
         val chunkOf = (x: Column) => ((x - pmod(x, lit(span))) / span).cast("long")

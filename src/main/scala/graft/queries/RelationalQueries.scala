@@ -392,8 +392,66 @@ ORDER BY op, nationkey"""
 FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
 ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""
 
+  // --- q17: small-quantity-order revenue (TPC-H Q17 shape) ----------
+  /** Correlated SCALAR subquery — the decorrelation workout beside
+    * q_sql_exists's EXISTS: Catalyst rewrites the per-part avg into one
+    * aggregate-then-join (never a per-row re-execution), i.e. the
+    * lineitem side is scanned twice but shuffled on l_partkey both
+    * times, no nested loop. Money is exact-cents integer arithmetic;
+    * the avg comparison is safe double math (quantity sums are
+    * integers < 2^53, so the sum — hence the avg — is exact in any
+    * accumulation order).
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v17_lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("v17_part")
+    s.sql("""SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5D) AS BIGINT)) AS DOUBLE) / 100 / 7 AS avg_yearly
+      FROM v17_lineitem JOIN v17_part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < (SELECT 0.2D * AVG(l2.l_quantity)
+                          FROM v17_lineitem l2 WHERE l2.l_partkey = p_partkey)""")
+  }
+
+  private val q17Oracle =
+    s"""SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + ${D("0.5")}) AS BIGINT)) AS DOUBLE) / 100 / 7 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT ${D("0.2")} * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
+  // --- q18: large-volume orders (TPC-H Q18 shape, HAVING) -----------
+  /** Post-aggregation HAVING: the `where` ABOVE the agg survives as a
+    * Filter over the final HashAggregate (it cannot push below it).
+    * The HAVING shrinks lineitem to the rare qualifying orders first,
+    * so the two joins after it probe with a tiny side — AQE broadcasts
+    * it at runtime; the big tables are never joined to each other raw.
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty")) // integral doubles: exact
+      .where(col("sum_qty") > 300) // HAVING
+    big.join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Oracle = """WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Oracle)),
+    QueryDef("q17_small_quantity", q17, Some(q17Oracle)),
+    QueryDef("q18_large_orders", q18, Some(q18Oracle)),
     QueryDef("q3_top_orders", q3, Some(q3Oracle)),
     QueryDef("q5_nation_revenue", q5, Some(q5Oracle)),
     QueryDef("q_semi_join", qSemi, Some(qSemiOracle)),

@@ -187,16 +187,59 @@ ORDER BY a_id, b_id"""
       Bands, Rows)
       .orderBy("a_id", "b_id")
 
-  /** Production-hash twin of `d_minhash_lsh` (xxhash64 end to end, no
-    * portable oracle — rows-only check; bench shows the md5 delta).
-    */
-  private def minhashLshFast(s: SparkSession, dir: String): DataFrame =
+  // --- golden fingerprints for the production-hash (xxhash64) twins --
+  // DuckDB has no xxhash64, so the fast twins are graded the
+  // etl_generator way: an order-independent fingerprint of the full
+  // result (count + pmod-reduced xxhash64 sum + xor) against constants
+  // recorded from the committed implementation (tools: graft.GoldenFp).
+  // The oracle keys the constants on a corpus discriminator BOTH
+  // engines compute identically — sum(length(text)) — so one oracle
+  // string grades every test corpus; an unknown corpus yields NULLs
+  // and fails loudly rather than vacuously passing.
+
+  /** 1e12: keeps an ANSI-mode BIGINT sum exact for ≤ ~9M rows. */
+  private val FpMod = 1000000000000L
+
+  private def goldenFp(result: DataFrame, docs: DataFrame,
+      cols: Seq[String]): DataFrame =
+    result.agg(
+        count(lit(1)).as("n_rows"),
+        sum(pmod(xxhash64(cols.map(col): _*), lit(FpMod))).as("hash_sum"),
+        expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))").as("hash_xor"))
+      .crossJoin( // 1×1
+        docs.agg(sum(length(col("text"))).cast("long").as("corpus_len")))
+
+  private def goldenOracle(golden: Map[Long, (Long, Long, Long)]): String = {
+    def cse(f: ((Long, Long, Long)) => Long): String = golden.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN $k THEN CAST(${f(v)} AS BIGINT)" }
+      .mkString("CASE corpus_len ", " ", " END")
+    s"""WITH k AS (SELECT CAST(SUM(length(text)) AS BIGINT) AS corpus_len FROM documents)
+SELECT corpus_len, ${cse(_._1)} AS n_rows, ${cse(_._2)} AS hash_sum, ${cse(_._3)} AS hash_xor
+FROM k"""
+  }
+
+  /** Candidate pairs of the production-hash twin, pre-fingerprint. */
+  private[queries] def minhashLshFastPairs(s: SparkSession, dir: String): DataFrame =
     TextDedup.lshCandidatesWith(
       TextDedup.minHashSignaturesWith(
         TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3), K,
         (i, sh) => xxhash64(lit(i), sh)),
       Bands, Rows, cols => xxhash64(cols: _*))
-      .orderBy("a_id", "b_id")
+
+  /** Production-hash twin of `d_minhash_lsh` (xxhash64 end to end),
+    * graded as a golden fingerprint of its full candidate-pair set.
+    * Recall ≥ the md5 twin on exact-Jaccard truth is spec-pinned in
+    * OperatorsSpec.
+    */
+  private def minhashLshFast(s: SparkSession, dir: String): DataFrame =
+    goldenFp(minhashLshFastPairs(s, dir),
+      Tables(s, dir, "documents"), Seq("a_id", "b_id"))
+
+  /** corpus_len -> (n_rows, hash_sum, hash_xor), recorded by GoldenFp. */
+  private val minhashFastGolden: Map[Long, (Long, Long, Long)] = Map(
+    153156L -> (28L, 13824674706124L, -8357212704011859458L), // sf0.001
+    149174L -> (25L, 12606694280402L, 4099790687566794914L), // sf0.01
+    1485576L -> (258L, 128680520897329L, -6546949235987285721L)) // sf0.1
 
   private val minhashOracle: String = {
     val mins = minhashMins
@@ -250,13 +293,25 @@ SELECT DISTINCT doc_id,
 FROM sel WHERE pos >= $WinW
 ORDER BY doc_id, fp_pos, fp_hash"""
 
-  /** Production-hash twin of `t_winnow_fingerprint` (xxhash64 grams, no
-    * portable oracle — rows-only check; bench shows the md5 delta).
-    */
-  private def winnowFast(s: SparkSession, dir: String): DataFrame =
+  /** Fingerprint rows of the production-hash twin, pre-fingerprint. */
+  private[queries] def winnowFastRows(s: SparkSession, dir: String): DataFrame =
     TextDedup.winnowingFingerprintsNative(
       Tables(s, dir, "documents"), "doc_id", "text", WinK, WinW, useMd5 = false)
-      .orderBy("doc_id", "fp_pos", "fp_hash")
+
+  /** Production-hash twin of `t_winnow_fingerprint` (xxhash64 grams),
+    * graded as a golden fingerprint of its full (doc_id, fp_hash,
+    * fp_pos) set; WinnowPropsSpec pins the algorithm itself against
+    * the declarative twin.
+    */
+  private def winnowFast(s: SparkSession, dir: String): DataFrame =
+    goldenFp(winnowFastRows(s, dir),
+      Tables(s, dir, "documents"), Seq("doc_id", "fp_hash", "fp_pos"))
+
+  /** corpus_len -> (n_rows, hash_sum, hash_xor), recorded by GoldenFp. */
+  private val winnowFastGolden: Map[Long, (Long, Long, Long)] = Map(
+    153156L -> (49244L, 24547920878241765L, -6489990825061680131L), // sf0.001
+    149174L -> (48037L, 24056884794075608L, 1453216320713928846L), // sf0.01
+    1485576L -> (478317L, 239347424982789879L, 3001072315907605829L)) // sf0.1
 
   // --- dedup clusters: LSH candidates → connected components --------
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -389,10 +444,10 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
-    QueryDef("d_minhash_lsh_fast", minhashLshFast, None),
+    QueryDef("d_minhash_lsh_fast", minhashLshFast, Some(goldenOracle(minhashFastGolden))),
     QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("d_dedup_clusters_stars", dedupClustersStars, Some(dedupClustersOracle)),
     QueryDef("t_winnow_fingerprint", winnow, Some(winnowOracle)),
-    QueryDef("t_winnow_fast", winnowFast, None),
+    QueryDef("t_winnow_fast", winnowFast, Some(goldenOracle(winnowFastGolden))),
     QueryDef("d_corpus_clean", corpusClean, Some(corpusCleanOracle)))
 }

@@ -90,6 +90,18 @@ object EventStreams {
     *
     * `setTimeoutTimestamp(lastMs + gap)` re-arms on every event; the
     * timeout invocation removes the state and emits the session.
+    *
+    * Out-of-order arrivals across micro-batches (in-horizon, so not
+    * dropped by the watermark): an event inside
+    * `[start - gap, last + gap]` of the open session MERGES into it,
+    * extending `session_start_ms` backward when it predates the start —
+    * the same session the fully-sorted stream would have produced. An
+    * event older than `start - gap` belongs to an earlier (possibly
+    * already-emitted) session that bounded state cannot reopen; it is
+    * emitted immediately as its own finalized single-event session —
+    * counted, never silently absorbed or dropped. That is the
+    * deliberate bounded-memory trade, the same one
+    * [[dedupPairsWatermarked]] makes for very-late duplicates.
     */
   def finalizedSessions(events: Dataset[Event], gapMs: Long = 1800000L,
       horizon: String = "2 hours"): Dataset[SessionOut] = {
@@ -107,8 +119,17 @@ object EventStreams {
         sorted.foreach { e =>
           val ms = e.ts.getTime
           open match {
-            case Some(s) if ms - s.lastMs <= gapMs =>
-              open = Some(OpenSession(s.startMs, math.max(s.lastMs, ms), s.nEvents + 1))
+            case Some(s) if ms >= s.startMs - gapMs && ms - s.lastMs <= gapMs =>
+              // in gap-reach of the open session (possibly BEFORE its
+              // start — a cross-batch out-of-order arrival): merge, and
+              // extend the start backward like the sorted stream would
+              open = Some(OpenSession(math.min(s.startMs, ms),
+                math.max(s.lastMs, ms), s.nEvents + 1))
+            case Some(s) if ms < s.startMs - gapMs =>
+              // predates the open session by more than the gap: its
+              // session may already be emitted and cannot be reopened —
+              // finalize it alone (see scaladoc)
+              out += SessionOut(userId, ms, ms, 1L)
             case Some(s) =>
               out += SessionOut(userId, s.startMs, s.lastMs, s.nEvents)
               open = Some(OpenSession(ms, ms, 1L))

@@ -26,6 +26,49 @@ class JoinsSpec extends SparkSpec {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("AQE skew-join splits the same hot-key join saltedJoin salts by hand") {
+    // The escape-hatch matrix the engine documents: saltedJoin is the
+    // STATIC fix (deterministic buckets× replication, works even when
+    // stats lie or the parent needs the hash partitioning); AQE
+    // skew-join is the RUNTIME fix (needs materialized shuffle stats,
+    // splits only partitions that actually skewed, zero code change).
+    // Same 90%-hot-key shape as the saltedJoin spec above, thresholds
+    // scaled down to local data volumes.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    // getOption-style: a conf whose default is unset/null (e.g. the
+    // adaptive broadcast threshold falls back to the non-adaptive one)
+    // must be restored by UNSETTING, not by set(null)
+    val saved = keys.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000).select(
+        when(pmod(col("id"), lit(10)) =!= 0, lit(7L))
+          .otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 1000).select(
+        col("id").as("k"), (col("id") * 3).as("w"))
+      val agg = left.join(right, Seq("k")).groupBy().count()
+      // collect agg ITSELF (.as[Long] would wrap a fresh, unexecuted
+      // QueryExecution and the adaptive plan would never finalize)
+      val n = agg.collect().head.getLong(0)
+      assert(n == 180000 + 100) // 180k hot-key matches + 100 cold
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-split:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("range join via bucketing equals the naive non-equi join") {
     val pts = (1 to 500).map(i => (i.toLong, (i * 37 % 1000).toLong))
       .toDF("id", "v")

@@ -167,6 +167,118 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("finalized sessions merge in-horizon out-of-order arrivals backward") {
+    val dir = Files.createTempDirectory("graft_ooo").toString
+    def ev(id: Long, user: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, "click", 1.0)
+    def ms(time: String): Long = Timestamp.valueOf(s"2024-01-01 $time").getTime
+
+    // batch 1: u1 at 10:30 and 10:35 → open session (10:30, 10:35);
+    // watermark after b1 = 10:35 − 2 h = 08:35
+    writeBatch(dir, "b1", Seq(ev(1, 1, "10:30:00"), ev(2, 1, "10:35:00")))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[EventStreams.Event]
+    val out = EventStreams.finalizedSessions(stream, gapMs = 30 * 60 * 1000,
+      horizon = "2 hours").toDF()
+
+    spark.streams.active.filter(_.name == "ooo_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ooo_test").start()
+    try {
+      q.processAllAvailable()
+
+      // batch 2, out-of-order but in-horizon (both > 08:35): 10:10 is
+      // within gap-reach of the open session's start (10:30 − 30 min =
+      // 10:00) → must MERGE, extending the start backward; 09:00
+      // predates the start by more than the gap → finalizes alone
+      writeBatch(dir, "b2", Seq(ev(3, 1, "09:00:00"), ev(4, 1, "10:10:00")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ooo_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterB2 == Set((1L, ms("09:00:00"), ms("09:00:00"), 1L)),
+        s"too-old stray emits alone, in-gap-reach event merges silently: $afterB2")
+
+      // batch 3: far-future u9 event pushes the watermark past the
+      // merged session's timeout (10:35 + 30 min) → it emits with the
+      // start extended BACK to 10:10 and all three events counted
+      writeBatch(dir, "b3", Seq(ev(5, 9, "16:00:00")))
+      q.processAllAvailable()
+      val afterB3 = spark.table("ooo_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterB3.contains((1L, ms("10:10:00"), ms("10:35:00"), 3L)),
+        s"out-of-order arrival must extend session_start_ms backward: $afterB3")
+    } finally q.stop()
+  }
+
+  test("checkpointed restart is exactly-once: window state survives, no re-emits") {
+    val dir = Files.createTempDirectory("graft_ckpt_in").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_ckpt_out").toString
+    def ev(id: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), 1L, "click", 1.0)
+    def epoch(time: String): Long =
+      Timestamp.valueOf(s"2024-01-01 $time").getTime / 1000
+
+    // batch 1: 10:00 + 10:10 fill window [10:00); 12:30 starts window
+    // [12:00) AND advances the watermark (1 h) to 11:30, finalizing
+    // [10:00) into the file sink before the stop
+    writeBatch(dir, "b1", Seq(ev(1, "10:00:00"), ev(2, "10:10:00"), ev(3, "12:30:00")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def start() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      EventStreams.hourlyCounts(stream).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // STOP → RESTART from the checkpoint. Batch 2: 12:40 must land in
+    // the SAME [12:00) window as pre-restart 12:30 (aggregation state
+    // recovered, not recomputed); 14:30 advances the watermark to
+    // 13:30, finalizing [12:00) with BOTH events
+    writeBatch(dir, "b2", Seq(ev(4, "12:40:00"), ev(5, "14:30:00")))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    // the file sink's _spark_metadata commit log gives the exactly-once
+    // read view across the restart
+    val got = spark.read.parquet(outDir)
+      .select("hour_epoch", "event_type", "n_events", "value_sum")
+      .as[(Long, String, Long, Double)].collect().toSeq
+
+    // one-shot reference: the same files through a fresh query
+    val oneCkpt = Files.createTempDirectory("graft_ckpt2").toString
+    val oneOut = Files.createTempDirectory("graft_ckpt_out2").toString
+    val oneStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q3 = EventStreams.hourlyCounts(oneStream).writeStream
+      .outputMode(OutputMode.Append()).format("parquet")
+      .option("path", oneOut).option("checkpointLocation", oneCkpt)
+      .start()
+    q3.processAllAvailable(); q3.stop()
+    val oneShot = spark.read.parquet(oneOut)
+      .select("hour_epoch", "event_type", "n_events", "value_sum")
+      .as[(Long, String, Long, Double)].collect().toSeq
+
+    // multiset equality: a duplicated emit (lost commit log) or a lost
+    // window (lost state) both fail loudly
+    assert(got.sorted == oneShot.sorted,
+      s"restarted output must equal the one-shot run: $got vs $oneShot")
+    assert(got.count(_._1 == epoch("12:00:00")) == 1 &&
+      got.find(_._1 == epoch("12:00:00")).get._3 == 2L,
+      s"the [12:00) window must combine pre- and post-restart events: $got")
+    assert(got.count(_._1 == epoch("10:00:00")) == 1,
+      s"the pre-restart [10:00) window must emit exactly once: $got")
+  }
+
   test("watermarked dedup: suppresses within the horizon, expires state beyond it") {
     val dir = Files.createTempDirectory("graft_ddwm").toString
     def ev(id: Long, user: Long, time: String): EventStreams.Event =
