@@ -131,6 +131,47 @@ object CorpusQuality {
     * otherwise claim). Pure `regexp_replace` chain: codegen'd, no UDF,
     * no shuffle — runs at scan speed on 100 TB.
     */
+  /** Character-bigram language-model scoring (the CCNet/Wenzek-style
+    * "train a small LM on the corpus, rank docs by cross-entropy"
+    * filter, reduced to its engine shape): per-doc average negative
+    * log-probability under an add-one-smoothed char-bigram model
+    * trained on the whole input. High `avg_nll` = improbable character
+    * sequences = gibberish/boilerplate candidates.
+    *
+    * Scale shape: the model is bounded by vocab² DISTINCT bigrams (a
+    * few k rows for alphabetic corpora — broadcast at any corpus
+    * size; for CJK-scale vocabs swap in word-level or cap the table),
+    * so training is ONE map-side-combined count shuffle over the
+    * exploded bigrams and scoring is a broadcast join + per-doc agg —
+    * nothing quadratic, nothing driver-side.
+    *
+    * Oracle parity: each bigram's log-prob is quantized to micro-nats
+    * (`floor(ln(p)·1e6)` as BIGINT) BEFORE the per-doc sum, so the
+    * aggregate is exact integer math in any accumulation order; the
+    * only cross-engine trust is `ln` itself on identical doubles.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("s"))
+      .where(length(col("s")) >= 2)
+    val bi = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("bg"))
+    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy(substring(col("bg"), 1, 1).as("a")).agg(sum(col("n2")).as("n1"))
+    val v = c2.select(countDistinct(substring(col("bg"), 2, 1)).as("vs"))
+    val model = c2
+      .join(c1, substring(col("bg"), 1, 1) === col("a"))
+      .crossJoin(broadcast(v)) // 1 row
+      .select(col("bg"),
+        floor(log((col("n2").cast("double") + 1) /
+          (col("n1").cast("double") + col("vs").cast("double"))) * 1000000)
+          .cast("long").as("lp"))
+    bi.join(broadcast(model), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("nll_micro"))
+      .withColumn("avg_nll",
+        col("nll_micro").cast("double") / col("n_bigrams").cast("double") / 1000000)
+  }
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

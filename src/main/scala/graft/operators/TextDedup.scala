@@ -65,6 +65,34 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
+  /** Directed Jaccard CONTAINMENT over a shingle table: pairs where
+    * one doc's shingle set is mostly inside the other's —
+    * `containment(A in B) = |A∩B| / |A|`. Catches the asymmetric dups
+    * plain Jaccard misses (a doc quoted inside a much larger one has
+    * tiny Jaccard but containment ≈ 1). Emits (a_id < b_id) once with
+    * both directions' scores; `threshold` applies to the larger.
+    * Same scale shape as [[jaccardPairs]]: intersection shuffles on
+    * the shingle, per-doc sizes re-join by id (Catalyst sizes the
+    * join), quadratic by design — the VERIFIER for LSH candidates,
+    * not the discoverer.
+    */
+  def containmentPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = shingles.select(col("doc_id").as("a_id"), col("shingle"))
+    val b = shingles.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("_na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("_nb")), Seq("b_id"))
+      .withColumn("cont_a", col("n_inter").cast("double") / col("_na").cast("double"))
+      .withColumn("cont_b", col("n_inter").cast("double") / col("_nb").cast("double"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("cont_a"), col("cont_b"))
+  }
+
   /** Distinct lowercase whitespace tokens per document. */
   def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),

@@ -279,7 +279,34 @@ GROUP BY source ORDER BY source"""
   md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
 FROM documents ORDER BY shuffle_key LIMIT 100"""
 
+  // --- bigram-LM quality scoring (CCNet shape) ------------------------
+  private def bigramLm(s: SparkSession, dir: String): DataFrame =
+    CorpusQuality.bigramLmScore(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val bigramLmOracle = """WITH t AS (
+  SELECT doc_id, lower(text) AS s FROM documents WHERE length(lower(text)) >= 2
+),
+bi AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(s) - 1), i -> substring(s, i, 2))) AS bg
+  FROM t
+),
+c2 AS (SELECT bg, COUNT(*) AS n2 FROM bi GROUP BY bg),
+c1 AS (SELECT substring(bg, 1, 1) AS a, SUM(n2) AS n1 FROM c2 GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT substring(bg, 2, 1)) AS vs FROM c2),
+model AS (
+  SELECT bg,
+    CAST(FLOOR(ln((CAST(n2 AS DOUBLE) + 1) / (CAST(n1 AS DOUBLE) + CAST(vs AS DOUBLE))) * 1000000) AS BIGINT) AS lp
+  FROM c2 JOIN c1 ON substring(bg, 1, 1) = a CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, CAST(-SUM(lp) AS BIGINT) AS nll_micro,
+  CAST(-SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS avg_nll
+FROM bi JOIN model USING (bg)
+GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_bigram_lm", bigramLm, Some(bigramLmOracle)),
     QueryDef("t_mixture_sample", mixture, Some(mixtureOracle)),
     QueryDef("t_shuffle_order", shuffleOrder, Some(shuffleOrderOracle)),
     QueryDef("t_repetition", repetition, Some(repetitionOracle)),

@@ -135,6 +135,28 @@ WHERE sess < last_sess
    OR session_end_ms + $SessGapMs < (SELECT MAX(ms) FROM e) - $SessHorizonMs
 ORDER BY user_id, session_start_ms"""
 
+  /** Stream-static enrichment: the events stream joins the static
+    * customer dimension (user_id → market segment, broadcast per
+    * micro-batch) and aggregates per (segment, event_type). Graded
+    * against the equivalent batch join — the streaming plan must
+    * compute the batch answer.
+    */
+  private def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val out = EventStreams.enrichedSegmentCounts(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"), dim,
+      "user_id", "c_custkey", "c_mktsegment")
+    EventStreams.runToMemory(s, out, "graft_stream_static", OutputMode.Complete())
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  private val streamStaticJoinOracle = s"""SELECT c_mktsegment, event_type,
+  COUNT(*) AS n_events, ${Sql.sumCents("value")} AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type"""
+
   private def streamJoin(s: SparkSession, dir: String): DataFrame = {
     val out = EventStreams.viewPurchaseJoin(
       EventStreams.eventsStream(s, s"$dir/events.parquet"))
@@ -273,6 +295,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_dedup_wm", streamDedupWm, Some(streamDedupOracle)),
     QueryDef("stream_sessions_wm", streamSessionsWm, Some(streamSessionsWmOracle)),
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
+    QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)),

@@ -168,6 +168,28 @@ FROM p JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= ${D("0.5")}
 ORDER BY a_id, b_id"""
 
+  // --- directed containment (asymmetric near-dup) --------------------
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.wordShingles(
+      Tables(s, dir, "documents"), "doc_id", "text", 3)
+    TextDedup.containmentPairs(sh, 0.8).orderBy("a_id", "b_id")
+  }
+
+  private val containmentOracle = s"""WITH $shingleCtes,
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, n_inter,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a,
+  CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b
+FROM p JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+WHERE GREATEST(CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+               CAST(n_inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= ${D("0.8")}
+ORDER BY a_id, b_id"""
+
   // --- MinHash + LSH candidates -------------------------------------
   private val K = 9
   private val Bands = 3
@@ -443,6 +465,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("t_fingerprint", fingerprintQ, Some(fingerprintOracle)),
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
+    QueryDef("d_containment", containment, Some(containmentOracle)),
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
     QueryDef("d_minhash_lsh_fast", minhashLshFast, Some(goldenOracle(minhashFastGolden))),
     QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),

@@ -170,6 +170,23 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** Stream-STATIC enrichment join + aggregation: each micro-batch of
+    * events joins a static dimension (user → segment) and feeds a
+    * running per-(segment, event_type) aggregate. The static side is
+    * hint-broadcast — Spark re-plans it per micro-batch, so the join
+    * never shuffles the stream; state is bounded by the GROUP
+    * cardinality (segments × event types), not the stream length. This
+    * is the canonical "enrich clickstream with a dimension table"
+    * shape; for a slowly-changing dimension the same plan re-reads the
+    * dim source each batch.
+    */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String, dimAttr: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey))
+      .groupBy(col(dimAttr), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("value_sum"))
+
   /** Stream-stream inner join: purchases matched to the same user's
     * views in the trailing hour. Both sides carry watermarks and the
     * join condition is a bounded event-time range, so Spark can expire

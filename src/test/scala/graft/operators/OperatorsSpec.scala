@@ -34,6 +34,42 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head._3 > 0.5 && pairs.head._3 < 1.0)
   }
 
+  test("containment catches a doc quoted inside a larger one that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    // the small doc verbatim inside ~6× more surrounding text
+    val big = "one two three four five six seven eight nine ten " +
+      small + " eleven twelve thirteen fourteen fifteen sixteen " +
+      "seventeen eighteen nineteen twenty twentyone twentytwo"
+    val other = "completely unrelated content about spark query engines here"
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val sh = TextDedup.wordShingles(docs, "doc_id", "text", 3)
+    val cont = TextDedup.containmentPairs(sh, 0.8)
+      .select("a_id", "b_id", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(cont.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    val (_, _, contA, contB) = cont.head
+    assert(contA == 1.0, s"every small-doc shingle is in the big doc: $contA")
+    assert(contB < 0.5, s"the big doc is NOT contained in the small one: $contB")
+    // same pair is invisible to symmetric jaccard at the same threshold
+    val jac = TextDedup.jaccardPairs(sh, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(!jac.contains((1L, 2L)))
+  }
+
+  test("bigram LM: gibberish scores higher avg_nll than in-distribution text") {
+    val normal = Seq.tabulate(20)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val gibberish = (100L, "xq zvkj qxw jzx vqk wxz kjq zqx vxw qzk jxv kwq")
+    val docs = (normal :+ gibberish).toDF("doc_id", "text")
+    val scored = CorpusQuality.bigramLmScore(docs, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val normalMax = normal.map(n => scored(n._1)).max
+    assert(scored(100L) > normalMax * 1.5,
+      s"gibberish ${scored(100L)} must stand out over normal max $normalMax")
+    // score is a true average: independent of doc count repeats
+    assert(scored(0L) == scored(1L))
+  }
+
   test("identical docs have jaccard exactly 1.0") {
     val t = "one two three four five six seven"
     val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
