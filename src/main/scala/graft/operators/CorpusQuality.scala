@@ -172,6 +172,54 @@ object CorpusQuality {
         col("nll_micro").cast("double") / col("n_bigrams").cast("double") / 1000000)
   }
 
+  /** DSIR-style importance weights (Xie et al., "Data Selection via
+    * Importance Resampling", reduced to its engine shape): per-doc
+    * log importance weight Σ_tokens [ln p_target(b) − ln p_raw(b)]
+    * over hashed token features, where `isTarget` marks the rows that
+    * define the target distribution (e.g. a trusted high-quality
+    * slice) and raw = the whole input. Docs whose hashed-feature
+    * profile looks like the target get positive `avg_logw`; resample
+    * proportional to the weight (compose with [[hashBucketMember]]
+    * for the deterministic selection step).
+    *
+    * Features are md5-bucketed (`buckets` ≤ 65536: the bucket is the
+    * first hex nibbles of md5(token) — portable to any engine), so
+    * the model is `buckets` rows — broadcast at any corpus size.
+    * Same scale/parity contract as [[bigramLmScore]]: one
+    * map-side-combined count shuffle to train, a broadcast join to
+    * score, per-token log-ratios quantized to micro-nat BIGINTs
+    * before the exact per-doc sum.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets == 16 || buckets == 256 || buckets == 4096 || buckets == 65536,
+      "buckets must be a power of 16 (whole md5 hex nibbles)")
+    val nibbles = (math.log(buckets) / math.log(16)).round.toInt
+    val feat = df
+      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("b", conv(substring(md5(col("tok")), 1, nibbles), 16, 10)
+        .cast("int"))
+      .drop("tok")
+    val counts = feat.groupBy(col("b")).agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
+    val totals = counts.agg(sum(col("n_raw")).as("tot_raw"), sum(col("n_t")).as("tot_t"))
+    val model = counts.crossJoin(broadcast(totals)) // 1 row
+      .select(col("b"),
+        floor((log((col("n_t").cast("double") + 1) /
+            (col("tot_t").cast("double") + buckets)) -
+          log((col("n_raw").cast("double") + 1) /
+            (col("tot_raw").cast("double") + buckets))) * 1000000)
+          .cast("long").as("lw"))
+    feat.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("logw_micro"))
+      .withColumn("avg_logw",
+        col("logw_micro").cast("double") / col("n_feats").cast("double") / 1000000)
+  }
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

@@ -305,8 +305,42 @@ SELECT doc_id, COUNT(*) AS n_bigrams, CAST(-SUM(lp) AS BIGINT) AS nll_micro,
 FROM bi JOIN model USING (bg)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  // --- DSIR importance weights (target = English slice) ---------------
+  private def dsir(s: SparkSession, dir: String): DataFrame =
+    CorpusQuality.dsirWeights(Tables(s, dir, "documents"), "doc_id", "text",
+      col("lang") === "en")
+      .orderBy("doc_id")
+
+  private val dsirOracle = """WITH f AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+    (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 +
+    (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) AS b
+  FROM (
+    SELECT doc_id, lang,
+      unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+c AS (
+  SELECT b, COUNT(*) AS n_raw, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_t
+  FROM f GROUP BY b
+),
+t AS (SELECT SUM(n_raw) AS tot_raw, SUM(n_t) AS tot_t FROM c),
+model AS (
+  SELECT b, CAST(FLOOR((
+      ln((CAST(n_t AS DOUBLE) + 1) / (CAST(tot_t AS DOUBLE) + 256)) -
+      ln((CAST(n_raw AS DOUBLE) + 1) / (CAST(tot_raw AS DOUBLE) + 256))
+    ) * 1000000) AS BIGINT) AS lw
+  FROM c CROSS JOIN t
+)
+SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(lw) AS BIGINT) AS logw_micro,
+  CAST(SUM(lw) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS avg_logw
+FROM f JOIN model USING (b)
+GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t_bigram_lm", bigramLm, Some(bigramLmOracle)),
+    QueryDef("t_dsir_weights", dsir, Some(dsirOracle)),
     QueryDef("t_mixture_sample", mixture, Some(mixtureOracle)),
     QueryDef("t_shuffle_order", shuffleOrder, Some(shuffleOrderOracle)),
     QueryDef("t_repetition", repetition, Some(repetitionOracle)),

@@ -203,6 +203,67 @@ class PlanSpec extends SparkSpec {
       "a ~25-row medians table must broadcast back onto the docs")
   }
 
+  test("q17's correlated scalar subquery decorrelates — never a per-row nested loop") {
+    val df = SparkEntry.queries("q17_small_quantity")(spark, Sf)
+    val plan = planOf(df)
+    // Catalyst must rewrite the per-part avg into aggregate-then-join;
+    // a NestedLoop (or any subquery re-execution) would be O(rows²)
+    assert(!plan.contains("NestedLoop"),
+      s"decorrelation failed:\n${plan.take(2000)}")
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // the decorrelated per-partkey avg aggregate exists...
+    assert(aggs.exists(_.groupingExpressions.exists(
+      _.references.exists(_.name == "l_partkey"))),
+      "per-part avg must become a groupBy(l_partkey) aggregate")
+    // ...and map-side partials run before its exchange
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "avg aggregate must partial-combine map-side")
+  }
+
+  test("q18's HAVING filters above the aggregate; the agg partial-combines") {
+    val df = SparkEntry.queries("q18_large_orders")(spark, Sf)
+    val sp = df.queryExecution.sparkPlan
+    // the HAVING predicate must sit ABOVE a final HashAggregate (it
+    // cannot push below the sum it filters on)
+    val havingFilter = sp.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.references.exists(_.name == "sum_qty") => f
+    }
+    assert(havingFilter.nonEmpty, s"HAVING filter missing:\n${sp.toString.take(2000)}")
+    assert(havingFilter.exists(_.find {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.aggregateExpressions.exists(_.mode.toString == "Final")
+      case _ => false
+    }.isDefined), "the filter must apply to the FINAL aggregate's output")
+    assert(!planOf(df).contains("NestedLoop"))
+  }
+
+  test("bigram LM scoring join broadcasts the model; text never crosses a join") {
+    import graft.operators.CorpusQuality
+    val df = CorpusQuality.bigramLmScore(Tables(spark, Sf, "documents"),
+      "doc_id", "text")
+    val plan = planOf(df)
+    // (the vocab-size V enters via a deliberate 1-row broadcast
+    // crossJoin, which prints as BroadcastNestedLoopJoin — bounded by
+    // construction, so only CartesianProduct is forbidden here)
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    // the event-scale side (doc bigrams) joins the vocab²-bounded model
+    // via broadcast — pinned by the hint, so the big side never shuffles
+    assert(joins.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      s"model join must broadcast: ${joins.map(_.getClass.getSimpleName)}")
+    // only (doc_id, bg)-shaped rows cross any join — never the doc text
+    val carried = joins.flatMap(j => j.left.output ++ j.right.output)
+    assert(carried.forall(a => a.name != "s" && a.name != "text"),
+      s"raw text must not cross a join: ${carried.map(_.name).distinct}")
+  }
+
   test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
     import graft.operators.Similarity
     val emb = Tables(spark, Sf, "embeddings")

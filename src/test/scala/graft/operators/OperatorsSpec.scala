@@ -70,6 +70,23 @@ class OperatorsSpec extends SparkSpec {
     assert(scored(0L) == scored(1L))
   }
 
+  test("DSIR weights: target-vocabulary docs score above off-target docs") {
+    val target = Seq.tabulate(10)(i =>
+      (i.toLong, "alpha beta gamma delta epsilon", true))
+    val offTarget = Seq.tabulate(10)(i =>
+      ((100 + i).toLong, "uno dos tres cuatro cinco", false))
+    // two probes OUTSIDE the target slice: one speaks the target
+    // vocabulary, one doesn't — the weight must separate them
+    val probes = Seq((500L, "alpha beta gamma", false),
+      (501L, "uno dos tres", false))
+    val docs = (target ++ offTarget ++ probes).toDF("doc_id", "text", "is_en")
+    val w = CorpusQuality.dsirWeights(docs, "doc_id", "text", col("is_en"))
+      .select("doc_id", "avg_logw").as[(Long, Double)].collect().toMap
+    assert(w(500L) > 0, s"target-like probe must weigh positive: ${w(500L)}")
+    assert(w(501L) < 0, s"off-target probe must weigh negative: ${w(501L)}")
+    assert(w(500L) > w(501L) + 1.0, s"separation: ${w(500L)} vs ${w(501L)}")
+  }
+
   test("identical docs have jaccard exactly 1.0") {
     val t = "one two three four five six seven"
     val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
