@@ -253,6 +253,23 @@ object CorpusQuality {
     conv(substring(md5(concat(strata, lit(":"), id.cast("string"))), 1, 2), 16, 10)
       .cast("int")
 
+  /** Deterministic stratified train/val/test split: assigns each row a
+    * split label from its [[hashByte]] — `[0, trainUpTo)` → train,
+    * `[trainUpTo, valUpTo)` → val, the rest → test. Content-hash
+    * assignment (not `rand()`): a doc keeps its split under retries,
+    * re-partitioning, re-runs, AND as the corpus grows (new docs never
+    * move old docs between splits — the property every training
+    * pipeline needs for leak-free eval). Stratifying by `strata` keeps
+    * the ratio per slice. Pure projection, no shuffle.
+    */
+  def assignSplit(df: DataFrame, strataCol: String, idCol: String,
+      trainUpTo: Int = 204, valUpTo: Int = 230): DataFrame = {
+    require(0 < trainUpTo && trainUpTo <= valUpTo && valUpTo <= 256)
+    val h = hashByte(col(strataCol), col(idCol))
+    df.withColumn("split",
+      when(h < trainUpTo, "train").when(h < valUpTo, "val").otherwise("test"))
+  }
+
   /** Data-mixture oversampling: replicate each row according to its
     * stratum's target weight, expressed EXACTLY as
     * `whole + thresholdByte/256` — a doc is emitted `whole` times, plus

@@ -115,6 +115,25 @@ GROUP BY doc_id ORDER BY doc_id"""
 FROM documents GROUP BY source ORDER BY source"""
   }
 
+  // --- deterministic stratified train/val/test split -----------------
+  private def trainValTest(s: SparkSession, dir: String): DataFrame =
+    CorpusQuality.assignSplit(Tables(s, dir, "documents"), "source", "doc_id")
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+      .orderBy("source", "split")
+
+  private val trainValTestOracle: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    val h = s"${nib(1)} * 16 + ${nib(2)}"
+    s"""SELECT source,
+  CASE WHEN $h < 204 THEN 'train' WHEN $h < 230 THEN 'val' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY 1, 2 ORDER BY source, split"""
+  }
+
   // --- C4-style segment-level duplication ---------------------------
   private val SegWords = 5
 
@@ -341,6 +360,7 @@ GROUP BY doc_id ORDER BY doc_id"""
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t_bigram_lm", bigramLm, Some(bigramLmOracle)),
     QueryDef("t_dsir_weights", dsir, Some(dsirOracle)),
+    QueryDef("t_train_val_split", trainValTest, Some(trainValTestOracle)),
     QueryDef("t_mixture_sample", mixture, Some(mixtureOracle)),
     QueryDef("t_shuffle_order", shuffleOrder, Some(shuffleOrderOracle)),
     QueryDef("t_repetition", repetition, Some(repetitionOracle)),

@@ -365,11 +365,11 @@ ORDER BY doc_id, fp_pos, fp_hash"""
       .orderBy("comp_id")
   }
 
-  /** Oracle recomputes the same candidate pairs, then takes the
-    * transitive closure with a recursive CTE — min reachable id ==
-    * the propagation fixpoint.
+  /** Shared recursive-CTE prefix: recomputes the LSH candidate pairs,
+    * then the transitive closure — `labels(id, comp)` with comp = min
+    * reachable id == the propagation fixpoint.
     */
-  private val dedupClustersOracle: String = {
+  private val ccLabelsCtes: String = {
     val mins = minhashMins
     val bandSelects = (0 until Bands).map { b =>
       val key = s"md5(${(0 until Rows).map(r => s"h${b * Rows + r}").mkString(" || ")})"
@@ -390,10 +390,54 @@ reach(id, lbl) AS (
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
 ),
-labels AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)
+labels AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id)"""
+  }
+
+  private val dedupClustersOracle: String = s"""$ccLabelsCtes
 SELECT comp AS comp_id, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM labels GROUP BY comp ORDER BY comp_id"""
+
+  // --- keeper selection policy: keep the LONGEST member ---------------
+  /** Quality-aware keeper selection: per near-dup cluster, keep the doc
+    * with the most tokens (ties → smaller id) instead of the min id —
+    * the policy real pipelines want when near-dups differ in
+    * completeness. The argmax is ONE struct `max` (toks, -id): exact,
+    * map-side combinable, no window — so a monster cluster never sorts
+    * in a single task.
+    */
+  private def clusterKeepers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val cand = TextDedup.lshCandidates(
+      TextDedup.minHashSignatures(
+        TextDedup.wordShingles(docs, "doc_id", "text", 3), K),
+      Bands, Rows)
+    val toks = docs.select(col("doc_id").as("id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("toks"))
+    TextDedup.connectedComponents(cand)
+      .join(toks, Seq("id"))
+      .groupBy(col("comp").as("comp_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("toks"), (-col("id")).as("nid"))).as("m"))
+      .select(col("comp_id"), (-col("m.nid")).as("keeper_id"),
+        col("m.toks").as("keeper_tokens"), col("n_members"))
+      .orderBy("comp_id")
   }
+
+  private val clusterKeepersOracle: String = s"""$ccLabelsCtes,
+toks AS (
+  SELECT doc_id AS id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS toks
+  FROM documents
+),
+j AS (SELECT l.comp, l.id, t.toks FROM labels l JOIN toks t USING (id)),
+r AS (
+  SELECT comp, id, toks,
+    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY toks DESC, id ASC) AS rn,
+    COUNT(*) OVER (PARTITION BY comp) AS n
+  FROM j
+)
+SELECT comp AS comp_id, id AS keeper_id, toks AS keeper_tokens,
+  CAST(n AS BIGINT) AS n_members
+FROM r WHERE rn = 1 ORDER BY comp_id"""
 
   // --- capstone: the full training-data cleaning flow ---------------
   /** documents → exact-dedup keepers (keep-first) → quality gate (the
@@ -470,6 +514,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_minhash_lsh_fast", minhashLshFast, Some(goldenOracle(minhashFastGolden))),
     QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("d_dedup_clusters_stars", dedupClustersStars, Some(dedupClustersOracle)),
+    QueryDef("d_cluster_keepers", clusterKeepers, Some(clusterKeepersOracle)),
     QueryDef("t_winnow_fingerprint", winnow, Some(winnowOracle)),
     QueryDef("t_winnow_fast", winnowFast, Some(goldenOracle(winnowFastGolden))),
     QueryDef("d_corpus_clean", corpusClean, Some(corpusCleanOracle)))

@@ -87,6 +87,21 @@ class OperatorsSpec extends SparkSpec {
     assert(w(500L) > w(501L) + 1.0, s"separation: ${w(500L)} vs ${w(501L)}")
   }
 
+  test("train/val/test split is content-stable: growing the corpus moves no doc") {
+    def assign(n: Int) = CorpusQuality.assignSplit(
+      (1 to n).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source"),
+      "source", "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val small = assign(200)
+    val big = assign(400)
+    // leak-freedom: every original doc keeps its split as the corpus grows
+    assert(small.forall { case (id, sp) => big(id) == sp })
+    // all three splits materialize, train dominates (204/26/26 bytes)
+    val byCat = big.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byCat.keySet == Set("train", "val", "test"), byCat.toString)
+    assert(byCat("train") > byCat("val") && byCat("train") > byCat("test"), byCat.toString)
+  }
+
   test("identical docs have jaccard exactly 1.0") {
     val t = "one two three four five six seven"
     val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
