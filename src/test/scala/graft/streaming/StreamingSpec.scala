@@ -279,6 +279,45 @@ class StreamingSpec extends SparkSpec {
       s"the pre-restart [10:00) window must emit exactly once: $got")
   }
 
+  test("checkpointed restart recovers flatMapGroupsWithState session state") {
+    val dir = Files.createTempDirectory("graft_fsr_in").toString
+    val ckpt = Files.createTempDirectory("graft_fsr_ck").toString
+    val outDir = Files.createTempDirectory("graft_fsr_out").toString
+    def ev(id: Long, user: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, "click", 1.0)
+    def ms(time: String): Long = Timestamp.valueOf(s"2024-01-01 $time").getTime
+
+    // batch 1: u1's session OPENS (two events) but cannot close yet
+    writeBatch(dir, "b1", Seq(ev(1, 1, "10:00:00"), ev(2, 1, "10:05:00")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def start() = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .as[EventStreams.Event]
+      EventStreams.finalizedSessions(stream, gapMs = 30 * 60 * 1000,
+          horizon = "1 hour").toDF()
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // STOP → RESTART. Batch 2: 10:10 must EXTEND the open session
+    // recovered from the checkpointed GroupState (not start a fresh
+    // one); 13:00 pushes the watermark to 12:00, past the session's
+    // 10:40 timeout → it finalizes with all THREE events
+    writeBatch(dir, "b2", Seq(ev(3, 1, "10:10:00"), ev(4, 9, "13:00:00")))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, ms("10:00:00"), ms("10:10:00"), 3L)),
+      s"session spanning the restart must finalize ONCE with merged state: $got")
+  }
+
   test("watermarked dedup: suppresses within the horizon, expires state beyond it") {
     val dir = Files.createTempDirectory("graft_ddwm").toString
     def ev(id: Long, user: Long, time: String): EventStreams.Event =
