@@ -155,7 +155,14 @@ object CorpusQuality {
       .where(length(col("s")) >= 2)
     val bi = docs.select(col("doc_id"), explode(expr(
       "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("bg"))
-    val c2 = bi.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+    // per-(doc, bigram) counts FIRST: the model derivation and the
+    // scoring pass both consume this identical aggregate subtree, so
+    // ReuseExchange runs the gram explode + its shuffle ONCE for the
+    // whole query (the jaccard shared-Exchange shape; a persist here
+    // would instead leak blocks across the session — BASELINE.md's
+    // measured negative result)
+    val dbg = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val c2 = dbg.groupBy(col("bg")).agg(sum(col("cnt")).as("n2"))
     val c1 = c2.groupBy(substring(col("bg"), 1, 1).as("a")).agg(sum(col("n2")).as("n1"))
     val v = c2.select(countDistinct(substring(col("bg"), 2, 1)).as("vs"))
     val model = c2
@@ -165,9 +172,10 @@ object CorpusQuality {
         floor(log((col("n2").cast("double") + 1) /
           (col("n1").cast("double") + col("vs").cast("double"))) * 1000000)
           .cast("long").as("lp"))
-    bi.join(broadcast(model), Seq("bg"))
+    dbg.join(broadcast(model), Seq("bg"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("lp"))).as("nll_micro"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (-sum(col("lp") * col("cnt"))).as("nll_micro"))
       .withColumn("avg_nll",
         col("nll_micro").cast("double") / col("n_bigrams").cast("double") / 1000000)
   }
@@ -202,9 +210,15 @@ object CorpusQuality {
       .withColumn("b", conv(substring(md5(col("tok")), 1, nibbles), 16, 10)
         .cast("int"))
       .drop("tok")
+      // per-(doc, bucket) counts first — the model derivation and the
+      // scoring pass share this aggregate subtree via ReuseExchange, so
+      // the token explode runs once (same shape as bigramLmScore;
+      // is_t is doc-functional so it rides the grouping key)
+      .groupBy(col("doc_id"), col("is_t"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
     val counts = feat.groupBy(col("b")).agg(
-      count(lit(1)).as("n_raw"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
+      sum(col("cnt")).as("n_raw"),
+      sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("n_t"))
     val totals = counts.agg(sum(col("n_raw")).as("tot_raw"), sum(col("n_t")).as("tot_t"))
     val model = counts.crossJoin(broadcast(totals)) // 1 row
       .select(col("b"),
@@ -215,7 +229,8 @@ object CorpusQuality {
           .cast("long").as("lw"))
     feat.join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("lw")).as("logw_micro"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("lw") * col("cnt")).as("logw_micro"))
       .withColumn("avg_logw",
         col("logw_micro").cast("double") / col("n_feats").cast("double") / 1000000)
   }

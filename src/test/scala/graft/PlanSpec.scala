@@ -262,6 +262,13 @@ class PlanSpec extends SparkSpec {
     val carried = joins.flatMap(j => j.left.output ++ j.right.output)
     assert(carried.forall(a => a.name != "s" && a.name != "text"),
       s"raw text must not cross a join: ${carried.map(_.name).distinct}")
+    // the model derivation and the scoring pass consume the SAME
+    // (doc_id, bg) count aggregate: the gram explode + its shuffle must
+    // run once and be REUSED, not recomputed per consumer
+    df.collect()
+    val finalPlan = planOf(df)
+    assert(finalPlan.contains("Reused"),
+      s"gram-count exchange must be shared across the two consumers:\n${finalPlan.take(2500)}")
   }
 
   test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
