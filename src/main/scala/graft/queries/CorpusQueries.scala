@@ -134,6 +134,26 @@ FROM documents GROUP BY source ORDER BY source"""
 FROM documents GROUP BY 1, 2 ORDER BY source, split"""
   }
 
+  // --- corpus vocabulary head (Zipf / data-card stat) -----------------
+  /** Top-25 tokens with corpus frequencies: groupBy(token) map-side
+    * combines, the top-k is TakeOrderedAndProject (never a full sort) —
+    * k-bounded at any corpus size.
+    */
+  private def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(25)
+
+  private val vocabTopKOracle = """SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+) WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 25"""
+
   // --- C4-style segment-level duplication ---------------------------
   private val SegWords = 5
 
@@ -361,6 +381,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     QueryDef("t_bigram_lm", bigramLm, Some(bigramLmOracle)),
     QueryDef("t_dsir_weights", dsir, Some(dsirOracle)),
     QueryDef("t_train_val_split", trainValTest, Some(trainValTestOracle)),
+    QueryDef("t_vocab_topk", vocabTopK, Some(vocabTopKOracle)),
     QueryDef("t_mixture_sample", mixture, Some(mixtureOracle)),
     QueryDef("t_shuffle_order", shuffleOrder, Some(shuffleOrderOracle)),
     QueryDef("t_repetition", repetition, Some(repetitionOracle)),

@@ -157,6 +157,33 @@ FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
 ORDER BY c_mktsegment, event_type"""
 
+  /** `foreachBatch` custom-sink exemplar: folds the stream into a
+    * latest-event-per-user parquet serving table (read-union-argmax-
+    * swap per micro-batch, idempotent under replays), then grades the
+    * TABLE against the batch argmax — proving the fold computes the
+    * batch answer.
+    */
+  private def streamForeachLatest(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_latest").toString + "/latest"
+    EventStreams.latestPerUser(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"), table)
+    s.read.parquet(table)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  private val streamForeachLatestOracle = """WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, ts_ms, event_id, event_type, value
+FROM r WHERE rn = 1 ORDER BY user_id"""
+
   private def streamJoin(s: SparkSession, dir: String): DataFrame = {
     val out = EventStreams.viewPurchaseJoin(
       EventStreams.eventsStream(s, s"$dir/events.parquet"))
@@ -296,6 +323,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_sessions_wm", streamSessionsWm, Some(streamSessionsWmOracle)),
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
+    QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)),

@@ -74,6 +74,20 @@ object Readers {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Extension (multimodal ingestion): raw files as rows —
+    * (path, modificationTime, length, content binary) via Spark's
+    * `binaryFile` source. This is the on-ramp for image/audio/video
+    * payloads into the `Multimodal` operators: distributed file
+    * listing + pruning by `pathGlobFilter`, content never touches the
+    * driver. `maxBytesPerFile` guards a single huge file from pinning
+    * one task's memory.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+      glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** S5 (`sources/readers.py:45-50`): `SELECT * FROM deliveries` over a
     * local DB. The environment ships no sqlite-jdbc jar, so the same JDBC
     * path is exercised against embedded Derby (`jdbc:derby:<path>`); a

@@ -213,6 +213,52 @@ object EventStreams {
         unix_millis(col("v_ts")).as("view_ms"))
   }
 
+  /** `foreachBatch` upsert: maintains a "latest event per user" serving
+    * table in parquet — the custom-sink pattern for sinks Spark has no
+    * native writer for (JDBC upserts, REST, Delta-less MERGE). Each
+    * micro-batch folds into the table via read-union-argmax-overwrite;
+    * the rewrite cost is bounded by the TABLE size (one row per user —
+    * a serving dimension), never the stream length, so the pattern
+    * stays cheap on an unbounded stream. The argmax is one struct max
+    * keyed (ts, event_id): deterministic under replays, so a RETRIED
+    * batch folds to the same table — idempotent by construction, which
+    * is exactly what foreachBatch's at-least-once contract requires.
+    * Writes go to `<table>_tmp` then swap, so a crash mid-write never
+    * leaves a torn table.
+    */
+  def latestPerUser(events: DataFrame, tablePath: String): Unit = {
+    val spark = events.sparkSession
+    def fold(batch: DataFrame): Unit = {
+      val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+      val incoming = batch.select(cols.map(col): _*)
+      val existing =
+        try spark.read.parquet(tablePath).select(cols.map(col): _*)
+        catch { case _: Exception => incoming.limit(0) }
+      val merged = existing.unionByName(incoming)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
+          col("m.value").as("value"))
+      val tmp = tablePath + "_tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(tablePath)
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    }
+    val q = events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        fold(batch.toDF()))
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming DataFrame to a memory sink synchronously and
     * return the result table. `complete` for aggregations, `update` for
     * stateful maps.

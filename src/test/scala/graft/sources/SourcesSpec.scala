@@ -81,6 +81,21 @@ class SourcesSpec extends SparkSpec {
     assert(Readers.jdbc(spark, url).count() == 4)
   }
 
+  test("binaryFile source: raw payloads as rows, glob-filtered, content intact") {
+    val dir = Files.createTempDirectory("graft_bin")
+    val payload = Array.tabulate[Byte](300)(i => (i % 251).toByte)
+    Files.write(dir.resolve("a.img"), payload)
+    Files.write(dir.resolve("b.img"), Array[Byte](1, 2, 3))
+    Files.write(dir.resolve("skip.txt"), "not media".getBytes)
+    val rows = Readers.binaryFiles(spark, dir.toString, Some("*.img"))
+      .orderBy("path").collect()
+    assert(rows.length == 2, "glob must exclude the .txt")
+    assert(rows(0).getAs[String]("path").endsWith("a.img"))
+    assert(rows(0).getAs[Long]("length") == 300L)
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq == payload.toSeq,
+      "payload bytes must round-trip exactly")
+  }
+
   test("dispatch: unknown extension raises") {
     intercept[IllegalArgumentException](Readers.read(spark, "/tmp/x.tsv"))
   }

@@ -352,6 +352,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert folds batches and is idempotent under re-folds") {
+    val dir = Files.createTempDirectory("graft_fel_in").toString
+    val table = Files.createTempDirectory("graft_fel_t").toString + "/latest"
+    def ev(id: Long, user: Long, time: String, kind: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, kind, 1.0)
+    def read() = spark.read.parquet(table)
+      .select("user_id", "event_id", "event_type")
+      .as[(Long, Long, String)].collect().toSet
+
+    writeBatch(dir, "b1", Seq(ev(1, 1, "10:00:00", "view")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def run(): Unit = EventStreams.latestPerUser(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir), table)
+
+    run()
+    assert(read() == Set((1L, 1L, "view")))
+
+    // a newer u1 event supersedes; u2 appears; the old u1 row must be
+    // REPLACED in the table, not appended (upsert, not insert)
+    writeBatch(dir, "b2", Seq(ev(2, 1, "11:00:00", "purchase"),
+      ev(3, 2, "10:30:00", "view")))
+    run()
+    val after = read()
+    assert(after == Set((1L, 2L, "purchase"), (2L, 3L, "view")), after.toString)
+
+    // re-fold the same files (an at-least-once retry): table unchanged
+    run()
+    assert(read() == after, "re-processing a batch must be a no-op")
+  }
+
   test("watermark drops late data in append mode") {
     val dir = Files.createTempDirectory("graft_wm").toString
     def ev(id: Long, time: String): EventStreams.Event =
