@@ -448,10 +448,100 @@ FROM big JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
 
+  // --- q12: shipping priority split (TPC-H Q12 shape) ----------------
+  /** Conditional-count aggregation after a fact-fact join: the CASE
+    * sums fold into ONE map-side-combinable aggregate pass (never two
+    * filtered scans); only the two join keys + the grouped/conditional
+    * columns survive pruning into the shuffles.
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+    l.join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q12Oracle = """SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // --- q14: promotion revenue ratio (TPC-H Q14 shape) ----------------
+  /** Ratio of two conditional sums in one aggregate pass; the part
+    * dimension broadcasts; money stays exact basis points until the
+    * single final double division.
+    */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(Timestamp.valueOf("1997-07-01 00:00:00")))
+    val disc = bps(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    l.join(broadcast(Tables(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(0L)).as("_promo"),
+        sum(disc).as("_all"))
+      .select((lit(100.0) * (col("_promo").cast("double") / col("_all").cast("double")))
+        .as("promo_revenue_pct"))
+  }
+
+  private val q14Oracle: String = {
+    val disc = s"CAST(FLOOR(l_extendedprice * (${D("1")} - l_discount) * 10000 + ${D("0.5")}) AS BIGINT)"
+    s"""SELECT ${D("100")} * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $disc ELSE 0 END) AS DOUBLE)
+  / CAST(SUM($disc) AS DOUBLE)) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'"""
+  }
+
+  // --- q22: dormant rich customers (TPC-H Q22 shape) -----------------
+  /** Uncorrelated scalar subquery (exact-cents average so the boundary
+    * comparison is bit-stable in any engine) + anti-join NOT EXISTS,
+    * through the `spark.sql` front door: above-average-balance
+    * customers with no urgent order, rolled up per nation. Catalyst
+    * plans the scalar subquery once (a broadcast 1-row value) and the
+    * NOT EXISTS as a left-anti join on the filtered orders.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("v22_customer")
+    Tables(s, dir, "orders").createOrReplaceTempView("v22_orders")
+    s.sql("""SELECT c_nationkey,
+        COUNT(*) AS n_cust,
+        CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5D) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+      FROM v22_customer c
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5D) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*)
+                         FROM v22_customer WHERE c_acctbal > 0.0D)
+        AND NOT EXISTS (SELECT 1 FROM v22_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
+  private val q22Oracle =
+    s"""SELECT c_nationkey, COUNT(*) AS n_cust,
+  CAST(SUM(CAST(FLOOR(c_acctbal * 100 + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + ${D("0.5")}) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*)
+                   FROM customer WHERE c_acctbal > ${D("0")})
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Oracle)),
+    QueryDef("q12_priority_split", q12, Some(q12Oracle)),
+    QueryDef("q14_promo_ratio", q14, Some(q14Oracle)),
     QueryDef("q17_small_quantity", q17, Some(q17Oracle)),
     QueryDef("q18_large_orders", q18, Some(q18Oracle)),
+    QueryDef("q22_dormant_rich", q22, Some(q22Oracle)),
     QueryDef("q3_top_orders", q3, Some(q3Oracle)),
     QueryDef("q5_nation_revenue", q5, Some(q5Oracle)),
     QueryDef("q_semi_join", qSemi, Some(qSemiOracle)),

@@ -383,6 +383,44 @@ class StreamingSpec extends SparkSpec {
     assert(read() == after, "re-processing a batch must be a no-op")
   }
 
+  test("state-store metrics: watermarked dedup EVICTS state, exact dedup only grows") {
+    // the empirical half of the bounded-state claim: same two phases of
+    // 500 distinct pairs 10 h apart, measure numRowsTotal from the
+    // state-store progress of each plan
+    def ev(id: Long, user: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, "click", 1.0)
+    val phase1 = (0L until 500L).map(u => ev(u, u, "10:00:00"))
+    val phase2 = (0L until 500L).map(u => ev(1000 + u, 1000 + u, "20:00:00"))
+
+    def finalStateRows(name: String,
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+      val dir = Files.createTempDirectory(s"graft_ss_$name").toString
+      writeBatch(dir, "b1", phase1)
+      val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = mk(stream).writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        writeBatch(dir, "b2", phase2)
+        q.processAllAvailable()
+        q.recentProgress.reverse.iterator
+          .map(_.stateOperators).find(_.nonEmpty).get.head.numRowsTotal
+      } finally q.stop()
+    }
+
+    val unbounded = finalStateRows("ss_exact", EventStreams.dedupPairs)
+    val bounded = finalStateRows("ss_wm",
+      df => EventStreams.dedupPairsWatermarked(df, horizon = "1 hour"))
+    // exact dedup keeps every pair ever seen; the watermarked twin has
+    // dropped phase 1 once the watermark (20:00 − 1 h) passed it
+    assert(unbounded == 1000L, s"exact dedup state: $unbounded")
+    assert(bounded <= 500L && bounded > 0L,
+      s"watermarked state must have evicted phase 1: $bounded")
+  }
+
   test("watermark drops late data in append mode") {
     val dir = Files.createTempDirectory("graft_wm").toString
     def ev(id: Long, time: String): EventStreams.Event =
