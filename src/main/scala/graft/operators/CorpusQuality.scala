@@ -90,13 +90,7 @@ object CorpusQuality {
     */
   def segmentDuplication(df: DataFrame, idCol: String, textCol: String,
       segWords: Int): DataFrame = {
-    require(segWords >= 1)
-    val seg = df
-      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, (size(w) + ${segWords - 1}) div $segWords - 1), " +
-          s"i -> md5(concat_ws(' ', slice(w, i * $segWords + 1, $segWords))))"))
-        .as("seg_hash"))
+    val seg = segmentHashes(df, idCol, textCol, segWords)
     val docsPerSeg = seg.groupBy(col("seg_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
     seg.join(docsPerSeg, Seq("seg_hash"))
@@ -106,6 +100,84 @@ object CorpusQuality {
           .as("n_dup_segments"))
       .withColumn("dup_segment_frac",
         col("n_dup_segments").cast("double") / col("n_segments").cast("double"))
+  }
+
+  /** (doc_id, seg_hash) for fixed-width word segments — the shared
+    * explode under [[segmentDuplication]] and
+    * [[incrementalSegmentDedup]]. Only 32-byte hashes leave the scan.
+    */
+  private def segmentHashes(df: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
+    require(segWords >= 1)
+    df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(w) + ${segWords - 1}) div $segWords - 1), " +
+          s"i -> md5(concat_ws(' ', slice(w, i * $segWords + 1, $segWords))))"))
+        .as("seg_hash"))
+  }
+
+  /** Incremental (continual-ingestion) near-dedup: grade each NEW-batch
+    * document against the already-accepted corpus by segment overlap —
+    * keep iff strictly fewer than `keepBelowPct`% of its fixed-width
+    * word segments already exist in the corpus. This is the shape a
+    * 100 TB pipeline actually runs when a new crawl shard lands: the
+    * corpus side is a pre-deduped DISTINCT seg-hash index (32-byte
+    * keys, incrementally maintainable as a bucketed table), the new
+    * batch is tiny relative to it, and the only join is hash-keyed —
+    * never text-keyed, never all-pairs, never a rescan of corpus text.
+    *
+    * The keep decision is exact integer math (`n_known · 100 <
+    * n_segments · pct`) so the boundary can never drift between
+    * engines.
+    *
+    * Output: one row per new doc — doc_id, n_segments,
+    * n_known_segments, keep.
+    */
+  def incrementalSegmentDedup(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, segWords: Int,
+      keepBelowPct: Int = 50): DataFrame = {
+    require(keepBelowPct >= 0 && keepBelowPct <= 100)
+    val newSeg = segmentHashes(newDf, idCol, textCol, segWords)
+    val known = segmentHashes(corpusDf, idCol, textCol, segWords)
+      .select(col("seg_hash")).distinct()
+      .withColumn("_known", lit(1L))
+    newSeg.join(known, Seq("seg_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(coalesce(col("_known"), lit(0L))).as("n_known_segments"))
+      .withColumn("keep",
+        col("n_known_segments") * 100 < col("n_segments") * keepBelowPct)
+  }
+
+  /** Sequence-packing planner (the GPT-style concat-and-chunk step that
+    * turns a filtered corpus into fixed-budget training sequences):
+    * assign every document a shard (content hash — shard membership is
+    * retry/growth-stable), give each shard a deterministic document
+    * order (a second, independent content hash — the "global shuffle"),
+    * then lay documents head-to-tail and chunk at `budget` tokens.
+    * Emitted per doc: `shard`, `pack_id` (the sequence its first token
+    * lands in), `offset_in_pack`.
+    *
+    * Scale shape: ONE hash-partitioned sort per shard (the sort packing
+    * inherently requires), as a window cumsum keyed on `shard` — pick
+    * `shards` ≈ the output file count so each window task holds one
+    * shard; no global single-task window, no driver state. The running
+    * sum is exact BIGINT token counts.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+      shards: Int, budget: Long): DataFrame = {
+    require(shards > 0 && budget > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pack_key"))
+    df.withColumn("shard", pmod(hashByte(lit("shard"), col(idCol)), lit(shards)))
+      .withColumn("pack_key",
+        md5(concat(lit("pack:"), col(idCol).cast("string"))))
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("_start_tok",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"_start_tok div ${budget}L"))
+      .withColumn("offset_in_pack", pmod(col("_start_tok"), lit(budget)))
+      .drop("_start_tok", "pack_key")
   }
 
   /** PII patterns portable across Java regex (Spark) and RE2 (DuckDB,

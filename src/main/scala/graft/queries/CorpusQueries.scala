@@ -377,7 +377,119 @@ SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(lw) AS BIGINT) AS logw_micro,
 FROM f JOIN model USING (b)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  // --- sequence packing (concat-and-chunk planner) --------------------
+  private val PackShards = 8
+  private val PackBudget = 512L
+
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    CorpusQuality.packSequences(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("_tok")),
+        "doc_id", col("_tok"), PackShards, PackBudget)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("pack_id"), col("offset_in_pack"))
+      .orderBy("doc_id")
+
+  private val packSequencesOracle: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5('shard:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH d AS (
+  SELECT doc_id,
+    CAST((${nib(1)} * 16 + ${nib(2)}) % $PackShards AS INT) AS shard,
+    md5('pack:' || CAST(doc_id AS VARCHAR)) AS pack_key,
+    CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pack_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+  FROM d
+)
+SELECT doc_id, shard, n_tokens,
+  start_tok // $PackBudget AS pack_id,
+  start_tok % $PackBudget AS offset_in_pack
+FROM c ORDER BY doc_id"""
+  }
+
+  // --- incremental (continual-ingestion) segment dedup -----------------
+  /** The "new crawl shard lands" gate: docs with doc_id % 10 = 9 play
+    * the new batch, the rest the accepted corpus. Keep a new doc iff
+    * < 50% of its 5-word segments already exist in the corpus.
+    */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val isNew = pmod(col("doc_id"), lit(10)) === 9
+    CorpusQuality.incrementalSegmentDedup(
+        docs.where(isNew), docs.where(!isNew), "doc_id", "text", SegWords)
+      .withColumn("keep", col("keep").cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val incrementalDedupOracle: String = s"""WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+seg AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(w, i * $SegWords + 1, i * $SegWords + $SegWords), ' ')) AS seg_hash
+  FROM (
+    SELECT doc_id, w,
+      unnest(generate_series(0, (len(w) + ${SegWords - 1}) // $SegWords - 1)) AS i
+    FROM docs
+  )
+),
+known AS (SELECT DISTINCT seg_hash FROM seg WHERE doc_id % 10 <> 9),
+scored AS (
+  SELECT s.doc_id, COUNT(*) AS n_segments,
+    CAST(SUM(CASE WHEN k.seg_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known_segments
+  FROM seg s LEFT JOIN known k ON s.seg_hash = k.seg_hash
+  WHERE s.doc_id % 10 = 9
+  GROUP BY 1
+)
+SELECT doc_id, n_segments, n_known_segments,
+  CAST(CASE WHEN n_known_segments * 100 < n_segments * 50 THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored ORDER BY doc_id"""
+
+  // --- token-length histogram (padding-waste planner) ------------------
+  /** Power-of-2 token-length buckets with the padded-batch waste each
+    * bucket pays (`n_docs·bucket_hi − sum_tokens`) — the stat that
+    * decides batch-by-length bucketing vs packing. The bucket index is
+    * the token count's binary digit count: pure integer math, immune
+    * to the `floor(log2(2^k)) = k−1` float-rounding trap on exact
+    * powers of two.
+    */
+  private def lengthBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket_bits", length(bin(col("n_tokens"))).cast("int"))
+      .groupBy(col("bucket_bits"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+      .withColumn("bucket_hi",
+        pow(lit(2.0), col("bucket_bits").cast("double")).cast("long") - 1)
+      .withColumn("pad_cells",
+        col("n_docs") * col("bucket_hi") - col("sum_tokens"))
+      .select(col("bucket_bits"), col("bucket_hi"), col("n_docs"),
+        col("sum_tokens"), col("min_tokens"), col("max_tokens"), col("pad_cells"))
+      .orderBy("bucket_bits")
+
+  private val lengthBucketsOracle: String = """WITH d AS (
+  SELECT CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents
+),
+b AS (
+  SELECT CAST(length(bin(n_tokens)) AS INT) AS bucket_bits, COUNT(*) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+    MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+  FROM d GROUP BY 1
+)
+SELECT bucket_bits, CAST(POWER(2, bucket_bits) AS BIGINT) - 1 AS bucket_hi,
+  n_docs, sum_tokens, min_tokens, max_tokens,
+  n_docs * (CAST(POWER(2, bucket_bits) AS BIGINT) - 1) - sum_tokens AS pad_cells
+FROM b ORDER BY bucket_bits"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_pack_sequences", packSequences, Some(packSequencesOracle)),
+    QueryDef("d_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
+    QueryDef("t_length_buckets", lengthBuckets, Some(lengthBucketsOracle)),
     QueryDef("t_bigram_lm", bigramLm, Some(bigramLmOracle)),
     QueryDef("t_dsir_weights", dsir, Some(dsirOracle)),
     QueryDef("t_train_val_split", trainValTest, Some(trainValTestOracle)),

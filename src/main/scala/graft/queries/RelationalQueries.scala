@@ -535,7 +535,164 @@ WHERE c_acctbal > (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + ${D("0.5")}) AS 
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  // --- q13: customer order-count distribution (TPC-H Q13 shape) ------
+  /** LEFT OUTER join with the filter in the JOIN CONDITION (the Q13
+    * trap: a WHERE on the right side would silently turn the join
+    * inner and drop zero-order customers), then a two-level aggregate
+    * — per-customer count, then the histogram over counts. The first
+    * agg shuffles on c_custkey; the histogram's key space is tiny
+    * (≤ max orders per customer) so the second exchange is a few dozen
+    * rows per partition after partial combine.
+    */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .where(col("o_orderpriority") =!= "1-URGENT") // join-side filter
+    Tables(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // COUNT(col): nulls excluded
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Oracle = """SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  // --- q15: top supplier by quarterly revenue (TPC-H Q15 shape) ------
+  /** Derived aggregate view consumed twice — once for the MAX scalar
+    * subquery, once as the join probe. Catalyst plans the scalar MAX
+    * as a separate 1-row subquery result (no per-row re-execution);
+    * revenue is exact basis points so the `= MAX` boundary can never
+    * be split by float accumulation order across engines.
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v15_lineitem")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v15_supplier")
+    s.sql("""WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+          SUM(CAST(FLOOR(l_extendedprice * (1.0D - l_discount) * 10000 + 0.5D) AS BIGINT)) AS total_rev_bps
+        FROM v15_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name,
+        CAST(total_rev_bps AS DOUBLE) / 10000 AS total_revenue
+      FROM v15_supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_rev_bps = (SELECT MAX(total_rev_bps) FROM revenue)
+      ORDER BY s_suppkey""")
+  }
+
+  private val q15Oracle =
+    s"""WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    SUM(CAST(FLOOR(l_extendedprice * (${D("1")} - l_discount) * 10000 + ${D("0.5")}) AS BIGINT)) AS total_rev_bps
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev_bps AS DOUBLE) / 10000 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_bps = (SELECT MAX(total_rev_bps) FROM revenue)
+ORDER BY s_suppkey"""
+
+  // --- q16: supplier count by part attributes (TPC-H Q16 shape) ------
+  /** NOT IN subquery (null-aware anti join — s_suppkey is non-null so
+    * Catalyst plans a plain LeftAnti, the fast path) over a
+    * COUNT(DISTINCT) aggregate. The distinct expands (brand,type,size,
+    * suppkey) before the final count; the excluded-supplier set is a
+    * handful of rows and broadcasts.
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v16_lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("v16_part")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v16_supplier")
+    s.sql("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM v16_lineitem JOIN v16_part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#5'
+        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM v16_supplier WHERE s_acctbal < 0.0D)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
+  private val q16Oracle =
+    s"""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < ${D("0")})
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  // --- q19: disjunctive-predicate revenue (TPC-H Q19 shape) ----------
+  /** OR-of-conjunctions mixing columns from BOTH join sides: the
+    * optimizer workout is that each side's disjunction
+    * (p_brand/p_size on part, l_quantity on lineitem) must be derived
+    * and pushed below the join while the cross-side residual stays
+    * above — Catalyst's CNF conversion does exactly that, so neither
+    * scan reads rows no branch could match.
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val branch = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "part")), col("p_partkey") === col("l_partkey"))
+      .where(branch("Brand#12", 5, 1, 11) ||
+        branch("Brand#23", 10, 10, 20) ||
+        branch("Brand#11", 15, 20, 30))
+      .agg((sum(bps(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 10000.0)
+        .as("revenue"))
+  }
+
+  private val q19Oracle =
+    s"""SELECT ${Sql.sumBps(s"l_extendedprice * (${D("1")} - l_discount)")} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+  // --- q20: heavy suppliers of a part family (TPC-H Q20 shape) -------
+  /** Nested IN subqueries with a HAVING inside the inner one: the
+    * inner part-name IN collapses to a semi join on p_partkey, the
+    * grouped HAVING shrinks lineitem to qualifying suppliers, and the
+    * outer IN becomes a semi join probing supplier with that tiny
+    * set. Nothing here ever materializes the full lineitem×part
+    * product — each IN is one shuffle on its key.
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v20_lineitem")
+    Tables(s, dir, "part").createOrReplaceTempView("v20_part")
+    Tables(s, dir, "supplier").createOrReplaceTempView("v20_supplier")
+    s.sql("""SELECT s_suppkey, s_name FROM v20_supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM v20_lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM v20_part WHERE p_name LIKE '%red%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 400.0D)
+      ORDER BY s_suppkey""")
+  }
+
+  private val q20Oracle =
+    s"""SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > ${D("400")})
+ORDER BY s_suppkey"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q13_order_histogram", q13, Some(q13Oracle)),
+    QueryDef("q15_top_supplier", q15, Some(q15Oracle)),
+    QueryDef("q16_supplier_count", q16, Some(q16Oracle)),
+    QueryDef("q19_disjunctive", q19, Some(q19Oracle)),
+    QueryDef("q20_nested_in", q20, Some(q20Oracle)),
     QueryDef("q1_pricing_summary", q1, Some(q1Oracle)),
     QueryDef("q12_priority_split", q12, Some(q12Oracle)),
     QueryDef("q14_promo_ratio", q14, Some(q14Oracle)),

@@ -202,6 +202,36 @@ FROM e p JOIN e v
   AND v.ms >= p.ms - 3600000 AND v.ms <= p.ms
 ORDER BY purchase_id, view_id"""
 
+  /** LEFT OUTER twin of `stream_join`: same matched rows, plus a
+    * null-view row per unmatched purchase — but ONLY for purchases the
+    * end-of-replay watermark has already released (see
+    * [[EventStreams.viewPurchaseLeftJoin]]). Null view_id sorts FIRST
+    * on both sides (Spark's ASC default; DuckDB needs it pinned).
+    */
+  private def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val out = EventStreams.viewPurchaseLeftJoin(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"))
+    EventStreams.runToMemory(s, out, "graft_stream_join_outer", OutputMode.Append())
+      .orderBy(col("purchase_id"), col("view_id").asc_nulls_first)
+  }
+
+  private val streamJoinOuterOracle = s"""WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+wm AS (
+  SELECT LEAST(
+    (SELECT MAX(ms) FROM e WHERE event_type = 'view'),
+    (SELECT MAX(ms) FROM e WHERE event_type = 'purchase')) - 7200000 AS w
+)
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+  p.ms AS purchase_ms, v.ms AS view_ms
+FROM e p LEFT JOIN e v
+  ON v.event_type = 'view' AND p.user_id = v.user_id
+  AND v.ms >= p.ms - 3600000 AND v.ms <= p.ms
+WHERE p.event_type = 'purchase'
+  AND (v.event_id IS NOT NULL OR p.ms < (SELECT w FROM wm))
+ORDER BY purchase_id, view_id NULLS FIRST"""
+
   // reuse the batch oracles — streaming must produce the same answer
   private val streamHourlyOracle = EventQueries.hourlyOracle
   private val streamSessionizeOracle = """WITH e AS (
@@ -322,6 +352,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_dedup_wm", streamDedupWm, Some(streamDedupOracle)),
     QueryDef("stream_sessions_wm", streamSessionsWm, Some(streamSessionsWmOracle)),
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
+    QueryDef("stream_join_outer", streamJoinOuter, Some(streamJoinOuterOracle)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),

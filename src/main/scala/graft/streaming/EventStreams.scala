@@ -213,6 +213,34 @@ object EventStreams {
         unix_millis(col("v_ts")).as("view_ms"))
   }
 
+  /** Stream-stream LEFT OUTER join: every purchase, with its trailing-
+    * hour views when they exist. The matched (inner) rows emit eagerly
+    * per micro-batch; a null-matched row for an unmatched purchase can
+    * only emit once the watermark proves no future view can still join
+    * it — i.e. when the global watermark (min of both sides' max event
+    * time − delay) passes the purchase's own timestamp, at which point
+    * its join state is evicted. Purchases inside the final horizon stay
+    * in state and never emit a null row on a bounded replay — exactly
+    * the cutoff the paired oracle restates, so the hash-compare pins
+    * the outer-emission semantics, not just the inner matches.
+    */
+  def viewPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val ms = events.withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+    val views = ms.where(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val purchases = ms.where(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    purchases.join(views, expr(
+        "user_id = p_user AND v_ts >= p_ts - interval 1 hour AND v_ts <= p_ts"),
+        "leftOuter")
+      .select(col("purchase_id"), col("view_id"),
+        unix_millis(col("p_ts")).as("purchase_ms"),
+        unix_millis(col("v_ts")).as("view_ms"))
+  }
+
   /** `foreachBatch` upsert: maintains a "latest event per user" serving
     * table in parquet — the custom-sink pattern for sinks Spark has no
     * native writer for (JDBC upserts, REST, Delta-less MERGE). Each

@@ -240,6 +240,64 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("NestedLoop"))
   }
 
+  test("q19's OR-of-conjunctions derives and pushes per-side disjunctions") {
+    val df = SparkEntry.queries("q19_disjunctive")(spark, Sf)
+    val filters = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    def refs(f: org.apache.spark.sql.execution.FilterExec): Set[String] =
+      f.condition.references.map(_.name).toSet
+    // the lineitem scan gets the quantity disjunction (no part columns)...
+    assert(filters.exists(f => refs(f).contains("l_quantity") &&
+      !refs(f).exists(_.startsWith("p_")) && f.condition.toString.contains(" OR ")),
+      s"quantity OR-chain must reach the lineitem side:\n${filters.mkString("\n")}")
+    // ...and the part scan the brand/size disjunction (no lineitem columns)
+    assert(filters.exists(f => refs(f).contains("p_brand") &&
+      !refs(f).exists(_.startsWith("l_")) && f.condition.toString.contains(" OR ")),
+      s"brand/size OR-chain must reach the part side:\n${filters.mkString("\n")}")
+  }
+
+  test("q13's join-side filter keeps the join LeftOuter; both aggs partial-combine") {
+    val df = SparkEntry.queries("q13_order_histogram")(spark, Sf)
+    assert(planOf(df).contains("LeftOuter"),
+      "the orders filter must stay inside the join — an inner join drops zero-order customers")
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    // level 1: per-customer count; level 2: the histogram over counts
+    assert(aggs.exists(_.groupingExpressions.exists(
+      _.references.exists(_.name == "c_custkey"))))
+    assert(aggs.count(_.aggregateExpressions.exists(_.mode.toString == "Partial")) >= 2,
+      "both aggregation levels must run map-side partials")
+  }
+
+  test("q16's NOT IN plans as a null-aware anti HASH join, never a nested loop") {
+    val plan = planOf(SparkEntry.queries("q16_supplier_count")(spark, Sf))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "single-column NOT IN must take the NAAJ hash-join fast path")
+  }
+
+  test("q20's nested INs collapse to semi joins — no subquery re-execution") {
+    val df = SparkEntry.queries("q20_nested_in")(spark, Sf)
+    val plan = planOf(df)
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"))
+    val semis = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.size >= 2,
+      s"both INs must become semi joins: ${plan.take(2000)}")
+  }
+
+  test("sequence packing windows per shard — hash-partitioned, never one task") {
+    val df = SparkEntry.queries("t_pack_sequences")(spark, Sf)
+    val plan = planOf(df)
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the cumsum window must partition on shard (a global window is one task):\n${plan.take(2000)}")
+  }
+
   test("bigram LM scoring join broadcasts the model; text never crosses a join") {
     import graft.operators.CorpusQuality
     val df = CorpusQuality.bigramLmScore(Tables(spark, Sf, "documents"),

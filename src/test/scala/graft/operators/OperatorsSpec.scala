@@ -465,6 +465,52 @@ class OperatorsSpec extends SparkSpec {
     assert(rerun.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("packSequences lays docs head-to-tail: offsets chain exactly per shard") {
+    val docs = (0L until 200L).map(i => (i, 1L + i % 37)).toDF("doc_id", "n_tok")
+    val out = CorpusQuality.packSequences(docs, "doc_id", col("n_tok"),
+      shards = 4, budget = 100L)
+      .select("doc_id", "shard", "n_tokens", "pack_id", "offset_in_pack")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out.length == 200)
+    assert(out.forall { case (_, sh, _, p, off) =>
+      sh >= 0 && sh < 4 && p >= 0 && off >= 0 && off < 100 })
+    // within a shard, each doc starts exactly where the previous ended:
+    // global start = pack_id*budget + offset must walk the cumsum of sizes
+    out.groupBy(_._2).values.foreach { docs =>
+      val starts = docs.map { case (_, _, n, p, off) => (p * 100 + off, n) }
+        .sortBy(_._1)
+      starts.zip(starts.scanLeft(0L)(_ + _._2)).foreach {
+        case ((start, _), expected) => assert(start == expected)
+      }
+    }
+    // determinism: a re-run (different partitioning) assigns identically
+    val rerun = CorpusQuality.packSequences(docs.repartition(7), "doc_id",
+      col("n_tok"), shards = 4, budget = 100L)
+      .select("doc_id", "shard", "n_tokens", "pack_id", "offset_in_pack")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(rerun.sortBy(_._1) == out.sortBy(_._1))
+  }
+
+  test("incremental segment dedup drops a new doc the corpus already covers") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val fresh = Seq(
+      // 2 of 2 segments already in corpus → known frac 1.0 → dropped
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // 0 of 2 known → kept
+      (11L, "completely novel words appear here nothing matches at all"),
+      // 1 of 2 segments known (the first five words of doc 2) → 50%,
+      // NOT strictly below 50 → dropped (boundary is exact integer math)
+      (12L, "one two three four five fresh words follow right here")).toDF("doc_id", "text")
+    val got = CorpusQuality.incrementalSegmentDedup(fresh, corpus,
+      "doc_id", "text", segWords = 5, keepBelowPct = 50)
+      .select("doc_id", "n_segments", "n_known_segments", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((10L, 2L, 2L, false), (11L, 2L, 0L, true),
+      (12L, 2L, 1L, false)))
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",

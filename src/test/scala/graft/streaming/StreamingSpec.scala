@@ -103,6 +103,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream join: null rows emit only when the watermark releases them") {
+    val dir = Files.createTempDirectory("graft_loj").toString
+    def ev(id: Long, user: Long, kind: String, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, kind, 1.0)
+
+    // batch 1: user 1 purchase has a view in the trailing hour (matched);
+    // user 2 purchase has none (outer candidate)
+    writeBatch(dir, "b1", Seq(
+      ev(1, 1, "view", "09:30:00"), ev(2, 1, "purchase", "10:00:00"),
+      ev(3, 2, "purchase", "10:00:00")))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.viewPurchaseLeftJoin(stream)
+
+    spark.streams.active.filter(_.name == "loj_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("loj_test").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("loj_test")
+        .select("purchase_id", "view_id").as[(Long, Option[Long])].collect().toSet
+      // the match emits eagerly; the unmatched purchase must NOT produce
+      // a null row yet — a future view could still join it
+      assert(afterB1 == Set((2L, Some(1L))), s"got $afterB1")
+
+      // batch 2 advances BOTH sides' watermarks past 10:00 + horizon
+      // (the global watermark is the MIN across the two withWatermark
+      // nodes, so a future view alone would release nothing)
+      writeBatch(dir, "b2", Seq(
+        ev(4, 8, "view", "14:00:00"), ev(5, 9, "purchase", "14:00:00")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("loj_test")
+        .select("purchase_id", "view_id").as[(Long, Option[Long])].collect().toSet
+      // user 2's purchase is released as a null-match; user 9's sits
+      // inside the final horizon and stays in state
+      assert(afterB2 == Set((2L, Some(1L)), (3L, None)), s"got $afterB2")
+    } finally q.stop()
+  }
+
   test("finalized sessions: in-batch close emits immediately, timeout closes the tail") {
     val dir = Files.createTempDirectory("graft_fsess").toString
     def ev(id: Long, user: Long, time: String): EventStreams.Event =
