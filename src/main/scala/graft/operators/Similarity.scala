@@ -139,6 +139,74 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Product-quantization (PQ) ADC top-k — the memory-compressed ANN
+    * scale path beside IVF cells and LSH bands (and FAISS's default
+    * pairing with IVF at billion-vector scale): vectors are stored as
+    * `m` small codes, and a query scans the CODES through a per-query
+    * lookup table without ever touching the original vectors.
+    *
+    * Encode: each quantized vector splits into `m` contiguous
+    * subvectors; subspace `j` has its own codebook (caller-provided —
+    * production trains per-subspace k-means, e.g. [[kmeansCentroids]]
+    * over sliced vectors; tests pass a deterministic id-stride subset,
+    * exactly like [[ivfTopK]]). A subvector's code is its minimum
+    * squared-L2 codeword, ties to the smaller codeword id. Distances
+    * are exact integers on quantized units (`‖a‖² + ‖c‖² − 2a·c`), so
+    * encoding and ADC scoring are bit-stable across engines.
+    *
+    * ADC (asymmetric distance computation): per query, the
+    * (subspace × codeword) table of exact subspace distances is tiny
+    * and broadcasts; every encoded vector's approximate distance is
+    * the sum of `m` lookups — one broadcast join keyed (subspace,
+    * code) plus a map-side-combinable sum. The scan is LINEAR in the
+    * code table; nothing quadratic, no shuffle of vectors, and the
+    * final top-k moves ≤k pre-ranked rows per (query, partition) via
+    * the bounded [[graft.functions.TopKPairs]] aggregate (ascending
+    * distance ≡ descending −d², exact below 2⁵³).
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, "dim must split into m equal subspaces")
+    val sub = dim / m
+    // (idAs, sub_id, sv): the m exploded quantized subvectors per vector
+    def subVecs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs), quantize(col("vec")).as("qv"))
+        .select(col(idAs), explode(expr(
+          s"transform(sequence(0, ${m - 1}), " +
+            s"j -> struct(j AS sub_id, slice(qv, j * $sub + 1, $sub) AS sv))")).as("x"))
+        .select(col(idAs), col("x.sub_id").as("sub_id"), col("x.sv").as("sv"))
+
+    def d2(a: Column, an: Column, c: Column, cn: Column): Column =
+      an + cn - lit(2L) * dotQ(a, c)
+
+    val cb = subVecs(codebook, "c_id")
+      .withColumnRenamed("sv", "cv").withColumn("cnn", normSqQ(col("cv")))
+
+    val enc = subVecs(emb, "id").withColumn("nn", normSqQ(col("sv")))
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("id"), col("sub_id"),
+        struct(d2(col("sv"), col("nn"), col("cv"), col("cnn")).as("d2"),
+          col("c_id").as("cid")).as("sc"))
+      .groupBy(col("id"), col("sub_id")).agg(min(col("sc")).as("mn"))
+      .select(col("id"), col("sub_id"), col("mn.cid").as("code"))
+
+    val lut = subVecs(queries, "q_id").withColumn("qn", normSqQ(col("sv")))
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("c_id").as("code"),
+        d2(col("sv"), col("qn"), col("cv"), col("cnn")).as("d2"))
+
+    enc.join(broadcast(lut), Seq("sub_id", "code"))
+      .where(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKPairs.topK(k)(
+        (-col("adc_d2")).cast("double"), col("id").cast("long")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("p", "x")))
+      .select(col("q_id"), (col("p") + 1).as("rank"),
+        col("x._2").as("n_id"), (-col("x._1")).cast("long").as("adc_d2"))
+  }
+
   /** Deterministic seeded k-means (Lloyd) trainer for IVF coarse
     * codebooks, so [[ivfTopK]] doesn't depend on caller-supplied
     * centroids. Returns (id: 0..k-1, vec: array<float>) ready to pass

@@ -127,8 +127,43 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ms
   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
+  // --- hopping (sliding) windows --------------------------------------
+  /** 1-hour windows sliding every 15 minutes — the overlapping-window
+    * twin of `ev_hourly` (each event lands in width/slide = 4 windows).
+    * Spark's `window(ts, width, slide)` explodes exactly those
+    * assignments before a plain hash aggregate; the oracle restates the
+    * explode with generate_series on epoch-ms integers.
+    */
+  private val HopSlideMs = 900000L
+  private val HopWidthMs = 3600000L
+
+  private def hopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("value_sum"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("value_sum"))
+      .orderBy("window_start_ms", "event_type")
+
+  private val hoppingOracle = s"""WITH e AS (
+  SELECT epoch_ms(ts) AS ms, event_type,
+    CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT (ms // $HopSlideMs) * $HopSlideMs - j * $HopSlideMs AS window_start_ms,
+    event_type, cents
+  FROM e, unnest(generate_series(0, ${HopWidthMs / HopSlideMs - 1})) AS t(j)
+)
+SELECT window_start_ms, event_type, COUNT(*) AS n_events,
+  CAST(SUM(cents) AS BIGINT) / ${D("100")} AS value_sum
+FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_hourly", hourly, Some(hourlyOracle)),
+    QueryDef("ev_hopping", hopping, Some(hoppingOracle)),
     QueryDef("ev_props_extract", propsExtract, Some(propsOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
     QueryDef("ev_rolling_1h", rolling, Some(rollingOracle)),

@@ -207,6 +207,91 @@ SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_id
 FROM buckets GROUP BY bucket ORDER BY bucket"""
   }
 
+  // --- PQ (product quantization) ADC top-k ----------------------------
+  /** Per-subspace codebooks from an id stride (like the IVF cells —
+    * production trains per-subspace k-means; the dataflow is
+    * identical). m=4 subspaces of 16 dims; distances are exact BIGINT
+    * squared-L2 on quantized units end-to-end, so even the output
+    * column is integer — nothing for float accumulation to flip.
+    */
+  private val PqM = 4
+  private val PqSub = Dim / PqM
+
+  private def pq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.pqTopK(
+      e,
+      e.where(pmod(col("id"), lit(QueryStride)) === 0),
+      e.where(pmod(col("id"), lit(CentroidStride)) === 0),
+      PqM, Dim, K)
+      .orderBy("q_id", "rank")
+  }
+
+  private val pqOracle: String = s"""WITH $quantCtes,
+sub AS (
+  SELECT vec_id, CAST((i - 1) // $PqSub AS INT) AS m, i, e FROM flat
+),
+cwd AS (
+  SELECT s.vec_id, s.m, c.vec_id AS c_id,
+    CAST(SUM((s.e - c.e) * (s.e - c.e)) AS BIGINT) AS d2
+  FROM sub s JOIN sub c ON s.m = c.m AND s.i = c.i
+  WHERE c.vec_id % $CentroidStride = 0
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, m, c_id AS code FROM (
+    SELECT vec_id, m, c_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn
+    FROM cwd
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, m, c_id, d2 FROM cwd WHERE vec_id % $QueryStride = 0
+),
+adc AS (
+  SELECT l.q_id, e.vec_id AS n_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM enc e JOIN lut l ON l.m = e.m AND l.c_id = e.code
+  WHERE e.vec_id <> l.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, rank, n_id, adc_d2 FROM (
+  SELECT q_id, n_id, adc_d2,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS INT) AS rank
+  FROM adc
+) WHERE rank <= $K ORDER BY q_id, rank"""
+
+  // --- per-label centroids (class prototypes) --------------------------
+  /** Mean embedding per label — the class-prototype aggregate behind
+    * centroid classifiers and cluster drift checks. One (label, dim)
+    * keyed sum of exact quantized components (map-side combinable,
+    * order-independent), one double division at the end; output is a
+    * flat (label, dim_i) table — the layout a 100 TB pipeline actually
+    * stores centroids in (re-assembling arrays is a presentation
+    * concern).
+    */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(Similarity.quantize(col("embedding"))).as(Seq("i", "e")))
+      .groupBy(col("label"), (col("i") + 1).as("dim_i"))
+      .agg(count(lit(1)).as("n"), sum(col("e")).as("sum_q"))
+      .withColumn("mean",
+        col("sum_q").cast("double") / col("n") / Similarity.Scale)
+      .orderBy("label", "dim_i")
+
+  private val labelCentroidsOracle: String = s"""WITH q AS (
+  SELECT label,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${Similarity.Scale} + ${D("0.5")}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+f AS (
+  SELECT label, unnest(qv) AS e, unnest(generate_series(1, len(qv))) AS i FROM q
+)
+SELECT label, CAST(i AS INT) AS dim_i, COUNT(*) AS n,
+  CAST(SUM(e) AS BIGINT) AS sum_q,
+  CAST(SUM(e) AS DOUBLE) / COUNT(*) / ${Similarity.Scale} AS mean
+FROM f GROUP BY 1, 2 ORDER BY label, dim_i"""
+
   /** Embedding-cosine near-dup DEDUP decision: a vector is dropped when
     * any LSH-candidate neighbor with a smaller id has cosine >= τ
     * (keep-first policy, like the text dedup). Output = the full
@@ -332,6 +417,8 @@ FROM ranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
     QueryDef("s_ivf_topk", ivf, Some(ivfOracle)),
+    QueryDef("s_pq_topk", pq, Some(pqOracle)),
+    QueryDef("s_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)),
     QueryDef("s_bm25_topk", bm25, Some(bm25Oracle)),
     QueryDef("d_embedding_dedup", embDedup, Some(embDedupOracle)))

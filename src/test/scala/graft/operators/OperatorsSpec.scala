@@ -511,6 +511,35 @@ class OperatorsSpec extends SparkSpec {
       (12L, 2L, 1L, false)))
   }
 
+  test("PQ with m=1 and a full codebook reproduces exact L2 ranking") {
+    // with one subspace and every vector its own codeword, encode is the
+    // identity and ADC(q, v) = exact quantized squared L2 — so the PQ
+    // machinery must reproduce brute-force L2 exactly
+    val vecs: Seq[(Long, Seq[Float])] = (0L until 12L).map { i =>
+      (i, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 13).toFloat / 10f))
+    }
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity.pqTopK(df, df.where(col("id") < 2), df,
+      m = 1, dim = 4, k = 3)
+      .select("q_id", "rank", "n_id", "adc_d2")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.floor(x * 10000 + 0.5).toLong)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = vecs.take(2).flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) => (d2(q(qv), q(v)), id) }.sorted.take(3)
+        .zipWithIndex.map { case ((d, id), r) => (qid, r + 1, id, d) }
+    }
+    assert(got == expected)
+    // sanity: a PLANTED exact duplicate of query 0 ranks first at d2=0
+    val dup = df.unionByName(Seq((99L, vecs.head._2)).toDF("id", "vec"))
+    val withDup = Similarity.pqTopK(dup, dup.where(col("id") === 0), dup,
+      m = 2, dim = 4, k = 1)
+      .select("n_id", "adc_d2").as[(Long, Long)].collect().toSeq
+    assert(withDup == Seq((99L, 0L)))
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",
