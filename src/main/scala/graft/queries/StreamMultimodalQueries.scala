@@ -232,6 +232,30 @@ WHERE p.event_type = 'purchase'
   AND (v.event_id IS NOT NULL OR p.ms < (SELECT w FROM wm))
 ORDER BY purchase_id, view_id NULLS FIRST"""
 
+  /** transformWithState exemplar (Spark 4 arbitrary-state API,
+    * RocksDB-backed): per-user running sequence + cumulative cents,
+    * graded against the batch ROW_NUMBER / running-SUM window — the
+    * incremental plan must compute the batch answer.
+    */
+  private def streamTwsRunning(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.runningUserStats(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"))
+      EventStreams.runToMemory(s, out, "graft_stream_tws", OutputMode.Append())
+        .orderBy("event_id")
+    }
+
+  private val streamTwsRunningOracle = s"""WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+    CAST(FLOOR(value * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS seq,
+  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+FROM e ORDER BY event_id"""
+
   // reuse the batch oracles — streaming must produce the same answer
   private val streamHourlyOracle = EventQueries.hourlyOracle
   private val streamSessionizeOracle = """WITH e AS (
@@ -353,6 +377,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_sessions_wm", streamSessionsWm, Some(streamSessionsWmOracle)),
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("stream_join_outer", streamJoinOuter, Some(streamJoinOuterOracle)),
+    QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),

@@ -103,6 +103,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState carries named ValueState across micro-batches") {
+    val dir = Files.createTempDirectory("graft_tws").toString
+    def ev(id: Long, minute: Int, value: Double): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        7L, "click", value)
+
+    writeBatch(dir, "b1", Seq(ev(1, 0, 1.0), ev(2, 5, 2.5)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.runningUserStats(stream)
+
+    spark.streams.active.filter(_.name == "tws_test").foreach(_.stop())
+    val q = EventStreams.withRocksDbState(spark) {
+      out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("tws_test").start()
+    }
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("tws_test")
+        .select("event_id", "seq", "cum_cents")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(afterB1 == Set((1L, 1L, 100L), (2L, 2L, 350L)))
+
+      // batch 2: the RocksDB ValueState must resume at (2, 350)
+      writeBatch(dir, "b2", Seq(ev(3, 10, 0.5)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("tws_test")
+        .select("event_id", "seq", "cum_cents")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(afterB2 == afterB1 + ((3L, 3L, 400L)),
+        "named state must persist across micro-batches")
+    } finally q.stop()
+  }
+
   test("left-outer stream join: null rows emit only when the watermark releases them") {
     val dir = Files.createTempDirectory("graft_loj").toString
     def ev(id: Long, user: Long, kind: String, time: String): EventStreams.Event =
