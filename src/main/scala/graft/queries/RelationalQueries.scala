@@ -535,6 +535,36 @@ WHERE c_acctbal > (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + ${D("0.5")}) AS 
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  // --- q11: value concentration (TPC-H Q11 shape) --------------------
+  /** HAVING against an uncorrelated scalar aggregate over the same
+    * fact table: parts whose revenue exceeds 0.1% of TOTAL revenue.
+    * Catalyst evaluates the scalar subquery once (its own partial-
+    * combined aggregate) and the HAVING stays above the per-part
+    * final aggregate. The 0.1% boundary is exact integer math
+    * (`sum·1000 > total`), so no engine can round a part across it.
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("v11_lineitem")
+    s.sql("""WITH r AS (
+        SELECT l_partkey,
+          SUM(CAST(FLOOR(l_extendedprice * (1.0D - l_discount) * 10000 + 0.5D) AS BIGINT)) AS rev_bps
+        FROM v11_lineitem GROUP BY l_partkey)
+      SELECT l_partkey, CAST(rev_bps AS DOUBLE) / 10000 AS revenue
+      FROM r
+      WHERE rev_bps * 1000 > (SELECT SUM(rev_bps) FROM r)
+      ORDER BY rev_bps DESC, l_partkey""")
+  }
+
+  private val q11Oracle =
+    s"""WITH r AS (
+  SELECT l_partkey,
+    SUM(CAST(FLOOR(l_extendedprice * (${D("1")} - l_discount) * 10000 + ${D("0.5")}) AS BIGINT)) AS rev_bps
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, CAST(rev_bps AS DOUBLE) / 10000 AS revenue
+FROM r
+WHERE rev_bps * 1000 > (SELECT SUM(rev_bps) FROM r)
+ORDER BY rev_bps DESC, l_partkey"""
+
   // --- q13: customer order-count distribution (TPC-H Q13 shape) ------
   /** LEFT OUTER join with the filter in the JOIN CONDITION (the Q13
     * trap: a WHERE on the right side would silently turn the join
@@ -688,6 +718,7 @@ WHERE s_suppkey IN (
 ORDER BY s_suppkey"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q11_value_concentration", q11, Some(q11Oracle)),
     QueryDef("q13_order_histogram", q13, Some(q13Oracle)),
     QueryDef("q15_top_supplier", q15, Some(q15Oracle)),
     QueryDef("q16_supplier_count", q16, Some(q16Oracle)),
