@@ -298,6 +298,57 @@ class PlanSpec extends SparkSpec {
       s"the cumsum window must partition on shard (a global window is one task):\n${plan.take(2000)}")
   }
 
+  test("PQ ADC join broadcasts the lookup table; no vector arrays cross it") {
+    val df = SparkEntry.queries("s_pq_topk")(spark, Sf)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    // the (sub_id, code)-keyed ADC join must broadcast the per-query
+    // lookup table (bounded by queries × m × codewords)...
+    assert(joins.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      joins.map(_.getClass.getSimpleName).mkString(","))
+    // ...and the scan side of every join carries codes/ids, never the
+    // quantized vectors themselves — PQ's whole point is that the
+    // original vectors are untouched after encoding
+    val adcJoins = joins.filter(_.output.exists(_.name == "code"))
+    assert(adcJoins.nonEmpty)
+    adcJoins.foreach { j =>
+      val arrayCols = j.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"vectors must not cross the ADC join: ${arrayCols.map(_.name)}")
+    }
+  }
+
+  test("runtime Bloom filter prunes the fact side of a selective fact-fact join") {
+    // fact-fact joins too big to broadcast still avoid scanning rows
+    // the other side can never match: Catalyst injects a bloom filter
+    // built from the selective side into the big side's scan. The
+    // size thresholds are deployment knobs — at 100 TB the defaults
+    // trigger; at sf0.01 the application side must be allowed to be
+    // small. Broadcast is disabled to force the shuffle-join shape
+    // this optimization exists for.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val l = Tables(spark, Sf, "lineitem")
+      val o = Tables(spark, Sf, "orders").where(col("o_orderpriority") === "1-URGENT")
+      val df = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      val plan = planOf(df)
+      assert(plan.contains("might_contain"),
+        s"bloom runtime filter must reach the lineitem side:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bigram LM scoring join broadcasts the model; text never crosses a join") {
     import graft.operators.CorpusQuality
     val df = CorpusQuality.bigramLmScore(Tables(spark, Sf, "documents"),
