@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    EtlQueries.defs ++ RelationalQueries.defs ++ EventQueries.defs ++
+    EtlQueries.defs ++ RelationalQueries.defs ++ TpchDeepQueries.defs ++
+      EventQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++
       StreamMultimodalQueries.defs ++ ExtraQueries.defs ++ Olap2Queries.defs ++
       CorpusQueries.defs

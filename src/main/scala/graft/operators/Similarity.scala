@@ -139,6 +139,53 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication (cluster, then drop
+    * near-duplicates WITHIN each cluster): every embedding is assigned
+    * to its max-cosine centroid (ties to the smaller centroid id, as in
+    * [[ivfTopK]]), same-cluster pairs are scored with exact quantized
+    * cosine, and a vector is DROPPED when any smaller-id vector in its
+    * cluster is within `minCos` — the deterministic greedy keep-lowest-id
+    * policy (a keeper can therefore shadow transitively-similar
+    * higher-ids without comparing them to each other).
+    *
+    * Dataflow at scale: the codebook broadcasts (k ≈ √N rows, like IVF);
+    * assignment is a crossJoin + map-side-combined max-of-struct — no
+    * vector shuffle. The pair scan is quadratic ONLY within a cluster
+    * (clusters average N/k rows — the clustering exists precisely to
+    * bound the quadratic term); the self-join shuffles on `cell`, and a
+    * pathological mega-cluster is a codebook-quality problem (raise k),
+    * not a dataflow one. Returns every input id with its cell and a
+    * `kept` flag so callers can either filter or audit drop rates.
+    */
+  def semDedup(emb: DataFrame, centroids: DataFrame, minCos: Double): DataFrame = {
+    val base = emb.select(col("id"), quantize(col("vec")).as("qv"))
+      .withColumn("nn", normSqQ(col("qv")))
+    val cb = centroids.select(col("id").as("c_id"), quantize(col("vec")).as("cqv"))
+      .withColumn("cnn", normSqQ(col("cqv")))
+    val cells = base.crossJoin(broadcast(cb))
+      .select(col("id"), col("qv"), col("nn"),
+        struct(
+          cosineQ(dotQ(col("qv"), col("cqv")), col("nn"), col("cnn")).as("ccos"),
+          (-col("c_id")).as("negc")).as("sc"))
+      .groupBy(col("id")).agg(max(col("sc")).as("m"), first(col("qv")).as("qv"),
+        first(col("nn")).as("nn"))
+      .select(col("id"), (-col("m.negc")).cast("long").as("cell"),
+        col("qv"), col("nn"))
+    val a = cells.select(col("cell"), col("id").as("a_id"),
+      col("qv").as("a_qv"), col("nn").as("a_nn"))
+    val b = cells.select(col("cell"), col("id").as("b_id"),
+      col("qv").as("b_qv"), col("nn").as("b_nn"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .where(cosineQ(dotQ(col("a_qv"), col("b_qv")), col("a_nn"), col("b_nn"))
+        >= minCos)
+      .select(col("b_id").as("id")).distinct()
+    cells.select(col("id"), col("cell"))
+      .join(dropped.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
+
   /** Product-quantization (PQ) ADC top-k — the memory-compressed ANN
     * scale path beside IVF cells and LSH bands (and FAISS's default
     * pairing with IVF at billion-vector scale): vectors are stored as

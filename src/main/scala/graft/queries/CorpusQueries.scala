@@ -486,7 +486,46 @@ SELECT bucket_bits, CAST(POWER(2, bucket_bits) AS BIGINT) - 1 AS bucket_hi,
   n_docs * (CAST(POWER(2, bucket_bits) AS BIGINT) - 1) - sum_tokens AS pad_cells
 FROM b ORDER BY bucket_bits"""
 
+  /** Fixed-size overlapping character chunks (RAG / context-window prep):
+    * one output row per (doc, window start), stride < width so adjacent
+    * chunks overlap. Shuffle-free — `sequence`+`explode` expand inside
+    * the scan's codegen stage and every derived column (substr, length,
+    * md5) is a builtin; the only exchange is the final presentation sort.
+    * At 100 TB the explode multiplies rows ~2× (stride 150 over ~300-char
+    * docs) BEFORE any shuffle, which is exactly where you want the fan-out:
+    * no chunk text ever crosses the wire unless a downstream op asks.
+    */
+  private val ChunkLen = 200
+  private val ChunkStride = 150
+
+  private def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val chunk = col("text").substr(col("chunk_start") + 1, lit(ChunkLen))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - 1, lit(ChunkStride)))
+          .as("chunk_start"))
+      .select(col("doc_id"),
+        (col("chunk_start") / lit(ChunkStride)).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        length(chunk).cast("long").as("chunk_len"),
+        md5(chunk.cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  private val chunkOverlapOracle: String = s"""WITH starts AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, length(text) - 1, $ChunkStride)) AS s
+  FROM documents
+)
+SELECT doc_id,
+  CAST(s / $ChunkStride AS BIGINT) AS chunk_idx,
+  CAST(s AS BIGINT) AS chunk_start,
+  CAST(length(substr(text, s + 1, $ChunkLen)) AS BIGINT) AS chunk_len,
+  md5(substr(text, s + 1, $ChunkLen)) AS chunk_hash
+FROM starts ORDER BY doc_id, chunk_start"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_chunk_overlap", chunkOverlap, Some(chunkOverlapOracle)),
     QueryDef("t_pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("d_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
     QueryDef("t_length_buckets", lengthBuckets, Some(lengthBucketsOracle)),

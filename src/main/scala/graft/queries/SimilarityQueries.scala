@@ -413,8 +413,61 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
 FROM ranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
   }
 
+  /** SemDeDup: id-stride centroids (the [[ivfTopK]] oracle trick — the
+    * trained-codebook path is spec-verified), greedy keep-lowest-id
+    * within-cluster near-dup drop at cosine ≥ 0.4 (the corpus has no
+    * planted exact twins; 0.4 is where this synthetic embedding space
+    * starts producing same-cluster neighbors).
+    */
+  private val SemCos = 0.4
+
+  private def semdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.semDedup(
+      e, e.where(pmod(col("id"), lit(QueryStride)) === 0), SemCos)
+      .select(col("id").as("vec_id"), col("cell"), col("kept"))
+      .orderBy("vec_id")
+  }
+
+  private val semdedupOracle: String = s"""WITH $quantCtes,
+cd AS (
+  SELECT a.vec_id AS id, b.vec_id AS c_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i
+  WHERE b.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+),
+cc AS (
+  SELECT id, c_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS ccos
+  FROM cd JOIN norms na ON id = na.vec_id JOIN norms nb ON c_id = nb.vec_id
+),
+cells AS (
+  SELECT id, c_id AS cell FROM cc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) = 1
+),
+pr AS (
+  SELECT ca.id AS a_id, cb.id AS b_id
+  FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.id < cb.id
+),
+pd AS (
+  SELECT a_id, b_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM pr JOIN flat a ON a.vec_id = a_id
+    JOIN flat b ON b.vec_id = b_id AND a.i = b.i
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT b_id FROM pd
+  JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+    >= ${D(SemCos)}
+)
+SELECT c.id AS vec_id, c.cell, (b_id IS NULL) AS kept
+FROM cells c LEFT JOIN dropped ON c.id = b_id
+ORDER BY vec_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
+    QueryDef("s_semdedup", semdedup, Some(semdedupOracle)),
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
     QueryDef("s_ivf_topk", ivf, Some(ivfOracle)),
     QueryDef("s_pq_topk", pq, Some(pqOracle)),

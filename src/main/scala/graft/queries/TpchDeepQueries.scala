@@ -1,0 +1,327 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Sql.D
+
+/** The remaining classic TPC-H decision-support shapes (Q2/Q4/Q6/Q8/Q9/
+  * Q10/Q21), adapted to this testdata's schema: there is no `partsupp`
+  * table (the part↔supplier association is DERIVED as `DISTINCT
+  * (l_partkey, l_suppkey)` — at 100 TB that one distinct over the fact
+  * table would be a materialized table of its own), no
+  * `l_commitdate`/`l_receiptdate` (lateness is re-expressed as
+  * "shipped > 365 days after the order date" — ship and order dates are
+  * independently generated here, so the predicate is synthetic but
+  * well-defined), and no `ps_supplycost` (Q9's cost leg substitutes
+  * `0.5 × p_retailprice × l_quantity`).
+  *
+  * Scale notes: every dimension side (part filters, region-filtered
+  * supplier/customer sets, nation/region) broadcasts — only fact tables
+  * shuffle, and only keyed on their join columns; Q21's classic
+  * EXISTS/NOT-EXISTS double self-join is reformulated as ONE pass of
+  * per-order supplier aggregates (`n_supp`/`n_late`), turning two extra
+  * fact-scale joins into a map-side-combinable groupBy (the oracle SQL
+  * keeps the textbook correlated form to prove equivalence); top-k
+  * finals are orderBy+limit → TakeOrderedAndProject, never a full sort.
+  * Money math follows the package ground rules: cents/bps integer
+  * quantization before any SUM, so no float-order divergence.
+  */
+object TpchDeepQueries {
+
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+  private def bps(c: Column): Column = floor(c * 10000 + 0.5).cast("long")
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  private val LateDays = 365
+  private def isLate: Column =
+    col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $LateDays DAYS")
+  private val lateSql = s"l_shipdate > o_orderdate + INTERVAL $LateDays DAY"
+
+  // --- q2: min-balance supplier per part in a region (Q2 shape) ------
+  // partsupp stands in as DISTINCT (l_partkey, l_suppkey); the original's
+  // correlated MIN(ps_supplycost) subquery becomes MIN(s_acctbal) over
+  // each part's regional suppliers, decorrelated by hand into a groupBy +
+  // equi-join back (what Catalyst does to the textbook form anyway).
+  private def q2(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = Tables(s, dir, "part")
+      .where(col("p_size") <= 10 && col("p_type") === "SMALL")
+      .select(col("p_partkey"))
+    val eu = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region").where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        cents(col("s_acctbal")).as("bal_c"))
+    val j = ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_name"), col("n_name"), col("bal_c"))
+    val minb = j.groupBy(col("p_partkey")).agg(min(col("bal_c")).as("min_c"))
+    j.join(minb, Seq("p_partkey")).where(col("bal_c") === col("min_c"))
+      .select((col("bal_c") / 100.0).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  private val q2Oracle = s"""WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+eu AS (
+  SELECT s_suppkey, s_name, n_name,
+    CAST(FLOOR(s_acctbal * ${D("100")} + ${D("0.5")}) AS BIGINT) AS bal_c
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+j AS (
+  SELECT p_partkey, s_name, n_name, bal_c
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+  WHERE p_size <= 10 AND p_type = 'SMALL'
+)
+SELECT CAST(bal_c AS DOUBLE) / ${D("100")} AS s_acctbal, s_name, n_name, p_partkey
+FROM j
+QUALIFY bal_c = MIN(bal_c) OVER (PARTITION BY p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100"""
+
+  // --- q4: order-priority checking (Q4 shape) ------------------------
+  // EXISTS (a late lineitem) → left-semi join; the non-equi lateness
+  // predicate rides the equi hash join as a post-probe filter.
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .where(col("o_orderdate") >= lit(ts("1997-01-01")) &&
+        col("o_orderdate") < lit(ts("1997-04-01")))
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") && isLate, "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4Oracle = s"""SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND $lateSql)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+  // --- q6: forecasting revenue change (Q6 shape) ---------------------
+  // Pure scan-side query: every predicate pushes to the parquet scan,
+  // the aggregate is a single partial-combined global sum — the plan is
+  // one codegen stage plus a 1-row exchange.
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit(ts("1998-01-01")) &&
+        col("l_shipdate") < lit(ts("1999-01-01")) &&
+        col("l_discount").between(lit(0.05), lit(0.07)) &&
+        col("l_quantity") < 24)
+      .agg((sum(bps(col("l_extendedprice") * col("l_discount"))) / 10000.0)
+        .as("revenue"))
+
+  private val q6Oracle = s"""SELECT
+  ${Sql.sumBps("l_extendedprice * l_discount")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_discount BETWEEN ${D("0.05")} AND ${D("0.07")}
+  AND l_quantity < 24"""
+
+  // --- q8: national market share (Q8 shape) --------------------------
+  // Share of one supplier nation's revenue among AMERICA-region
+  // customers' PROMO-part orders, by year. Both sums share one
+  // aggregation; the share division happens on the two exact BIGINT
+  // sums.
+  private def q8(s: SparkSession, dir: String): DataFrame = {
+    val amerCust = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region").where(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supNation = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("sn_name"))
+    val o = Tables(s, dir, "orders")
+      .where(col("o_orderdate") >= lit(ts("1996-01-01")) &&
+        col("o_orderdate") < lit(ts("1998-01-01")))
+    val p = Tables(s, dir, "part").where(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val vol = bps(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    Tables(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(amerCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("sn_name") === "NATION_3", vol).otherwise(lit(0L)))
+          .as("nation_bps"),
+        sum(vol).as("total_bps"))
+      .select(col("o_year"),
+        (col("nation_bps").cast("double") / col("total_bps").cast("double"))
+          .as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val q8Oracle = s"""WITH rows_v AS (
+  SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year, sn.n_name AS sn_name,
+    CAST(FLOOR(l_extendedprice * (${D("1")} - l_discount) * ${D("10000")}
+      + ${D("0.5")}) AS BIGINT) AS vol_bps
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+  CAST(SUM(CASE WHEN sn_name = 'NATION_3' THEN vol_bps ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(vol_bps) AS DOUBLE) AS mkt_share
+FROM rows_v
+GROUP BY o_year
+ORDER BY o_year"""
+
+  // --- q9: product-type profit (Q9 shape) ----------------------------
+  // Profit = revenue − cost, BOTH quantized per-row BEFORE the subtraction
+  // and the sum, so the oracle can reproduce the exact BIGINT stream.
+  private def q9(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part").where(col("p_name").like("%bolt%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supNation = Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profit = bps(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) -
+      bps(lit(0.5) * col("p_retailprice") * col("l_quantity"))
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg((sum(profit) / 10000.0).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Oracle = s"""SELECT n_name AS nation,
+  CAST(YEAR(o_orderdate) AS INT) AS o_year,
+  CAST(SUM(
+    CAST(FLOOR(l_extendedprice * (${D("1")} - l_discount) * ${D("10000")}
+      + ${D("0.5")}) AS BIGINT)
+    - CAST(FLOOR(${D("0.5")} * p_retailprice * l_quantity * ${D("10000")}
+      + ${D("0.5")}) AS BIGINT)) AS BIGINT) / ${D("10000")} AS sum_profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, CAST(YEAR(o_orderdate) AS INT)
+ORDER BY nation, o_year DESC"""
+
+  // --- q10: returned-item reporting (Q10 shape) ----------------------
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .where(col("o_orderdate") >= lit(ts("1997-07-01")) &&
+        col("o_orderdate") < lit(ts("1997-10-01")))
+    val c = Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+    Tables(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg((sum(bps(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Oracle = s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+  ${Sql.sumBps(s"l_extendedprice * (${D("1")} - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+  // --- q21: suppliers who kept orders waiting (Q21 shape) ------------
+  // The textbook form is three fact-scale scans (l1 + EXISTS l2 +
+  // NOT EXISTS l3). Here: ONE lineitem⋈orders pass → per-(order,
+  // supplier) lateness → per-order counts via a WINDOW over the
+  // compacted rows (a self-join against a per-order aggregate would
+  // re-materialize the whole subtree — two scans); a supplier "kept
+  // order o waiting" iff it is late in o, o has ≥2 suppliers, and it is
+  // the ONLY late one — exactly the EXISTS/NOT-EXISTS conjunction the
+  // oracle SQL states literally. The window partition is one order
+  // (bounded by suppliers-per-order), so no skew risk.
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val lo = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders").where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), isLate.cast("int").as("late_i"))
+    val perSupp = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late_i")).as("late_i"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late_i")).over(w))
+      .where(col("late_i") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .join(broadcast(Tables(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val q21Oracle = s"""WITH lo AS (
+  SELECT l_orderkey, l_suppkey, ($lateSql) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (
+    SELECT 1 FROM lo l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lo l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q2_min_supplier", q2, Some(q2Oracle)),
+    QueryDef("q4_priority_late", q4, Some(q4Oracle)),
+    QueryDef("q6_forecast_revenue", q6, Some(q6Oracle)),
+    QueryDef("q8_market_share", q8, Some(q8Oracle)),
+    QueryDef("q9_profit_by_nation", q9, Some(q9Oracle)),
+    QueryDef("q10_returned_items", q10, Some(q10Oracle)),
+    QueryDef("q21_waiting_suppliers", q21, Some(q21Oracle)))
+}

@@ -349,6 +349,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21 aggregate reformulation scans lineitem once, not the textbook 3x") {
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, Sf)
+    // AQE hides scan nodes from collect(); count them in the plan text
+    val scans = planOf(df).linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    // the EXISTS + NOT EXISTS pair is folded into per-order counts over
+    // ONE lineitem pass — at 100 TB the two extra fact-scale self-joins
+    // are the difference between one shuffle and three
+    assert(scans == 1, s"expected exactly one lineitem scan, got $scans:\n" +
+      planOf(df).take(2000))
+    assert(planOf(df).contains("partial_"),
+      "per-(order,supplier) lateness agg must combine map-side")
+  }
+
   test("bigram LM scoring join broadcasts the model; text never crosses a join") {
     import graft.operators.CorpusQuality
     val df = CorpusQuality.bigramLmScore(Tables(spark, Sf, "documents"),

@@ -540,6 +540,47 @@ class OperatorsSpec extends SparkSpec {
     assert(withDup == Seq((99L, 0L)))
   }
 
+  test("semDedup: near-dups drop to the lowest id, clusters never interact") {
+    val df = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(0.99f, 0.01f, 0.0f, 0.0f), // near-dup of 1 → dropped
+      3L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      4L -> Seq(0.0f, 0.98f, 0.1f, 0.0f),  // near-dup of 3 → dropped
+      5L -> Seq(0.6f, 0.0f, 0.8f, 0.0f),   // cluster 1 but cos 0.6 < τ → kept
+      6L -> Seq(0.98f, 0.03f, 0.0f, 0.0f)  // dup of both 1 and 2 → dropped once
+    ).toDF("id", "vec")
+    val cents = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      3L -> Seq(0.0f, 1.0f, 0.0f, 0.0f)).toDF("id", "vec")
+    val res = Similarity.semDedup(df, cents, 0.9)
+      .orderBy("id").select("id", "cell", "kept")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(res == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 3L, false), (5L, 1L, true), (6L, 1L, false)))
+  }
+
+  test("chunk overlap: strided starts, clipped tail, full coverage per doc") {
+    import graft.SparkEntry
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    val chunks = SparkEntry.queries("t_chunk_overlap")(spark, Sf)
+    val bad = chunks.join(docs, "doc_id")
+      .where(
+        // starts are exact multiples of the stride, inside the doc
+        col("chunk_start") =!= col("chunk_idx") * 150 ||
+          col("chunk_start") >= col("n") ||
+          // every chunk is full-width unless clipped by doc end
+          col("chunk_len") =!= least(lit(200), col("n") - col("chunk_start")))
+    assert(bad.count() == 0)
+    // per doc: chunk count is ceil(n / stride) → tail gap < stride
+    val counts = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), max(col("chunk_start")).as("last"))
+      .join(docs, "doc_id")
+      .where(col("c") =!= ceil(col("n") / 150.0) || col("last") < col("n") - 150)
+    assert(counts.count() == 0)
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",
