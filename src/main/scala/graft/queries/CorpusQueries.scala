@@ -524,7 +524,93 @@ SELECT doc_id,
   md5(substr(text, s + 1, $ChunkLen)) AS chunk_hash
 FROM starts ORDER BY doc_id, chunk_start"""
 
+  // --- per-source document cap (domain-balance gate) ------------------
+  /** Keep at most `SourceCap` docs per source, chosen by a
+    * content-stable hash order (md5 of the doc text's first 48 bits as
+    * the sort key) — the domain-balancing cap every web-scale corpus
+    * applies so one mega-domain can't dominate training. Retry- and
+    * partitioning-stable: the kept set depends only on content. The
+    * per-group selection is the bounded [[graft.functions.TopKPairs]]
+    * aggregate (≤cap rows per source survive each map partition), NOT a
+    * row_number window — source is a low-cardinality key, exactly the
+    * window-funnel shape q_group_topn's plan pin warns about.
+    */
+  private val SourceCap = 20
+
+  private def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+    Tables(s, dir, "documents")
+      .select(col("source"), col("doc_id"), (-h.cast("double")).as("score"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKPairs.topK(SourceCap)(
+        col("score"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "x")))
+      .select(col("source"), (col("p") + 1).cast("long").as("rk"),
+        col("x._2").as("doc_id"), (-col("x._1")).cast("long").as("hash_key"))
+      .orderBy("source", "rk")
+  }
+
+  private val sourceCapOracle: String = s"""WITH d AS (
+  SELECT source, doc_id,
+    CAST(('0x' || substring(md5(text), 1, 12)) AS BIGINT) AS hash_key
+  FROM documents
+)
+SELECT source,
+  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hash_key, doc_id) AS BIGINT) AS rk,
+  doc_id, hash_key
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY hash_key, doc_id) <= $SourceCap
+ORDER BY source, rk"""
+
+  // --- OOV rate vs the corpus vocabulary head -------------------------
+  /** Tokenizer-coverage stat: per-doc fraction of tokens outside the
+    * corpus top-`OovVocab` vocabulary. Two passes over the token stream
+    * (vocab build, then per-doc membership) — the vocab side is
+    * k-bounded (TakeOrdered, broadcasts into the membership join), so
+    * the only fact-scale shuffle is the per-doc aggregate.
+    */
+  private val OovVocab = 100
+
+  private def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(OovVocab)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  private val oovRateOracle: String = s"""WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+vocab AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT $OovVocab
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (token)
+GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_source_cap", sourceCap, Some(sourceCapOracle)),
+    QueryDef("t_oov_rate", oovRate, Some(oovRateOracle)),
     QueryDef("t_chunk_overlap", chunkOverlap, Some(chunkOverlapOracle)),
     QueryDef("t_pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("d_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),

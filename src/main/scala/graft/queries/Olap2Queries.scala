@@ -73,6 +73,36 @@ FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
 ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
 
+  /** UNPIVOT (wide → long melt), the inverse of pivot: a 3-measure
+    * per-flag aggregate melts into (flag, measure, value) rows. Spark's
+    * `unpivot` expands rows AFTER the aggregate — at scale the melt is a
+    * per-row projection (no shuffle, no measure-count blowup before the
+    * agg). All measures are exact BIGINTs so the long format needs no
+    * value-type union.
+    */
+  private def unpivotQ(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty_i"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty_i"), col("n_rows"), col("n_orders")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  private val unpivotOracle = """WITH a AS (
+  SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty_i,
+    COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty_i' AS measure, sum_qty_i AS value FROM a
+UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a
+UNION ALL SELECT l_returnflag, 'n_orders', n_orders FROM a
+ORDER BY l_returnflag, measure"""
+
   /** Exact interpolated quantiles ((n−1)·p definition in both engines),
     * rounded to 2 dp to absorb any last-ulp interpolation difference.
     */
@@ -158,6 +188,7 @@ FROM f ORDER BY doc_id"""
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_unpivot", unpivotQ, Some(unpivotOracle)),
     QueryDef("q_pivot", pivot, Some(pivotOracle)),
     QueryDef("q_cube", cube, Some(cubeOracle)),
     QueryDef("q_quantiles", quantiles, Some(quantilesOracle)),

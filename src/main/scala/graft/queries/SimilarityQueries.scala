@@ -465,9 +465,61 @@ SELECT c.id AS vec_id, c.cell, (b_id IS NULL) AS kept
 FROM cells c LEFT JOIN dropped ON c.id = b_id
 ORDER BY vec_id"""
 
+  /** IVF codebook quality (inertia): per-cell member count and EXACT
+    * summed squared-L2 distance to the assigned centroid, in quantized
+    * units (d² = ‖v‖² + ‖c‖² − 2v·c, all BIGINT). The per-round metric a
+    * production IVF/SemDeDup re-trainer watches: rising inertia or a
+    * mega-cell means the codebook no longer fits the corpus. Same
+    * broadcast-codebook assignment dataflow as [[Similarity.ivfTopK]] —
+    * one crossJoin against ~√N centroids, map-side-combined argmax, then
+    * a cells-sized aggregate.
+    */
+  private def ivfInertia(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.select(col("id"), Similarity.quantize(col("vec")).as("qv"))
+      .withColumn("nn", Similarity.normSqQ(col("qv")))
+    val cb = e.where(pmod(col("id"), lit(QueryStride)) === 0)
+      .select(col("id").as("c_id"), Similarity.quantize(col("vec")).as("cqv"))
+      .withColumn("cnn", Similarity.normSqQ(col("cqv")))
+    val dot = Similarity.dotQ(col("qv"), col("cqv"))
+    base.crossJoin(broadcast(cb))
+      .select(col("id"),
+        struct(
+          Similarity.cosineQ(dot, col("nn"), col("cnn")).as("ccos"),
+          (-col("c_id")).as("negc"),
+          (col("nn") + col("cnn") - lit(2L) * dot).as("d2")).as("sc"))
+      .groupBy(col("id")).agg(max(col("sc")).as("m"))
+      .select(col("id"), (-col("m.negc")).cast("long").as("cell"),
+        col("m.d2").as("d2"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_d2"))
+      .orderBy("cell")
+  }
+
+  private val ivfInertiaOracle: String = s"""WITH $quantCtes,
+cd AS (
+  SELECT a.vec_id AS id, b.vec_id AS c_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i
+  WHERE b.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+),
+cc AS (
+  SELECT id, c_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS ccos,
+    na.nn + nb.nn - 2 * dot AS d2
+  FROM cd JOIN norms na ON id = na.vec_id JOIN norms nb ON c_id = nb.vec_id
+),
+best AS (
+  SELECT id, c_id AS cell, d2 FROM cc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) = 1
+)
+SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM best GROUP BY cell ORDER BY cell"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
     QueryDef("s_semdedup", semdedup, Some(semdedupOracle)),
+    QueryDef("s_ivf_inertia", ivfInertia, Some(ivfInertiaOracle)),
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
     QueryDef("s_ivf_topk", ivf, Some(ivfOracle)),
     QueryDef("s_pq_topk", pq, Some(pqOracle)),
