@@ -161,7 +161,116 @@ SELECT window_start_ms, event_type, COUNT(*) AS n_events,
   CAST(SUM(cents) AS BIGINT) / ${D("100")} AS value_sum
 FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
 
+  /** SCD2-style validity intervals: each user's event_type stream is
+    * compressed to change points, every change point valid from its own
+    * timestamp until the next change (NULL = still current) — the
+    * slowly-changing-dimension build every warehouse derives from an
+    * event log. Two window passes over the SAME (user_id) partitioning
+    * (change detection, then interval close-off on the compressed rows);
+    * the second pass runs on strictly fewer rows and reuses the
+    * partitioning, so the fact table shuffles once.
+    */
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_ms", lead(col("_ms"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("_ms").as("valid_from_ms"), col("valid_to_ms"))
+      .orderBy("user_id", "valid_from_ms")
+  }
+
+  private val scd2Oracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS _ms FROM events
+), l AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS prev_type
+  FROM e
+), chg AS (
+  SELECT * FROM l WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, _ms AS valid_from_ms,
+  LEAD(_ms) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS valid_to_ms
+FROM chg ORDER BY user_id, valid_from_ms"""
+
+  /** Weekly cohort retention: users bucketed by first-activity week,
+    * counted in each later week they return. Two aggregates: per-user
+    * first day (150 rows here, √N-ish at scale → broadcast back), then
+    * a distinct-count per (cohort, offset) cell. All date math is
+    * integer days/weeks — no timezone or DST arithmetic can diverge.
+    */
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("2024-01-01"))
+    val e = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("c_day"))
+    e.join(broadcast(cohort), Seq("user_id"))
+      .groupBy(
+        floor(datediff(col("c_day"), epoch) / 7).cast("long").as("cohort_week"),
+        floor(datediff(col("d"), col("c_day")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val retentionOracle = """WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+), cohort AS (
+  SELECT user_id, MIN(d) AS c_day FROM e GROUP BY 1
+)
+SELECT
+  CAST(FLOOR(date_diff('day', DATE '2024-01-01', c_day) / 7.0) AS BIGINT) AS cohort_week,
+  CAST(FLOOR(date_diff('day', c_day, d) / 7.0) AS BIGINT) AS week_offset,
+  COUNT(DISTINCT user_id) AS n_users
+FROM e JOIN cohort USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+
+  /** Strictly-ordered conversion funnel (view → click → purchase): a
+    * user advances a stage only with a LATER event of the next type;
+    * each stage is a conditional min-timestamp aggregate joined forward
+    * (the per-user stage tables shrink monotonically and broadcast).
+    * Nothing scans events more than once per stage, and no window
+    * funnels all users into one task.
+    */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("_ms"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("_ms")).as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id")).where(col("_ms") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("_ms")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id")).where(col("_ms") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("_ms")).as("t_purchase"))
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  private val funnelOracle = """WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS _ms FROM events
+), v AS (
+  SELECT user_id, MIN(_ms) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(_ms) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND _ms > t_view GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(_ms) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND _ms > t_click GROUP BY 1
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+  (SELECT COUNT(*) FROM v) AS n_view,
+  (SELECT COUNT(*) FROM c) AS n_click,
+  (SELECT COUNT(*) FROM p) AS n_purchase"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_scd2_intervals", scd2, Some(scd2Oracle)),
+    QueryDef("ev_retention", retention, Some(retentionOracle)),
+    QueryDef("ev_funnel", funnel, Some(funnelOracle)),
     QueryDef("ev_hourly", hourly, Some(hourlyOracle)),
     QueryDef("ev_hopping", hopping, Some(hoppingOracle)),
     QueryDef("ev_props_extract", propsExtract, Some(propsOracle)),

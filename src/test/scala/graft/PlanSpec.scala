@@ -363,6 +363,17 @@ class PlanSpec extends SparkSpec {
       "per-(order,supplier) lateness agg must combine map-side")
   }
 
+  test("SCD2 change-detect and interval-close share one user_id exchange") {
+    val df = SparkEntry.queries("ev_scd2_intervals")(spark, Sf)
+    val plan = planOf(df)
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // lag (change detection) and lead (validity close-off) both partition
+    // on user_id with the same ordering — the filter between them must
+    // not force a second fact-scale shuffle
+    assert(hashEx == 1, s"expected one hash exchange, got $hashEx:\n${plan.take(2000)}")
+    assert(plan.linesIterator.count(_.contains("Window [")) == 2, plan.take(2000))
+  }
+
   test("bigram LM scoring join broadcasts the model; text never crosses a join") {
     import graft.operators.CorpusQuality
     val df = CorpusQuality.bigramLmScore(Tables(spark, Sf, "documents"),
