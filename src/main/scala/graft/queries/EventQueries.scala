@@ -267,7 +267,35 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
   (SELECT COUNT(*) FROM c) AS n_click,
   (SELECT COUNT(*) FROM p) AS n_purchase"""
 
+  /** CDC-style compaction (latest record per key): ONE max-of-struct
+    * aggregate ordered by (ms, event_id) — map-side combinable, so each
+    * partition forwards a single candidate per key and no window ever
+    * funnels a key's full history into one task. The batch twin of the
+    * streaming `foreachBatch` upsert exemplar.
+    */
+  private def latestByKey(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_millis(col("ts")).as("ms"), col("event_id").as("eid"),
+          col("event_type").as("et"), cents(col("value")).as("vc")).as("rec"))
+      .groupBy(col("user_id")).agg(max(col("rec")).as("m"))
+      .select(col("user_id"), col("m.ms").as("last_ms"),
+        col("m.eid").as("last_event_id"), col("m.et").as("last_type"),
+        (col("m.vc") / 100.0).as("last_value"))
+      .orderBy("user_id")
+
+  private val latestByKeyOracle = s"""WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS last_ms, event_id AS last_event_id,
+    event_type AS last_type,
+    CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) / ${D("100")} AS last_value
+  FROM events
+)
+SELECT user_id, last_ms, last_event_id, last_type, last_value FROM e
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY last_ms DESC, last_event_id DESC) = 1
+ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     QueryDef("ev_scd2_intervals", scd2, Some(scd2Oracle)),
     QueryDef("ev_retention", retention, Some(retentionOracle)),
     QueryDef("ev_funnel", funnel, Some(funnelOracle)),

@@ -161,6 +161,31 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.purchase_ms >= v.view_ms
 ORDER BY p.event_id"""
 
   // --- reader/writer round-trips (W1/W2 + S2/S3 through the oracle) ---
+  /** Line-text roundtrip: serialize (orderkey|flag) lines, write/read
+    * through the text source, re-parse, aggregate — proving the raw-line
+    * on-ramp loses nothing. Parsing happens distributed in the scan
+    * stage (split + cast, codegen'd).
+    */
+  private def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables(s, dir, "lineitem").select(
+      concat(col("l_orderkey").cast("string"), lit("|"), col("l_returnflag"))
+        .as("value"))
+    val tmp = Files.createTempDirectory("graft_rt_text").toString
+    val path = s"$tmp/lines.txt"
+    Writers.text(lines, path)
+    Readers.read(s, path)
+      .select(split(col("value"), "\\|").as("p"))
+      .select(col("p").getItem(0).cast("long").as("l_orderkey"),
+        col("p").getItem(1).as("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("key_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  private val textRoundtripOracle = """SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
   private def roundtrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select(
       col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
@@ -321,6 +346,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),
     QueryDef("ev_asof_join", asofJoinQ, Some(asofJoinOracle)),
     QueryDef("ev_asof_join_chunked", asofJoinChunkedQ, Some(asofJoinOracle)),
+    QueryDef("io_text_roundtrip", textRoundtrip, Some(textRoundtripOracle)),
     QueryDef("io_csv_roundtrip", (s, d) => roundtrip(s, d, "csv"), Some(roundtripOracle)),
     QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)),
     QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)),

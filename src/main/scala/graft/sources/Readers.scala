@@ -74,6 +74,14 @@ object Readers {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** S4c (extension; pairs with [[Writers.text]]): line-oriented text —
+    * one row per line in a single `value` string column. The on-ramp
+    * for raw corpora (one doc/record per line) before any schema is
+    * imposed; splittable and distributed like every other file source.
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Extension (multimodal ingestion): raw files as rows —
     * (path, modificationTime, length, content binary) via Spark's
     * `binaryFile` source. This is the on-ramp for image/audio/video
@@ -113,6 +121,7 @@ object Readers {
       case "json"           => json(spark, path)
       case "parquet"        => parquet(spark, path)
       case "orc"            => orc(spark, path)
+      case "txt" | "text"   => text(spark, path)
       case "db" | "sqlite"  => jdbc(spark, s"jdbc:sqlite:$path")
       case "xlsx"           => xlsx(spark, path)
       case other =>

@@ -33,6 +33,13 @@ object Writers {
   def orc(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
     part(df, singleFile).write.mode("overwrite").orc(path)
 
+  /** W3c (extension; pairs with [[Readers.text]]): line-oriented text.
+    * Requires a single string column (the caller owns serialization —
+    * text is a LINE sink, not a table sink).
+    */
+  def text(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    part(df, singleFile).write.mode("overwrite").text(path)
+
   /** W4 (`sources/writers.py:45-59`): chunked append → JDBC batch insert,
     * which Spark's JDBC writer already does per partition. Derby stands in
     * for sqlite offline (same code path, different URL).

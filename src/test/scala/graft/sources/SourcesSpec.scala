@@ -129,6 +129,16 @@ class SourcesSpec extends SparkSpec {
     assert(xl.count() == 50 && xl.columns.length == 13)
   }
 
+  test("text round-trip: lines survive verbatim; dispatch routes .txt") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_text_rt")
+    val p = s"$dir/lines.txt"
+    val lines = Seq("alpha|1", "beta|2", "with spaces and | pipe", "")
+    Writers.text(lines.toDF("value"), p)
+    val back = Readers.read(spark, p).as[String].collect().toSeq
+    assert(back.sorted == lines.sorted)
+  }
+
   test("xlsx reader honours r= cell refs: omitted empty cells don't shift columns") {
     // Excel/xlsxwriter omit empty cells entirely and address the rest by
     // reference — build such a sheet by hand (external-upload shape)
