@@ -608,7 +608,49 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM tok LEFT JOIN vocab v USING (token)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  // --- group-wise text top-k (per-source vocabulary heads) -------------
+  /** Top-3 tokens per source by frequency: the group-wise text top-k,
+    * via the bounded string-payload [[graft.functions.TopKNamed]]
+    * aggregate — NOT a row_number window over (source), which would pull
+    * each source's ENTIRE vocabulary into one task (5 sources over a
+    * million-term vocab = 5 mega-tasks). Counts ≤ 2^53 stay exact in the
+    * double score lane.
+    */
+  private val TokTopK = 3
+
+  private def topTokensPerSource(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKNamed.topK(TokTopK)(
+        col("n").cast("double"), col("token")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("p", "x")))
+      .select(col("source"), (col("p") + 1).cast("long").as("rk"),
+        col("x._2").as("token"), col("x._1").cast("long").as("n"))
+      .orderBy("source", "rk")
+
+  private val topTokensOracle: String = s"""WITH tok AS (
+  SELECT source, token FROM (
+    SELECT source,
+      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+cnt AS (
+  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT source,
+  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS BIGINT) AS rk,
+  token, CAST(n AS BIGINT) AS n
+FROM cnt
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) <= $TokTopK
+ORDER BY source, rk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_top_tokens_per_source", topTokensPerSource, Some(topTokensOracle)),
     QueryDef("t_source_cap", sourceCap, Some(sourceCapOracle)),
     QueryDef("t_oov_rate", oovRate, Some(oovRateOracle)),
     QueryDef("t_chunk_overlap", chunkOverlap, Some(chunkOverlapOracle)),

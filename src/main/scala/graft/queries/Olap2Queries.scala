@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.Transform
@@ -103,6 +104,70 @@ UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a
 UNION ALL SELECT l_returnflag, 'n_orders', n_orders FROM a
 ORDER BY l_returnflag, measure"""
 
+  /** Month-over-month growth: the classic reporting shape — aggregate to
+    * a monthly series (exact cents), then lag along it. The window is
+    * GLOBAL but runs on the post-aggregate series (one row per month —
+    * dozens of rows at any corpus size), which is the only place a
+    * global window is acceptable; the fact-scale work is all in the
+    * partial-combined groupBy.
+    */
+  private def momGrowth(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ym"))
+    Tables(s, dir, "orders")
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("ym"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"))
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .select(col("ym"), (col("rev_c") / 100.0).as("revenue"),
+        ((col("rev_c") - col("prev_c")).cast("double") / col("prev_c").cast("double"))
+          .as("growth"))
+      .orderBy("ym")
+  }
+
+  private val momGrowthOracle = s"""WITH m AS (
+  SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+    CAST(SUM(CAST(FLOOR(o_totalprice * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT ym, rev_c, LAG(rev_c) OVER (ORDER BY ym) AS prev_c FROM m
+)
+SELECT ym, CAST(rev_c AS BIGINT) / ${D("100")} AS revenue,
+  CAST(rev_c - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE) AS growth
+FROM l ORDER BY ym"""
+
+  /** first_value / last_value / nth_value over an unbounded frame — the
+    * remaining window-function family: per customer, first/last/second
+    * order in date order, one output row per customer (rn = 1 filter on
+    * the same window, so one sort serves all four functions).
+    */
+  private def windowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"),
+        row_number().over(wRank).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("first_order"), col("last_order"),
+        col("second_order"))
+      .orderBy("o_custkey")
+  }
+
+  private val windowFirstLastOracle = """SELECT o_custkey,
+  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+  LAST_VALUE(o_orderkey) OVER w AS last_order,
+  NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+ORDER BY o_custkey"""
+
   /** Exact interpolated quantiles ((n−1)·p definition in both engines),
     * rounded to 2 dp to absorb any last-ulp interpolation difference.
     */
@@ -189,6 +254,8 @@ FROM f ORDER BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_unpivot", unpivotQ, Some(unpivotOracle)),
+    QueryDef("q_mom_growth", momGrowth, Some(momGrowthOracle)),
+    QueryDef("q_window_firstlast", windowFirstLast, Some(windowFirstLastOracle)),
     QueryDef("q_pivot", pivot, Some(pivotOracle)),
     QueryDef("q_cube", cube, Some(cubeOracle)),
     QueryDef("q_quantiles", quantiles, Some(quantilesOracle)),
