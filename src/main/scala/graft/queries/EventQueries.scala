@@ -148,7 +148,7 @@ ORDER BY event_id"""
         col("event_type"), col("n_events"), col("value_sum"))
       .orderBy("window_start_ms", "event_type")
 
-  private val hoppingOracle = s"""WITH e AS (
+  private[queries] val hoppingOracle = s"""WITH e AS (
   SELECT epoch_ms(ts) AS ms, event_type,
     CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) AS cents
   FROM events

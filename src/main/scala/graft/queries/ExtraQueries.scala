@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -215,6 +215,53 @@ FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
   MAX(l_shipdate) AS max_ship
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --- Z-order clustering key (multi-dimensional layout) ---------------
+  /** Morton/Z-order bit interleave of two key columns, plus a per-tile
+    * locality summary. At 100 TB this is the LAYOUT operator for
+    * multi-dimensional pruning: sort-by-z before writing and every file's
+    * (min,max) footer stats cover a small rectangle of the key space, so
+    * point/range predicates on EITHER dimension skip most files — the
+    * partition-prune story (io_partition_prune) generalized to two
+    * correlated dimensions. The interleave is a literal chain of
+    * shift/mask/or terms (codegen'd, shuffle-free); the oracle restates
+    * the same bits from the same Scala constants. Each z>>8 bucket is by
+    * construction a 16×16 tile: the min/max spreads in the output ARE the
+    * file-stat tightness a z-sorted layout would get.
+    */
+  private val ZBits = 8
+
+  private def zInterleave(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private def zorderLocality(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_partkey").bitwiseAND(lit(255L))
+    val y = col("l_suppkey").bitwiseAND(lit(255L))
+    Tables(s, dir, "lineitem")
+      .select(x.as("x"), y.as("y"))
+      .withColumn("z", zInterleave(col("x"), col("y")))
+      .groupBy(shiftright(col("z"), 8).as("z_tile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy("z_tile")
+  }
+
+  private val zorderOracle: String = {
+    val terms = (0 until ZBits).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+    s"""WITH k AS (
+  SELECT l_partkey & 255 AS x, l_suppkey & 255 AS y FROM lineitem
+), z AS (
+  SELECT x, y, ${terms.mkString(" | ")} AS z FROM k
+)
+SELECT z >> 8 AS z_tile, COUNT(*) AS n,
+  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+FROM z GROUP BY 1 ORDER BY z_tile"""
+  }
+
   // --- partitioned layout + partition pruning -------------------------
   /** Hive-style partitioned parquet write, read back with a partition
     * filter: the layout that turns a 100 TB scan into a single-partition
@@ -350,5 +397,6 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("io_csv_roundtrip", (s, d) => roundtrip(s, d, "csv"), Some(roundtripOracle)),
     QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)),
     QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)),
-    QueryDef("io_partition_prune", partitionPrune, Some(partitionPruneOracle)))
+    QueryDef("io_partition_prune", partitionPrune, Some(partitionPruneOracle)),
+    QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)))
 }

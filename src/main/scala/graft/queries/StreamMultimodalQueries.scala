@@ -29,6 +29,17 @@ object StreamMultimodalQueries {
       .orderBy("hour_epoch", "event_type")
   }
 
+  /** Streaming twin of `ev_hopping`: the overlapping-window aggregate
+    * run through a real streaming query (Complete mode — the replay fits
+    * the horizon), hash-checked against the SAME generate_series oracle.
+    */
+  private def streamHopping(s: SparkSession, dir: String): DataFrame = {
+    val out = EventStreams.hoppingCounts(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"))
+    EventStreams.runToMemory(s, out, "graft_stream_hopping", OutputMode.Complete())
+      .orderBy("window_start_ms", "event_type")
+  }
+
   private def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val events = EventStreams.eventsStream(s, s"$dir/events.parquet")
@@ -370,6 +381,7 @@ FROM documents ORDER BY media_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("stream_hourly", streamHourly, Some(streamHourlyOracle)),
+    QueryDef("stream_hopping", streamHopping, Some(EventQueries.hoppingOracle)),
     QueryDef("stream_hourly_append", streamHourlyAppend, Some(streamHourlyAppendOracle)),
     QueryDef("stream_sessionize", streamSessionize, Some(streamSessionizeOracle)),
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),

@@ -44,8 +44,10 @@ object TpchDeepQueries {
   // --- q2: min-balance supplier per part in a region (Q2 shape) ------
   // partsupp stands in as DISTINCT (l_partkey, l_suppkey); the original's
   // correlated MIN(ps_supplycost) subquery becomes MIN(s_acctbal) over
-  // each part's regional suppliers, decorrelated by hand into a groupBy +
-  // equi-join back (what Catalyst does to the textbook form anyway).
+  // each part's regional suppliers — computed as a window min over the
+  // joined rows (partition key p_partkey is high-cardinality, so no
+  // funnel), NOT a groupBy + join-back, which would materialize the
+  // whole ps⋈part⋈supplier subtree twice (two fact scans).
   private def q2(s: SparkSession, dir: String): DataFrame = {
     val ps = Tables(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey")).distinct()
@@ -59,11 +61,12 @@ object TpchDeepQueries {
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"),
         cents(col("s_acctbal")).as("bal_c"))
-    val j = ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_name"), col("n_name"), col("bal_c"))
-    val minb = j.groupBy(col("p_partkey")).agg(min(col("bal_c")).as("min_c"))
-    j.join(minb, Seq("p_partkey")).where(col("bal_c") === col("min_c"))
+      .withColumn("min_c", min(col("bal_c")).over(w))
+      .where(col("bal_c") === col("min_c"))
       .select((col("bal_c") / 100.0).as("s_acctbal"), col("s_name"),
         col("n_name"), col("p_partkey"))
       .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_name"))

@@ -37,6 +37,22 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Sliding (hopping) 1-hour/15-minute event-time windows, streaming:
+    * identical semantics to the batch `ev_hopping` query. Each event
+    * joins width/slide = 4 window states; with the watermark, windows
+    * older than (watermark − width) are evictable — the overlapping-
+    * window state story at scale is window-count × key-count, bounded
+    * by the horizon.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / 100.0).as("value_sum"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
   /** 30-minute-gap sessionization, incremental: per-user state carries
     * (last event ms, session count, event count) across micro-batches.
     * Within a batch events are sorted by (ms, event_id) — iterator order

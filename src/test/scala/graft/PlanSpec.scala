@@ -374,6 +374,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Window [")) == 2, plan.take(2000))
   }
 
+  test("q2's correlated MIN runs as a window over the joined rows — one fact scan") {
+    val df = SparkEntry.queries("q2_min_supplier")(spark, Sf)
+    val plan = planOf(df)
+    val scans = plan.linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"groupBy+join-back would scan lineitem twice, got $scans")
+    assert(plan.contains("BroadcastHashJoin"), "part/supplier dims must broadcast")
+  }
+
   test("bigram LM scoring join broadcasts the model; text never crosses a join") {
     import graft.operators.CorpusQuality
     val df = CorpusQuality.bigramLmScore(Tables(spark, Sf, "documents"),

@@ -581,6 +581,16 @@ class OperatorsSpec extends SparkSpec {
     assert(counts.count() == 0)
   }
 
+  test("z-order tiles are 16x16 rectangles: per-tile key spreads stay bounded") {
+    // the locality a z-sorted file layout turns into tight min/max
+    // footer stats — each z>>8 bucket must cover one 16×16 tile, never a
+    // stripe across the key space (which is what a plain (x,y) sort gives)
+    val df = graft.SparkEntry.queries("io_zorder_locality")(spark, Sf)
+    val bad = df.where(
+      col("max_x") - col("min_x") > 15 || col("max_y") - col("min_y") > 15)
+    assert(bad.count() == 0)
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",
