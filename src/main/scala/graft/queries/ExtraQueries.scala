@@ -305,6 +305,34 @@ GROUP BY l_returnflag ORDER BY l_returnflag"""
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // --- salted distinct-count for hot groups ---------------------------
+  /** COUNT(DISTINCT) under group skew, the two-stage salted formulation:
+    * the salt is a HASH OF THE DISTINCT KEY, so each distinct orderkey
+    * lands in exactly one (group, salt) cell and per-cell distinct
+    * counts ADD exactly — stage 1 spreads a hot group's distinct state
+    * over `DistinctSalts` cells (instead of one task holding the whole
+    * group's key set), stage 2 sums the disjoint partials. Graded
+    * against the plain COUNT(DISTINCT) oracle: must be equal, not
+    * approximate. The same shape scales any "big-state per hot key"
+    * aggregate (collect_set, exact percentile buckets).
+    */
+  private val DistinctSalts = 16
+
+  private def saltedDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        pmod(xxhash64(col("l_orderkey")), lit(DistinctSalts)).as("_salt"))
+      .agg(countDistinct(col("l_orderkey")).as("part_orders"),
+        count(lit(1)).as("part_rows"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("part_orders")).as("n_orders"),
+        sum(col("part_rows")).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val saltedDistinctOracle = """SELECT l_returnflag,
+  COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // --- range join via interval bucketing ------------------------------
   /** Orders matched to overlapping price bands (derived from `nation`,
     * $10k-spaced, $15k-wide — every order can hit 1-2 bands) with
@@ -388,6 +416,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("q_interval_overlap", intervalOverlap, Some(intervalOverlapOracle)),
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinOracle)),
     QueryDef("q_salted_skew_join", saltedSkewJoin, Some(saltedOracle)),
+    QueryDef("q_salted_distinct", saltedDistinct, Some(saltedDistinctOracle)),
     QueryDef("d_simhash", simhash, Some(simhashOracle)),
     QueryDef("d_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),
