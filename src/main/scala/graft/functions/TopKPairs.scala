@@ -3,38 +3,45 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Bounded per-group top-k over (score, id) pairs, ordered by
-  * (score DESC, id ASC) — the tie-break a deterministic ranking needs.
-  * Like [[TopKAggregator]] but keeping the id alongside the score, so a
-  * per-query nearest-neighbour rank can be rebuilt from the aggregate
-  * output without a global `row_number` window.
+/** Shared bounded top-k core: k-sized associative buffer over
+  * (score, payload) pairs, ordered by (score DESC, payload ASC) — the
+  * tie-break a deterministic ranking needs. Concrete payloads
+  * ([[TopKPairs]]: Long id, [[TopKNamed]]: String name) only supply
+  * encoders.
   *
   * Why it matters at scale: partial aggregation keeps at most k pairs
   * per group per map partition, so a brute-force scorer shuffles
   * O(partitions × k) rows per query instead of funneling ALL N×Q scored
   * rows into Q window tasks. Same math, bounded memory, bounded shuffle.
   */
-final case class TopKPairs(k: Int)
-    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+abstract class BoundedTopK[P](k: Int)(implicit pOrd: Ordering[P])
+    extends Aggregator[(Double, P), List[(Double, P)], Seq[(Double, P)]] {
   require(k > 0)
 
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by { case (score, id) => (-score, id) }
+  private val ord: Ordering[(Double, P)] =
+    Ordering.by { case (score, p) => (-score, p) }
 
-  override def zero: List[(Double, Long)] = Nil
+  final override def zero: List[(Double, P)] = Nil
 
-  override def reduce(buf: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] =
+  final override def reduce(buf: List[(Double, P)], v: (Double, P)): List[(Double, P)] =
     trim(v :: buf)
 
-  override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+  final override def merge(a: List[(Double, P)], b: List[(Double, P)]): List[(Double, P)] =
     trim(a ::: b)
 
-  private def trim(xs: List[(Double, Long)]): List[(Double, Long)] =
+  private def trim(xs: List[(Double, P)]): List[(Double, P)] =
     xs.sorted(ord).take(k)
 
-  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] =
+  final override def finish(buf: List[(Double, P)]): Seq[(Double, P)] =
     buf.sorted(ord)
+}
 
+/** [[BoundedTopK]] with a Long id payload. Like [[TopKAggregator]] but
+  * keeping the id alongside the score, so a per-query nearest-neighbour
+  * rank can be rebuilt from the aggregate output without a global
+  * `row_number` window.
+  */
+final case class TopKPairs(k: Int) extends BoundedTopK[Long](k) {
   override def bufferEncoder: Encoder[List[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
 

@@ -158,6 +158,10 @@ object Similarity {
     * `kept` flag so callers can either filter or audit drop rates.
     */
   def semDedup(emb: DataFrame, centroids: DataFrame, minCos: Double): DataFrame = {
+    // an empty codebook would silently drop every id from the output
+    // (crossJoin with nothing); the check is one cheap action on a
+    // codebook-sized frame
+    require(!centroids.isEmpty, "semDedup needs a non-empty codebook")
     val base = emb.select(col("id"), quantize(col("vec")).as("qv"))
       .withColumn("nn", normSqQ(col("qv")))
     val cb = centroids.select(col("id").as("c_id"), quantize(col("vec")).as("cqv"))

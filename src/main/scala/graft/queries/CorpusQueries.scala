@@ -501,6 +501,9 @@ FROM b ORDER BY bucket_bits"""
   private def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
     val chunk = col("text").substr(col("chunk_start") + 1, lit(ChunkLen))
     Tables(s, dir, "documents")
+      // sequence(0, -1, …) throws on an empty doc; the oracle's
+      // generate_series yields zero rows — filter to match it exactly
+      .where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), length(col("text")) - 1, lit(ChunkStride)))
           .as("chunk_start"))

@@ -178,9 +178,11 @@ FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .withColumn("valid_to_ms", lead(col("_ms"), 1).over(w))
-      .select(col("user_id"), col("event_type"),
+      .select(col("user_id"), col("event_id"), col("event_type"),
         col("_ms").as("valid_from_ms"), col("valid_to_ms"))
-      .orderBy("user_id", "valid_from_ms")
+      // event_id in the output + sort: two change points can share a
+      // millisecond, and the driver compare is position-sensitive
+      .orderBy("user_id", "valid_from_ms", "event_id")
   }
 
   private val scd2Oracle = """WITH e AS (
@@ -191,9 +193,9 @@ FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
 ), chg AS (
   SELECT * FROM l WHERE prev_type IS NULL OR prev_type <> event_type
 )
-SELECT user_id, event_type, _ms AS valid_from_ms,
+SELECT user_id, event_id, event_type, _ms AS valid_from_ms,
   LEAD(_ms) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS valid_to_ms
-FROM chg ORDER BY user_id, valid_from_ms"""
+FROM chg ORDER BY user_id, valid_from_ms, event_id"""
 
   /** Weekly cohort retention: users bucketed by first-activity week,
     * counted in each later week they return. Two aggregates: per-user

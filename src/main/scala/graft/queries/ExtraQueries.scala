@@ -224,9 +224,10 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     * partition-prune story (io_partition_prune) generalized to two
     * correlated dimensions. The interleave is a literal chain of
     * shift/mask/or terms (codegen'd, shuffle-free); the oracle restates
-    * the same bits from the same Scala constants. Each z>>8 bucket is by
-    * construction a 16×16 tile: the min/max spreads in the output ARE the
-    * file-stat tightness a z-sorted layout would get.
+    * the same bits from the same Scala constants. Each z>>ZBits bucket
+    * is by construction a square 2^(ZBits/2)-wide tile (16×16 here): the
+    * min/max spreads in the output ARE the file-stat tightness a
+    * z-sorted layout would get.
     */
   private val ZBits = 8
 
@@ -242,7 +243,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     Tables(s, dir, "lineitem")
       .select(x.as("x"), y.as("y"))
       .withColumn("z", zInterleave(col("x"), col("y")))
-      .groupBy(shiftright(col("z"), 8).as("z_tile"))
+      .groupBy(shiftright(col("z"), ZBits).as("z_tile"))
       .agg(count(lit(1)).as("n"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
@@ -257,7 +258,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 ), z AS (
   SELECT x, y, ${terms.mkString(" | ")} AS z FROM k
 )
-SELECT z >> 8 AS z_tile, COUNT(*) AS n,
+SELECT z >> $ZBits AS z_tile, COUNT(*) AS n,
   MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
 FROM z GROUP BY 1 ORDER BY z_tile"""
   }
