@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((ident, info, builder))
     }
     e.injectOptimizerRule(_ => HammingIdentityFold)
+    e.injectOptimizerRule(_ => DotToNormSq)
   }
 }
 
@@ -33,6 +34,21 @@ object HammingIdentityFold extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case StringHammingDistance(a, b) if a.deterministic && a.semanticEquals(b) =>
         If(IsNull(a), Literal(null, IntegerType), Literal(0, IntegerType))
+    }
+}
+
+/** Algebraic strength reduction: `graft_dot(a, a)` over a deterministic
+  * `a` IS `graft_norm_sq(a)` — one array traversal instead of a paired
+  * walk, and the single-child form lets Catalyst's common-subexpression
+  * elimination share it with an explicit norm column in the same
+  * projection (the exact shape every cosine query in
+  * `graft.operators.Similarity` produces).
+  */
+object DotToNormSq extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case LongArrayDot(a, b) if a.deterministic && a.semanticEquals(b) =>
+        LongArrayNormSq(a)
     }
 }
 

@@ -76,6 +76,21 @@ class PlansSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(0), None))
   }
 
+  test("DotToNormSq rule rewrites dot(a, a) into the single-walk norm") {
+    if (!spark.experimental.extraOptimizations.contains(DotToNormSq))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotToNormSq
+    // non-literal input: a LocalRelation of literals would constant-fold
+    // the whole expression away before the rule can be observed
+    val df = spark.range(1)
+      .select(array(col("id") + 3L, col("id") + 4L).as("v"))
+      .select(graft.plans.LongArrayMath.dot(col("v"), col("v")).as("d"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("longarraydot"), opt)
+    assert(opt.contains("longarraynormsq"), opt)
+    assert(df.head().getLong(0) == 25L)
+  }
+
   test("simhash: identical docs identical sigs; near-dups within hamming 3") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
