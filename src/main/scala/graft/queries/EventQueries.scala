@@ -197,6 +197,55 @@ SELECT user_id, event_id, event_type, _ms AS valid_from_ms,
   LEAD(_ms) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS valid_to_ms
 FROM chg ORDER BY user_id, valid_from_ms, event_id"""
 
+  /** The SCD2 READ path: each purchase event looked up against the
+    * change-point dimension built by [[scd2]] — "what state was this
+    * user in when they purchased?" — via the generic
+    * [[graft.operators.Joins.asofJoin]] (latest change at-or-before the
+    * purchase). Change points are first compacted to one row per
+    * (user, ms) (latest event_id wins — the as-of contract requires a
+    * unique right side per key/time). Composition of two graded
+    * operators; the oracle restates it with DuckDB's NATIVE ASOF JOIN.
+    */
+  private def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val chg = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .groupBy(col("user_id"), col("_ms").as("valid_from_ms"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("valid_from_ms"),
+        col("m.event_type").as("state_type"))
+    val purchases = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+    graft.operators.Joins.asofJoin(
+        purchases, "ms", chg, "valid_from_ms", Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        col("valid_from_ms"), col("state_type"))
+      .orderBy("event_id")
+  }
+
+  private val scd2LookupOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS _ms FROM events
+), l AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS prev_type
+  FROM e
+), chg AS (
+  SELECT user_id, _ms AS valid_from_ms,
+    arg_max(event_type, event_id) AS state_type
+  FROM l WHERE prev_type IS NULL OR prev_type <> event_type
+  GROUP BY 1, 2
+), p AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ms, chg.valid_from_ms, chg.state_type
+FROM p ASOF LEFT JOIN chg
+  ON p.user_id = chg.user_id AND p.ms >= chg.valid_from_ms
+ORDER BY p.event_id"""
+
   /** Weekly cohort retention: users bucketed by first-activity week,
     * counted in each later week they return. Two aggregates: per-user
     * first day (150 rows here, √N-ish at scale → broadcast back), then
@@ -298,6 +347,7 @@ ORDER BY user_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_latest_by_key", latestByKey, Some(latestByKeyOracle)),
+    QueryDef("ev_scd2_lookup", scd2Lookup, Some(scd2LookupOracle)),
     QueryDef("ev_scd2_intervals", scd2, Some(scd2Oracle)),
     QueryDef("ev_retention", retention, Some(retentionOracle)),
     QueryDef("ev_funnel", funnel, Some(funnelOracle)),

@@ -231,6 +231,36 @@ WHERE rn <= 3 ORDER BY c_nationkey, rn"""
         col("x._2").as("c_custkey"), col("x._1").as("c_acctbal"))
       .orderBy("c_nationkey", "rn")
 
+  // --- ratio-to-report: percent-of-total window ---------------------
+  /** Each nation's share of total revenue: SUM() OVER () on the
+    * POST-AGGREGATE rows (one per nation) — the empty-partition window
+    * is fine there because the fact-scale work already collapsed in the
+    * partial-combined groupBy; the share division runs on two exact
+    * BIGINT sums.
+    */
+  private def qRatioToReport(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("c_acctbal"))).as("bal_c"))
+      .withColumn("share",
+        col("bal_c").cast("double") / sum(col("bal_c")).over(wAll).cast("double"))
+      .select(col("n_name"), (col("bal_c") / 100.0).as("balance"), col("share"))
+      .orderBy("n_name")
+  }
+
+  private val qRatioOracle = s"""WITH a AS (
+  SELECT n_name,
+    CAST(SUM(CAST(FLOOR(c_acctbal * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS bal_c
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name, CAST(bal_c AS BIGINT) / ${D("100")} AS balance,
+  CAST(bal_c AS DOUBLE) / CAST(SUM(bal_c) OVER () AS DOUBLE) AS share
+FROM a ORDER BY n_name"""
+
   // --- q7: volume shipping between two nations (TPC-H Q7 shape) -----
   /** Six-way join with two roles for the same dimension (supplier's
     * nation vs customer's nation) and a disjunctive pair filter — the
@@ -745,5 +775,6 @@ ORDER BY s_suppkey"""
     QueryDef("q_distinct_agg", qDistinct, Some(qDistinctOracle)),
     QueryDef("q_topk", qTopK, Some(qTopKOracle)),
     QueryDef("q_setops", qSetOps, Some(qSetOpsOracle)),
-    QueryDef("q_rollup", qRollup, Some(qRollupOracle)))
+    QueryDef("q_rollup", qRollup, Some(qRollupOracle)),
+    QueryDef("q_ratio_to_report", qRatioToReport, Some(qRatioOracle)))
 }
