@@ -75,7 +75,11 @@ SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank
     Similarity.lshCandidates(emb(s, dir), planes, Bands, RowsPerBand, MinCos)
       .orderBy("a_id", "b_id")
 
-  private val lshOracle: String = {
+  /** The LSH-candidate CTE chain (planes → bits → buckets → bands →
+    * cand → scored), shared by the candidate-listing oracle and the
+    * recall-measurement oracle.
+    */
+  private lazy val lshCandCtes: String = {
     val planeValues = (for {
       (plane, p) <- planes.zipWithIndex
       (r, i) <- plane.zipWithIndex
@@ -83,8 +87,7 @@ SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank
     val bandSelects = (0 until Bands).map { b =>
       s"SELECT vec_id, $b AS band, substring(bucket, ${b * RowsPerBand + 1}, $RowsPerBand) AS bkey FROM buckets"
     }.mkString(" UNION ALL ")
-    s"""WITH $quantCtes,
-planes(p, i, r) AS (VALUES $planeValues),
+    s"""planes(p, i, r) AS (VALUES $planeValues),
 bits AS (
   SELECT f.vec_id, pl.p,
     CASE WHEN CAST(SUM(f.e * pl.r) AS BIGINT) > 0 THEN '1' ELSE '0' END AS bit
@@ -105,13 +108,85 @@ dots AS (
   JOIN flat fa ON fa.vec_id = c.a_id
   JOIN flat fb ON fb.vec_id = c.b_id AND fb.i = fa.i
   GROUP BY 1, 2
-)
-SELECT a_id, b_id,
-  CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
-FROM dots JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
-WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= ${D(MinCos)}
-ORDER BY a_id, b_id"""
+),
+scored_cand AS (
+  SELECT a_id, b_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+  FROM dots JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
+)"""
   }
+
+  private val lshOracle: String = s"""WITH $quantCtes,
+$lshCandCtes
+SELECT a_id, b_id, cosine FROM scored_cand
+WHERE cosine >= ${D(MinCos)}
+ORDER BY a_id, b_id"""
+
+  // --- LSH recall measurement (index-quality evaluation) --------------
+  /** Recall of the LSH index against exact brute force, restricted to
+    * the probe set (probe-restricted is also what keeps the exact side
+    * linear — probes × corpus, broadcast like every query-side
+    * structure, never all-pairs): one row of (exact pairs ≥ τ,
+    * probe-touching candidates, hits, recall). The evaluation harness an
+    * ANN deployment runs after every re-index; banding guarantees make
+    * recall probabilistic, so it must be MEASURED, not assumed.
+    */
+  private def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.select(col("id"), Similarity.quantize(col("vec")).as("qv"))
+      .withColumn("nn", Similarity.normSqQ(col("qv")))
+    val probesQ = base.where(pmod(col("id"), lit(QueryStride)) === 0)
+      .select(col("id").as("p_id"), col("qv").as("pqv"), col("nn").as("pn"))
+    val exact = base.crossJoin(broadcast(probesQ))
+      .where(col("id") =!= col("p_id"))
+      .select(least(col("id"), col("p_id")).as("a_id"),
+        greatest(col("id"), col("p_id")).as("b_id"),
+        Similarity.cosineQ(Similarity.dotQ(col("qv"), col("pqv")),
+          col("nn"), col("pn")).as("cosine"))
+      .where(col("cosine") >= MinCos)
+      .select("a_id", "b_id").distinct()
+    val cand = Similarity.lshCandidates(e, planes, Bands, RowsPerBand, MinCos)
+      .where(pmod(col("a_id"), lit(QueryStride)) === 0 ||
+        pmod(col("b_id"), lit(QueryStride)) === 0)
+      .select("a_id", "b_id")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(exact.join(cand, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits")))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+  }
+
+  private val lshRecallOracle: String = s"""WITH $quantCtes,
+$lshCandCtes,
+ppairs AS (
+  SELECT DISTINCT LEAST(p.vec_id, v.vec_id) AS a_id,
+    GREATEST(p.vec_id, v.vec_id) AS b_id
+  FROM q p, q v WHERE p.vec_id % $QueryStride = 0 AND p.vec_id <> v.vec_id
+),
+pdots AS (
+  SELECT a_id, b_id, CAST(SUM(fa.e * fb.e) AS BIGINT) AS dot
+  FROM ppairs JOIN flat fa ON fa.vec_id = a_id
+    JOIN flat fb ON fb.vec_id = b_id AND fb.i = fa.i
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT a_id, b_id FROM pdots
+  JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+    >= ${D(MinCos)}
+),
+candp AS (
+  SELECT a_id, b_id FROM scored_cand
+  WHERE cosine >= ${D(MinCos)}
+    AND (a_id % $QueryStride = 0 OR b_id % $QueryStride = 0)
+),
+hits AS (SELECT a_id, b_id FROM exact INTERSECT SELECT a_id, b_id FROM candp)
+SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+  (SELECT COUNT(*) FROM candp) AS n_cand,
+  (SELECT COUNT(*) FROM hits) AS n_hits,
+  CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+    / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall"""
 
   // --- IVF top-k: coarse-codebook inverted-file ANN -----------------
   private val CentroidStride = 25 // vec_id % 25 == 0 → ~N/25 cells
@@ -521,6 +596,7 @@ FROM best GROUP BY cell ORDER BY cell"""
     QueryDef("s_semdedup", semdedup, Some(semdedupOracle)),
     QueryDef("s_ivf_inertia", ivfInertia, Some(ivfInertiaOracle)),
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
+    QueryDef("s_lsh_recall", lshRecall, Some(lshRecallOracle)),
     QueryDef("s_ivf_topk", ivf, Some(ivfOracle)),
     QueryDef("s_pq_topk", pq, Some(pqOracle)),
     QueryDef("s_label_centroids", labelCentroids, Some(labelCentroidsOracle)),

@@ -497,6 +497,40 @@ class StreamingSpec extends SparkSpec {
       s"watermarked state must have evicted phase 1: $bounded")
   }
 
+  test("hopping windows: every overlapping window counts the event; late data dropped") {
+    val dir = Files.createTempDirectory("graft_hop").toString
+    def ev(id: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), 1L, "click", 1.0)
+    def ms(time: String): Long = Timestamp.valueOf(s"2024-01-01 $time").getTime
+
+    // 10:20 lands in the four 1 h/15 min windows starting 09:30..10:15;
+    // 12:40 advances the watermark (1 h) to 11:40 — all four finalize
+    writeBatch(dir, "b1", Seq(ev(1, "10:20:00"), ev(2, "12:40:00")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.hoppingCounts(stream)
+
+    spark.streams.active.filter(_.name == "hop_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("hop_test").start()
+    try {
+      q.processAllAvailable()
+      // 10:25 is behind the 11:40 watermark: its windows already closed,
+      // the event must be dropped, counts unchanged
+      writeBatch(dir, "b2", Seq(ev(3, "10:25:00")))
+      q.processAllAvailable()
+
+      val got = spark.table("hop_test")
+        .select("window_start_ms", "n_events").as[(Long, Long)].collect().toMap
+      val expected = Seq("09:30:00", "09:45:00", "10:00:00", "10:15:00").map(ms)
+      expected.foreach { w =>
+        assert(got.get(w) == Some(1L),
+          s"window $w must hold exactly the one pre-watermark event: $got")
+      }
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode") {
     val dir = Files.createTempDirectory("graft_wm").toString
     def ev(id: Long, time: String): EventStreams.Event =
