@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -263,19 +263,90 @@ FROM k"""
     149174L -> (25L, 12606694280402L, 4099790687566794914L), // sf0.01
     1485576L -> (258L, 128680520897329L, -6546949235987285721L)) // sf0.1
 
-  private val minhashOracle: String = {
-    val mins = minhashMins
+  /** sigs → bands → cand CTE chain shared by the candidate-listing and
+    * sketch-accuracy oracles.
+    */
+  private lazy val minhashCandCtes: String = {
     val bandSelects = (0 until Bands).map { b =>
       val key = s"md5(${(0 until Rows).map(r => s"h${b * Rows + r}").mkString(" || ")})"
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
     }.mkString(" UNION ALL ")
+    s"""sigs AS (SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id),
+bands AS ($bandSelects),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+  }
+
+  private val minhashOracle: String = s"""WITH $shingleCtes,
+$minhashCandCtes
+SELECT a_id, b_id FROM cand ORDER BY a_id, b_id"""
+
+  // --- MinHash sketch accuracy (estimate vs exact Jaccard) ------------
+  /** Per candidate pair: the MinHash ESTIMATE (matching signature lanes
+    * / K) beside the exact shingle-set Jaccard — the sketch-accuracy
+    * audit that decides whether K lanes are enough for the dedup
+    * threshold in use. The exact side runs only on the CANDIDATE pairs
+    * (bounded by the banding), never all-pairs; the estimate side is a
+    * K-term lane comparison on the already-aggregated signatures.
+    */
+  private def minhashAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
+    val sigs = TextDedup.minHashSignatures(sh, K)
+    val cand = TextDedup.lshCandidates(sigs, Bands, Rows)
+    val sigA = sigs.select(col("doc_id").as("a_id") +:
+      (0 until K).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val sigB = sigs.select(col("doc_id").as("b_id") +:
+      (0 until K).map(i => col(s"h$i").as(s"b_h$i")): _*)
+    val nMatch = (0 until K).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0): Column).reduce(_ + _)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(broadcast(sigA), Seq("a_id")).join(broadcast(sigB), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), (nMatch.cast("double") / K).as("est_jaccard"))
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .select(col("a_id"), col("b_id"), col("est_jaccard"), col("jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private val minhashAccuracyOracle: String = {
+    val nMatch = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH $shingleCtes,
-sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-bands AS ($bandSelects)
-SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-ORDER BY a_id, b_id"""
+$minhashCandCtes,
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sa.shingle = sb.shingle
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT c.a_id, c.b_id, CAST($nMatch AS DOUBLE) / $K AS est_jaccard
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id JOIN sigs sb ON sb.doc_id = c.b_id
+)
+SELECT e.a_id, e.b_id, e.est_jaccard,
+  CAST(COALESCE(n_inter, 0) AS DOUBLE)
+    / CAST(za.n + zb.n - COALESCE(n_inter, 0) AS DOUBLE) AS jaccard,
+  ABS(e.est_jaccard - CAST(COALESCE(n_inter, 0) AS DOUBLE)
+    / CAST(za.n + zb.n - COALESCE(n_inter, 0) AS DOUBLE)) AS abs_err
+FROM est e
+LEFT JOIN inter USING (a_id, b_id)
+JOIN sz za ON e.a_id = za.doc_id JOIN sz zb ON e.b_id = zb.doc_id
+ORDER BY e.a_id, e.b_id"""
   }
 
   // --- winnowing (rolling k-gram) fingerprints ----------------------
@@ -511,6 +582,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
     QueryDef("d_containment", containment, Some(containmentOracle)),
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
+    QueryDef("d_minhash_accuracy", minhashAccuracy, Some(minhashAccuracyOracle)),
     QueryDef("d_minhash_lsh_fast", minhashLshFast, Some(goldenOracle(minhashFastGolden))),
     QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("d_dedup_clusters_stars", dedupClustersStars, Some(dedupClustersOracle)),
