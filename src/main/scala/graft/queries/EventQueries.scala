@@ -127,6 +127,62 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ms
   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id"""
 
+  // --- rolling z-score anomaly flag -----------------------------------
+  /** Per event: how anomalous is its value against the SAME user's
+    * trailing hour — mean/variance from exact integer (cents, cents²)
+    * window sums via [[graft.operators.Windows.trailingRangeAgg]], then
+    * one fixed sequence of double ops (two divisions, subtract, sqrt)
+    * both engines repeat bit-identically. The z-score is the
+    * feature-engineering shape behind every streaming anomaly detector;
+    * variance ≤ 0 (constant window, or the fp-error edge of all-equal
+    * values) yields NULL, not ±inf.
+    */
+  private def rollingZscore(s: SparkSession, dir: String): DataFrame = {
+    val withSums = graft.operators.Windows.trailingRangeAgg(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("_ms"),
+          cents(col("value")).as("_c")),
+      Seq("user_id"), "_ms", 3600000L,
+      Seq("n_1h" -> count(lit(1)), "s_c" -> sum(col("_c")),
+        "ss_c" -> sum(col("_c") * col("_c"))),
+      chunkSpan = None)
+    val mean = col("s_c").cast("double") / col("n_1h").cast("double")
+    val variance = col("ss_c").cast("double") / col("n_1h").cast("double") -
+      (col("s_c").cast("double") / col("n_1h").cast("double")) *
+      (col("s_c").cast("double") / col("n_1h").cast("double"))
+    withSums
+      .withColumn("z", when(col("n_1h") >= 2 && variance > 0.0,
+        (col("_c").cast("double") - mean) / sqrt(variance)))
+      .select(col("event_id"), col("user_id"), col("_ms").as("ms"),
+        col("n_1h"), col("z"))
+      .orderBy("event_id")
+  }
+
+  private val rollingZscoreOracle = s"""WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+    CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT event_id, user_id, ms, c,
+    COUNT(*) OVER win AS n_1h,
+    CAST(SUM(c) OVER win AS BIGINT) AS s_c,
+    CAST(SUM(c * c) OVER win AS BIGINT) AS ss_c
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ms
+    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ms, n_1h,
+  CASE WHEN n_1h >= 2 AND
+    CAST(ss_c AS DOUBLE) / CAST(n_1h AS DOUBLE)
+      - (CAST(s_c AS DOUBLE) / CAST(n_1h AS DOUBLE))
+        * (CAST(s_c AS DOUBLE) / CAST(n_1h AS DOUBLE)) > ${D("0")}
+  THEN (CAST(c AS DOUBLE) - CAST(s_c AS DOUBLE) / CAST(n_1h AS DOUBLE))
+    / sqrt(CAST(ss_c AS DOUBLE) / CAST(n_1h AS DOUBLE)
+      - (CAST(s_c AS DOUBLE) / CAST(n_1h AS DOUBLE))
+        * (CAST(s_c AS DOUBLE) / CAST(n_1h AS DOUBLE)))
+  END AS z
+FROM w ORDER BY event_id"""
+
   // --- hopping (sliding) windows --------------------------------------
   /** 1-hour windows sliding every 15 minutes — the overlapping-window
     * twin of `ev_hourly` (each event lands in width/slide = 4 windows).
@@ -356,5 +412,6 @@ ORDER BY user_id"""
     QueryDef("ev_props_extract", propsExtract, Some(propsOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
     QueryDef("ev_rolling_1h", rolling, Some(rollingOracle)),
+    QueryDef("ev_rolling_zscore", rollingZscore, Some(rollingZscoreOracle)),
     QueryDef("ev_rolling_1h_chunked", rollingChunked, Some(rollingOracle)))
 }
