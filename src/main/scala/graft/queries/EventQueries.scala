@@ -137,7 +137,18 @@ ORDER BY event_id"""
     * variance ≤ 0 (constant window, or the fp-error edge of all-equal
     * values) yields NULL, not ±inf.
     */
-  private def rollingZscore(s: SparkSession, dir: String): DataFrame = {
+  private def rollingZscore(s: SparkSession, dir: String): DataFrame =
+    rollingZscoreWith(s, dir, chunkSpan = None)
+
+  /** The skew-safe chunked path (2 h chunks for the 1 h frame), graded
+    * against the IDENTICAL oracle — hot users spread over (user, chunk)
+    * tasks, z-scores unchanged.
+    */
+  private def rollingZscoreChunked(s: SparkSession, dir: String): DataFrame =
+    rollingZscoreWith(s, dir, chunkSpan = Some(7200000L))
+
+  private def rollingZscoreWith(s: SparkSession, dir: String,
+      chunkSpan: Option[Long]): DataFrame = {
     val withSums = graft.operators.Windows.trailingRangeAgg(
       Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("_ms"),
@@ -145,7 +156,7 @@ ORDER BY event_id"""
       Seq("user_id"), "_ms", 3600000L,
       Seq("n_1h" -> count(lit(1)), "s_c" -> sum(col("_c")),
         "ss_c" -> sum(col("_c") * col("_c"))),
-      chunkSpan = None)
+      chunkSpan)
     val mean = col("s_c").cast("double") / col("n_1h").cast("double")
     val variance = col("ss_c").cast("double") / col("n_1h").cast("double") -
       (col("s_c").cast("double") / col("n_1h").cast("double")) *
@@ -413,5 +424,6 @@ ORDER BY user_id"""
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
     QueryDef("ev_rolling_1h", rolling, Some(rollingOracle)),
     QueryDef("ev_rolling_zscore", rollingZscore, Some(rollingZscoreOracle)),
+    QueryDef("ev_rolling_zscore_chunked", rollingZscoreChunked, Some(rollingZscoreOracle)),
     QueryDef("ev_rolling_1h_chunked", rollingChunked, Some(rollingOracle)))
 }
