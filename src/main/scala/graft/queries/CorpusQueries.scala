@@ -652,7 +652,73 @@ FROM cnt
 QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) <= $TokTopK
 ORDER BY source, rk"""
 
+  // --- composite quality gate with drop-reason attribution -------------
+  /** Gopher-style composite gate: four rules evaluated in a FIXED order,
+    * each doc keeps or drops with the FIRST failing rule named — the
+    * attribution a corpus pipeline needs to debug its own filtering (a
+    * bare keep flag can't tell you which rule ate 40% of a crawl). All
+    * rule inputs are exact integers off one token pass; the only
+    * fact-scale shuffle is the (doc, token) count feeding both the
+    * top-token fraction and the length stats.
+    */
+  private def gopherGate(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val perDoc = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"), sum(length(col("token")).cast("long")).as("l"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_c"),
+        sum(col("l")).as("sum_len"))
+    val topFrac = col("top_c").cast("double") / col("n_tokens").cast("double")
+    val avgLen = col("sum_len").cast("double") / col("n_tokens").cast("double")
+    perDoc
+      .withColumn("reason",
+        when(col("n_tokens") < 5, "too_short")
+          .when(col("n_tokens") > 1000, "too_long")
+          .when(topFrac > 0.2, "repetitive")
+          .when(avgLen < 2.0 || avgLen > 12.0, "weird_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("reason").isNull.as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
+  private val gopherGateOracle: String = s"""WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+tc AS (
+  SELECT doc_id, token, COUNT(*) AS c,
+    CAST(SUM(length(token)) AS BIGINT) AS l
+  FROM tok GROUP BY 1, 2
+),
+d AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c,
+    CAST(SUM(l) AS BIGINT) AS sum_len
+  FROM tc GROUP BY 1
+),
+r AS (
+  SELECT doc_id, n_tokens,
+    CASE
+      WHEN n_tokens < 5 THEN 'too_short'
+      WHEN n_tokens > 1000 THEN 'too_long'
+      WHEN CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) > ${D("0.2")}
+        THEN 'repetitive'
+      WHEN CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) < ${D("2")}
+        OR CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) > ${D("12")}
+        THEN 'weird_tokens'
+    END AS reason
+  FROM d
+)
+SELECT doc_id, n_tokens, (reason IS NULL) AS keep, reason
+FROM r ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_gopher_gate", gopherGate, Some(gopherGateOracle)),
     QueryDef("t_top_tokens_per_source", topTokensPerSource, Some(topTokensOracle)),
     QueryDef("t_source_cap", sourceCap, Some(sourceCapOracle)),
     QueryDef("t_oov_rate", oovRate, Some(oovRateOracle)),

@@ -168,6 +168,51 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
 ORDER BY o_custkey"""
 
+  /** Gap-filled monthly series: a generated DATE SPINE (bounds derived
+    * from the data, not hardcoded) left-joined to the monthly aggregate,
+    * missing months reported as zero with a has_data flag — the
+    * reporting-layer shape that makes "no rows" visible instead of
+    * silently absent. The spine is rows-of-months (dozens), generated
+    * from a 1-row bounds aggregate; only the monthly aggregate touches
+    * fact-scale data.
+    */
+  private def dateSpine(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val bounds = o.agg(
+      to_date(date_trunc("month", min(col("o_orderdate")))).as("mn"),
+      to_date(date_trunc("month", max(col("o_orderdate")))).as("mx"))
+    val spine = bounds
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 month")))
+        .as("ms"))
+      .select((year(col("ms")) * 100 + month(col("ms"))).as("ym"))
+    val rev = o
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("ym"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"))
+    spine.join(rev, Seq("ym"), "left")
+      .select(col("ym"),
+        (coalesce(col("rev_c"), lit(0L)) / 100.0).as("revenue"),
+        col("rev_c").isNotNull.as("has_data"))
+      .orderBy("ym")
+  }
+
+  private val dateSpineOracle = s"""WITH b AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
+    CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+  FROM orders
+), spine AS (
+  SELECT CAST(YEAR(ms) * 100 + MONTH(ms) AS INT) AS ym
+  FROM (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS ms FROM b)
+), rev AS (
+  SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+    CAST(SUM(CAST(FLOOR(o_totalprice * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT ym, CAST(COALESCE(rev_c, 0) AS BIGINT) / ${D("100")} AS revenue,
+  (rev_c IS NOT NULL) AS has_data
+FROM spine LEFT JOIN rev USING (ym)
+ORDER BY ym"""
+
   /** Exact interpolated quantiles ((n−1)·p definition in both engines),
     * rounded to 2 dp to absorb any last-ulp interpolation difference.
     */
@@ -255,6 +300,7 @@ FROM f ORDER BY doc_id"""
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_unpivot", unpivotQ, Some(unpivotOracle)),
     QueryDef("q_mom_growth", momGrowth, Some(momGrowthOracle)),
+    QueryDef("q_date_spine", dateSpine, Some(dateSpineOracle)),
     QueryDef("q_window_firstlast", windowFirstLast, Some(windowFirstLastOracle)),
     QueryDef("q_pivot", pivot, Some(pivotOracle)),
     QueryDef("q_cube", cube, Some(cubeOracle)),
