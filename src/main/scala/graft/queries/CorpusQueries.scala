@@ -673,7 +673,12 @@ ORDER BY source, rk"""
         sum(col("l")).as("sum_len"))
     val topFrac = col("top_c").cast("double") / col("n_tokens").cast("double")
     val avgLen = col("sum_len").cast("double") / col("n_tokens").cast("double")
-    perDoc
+    // join back to documents: a zero-token doc has NO token rows but
+    // must still be attributed (n_tokens = 0 → too_short), not omitted —
+    // it's exactly the doc a filtering audit most needs to see
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_tokens"))
       .withColumn("reason",
         when(col("n_tokens") < 5, "too_short")
           .when(col("n_tokens") > 1000, "too_long")
@@ -702,9 +707,9 @@ d AS (
   FROM tc GROUP BY 1
 ),
 r AS (
-  SELECT doc_id, n_tokens,
+  SELECT doc_id, COALESCE(n_tokens, 0) AS n_tokens,
     CASE
-      WHEN n_tokens < 5 THEN 'too_short'
+      WHEN COALESCE(n_tokens, 0) < 5 THEN 'too_short'
       WHEN n_tokens > 1000 THEN 'too_long'
       WHEN CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) > ${D("0.2")}
         THEN 'repetitive'
@@ -712,7 +717,7 @@ r AS (
         OR CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) > ${D("12")}
         THEN 'weird_tokens'
     END AS reason
-  FROM d
+  FROM (SELECT doc_id FROM documents) LEFT JOIN d USING (doc_id)
 )
 SELECT doc_id, n_tokens, (reason IS NULL) AS keep, reason
 FROM r ORDER BY doc_id"""

@@ -237,13 +237,22 @@ FROM w GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
     * the second pass runs on strictly fewer rows and reuses the
     * partitioning, so the fact table shuffles once.
     */
-  private def scd2(s: SparkSession, dir: String): DataFrame = {
+  /** Change-point detection shared by [[scd2]] (interval build) and
+    * [[scd2Lookup]] (point-in-time read): one lag pass per user, keep
+    * rows where the type changes.
+    */
+  private def changePoints(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_millis(col("ts")).as("_ms"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+  }
+
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    changePoints(s, dir)
       .withColumn("valid_to_ms", lead(col("_ms"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("_ms").as("valid_from_ms"), col("valid_to_ms"))
@@ -274,12 +283,7 @@ FROM chg ORDER BY user_id, valid_from_ms, event_id"""
     * operators; the oracle restates it with DuckDB's NATIVE ASOF JOIN.
     */
   private def scd2Lookup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
-    val chg = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("_ms"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val chg = changePoints(s, dir)
       .groupBy(col("user_id"), col("_ms").as("valid_from_ms"))
       .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
       .select(col("user_id"), col("valid_from_ms"),

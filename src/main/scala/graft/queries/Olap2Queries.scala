@@ -10,6 +10,11 @@ import Sql.D
 /** Second OLAP wave: pivot, cube, exact interpolated quantiles. */
 object Olap2Queries {
 
+  /** money double (2 dp) → exact integer cents (same helper as the
+    * sibling query modules). */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + 0.5).cast("long")
+
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** Pivot: per user-bucket event-type count matrix. Pivot values are
@@ -59,7 +64,7 @@ ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
           Seq(col("o_orderpriority")), Seq.empty),
         col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        (sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0)
+        (sum(cents(col("o_totalprice"))) / 100.0)
           .as("sum_price"),
         grouping(col("o_orderpriority")).cast("int").as("g_p"),
         grouping(col("o_orderstatus")).cast("int").as("g_s"))
@@ -116,7 +121,7 @@ ORDER BY l_returnflag, measure"""
     Tables(s, dir, "orders")
       .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
         .as("ym"))
-      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
       .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
       .select(col("ym"), (col("rev_c") / 100.0).as("revenue"),
         ((col("rev_c") - col("prev_c")).cast("double") / col("prev_c").cast("double"))
@@ -188,7 +193,7 @@ ORDER BY o_custkey"""
     val rev = o
       .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
         .as("ym"))
-      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
     spine.join(rev, Seq("ym"), "left")
       .select(col("ym"),
         (coalesce(col("rev_c"), lit(0L)) / 100.0).as("revenue"),

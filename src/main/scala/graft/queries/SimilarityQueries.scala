@@ -153,8 +153,10 @@ ORDER BY a_id, b_id"""
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(exact.join(cand, Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits")))
-      .withColumn("recall",
-        col("n_hits").cast("double") / col("n_exact").cast("double"))
+      // guard 0/0: Spark's non-ANSI divide gives NULL, DuckDB NaN —
+      // make "no exact pairs" NULL on both sides
+      .withColumn("recall", when(col("n_exact") > 0,
+        col("n_hits").cast("double") / col("n_exact").cast("double")))
   }
 
   private val lshRecallOracle: String = s"""WITH $quantCtes,
@@ -185,8 +187,10 @@ hits AS (SELECT a_id, b_id FROM exact INTERSECT SELECT a_id, b_id FROM candp)
 SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
   (SELECT COUNT(*) FROM candp) AS n_cand,
   (SELECT COUNT(*) FROM hits) AS n_hits,
-  CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
-    / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) AS recall"""
+  CASE WHEN (SELECT COUNT(*) FROM exact) > 0 THEN
+    CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+      / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE)
+  END AS recall"""
 
   // --- IVF top-k: coarse-codebook inverted-file ANN -----------------
   private val CentroidStride = 25 // vec_id % 25 == 0 → ~N/25 cells

@@ -307,8 +307,10 @@ SELECT a_id, b_id FROM cand ORDER BY a_id, b_id"""
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    // sigs is corpus-sized (one row per doc): no broadcast hint —
+    // Catalyst broadcasts while small, shuffles on id once it isn't
     cand
-      .join(broadcast(sigA), Seq("a_id")).join(broadcast(sigB), Seq("b_id"))
+      .join(sigA, Seq("a_id")).join(sigB, Seq("b_id"))
       .select(col("a_id"), col("b_id"), (nMatch.cast("double") / K).as("est_jaccard"))
       .join(inter, Seq("a_id", "b_id"), "left")
       .na.fill(0L, Seq("n_inter"))

@@ -521,13 +521,18 @@ class StreamingSpec extends SparkSpec {
       writeBatch(dir, "b2", Seq(ev(3, "10:25:00")))
       q.processAllAvailable()
 
-      val got = spark.table("hop_test")
-        .select("window_start_ms", "n_events").as[(Long, Long)].collect().toMap
+      val rows = spark.table("hop_test")
+        .select("window_start_ms", "n_events").as[(Long, Long)].collect().toSeq
       val expected = Seq("09:30:00", "09:45:00", "10:00:00", "10:15:00").map(ms)
+      val got = rows.toMap
       expected.foreach { w =>
         assert(got.get(w) == Some(1L),
-          s"window $w must hold exactly the one pre-watermark event: $got")
+          s"window $w must hold exactly the one pre-watermark event: $rows")
       }
+      // row COUNT makes the drop observable: a re-created window would
+      // re-emit a duplicate (window, 1) row that toMap would swallow
+      assert(rows.size == expected.size,
+        s"late event must not re-emit or reopen windows: $rows")
     } finally q.stop()
   }
 
