@@ -81,25 +81,53 @@ FROM documents GROUP BY source ORDER BY source"""
       .orderBy("doc_id")
   }
 
-  private val langidOracle: String = {
-    val profiles = TextFunctions.DefaultProfiles
-    val hits = profiles.map { case (l, ws) =>
+  /** Oracle fragments shared by langid and the confusion matrix: the
+    * per-profile hit counts CTE body and the tie-break CASE chain
+    * mirroring `TextFunctions.languageGuess`.
+    */
+  private lazy val langHitsSql: String = TextFunctions.DefaultProfiles
+    .map { case (l, ws) =>
       s"${reaCount(s"text, '\\b(${ws.mkString("|")})\\b'")} AS n_$l"
-    }
-    // same tie-break chain as TextFunctions.languageGuess
+    }.mkString(",\n    ")
+
+  private lazy val predLangCaseSql: String = {
+    val profiles = TextFunctions.DefaultProfiles
     val whens = profiles.zipWithIndex.init.map { case ((l, _), i) =>
       val cond = profiles.drop(i + 1)
         .map { case (m, _) => s"n_$l >= n_$m" }.mkString(" AND ")
       s"WHEN $cond THEN '$l'"
     }
-    s"""WITH h AS (
-  SELECT doc_id, lang, ${hits.mkString(",\n    ")}, text FROM documents
-)
-SELECT doc_id, lang, ${profiles.map(p => "n_" + p._1).mkString(", ")},
-  CASE ${whens.mkString(" ")} ELSE '${profiles.last._1}' END AS pred_lang,
-  CASE WHEN (CASE ${whens.mkString(" ")} ELSE '${profiles.last._1}' END) = lang THEN 1 ELSE 0 END AS is_match
-FROM h ORDER BY doc_id"""
+    s"CASE ${whens.mkString(" ")} ELSE '${profiles.last._1}' END"
   }
+
+  private val langidOracle: String = s"""WITH h AS (
+  SELECT doc_id, lang, $langHitsSql, text FROM documents
+)
+SELECT doc_id, lang, ${TextFunctions.DefaultProfiles.map(p => "n_" + p._1).mkString(", ")},
+  $predLangCaseSql AS pred_lang,
+  CASE WHEN ($predLangCaseSql) = lang THEN 1 ELSE 0 END AS is_match
+FROM h ORDER BY doc_id"""
+
+  // --- language-ID confusion matrix (classifier evaluation) -----------
+  /** Labeled-vs-predicted confusion counts — the evaluation readout for
+    * the language classifier (the `lang` column is ground truth in this
+    * corpus). One groupBy on the already-scalar (lang, pred) pair;
+    * per-doc scoring stays inside the scan's codegen stage.
+    */
+  private def langidConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.languageGuess(col("text"), TextFunctions.DefaultProfiles)
+          .as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  private val langidConfusionOracle: String = s"""WITH h AS (
+  SELECT doc_id, lang, $langHitsSql, text FROM documents
+)
+SELECT lang, $predLangCaseSql AS pred_lang, COUNT(*) AS n
+FROM h GROUP BY 1, 2 ORDER BY lang, pred_lang"""
 
   /** `languageGuess` consumes the text column directly, so the Spark side
     * recomputes hits; the oracle reuses its CTE — identical values.
@@ -578,6 +606,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("t_text_stats", stats, Some(statsOracle)),
     QueryDef("t_quality_by_source", quality, Some(qualityOracle)),
     QueryDef("t_langid", langid, Some(langidOracle)),
+    QueryDef("t_langid_confusion", langidConfusion, Some(langidConfusionOracle)),
     QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)),
     QueryDef("t_fingerprint", fingerprintQ, Some(fingerprintOracle)),
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
