@@ -263,6 +263,40 @@ SELECT z >> $ZBits AS z_tile, COUNT(*) AS n,
 FROM z GROUP BY 1 ORDER BY z_tile"""
   }
 
+  // --- schema evolution (mergeSchema read across file generations) ----
+  /** A real lake's files are written over months with ADDED columns;
+    * `mergeSchema` reconciles the footers and back-fills missing columns
+    * with NULL. Graded end-to-end: generation 1 (two columns) and
+    * generation 2 (three columns) written separately, read merged,
+    * aggregated — the null back-fill must make non-null counts and sums
+    * match the oracle computed on the unsplit source. Footer merging is
+    * a driver-side listing concern; the scan itself stays columnar and
+    * distributed.
+    */
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val tmp = Files.createTempDirectory("graft_evo").toString
+    li.where(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").parquet(s"$tmp/t/gen=1")
+    li.where(col("l_linenumber") === 2)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$tmp/t/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(col("l_extendedprice")).as("n_price"),
+        (sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")) / 100.0)
+          .as("sum_price"))
+  }
+
+  private val schemaEvolutionOracle = s"""SELECT COUNT(*) AS n_rows,
+  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+  COUNT(*) FILTER (l_linenumber = 2) AS n_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT))
+    FILTER (l_linenumber = 2) AS BIGINT) / ${Sql.D("100")} AS sum_price
+FROM lineitem WHERE l_linenumber IN (1, 2)"""
+
   // --- partitioned layout + partition pruning -------------------------
   /** Hive-style partitioned parquet write, read back with a partition
     * filter: the layout that turns a 100 TB scan into a single-partition
@@ -428,5 +462,6 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)),
     QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)),
     QueryDef("io_partition_prune", partitionPrune, Some(partitionPruneOracle)),
-    QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)))
+    QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)),
+    QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
 }
