@@ -258,6 +258,90 @@ object Similarity {
         col("x._2").as("n_id"), (-col("x._1")).cast("long").as("adc_d2"))
   }
 
+  /** IVF-PQ: the FAISS-style pairing of [[ivfTopK]]'s coarse cells with
+    * [[pqTopK]]'s compressed ADC scan — codes are scanned ONLY in the
+    * query's `nprobe` probed cells instead of linearly, which is how a
+    * billion-vector index reaches interactive latency. (No residual
+    * encoding: PQ codes quantize the raw vectors, the simplification
+    * several production systems ship; the cells only RESTRICT the scan,
+    * so results are exactly pqTopK's ADC ranking filtered to probed
+    * cells — and that equivalence is what the spec pins.)
+    *
+    * Dataflow: cell assignment and PQ encoding are the two existing
+    * broadcast-codebook passes; the scan joins the (id, sub_id, code,
+    * cell) table first against the tiny (q_id, cell) probe list, then
+    * against the per-query ADC lookup — both broadcast. All distances
+    * stay exact BIGINT squared-L2 on quantized units.
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, coarse: DataFrame,
+      codebook: DataFrame, nprobe: Int, m: Int, dim: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, "dim must split into m equal subspaces")
+    val sub = dim / m
+    def subVecs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("id").as(idAs), quantize(col("vec")).as("qv"))
+        .select(col(idAs), explode(expr(
+          s"transform(sequence(0, ${m - 1}), " +
+            s"j -> struct(j AS sub_id, slice(qv, j * $sub + 1, $sub) AS sv))")).as("x"))
+        .select(col(idAs), col("x.sub_id").as("sub_id"), col("x.sv").as("sv"))
+    def d2(a: Column, an: Column, c: Column, cn: Column): Column =
+      an + cn - lit(2L) * dotQ(a, c)
+
+    // coarse cell assignment — identical to ivfTopK's
+    val base = emb.select(col("id"), quantize(col("vec")).as("qv"))
+      .withColumn("nn", normSqQ(col("qv")))
+    val cb0 = coarse.select(col("id").as("cc_id"), quantize(col("vec")).as("ccv"))
+      .withColumn("ccn", normSqQ(col("ccv")))
+    val cells = base.crossJoin(broadcast(cb0))
+      .select(col("id"),
+        struct(cosineQ(dotQ(col("qv"), col("ccv")), col("nn"), col("ccn")).as("ccos"),
+          (-col("cc_id")).as("negc")).as("sc"))
+      .groupBy(col("id")).agg(max(col("sc")).as("mx"))
+      .select(col("id"), (-col("mx.negc")).cast("long").as("cell"))
+
+    // PQ encoding — identical to pqTopK's, plus the cell column
+    val cb = subVecs(codebook, "c_id")
+      .withColumnRenamed("sv", "cv").withColumn("cnn", normSqQ(col("cv")))
+    val enc = subVecs(emb, "id").withColumn("svn", normSqQ(col("sv")))
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("id"), col("sub_id"),
+        struct(d2(col("sv"), col("svn"), col("cv"), col("cnn")).as("d2"),
+          col("c_id").as("cid")).as("sc"))
+      .groupBy(col("id"), col("sub_id")).agg(min(col("sc")).as("mn"))
+      .select(col("id"), col("sub_id"), col("mn.cid").as("code"))
+      .join(cells, Seq("id"))
+
+    // query probes — identical to ivfTopK's
+    val qs = queries.select(col("id").as("q_id"), quantize(col("vec")).as("qqv"))
+      .withColumn("qn", normSqQ(col("qqv")))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("cc_id"))
+    val probes = qs.crossJoin(broadcast(cb0))
+      .select(col("q_id"),
+        cosineQ(dotQ(col("qqv"), col("ccv")), col("qn"), col("ccn")).as("ccos"),
+        col("cc_id"))
+      .withColumn("pr", row_number().over(wq))
+      .where(col("pr") <= nprobe)
+      .select(col("q_id"), col("cc_id").as("cell"))
+
+    // per-query ADC lookup — identical to pqTopK's
+    val lut = subVecs(queries, "q_id").withColumn("qvn", normSqQ(col("sv")))
+      .join(broadcast(cb), Seq("sub_id"))
+      .select(col("q_id"), col("sub_id"), col("c_id").as("code"),
+        d2(col("sv"), col("qvn"), col("cv"), col("cnn")).as("d2"))
+
+    enc.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("q_id", "sub_id", "code"))
+      .where(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKPairs.topK(k)(
+        (-col("adc_d2")).cast("double"), col("id").cast("long")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("p", "x")))
+      .select(col("q_id"), (col("p") + 1).as("rank"),
+        col("x._2").as("n_id"), (-col("x._1")).cast("long").as("adc_d2"))
+  }
+
   /** Deterministic seeded k-means (Lloyd) trainer for IVF coarse
     * codebooks, so [[ivfTopK]] doesn't depend on caller-supplied
     * centroids. Returns (id: 0..k-1, vec: array<float>) ready to pass

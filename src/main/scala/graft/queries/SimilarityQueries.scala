@@ -339,6 +339,84 @@ SELECT q_id, rank, n_id, adc_d2 FROM (
   FROM adc
 ) WHERE rank <= $K ORDER BY q_id, rank"""
 
+  // --- IVF-PQ: probed-cells compressed scan ----------------------------
+  /** The FAISS-style composition: PQ codes scanned only inside the
+    * query's probed IVF cells. Same id-stride coarse centroids as
+    * `s_ivf_topk` and the same codebook as `s_pq_topk`, so the oracle is
+    * the pq ADC restated with the cells/probes CTEs gating the scan.
+    */
+  private def ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfPqTopK(
+      e,
+      e.where(pmod(col("id"), lit(QueryStride)) === 0),
+      e.where(pmod(col("id"), lit(CentroidStride)) === 0),
+      e.where(pmod(col("id"), lit(CentroidStride)) === 0),
+      NProbe, PqM, Dim, K)
+      .orderBy("q_id", "rank")
+  }
+
+  private val ivfpqOracle: String = s"""WITH $quantCtes,
+cdots AS (
+  SELECT a.vec_id AS id, c.vec_id AS c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat c ON a.i = c.i
+  WHERE c.vec_id % $CentroidStride = 0
+  GROUP BY 1, 2
+),
+cscored AS (
+  SELECT id, c_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(n1.nn AS DOUBLE) * CAST(n2.nn AS DOUBLE)) AS ccos
+  FROM cdots JOIN norms n1 ON id = n1.vec_id JOIN norms n2 ON c_id = n2.vec_id
+),
+cells AS (
+  SELECT id, c_id AS cell FROM (
+    SELECT id, c_id,
+      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS q_id, c_id AS cell FROM (
+    SELECT id, c_id,
+      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) AS rn
+    FROM cscored WHERE id % $QueryStride = 0
+  ) WHERE rn <= $NProbe
+),
+sub AS (
+  SELECT vec_id, CAST((i - 1) // $PqSub AS INT) AS m, i, e FROM flat
+),
+cwd AS (
+  SELECT s.vec_id, s.m, c.vec_id AS c_id,
+    CAST(SUM((s.e - c.e) * (s.e - c.e)) AS BIGINT) AS d2
+  FROM sub s JOIN sub c ON s.m = c.m AND s.i = c.i
+  WHERE c.vec_id % $CentroidStride = 0
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, m, c_id AS code FROM (
+    SELECT vec_id, m, c_id,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn
+    FROM cwd
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, m, c_id, d2 FROM cwd WHERE vec_id % $QueryStride = 0
+),
+adc AS (
+  SELECT l.q_id, e.vec_id AS n_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM enc e
+  JOIN cells ce ON ce.id = e.vec_id
+  JOIN probes p ON p.cell = ce.cell
+  JOIN lut l ON l.m = e.m AND l.c_id = e.code AND l.q_id = p.q_id
+  WHERE e.vec_id <> l.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, rank, n_id, adc_d2 FROM (
+  SELECT q_id, n_id, adc_d2,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_d2, n_id) AS INT) AS rank
+  FROM adc
+) WHERE rank <= $K ORDER BY q_id, rank"""
+
   // --- per-label centroids (class prototypes) --------------------------
   /** Mean embedding per label — the class-prototype aggregate behind
     * centroid classifiers and cluster drift checks. One (label, dim)
@@ -603,6 +681,7 @@ FROM best GROUP BY cell ORDER BY cell"""
     QueryDef("s_lsh_recall", lshRecall, Some(lshRecallOracle)),
     QueryDef("s_ivf_topk", ivf, Some(ivfOracle)),
     QueryDef("s_pq_topk", pq, Some(pqOracle)),
+    QueryDef("s_ivfpq_topk", ivfpq, Some(ivfpqOracle)),
     QueryDef("s_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)),
     QueryDef("s_bm25_topk", bm25, Some(bm25Oracle)),

@@ -591,6 +591,24 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("IVF-PQ probing every cell reproduces plain PQ's ADC ranking exactly") {
+    // cells only RESTRICT the compressed scan — with nprobe = all cells
+    // the restriction is vacuous and the rankings must be identical
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.where(pmod(col("id"), lit(10)) === 0)
+    val coarse = e.where(pmod(col("id"), lit(25)) === 0)
+    val nCells = coarse.count().toInt
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "n_id", "adc_d2")
+        .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val ivfpq = canon(Similarity.ivfPqTopK(
+      e, queries, coarse, coarse, nCells, m = 4, dim = 64, k = 5))
+    val pq = canon(Similarity.pqTopK(e, queries, coarse, m = 4, dim = 64, k = 5))
+    assert(ivfpq == pq)
+    assert(ivfpq.nonEmpty)
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",
