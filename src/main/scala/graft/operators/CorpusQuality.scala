@@ -395,4 +395,36 @@ object CorpusQuality {
   def hashBucketMember(strata: Column, id: Column, threshold: Int): Column =
     conv(substring(md5(concat(strata, lit(":"), id.cast("string"))), 1, 2), 16, 10)
       .cast("int") < threshold
+
+  /** Per-document Shannon token entropy (bits) — the information-density
+    * quality signal that complements the Gopher repetition filters:
+    * near-zero entropy flags boilerplate/keyword-stuffed documents even
+    * when no single n-gram dominates. Output: (doc_id, n_tokens,
+    * n_types, entropy_bits); empty documents produce no row.
+    *
+    * Scale shape: the token explode groups on (doc_id, md5(token)) so
+    * only fixed 32-byte hashes cross the shuffle (never token text), and
+    * both aggregations are map-side combinable. Determinism shape: each
+    * −p·log2(p) term is rounded to integer micro-bits BEFORE the sum, so
+    * the per-doc total is an order-independent integer sum — aggregation
+    * order (Spark task order vs any oracle's) can never flip a bit of
+    * the output double.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), md5(col("tok").cast("binary")).as("tok_h"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts.join(totals, Seq("doc_id"))
+      .withColumn("term_micro",
+        floor(-(p * log2(p)) * 1e6 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        (sum(col("term_micro")).cast("double") / 1e6).as("entropy_bits"))
+  }
 }

@@ -722,7 +722,36 @@ r AS (
 SELECT doc_id, n_tokens, (reason IS NULL) AS keep, reason
 FROM r ORDER BY doc_id"""
 
+  // --- token entropy (information-density quality signal) -----------
+  /** [[CorpusQuality.tokenEntropy]] over `documents` — the signal that
+    * catches boilerplate the repetition filters miss. The oracle
+    * restates the identical fixed-point math: each −p·log2(p) term is
+    * floored to integer micro-bits BEFORE summing, so both engines sum
+    * the same integers and aggregation order cannot flip the hash.
+    */
+  private def tokenEntropy(s: SparkSession, dir: String): DataFrame =
+    CorpusQuality.tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val tokenEntropyOracle = s"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, md5(tok) AS tok_h, COUNT(*) AS c
+  FROM toks WHERE length(tok) > 0 GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_types FROM c GROUP BY 1
+)
+SELECT c.doc_id, CAST(MAX(tot.n) AS BIGINT) AS n_tokens,
+  CAST(MAX(tot.n_types) AS BIGINT) AS n_types,
+  CAST(SUM(CAST(FLOOR(-((c.c / CAST(tot.n AS DOUBLE)) *
+      log2(c.c / CAST(tot.n AS DOUBLE))) * ${D("1000000")} + ${D("0.5")})
+    AS BIGINT)) AS BIGINT) / ${D("1000000")} AS entropy_bits
+FROM c JOIN tot USING (doc_id)
+GROUP BY 1 ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_token_entropy", tokenEntropy, Some(tokenEntropyOracle)),
     QueryDef("t_gopher_gate", gopherGate, Some(gopherGateOracle)),
     QueryDef("t_top_tokens_per_source", topTokensPerSource, Some(topTokensOracle)),
     QueryDef("t_source_cap", sourceCap, Some(sourceCapOracle)),

@@ -297,6 +297,33 @@ FROM z GROUP BY 1 ORDER BY z_tile"""
     FILTER (l_linenumber = 2) AS BIGINT) / ${Sql.D("100")} AS sum_price
 FROM lineitem WHERE l_linenumber IN (1, 2)"""
 
+  // --- small-files compaction (layout maintenance) --------------------
+  /** Fragment the table into 64 tiny files (a streaming ingest's typical
+    * damage at this SF), compact with [[Writers.compacted]], and grade
+    * DATA integrity over the compacted copy against the oracle on the
+    * unfragmented source — compaction must be a pure layout change. The
+    * file-count collapse itself (64 → ≤4) is asserted in SourcesSpec,
+    * where the paths are visible.
+    */
+  private def compaction(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/fragmented")
+    Writers.compacted(s.read.parquet(s"$tmp/fragmented"), s"$tmp/compacted",
+      targetFiles = 4)
+    s.read.parquet(s"$tmp/compacted")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_orderkey")).as("key_sum"))
+      .orderBy("l_returnflag")
+  }
+
+  private val compactionOracle = """SELECT l_returnflag, COUNT(*) AS n,
+  SUM(l_quantity) AS sum_qty, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   // --- partitioned layout + partition pruning -------------------------
   /** Hive-style partitioned parquet write, read back with a partition
     * filter: the layout that turns a 100 TB scan into a single-partition
@@ -462,6 +489,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("io_json_roundtrip", (s, d) => roundtrip(s, d, "json"), Some(roundtripOracle)),
     QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)),
     QueryDef("io_partition_prune", partitionPrune, Some(partitionPruneOracle)),
+    QueryDef("io_compaction", compaction, Some(compactionOracle)),
     QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
 }

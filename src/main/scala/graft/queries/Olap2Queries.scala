@@ -302,7 +302,62 @@ SELECT *, CASE WHEN ok_len = 1 AND ok_avg_token = 1 AND ok_punct = 1 AND ok_stop
 FROM f ORDER BY doc_id"""
   }
 
+  // --- approximate aggregates, graded by their error guarantees -------
+  /** HyperLogLog++ distinct count beside the exact count, graded as a
+    * within-5% gate (rsd = 1%, so 5% is a wide margin). At 100 TB the
+    * exact path shuffles every distinct key; the HLL sketch is a few KB
+    * per group, map-side mergeable, constant memory — THE production
+    * distinct-count. The gate makes the estimate's quality a graded
+    * fact instead of a trusted one: if the sketch ever drifted past
+    * 5%, the oracle hash (`TRUE` on every row) would flip.
+    */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val exact = col("exact_parts").cast("double")
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("hll"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("hll").cast("double") - exact) <= exact * 0.05)
+          .as("within_5pct"))
+      .orderBy("l_returnflag")
+  }
+
+  private val approxDistinctOracle =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+  TRUE AS within_5pct
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
+  /** Single-pass approximate median beside its exact rank, graded by
+    * the sketch's own guarantee: `approx_percentile(x, 0.5, acc)`
+    * bounds rank error by 1/acc, so with acc = 10000 the returned
+    * value's true rank must sit within 0.5 ± 0.01 (100× slack). The
+    * exact median at 100 TB is a full sort (or multi-pass select); the
+    * sketch is one scan + a bounded merge — and the gate re-derives
+    * its rank exactly rather than trusting the bound.
+    */
+  private def approxMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("m"))
+    li.join(med, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") <= col("m"), 1L).otherwise(0L))
+          .as("n_le"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("n_le").cast("double") / col("n").cast("double") - 0.5)
+          <= 0.01).as("rank_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  private val approxMedianOracle =
+    """SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_ok
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_approx_distinct", approxDistinct, Some(approxDistinctOracle)),
+    QueryDef("q_approx_median", approxMedian, Some(approxMedianOracle)),
     QueryDef("q_unpivot", unpivotQ, Some(unpivotOracle)),
     QueryDef("q_mom_growth", momGrowth, Some(momGrowthOracle)),
     QueryDef("q_date_spine", dateSpine, Some(dateSpineOracle)),

@@ -73,6 +73,26 @@ object Writers {
   /** W7 (`core/load.py:50-52`): 5-row preview. */
   def preview(df: DataFrame): Unit = df.show(5, truncate = false)
 
+  /** W9 (extension; no reference twin): small-files compaction — the
+    * maintenance rewrite that keeps a 100 TB lake readable. Streaming
+    * and per-batch ingests leave thousands of KB-sized part files;
+    * every later scan then pays one task + one footer fetch per file,
+    * and the driver pays the listing. One round-robin `repartition`
+    * (a full shuffle — unavoidable, it's what balances output sizes)
+    * rewrites them into `targetFiles` near-equal parts, with
+    * `maxRecordsPerFile` as the hard cap that re-splits if a part
+    * would exceed it. Row-group-aligned parquet keeps the result
+    * splittable, so downstream parallelism is unharmed.
+    */
+  def compacted(df: DataFrame, path: String, targetFiles: Int,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    df.repartition(targetFiles)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   private def part(df: DataFrame, singleFile: Boolean): DataFrame =
     if (singleFile) df.coalesce(1) else df
 }

@@ -609,6 +609,31 @@ class OperatorsSpec extends SparkSpec {
     assert(ivfpq.nonEmpty)
   }
 
+  test("token entropy: fixed-point Shannon bits per document") {
+    val docs = Seq(
+      (1L, "a b c d"),              // 4 uniform types → exactly 2 bits
+      (2L, "spam spam spam spam"),  // constant doc → 0 bits
+      (3L, "x  x   y y"),           // whitespace runs; 2 uniform types → 1 bit
+      (4L, "   "),                  // no tokens → no row
+      (5L, "a a a b")).toDF("doc_id", "text")
+    val got = CorpusQuality.tokenEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "n_types", "entropy_bits")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 5L)) // doc 4 absent
+    assert(got(0) == ((1L, 4L, 4L, 2.0)))
+    assert(got(1) == ((2L, 4L, 1L, 0.0)))
+    assert(got(2) == ((3L, 4L, 2L, 1.0)))
+    // −(3/4)·log2(3/4) → 311278 µbits, −(1/4)·log2(1/4) → 500000 µbits
+    assert(got(3) == ((5L, 4L, 2L, 0.811278)))
+  }
+
+  test("approximate aggregate gates hold (HLL within 5%, median rank within 1%)") {
+    val ad = graft.SparkEntry.queries("q_approx_distinct")(spark, Sf)
+    assert(ad.count() == 3 && ad.where(!col("within_5pct")).count() == 0)
+    val am = graft.SparkEntry.queries("q_approx_median")(spark, Sf)
+    assert(am.count() == 3 && am.where(!col("rank_ok")).count() == 0)
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",

@@ -139,6 +139,26 @@ class SourcesSpec extends SparkSpec {
     assert(back.sorted == lines.sorted)
   }
 
+  test("compaction collapses a fragmented table into targetFiles splittable parts") {
+    val tmp = Files.createTempDirectory("graft_compact_spec").toString
+    val df = spark.range(10000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+    def parts(p: String): Int = new java.io.File(p).listFiles
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts(s"$tmp/frag") == 64)
+
+    Writers.compacted(spark.read.parquet(s"$tmp/frag"), s"$tmp/comp", targetFiles = 4)
+    assert(parts(s"$tmp/comp") == 4)
+    // the hard cap re-splits parts that would exceed maxRecordsPerFile
+    Writers.compacted(spark.read.parquet(s"$tmp/frag"), s"$tmp/comp2",
+      targetFiles = 2, maxRecordsPerFile = 1000L)
+    assert(parts(s"$tmp/comp2") >= 10)
+    // pure layout change: content identical
+    val back = spark.read.parquet(s"$tmp/comp")
+      .agg(sum(col("id")), count(lit(1))).as[(Long, Long)].head()
+    assert(back == ((10000L * 9999L / 2, 10000L)))
+  }
+
   test("xlsx reader honours r= cell refs: omitted empty cells don't shift columns") {
     // Excel/xlsxwriter omit empty cells entirely and address the rest by
     // reference — build such a sheet by hand (external-upload shape)
