@@ -750,7 +750,93 @@ SELECT c.doc_id, CAST(MAX(tot.n) AS BIGINT) AS n_tokens,
 FROM c JOIN tot USING (doc_id)
 GROUP BY 1 ORDER BY doc_id"""
 
+  // --- Bloom-filter blocklist pre-filter ----------------------------
+  /** Blocklist screening without the shuffle: build a Bloom filter over
+    * the dirty-list's `xxhash64(text)` (a few KB of bits, merge is a
+    * commutative bit-OR — deterministic), broadcast it, and flag corpus
+    * docs scan-side with `might_contain`. At 100 TB the exact semi-join
+    * shuffles every corpus row on the join key; the Bloom evaluates in
+    * the scan with NO false negatives by construction — the same
+    * discoverer/verifier split as LSH→Jaccard, graded the same way:
+    * recall vs the exact semi-join must be 1, false-positive mass under
+    * 1% of the corpus (the 16 Kbit filter is ~65 bits/key here, so
+    * expected FPs ≈ 0).
+    */
+  private def bloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val dirty = docs.where(pmod(col("doc_id"), lit(20)) === 0).select(col("text"))
+    // the filter itself is a ~2 KB bit array — collected once and embedded
+    // as a literal (the same driver-side materialization budget as the
+    // k-means codebook: O(filter), never O(data)); `might_contain`
+    // requires a constant/scalar-subquery filter anyway
+    val bloomBytes = dirty.agg(
+      graft.plans.BloomFilters.bloomAgg(xxhash64(col("text")), 1000L, 16384L)
+        .as("bf")).head().getAs[Array[Byte]]("bf")
+    val flagged = docs
+      .where(graft.plans.BloomFilters.mightContain(lit(bloomBytes),
+        xxhash64(col("text"))))
+      .select(col("doc_id"))
+    val exact = docs.join(dirty.distinct().withColumnRenamed("text", "t2"),
+      col("text") === col("t2"), "left_semi").select(col("doc_id"))
+    val counts = exact.agg(count(lit(1)).as("n_true"))
+      .crossJoin(exact.join(flagged, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_missed")))
+      .crossJoin(flagged.join(exact, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_fp")))
+      .crossJoin(docs.agg(count(lit(1)).as("n_corpus")))
+    counts.select(col("n_true"),
+      (col("n_missed") === 0).as("no_false_negatives"),
+      (col("n_fp").cast("double") <= col("n_corpus").cast("double") * 0.01)
+        .as("fp_ok"))
+  }
+
+  private val bloomPrefilterOracle = """SELECT
+  (SELECT COUNT(*) FROM documents
+   WHERE text IN (SELECT text FROM documents WHERE doc_id % 20 = 0)) AS n_true,
+  TRUE AS no_false_negatives, TRUE AS fp_ok"""
+
+  // --- winsorization (outlier-robust feature clamp) ------------------
+  /** Per-source 5/95-percentile winsorization of `n_chars` — the
+    * outlier clamp that precedes any robust normalization. Bounds come
+    * from the exact interpolated percentile (same (n−1)·p definition
+    * both engines, 2-dp-rounded so the clamp constants are identical
+    * doubles), then the clamped sum is exact integer cents — engine
+    * aggregation order can never flip the hash. Two passes over the
+    * group (bounds, then clamp) is the exact-percentile price; the
+    * single-pass alternative is the graded approx_percentile gate
+    * (q_approx_median).
+    */
+  private def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val bounds = docs.groupBy(col("source"))
+      .agg(graft.etl.Transform.round2(expr("percentile(n_chars, 0.05)")).as("lo"),
+        graft.etl.Transform.round2(expr("percentile(n_chars, 0.95)")).as("hi"))
+    docs.join(bounds, Seq("source"))
+      .withColumn("w", least(greatest(col("n_chars").cast("double"),
+        col("lo")), col("hi")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        (sum(floor(col("w") * 100 + 0.5).cast("long")) / 100.0)
+          .as("winsorized_sum"))
+      .orderBy("source")
+  }
+
+  private val winsorizeOracle = s"""WITH b AS (
+  SELECT source,
+    ${Sql.round2("quantile_cont(n_chars, 0.05)")} AS lo,
+    ${Sql.round2("quantile_cont(n_chars, 0.95)")} AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.source, COUNT(*) AS n_docs, MAX(b.lo) AS lo, MAX(b.hi) AS hi,
+  ${Sql.sumCents("LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)")}
+    AS winsorized_sum
+FROM documents d JOIN b USING (source)
+GROUP BY d.source ORDER BY d.source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("d_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterOracle)),
+    QueryDef("t_winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("t_token_entropy", tokenEntropy, Some(tokenEntropyOracle)),
     QueryDef("t_gopher_gate", gopherGate, Some(gopherGateOracle)),
     QueryDef("t_top_tokens_per_source", topTokensPerSource, Some(topTokensOracle)),

@@ -634,6 +634,13 @@ class OperatorsSpec extends SparkSpec {
     assert(am.count() == 3 && am.where(!col("rank_ok")).count() == 0)
   }
 
+  test("bloom prefilter gates hold: recall 1, fp mass under 1% of corpus") {
+    val r = graft.SparkEntry.queries("d_bloom_prefilter")(spark, Sf).head()
+    assert(r.getAs[Long]("n_true") > 0)
+    assert(r.getAs[Boolean]("no_false_negatives"))
+    assert(r.getAs[Boolean]("fp_ok"))
+  }
+
   test("language guess picks the profile with most hits, first wins ties") {
     val df = Seq(
       "the cat and the dog is in to the house",

@@ -9,6 +9,19 @@ import graft.operators.TextDedup
 class PlansSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bloom filter bridge: no false negatives, bounded false positives") {
+    val keys = spark.range(100)
+      .select(xxhash64(col("id").cast("string")).as("h"))
+    val bf = keys.agg(BloomFilters.bloomAgg(col("h"), 100L, 8192L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val got = spark.range(200)
+      .select(col("id"), xxhash64(col("id").cast("string")).as("h"))
+      .where(BloomFilters.mightContain(lit(bf), col("h")))
+      .select("id").as[Long].collect().toSet
+    assert((0L until 100L).toSet.subsetOf(got)) // membership is never missed
+    assert(got.size <= 110)                     // ~80 bits/key → FPs ≈ 0
+  }
+
   test("StringHammingDistance: interpreted and codegen'd paths agree") {
     val df = Seq(
       ("0000", "0000", Some(0)),
