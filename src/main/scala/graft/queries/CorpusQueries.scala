@@ -834,7 +834,52 @@ SELECT d.source, COUNT(*) AS n_docs, MAX(b.lo) AS lo, MAX(b.hi) AS hi,
 FROM documents d JOIN b USING (source)
 GROUP BY d.source ORDER BY d.source"""
 
+  // --- robust scaling (median / MAD outlier detection) ---------------
+  /** Median/MAD robust z-score outlier counts per source — the
+    * outlier DETECTOR beside [[winsorize]]'s clamp (mean/stddev break
+    * under the very outliers they're meant to find; median/MAD don't).
+    * The |z| > 3 test is rearranged to multiplication only
+    * (0.6745·|x−med| > 3·MAD), so MAD = 0 degenerates gracefully
+    * (outlier ⇔ any deviation) instead of dividing by zero, and both
+    * engines compare bit-identical doubles. Same two-pass exact-
+    * percentile price as winsorize, same sketch escape hatch at scale.
+    */
+  private def robustScale(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val med = docs.groupBy(col("source"))
+      .agg(graft.etl.Transform.round2(expr("percentile(n_chars, 0.5)")).as("med"))
+    val dev = docs.join(med, Seq("source"))
+      .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(graft.etl.Transform.round2(expr("percentile(adev, 0.5)")).as("mad"))
+    dev.join(mad, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("adev") * 0.6745 > col("mad") * 3.0, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("source")
+  }
+
+  private val robustScaleOracle = s"""WITH med AS (
+  SELECT source, ${Sql.round2("quantile_cont(n_chars, 0.5)")} AS med
+  FROM documents GROUP BY source
+), dev AS (
+  SELECT d.source, m.med,
+    ABS(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+  FROM documents d JOIN med m USING (source)
+), mad AS (
+  SELECT source, ${Sql.round2("quantile_cont(adev, 0.5)")} AS mad
+  FROM dev GROUP BY source
+)
+SELECT dev.source, COUNT(*) AS n_docs, MAX(dev.med) AS med, MAX(mad.mad) AS mad,
+  CAST(SUM(CASE WHEN dev.adev * ${D("0.6745")} > mad.mad * ${D("3.0")}
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (source)
+GROUP BY dev.source ORDER BY dev.source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_robust_scale", robustScale, Some(robustScaleOracle)),
     QueryDef("d_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterOracle)),
     QueryDef("t_winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("t_token_entropy", tokenEntropy, Some(tokenEntropyOracle)),

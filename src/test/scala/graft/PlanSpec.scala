@@ -349,6 +349,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bloom blocklist membership evaluates scan-side — no Exchange, no join") {
+    val docs = Tables(spark, Sf, "documents")
+    val bf = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+      .agg(graft.plans.BloomFilters
+        .bloomAgg(xxhash64(col("text")), 1000L, 16384L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val plan = planOf(docs
+      .where(graft.plans.BloomFilters.mightContain(lit(bf), xxhash64(col("text"))))
+      .select(col("doc_id")))
+    assert(!plan.contains("Exchange"),
+      s"bloom membership must not shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      "bloom membership replaces the semi-join, not wraps it")
+  }
+
   test("q21 aggregate reformulation scans lineitem once, not the textbook 3x") {
     val df = SparkEntry.queries("q21_waiting_suppliers")(spark, Sf)
     // AQE hides scan nodes from collect(); count them in the plan text
