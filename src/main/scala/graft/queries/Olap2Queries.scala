@@ -218,6 +218,78 @@ SELECT ym, CAST(COALESCE(rev_c, 0) AS BIGINT) / ${D("100")} AS revenue,
 FROM spine LEFT JOIN rev USING (ym)
 ORDER BY ym"""
 
+  /** Linear interpolation of gaps in an hourly per-key series — the
+    * time-series sibling of [[dateSpine]]'s zero-fill (sensor/feature
+    * pipelines interpolate; revenue reports zero-fill). Per key: hourly
+    * exact-cent sums, an hour spine between that key's first and last
+    * observed hours (so the endpoints are observed by construction),
+    * then bracketing via IGNORE NULLS running last/first windows and
+    * one fixed double-op interpolation sequence — identical expression
+    * tree in the oracle, so the hash can't drift. The windows partition
+    * by key (high cardinality at scale — no single-task funnel); the
+    * spine explode is proportional to the key's own span.
+    */
+  private def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(50)).cast("int").as("b"),
+        expr("unix_micros(ts) div 3600000000").as("h"), col("value"))
+      .groupBy(col("b"), col("h"))
+      .agg(sum(cents(col("value"))).as("vc"))
+    val spine = hourly.groupBy(col("b"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("b"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wPrev = Window.partitionBy("b").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("b").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filledCents =
+      when(col("vc").isNotNull, col("vc").cast("double"))
+        .otherwise(col("pv").cast("double") +
+          (col("nv") - col("pv")).cast("double") *
+            ((col("h") - col("ph")).cast("double") /
+              (col("nh") - col("ph")).cast("double")))
+    spine.join(hourly, Seq("b", "h"), "left")
+      .withColumn("pv", last(col("vc"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph",
+        last(when(col("vc").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("vc"), ignoreNulls = true).over(wNext))
+      .withColumn("nh",
+        first(when(col("vc").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+      .select(col("b"), col("h"),
+        (floor(filledCents + 0.5).cast("long") / 100.0).as("value"),
+        col("vc").isNotNull.as("observed"))
+      .orderBy("b", "h")
+  }
+
+  private val interpolateOracle = s"""WITH hourly AS (
+  SELECT CAST(user_id % 50 AS INT) AS b, epoch_us(ts) // 3600000000 AS h,
+    CAST(SUM(CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT b, unnest(generate_series(h0, h1)) AS h
+  FROM (SELECT b, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY b)
+), w AS (
+  SELECT s.b, s.h, hourly.vc,
+    LAST_VALUE(vc IGNORE NULLS) OVER (PARTITION BY s.b ORDER BY s.h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN vc IS NOT NULL THEN s.h END IGNORE NULLS)
+      OVER (PARTITION BY s.b ORDER BY s.h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    FIRST_VALUE(vc IGNORE NULLS) OVER (PARTITION BY s.b ORDER BY s.h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN vc IS NOT NULL THEN s.h END IGNORE NULLS)
+      OVER (PARTITION BY s.b ORDER BY s.h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM spine s LEFT JOIN hourly USING (b, h)
+)
+SELECT b, h,
+  CAST(FLOOR((CASE WHEN vc IS NOT NULL THEN CAST(vc AS DOUBLE)
+    ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) *
+      (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END)
+    + ${D("0.5")}) AS BIGINT) / ${D("100")} AS value,
+  (vc IS NOT NULL) AS observed
+FROM w ORDER BY b, h"""
+
   /** Exact interpolated quantiles ((n−1)·p definition in both engines),
     * rounded to 2 dp to absorb any last-ulp interpolation difference.
     */
@@ -361,6 +433,7 @@ FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
     QueryDef("q_unpivot", unpivotQ, Some(unpivotOracle)),
     QueryDef("q_mom_growth", momGrowth, Some(momGrowthOracle)),
     QueryDef("q_date_spine", dateSpine, Some(dateSpineOracle)),
+    QueryDef("ev_interpolate", interpolate, Some(interpolateOracle)),
     QueryDef("q_window_firstlast", windowFirstLast, Some(windowFirstLastOracle)),
     QueryDef("q_pivot", pivot, Some(pivotOracle)),
     QueryDef("q_cube", cube, Some(cubeOracle)),

@@ -7,6 +7,26 @@ import graft.SparkSpec
 class WindowsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gap interpolation: no nulls, gaps exist, values stay inside their brackets") {
+    import org.apache.spark.sql.expressions.Window
+    val df = graft.SparkEntry.queries("ev_interpolate")(spark, Sf)
+    assert(df.where(col("value").isNull).count() == 0) // endpoints observed
+    assert(df.where(!col("observed")).count() > 0)     // this SF has gaps
+    val wP = Window.partitionBy("b").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wN = Window.partitionBy("b").orderBy("h")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val bad = df
+      .withColumn("pv",
+        last(when(col("observed"), col("value")), ignoreNulls = true).over(wP))
+      .withColumn("nv",
+        first(when(col("observed"), col("value")), ignoreNulls = true).over(wN))
+      .where(!col("observed") &&
+        (col("value") < least(col("pv"), col("nv")) - 0.01 ||
+          col("value") > greatest(col("pv"), col("nv")) + 0.01))
+    assert(bad.count() == 0, "interpolated value escaped its bracket")
+  }
+
   test("chunked trailing-range agg equals the plain window on hot-key data") {
     // one key holds ~all rows; times collide and straddle chunk
     // boundaries (incl. exactly-at-boundary and frame == full-range
