@@ -218,6 +218,59 @@ SELECT ym, CAST(COALESCE(rev_c, 0) AS BIGINT) / ${D("100")} AS revenue,
 FROM spine LEFT JOIN rev USING (ym)
 ORDER BY ym"""
 
+  /** Single-scan column profiler — the data-quality summary every lake
+    * publishes per table (row count, per-column null/distinct counts,
+    * min/max). ONE pass computes every statistic (the four
+    * COUNT(DISTINCT)s share one expand+shuffle); the long-format output
+    * is four projections of that 1-row aggregate, so profiling N
+    * columns never becomes N scans. Values are normalized to BIGINT
+    * (quantities are integral, timestamps → epoch µs) so no
+    * float/timestamp formatting can differ between engines; at corpus
+    * scale the graded `q_approx_distinct` sketch replaces the exact
+    * distincts with one non-expanding pass.
+    */
+  private def profileStats(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("l_orderkey")).as("nd_ok"),
+      min(col("l_orderkey")).as("mn_ok"), max(col("l_orderkey")).as("mx_ok"),
+      countDistinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).cast("long").as("mn_q"),
+      max(col("l_quantity")).cast("long").as("mx_q"),
+      countDistinct(col("l_shipdate")).as("nd_sd"),
+      expr("unix_micros(cast(min(l_shipdate) as timestamp))").as("mn_sd"),
+      expr("unix_micros(cast(max(l_shipdate) as timestamp))").as("mx_sd"),
+      countDistinct(col("l_returnflag")).as("nd_rf"))
+    def row(name: String, nd: String,
+        mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =
+      a.select(lit(name).as("column"), col("n"), col(nd).as("n_distinct"),
+        mn.cast("long").as("min_v"), mx.cast("long").as("max_v"))
+    row("l_orderkey", "nd_ok", col("mn_ok"), col("mx_ok"))
+      .unionByName(row("l_quantity", "nd_q", col("mn_q"), col("mx_q")))
+      .unionByName(row("l_returnflag", "nd_rf", lit(null), lit(null)))
+      .unionByName(row("l_shipdate", "nd_sd", col("mn_sd"), col("mx_sd")))
+      .orderBy("column")
+  }
+
+  private val profileStatsOracle = """WITH a AS (
+  SELECT COUNT(*) AS n,
+    COUNT(DISTINCT l_orderkey) AS nd_ok,
+    MIN(l_orderkey) AS mn_ok, MAX(l_orderkey) AS mx_ok,
+    COUNT(DISTINCT l_quantity) AS nd_q,
+    CAST(MIN(l_quantity) AS BIGINT) AS mn_q,
+    CAST(MAX(l_quantity) AS BIGINT) AS mx_q,
+    COUNT(DISTINCT l_shipdate) AS nd_sd,
+    epoch_us(MIN(l_shipdate)) AS mn_sd, epoch_us(MAX(l_shipdate)) AS mx_sd,
+    COUNT(DISTINCT l_returnflag) AS nd_rf
+  FROM lineitem
+)
+SELECT 'l_orderkey' AS "column", n, nd_ok AS n_distinct,
+  CAST(mn_ok AS BIGINT) AS min_v, CAST(mx_ok AS BIGINT) AS max_v FROM a
+UNION ALL SELECT 'l_quantity', n, nd_q, mn_q, mx_q FROM a
+UNION ALL SELECT 'l_returnflag', n, nd_rf, NULL, NULL FROM a
+UNION ALL SELECT 'l_shipdate', n, nd_sd, mn_sd, mx_sd FROM a
+ORDER BY "column""""
+
   /** Linear interpolation of gaps in an hourly per-key series — the
     * time-series sibling of [[dateSpine]]'s zero-fill (sensor/feature
     * pipelines interpolate; revenue reports zero-fill). Per key: hourly
@@ -434,6 +487,7 @@ FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
     QueryDef("q_mom_growth", momGrowth, Some(momGrowthOracle)),
     QueryDef("q_date_spine", dateSpine, Some(dateSpineOracle)),
     QueryDef("ev_interpolate", interpolate, Some(interpolateOracle)),
+    QueryDef("q_profile_stats", profileStats, Some(profileStatsOracle)),
     QueryDef("q_window_firstlast", windowFirstLast, Some(windowFirstLastOracle)),
     QueryDef("q_pivot", pivot, Some(pivotOracle)),
     QueryDef("q_cube", cube, Some(cubeOracle)),
