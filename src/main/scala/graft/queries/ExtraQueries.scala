@@ -348,6 +348,69 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 FROM lineitem WHERE l_returnflag = 'R'
 GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --- bucketed co-location, end-to-end ------------------------------
+  /** Both join sides written bucketed+sorted on the join key, then
+    * joined via the catalog tables: the layout that amortizes ONE
+    * shuffle-write into every future join/aggregate on that key (the
+    * no-Exchange-below-the-join plan shape is pinned in JoinsSpec; here
+    * the whole path is graded end-to-end against the plain-join
+    * oracle). At 100 TB this is how a fact table that's joined daily
+    * stops paying its dominant shuffle daily.
+    */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_bkt").toString
+    graft.operators.Joins.writeBucketed(
+      Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      "q_b_orders", "o_orderkey", 8, s"$tmp/o")
+    graft.operators.Joins.writeBucketed(
+      Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      "q_b_lineitem", "l_orderkey", 8, s"$tmp/l")
+    s.table("q_b_orders")
+      .join(s.table("q_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedJoinOracle = """SELECT o_orderpriority, COUNT(*) AS n,
+  SUM(l_quantity) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // --- key-skew diagnostics ------------------------------------------
+  /** The measurement you run BEFORE reaching for salting/AQE: per-key
+    * group sizes reduced to the skew facts (key count, max-key rows,
+    * p50/p99 group size, max-over-mean skew ratio). Two map-side
+    * combinable aggregations; the percentile runs over one row PER KEY,
+    * not per fact row.
+    */
+  private def skewMetrics(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_key_rows"),
+        graft.etl.Transform.round2(expr("percentile(c, 0.5)")).as("p50"),
+        graft.etl.Transform.round2(expr("percentile(c, 0.99)")).as("p99"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        col("p50"), col("p99"),
+        (col("max_key_rows").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")))
+          .as("skew_ratio"))
+
+  private val skewMetricsOracle = s"""WITH c AS (
+  SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1
+), a AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+    MAX(c) AS max_key_rows,
+    ${Sql.round2("quantile_cont(c, 0.5)")} AS p50,
+    ${Sql.round2("quantile_cont(c, 0.99)")} AS p99
+  FROM c
+)
+SELECT n_keys, n_rows, max_key_rows, p50, p99,
+  CAST(max_key_rows AS DOUBLE) /
+    (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio
+FROM a"""
+
   // --- salted skew join (result must equal the plain join) ------------
   private def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables(s, dir, "lineitem")
@@ -490,6 +553,8 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("io_orc_roundtrip", (s, d) => roundtrip(s, d, "orc"), Some(roundtripOracle)),
     QueryDef("io_partition_prune", partitionPrune, Some(partitionPruneOracle)),
     QueryDef("io_compaction", compaction, Some(compactionOracle)),
+    QueryDef("io_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
+    QueryDef("q_skew_metrics", skewMetrics, Some(skewMetricsOracle)),
     QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
 }

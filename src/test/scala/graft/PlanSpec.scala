@@ -349,6 +349,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces post-shuffle partitions to the data, not the config") {
+    // 3-group aggregate under shuffle.partitions=4: AQE's runtime stats
+    // should collapse the near-empty reducers — the behavior that keeps
+    // a 100 TB job from scheduling thousands of vestigial tasks
+    val df = Tables(spark, Sf, "lineitem")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"expected AQE-coalesced shuffle read:\n${plan.take(2000)}")
+  }
+
   test("bloom blocklist membership evaluates scan-side — no Exchange, no join") {
     val docs = Tables(spark, Sf, "documents")
     val bf = docs.where(pmod(col("doc_id"), lit(20)) === 0)
