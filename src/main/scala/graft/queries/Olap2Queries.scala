@@ -437,11 +437,18 @@ FROM f ORDER BY doc_id"""
     * 5%, the oracle hash (`TRUE` on every row) would flip.
     */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // NEVER combine a DISTINCT aggregate with the HLL in one agg: Spark's
+    // distinct-rewrite then carries the sketch's ~1,600-slot buffer per
+    // (group, key) pair — a sketch per DISTINCT KEY, not per group
+    // (measured 15.7 s vs 1.0 s at sf0.1 for the split below; the split
+    // also scans twice, which is still 16x cheaper)
+    val li = Tables(s, dir, "lineitem")
+    val exactAgg = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val hllAgg = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("hll"))
     val exact = col("exact_parts").cast("double")
-    Tables(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("hll"))
+    exactAgg.join(hllAgg, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("hll").cast("double") - exact) <= exact * 0.05)
           .as("within_5pct"))
