@@ -411,6 +411,39 @@ SELECT n_keys, n_rows, max_key_rows, p50, p99,
     (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio
 FROM a"""
 
+  // --- fuzzy match (edit-distance entity resolution verifier) ---------
+  /** Blocked edit-distance self-join — the VERIFY stage of entity
+    * resolution: per-distance pair counts for supplier names within
+    * levenshtein ≤ 2, blocked on exact name length (|len(a)−len(b)| ≤ d
+    * is a necessary condition, so equal-length blocking is
+    * candidate-complete here where every name is fixed-width). At
+    * corpus scale the DISCOVERY stage is the LSH/MinHash banding this
+    * engine already grades — edit-distance is the exact verifier run
+    * on candidates only, exactly like exact-Jaccard verifies the
+    * shingle LSH. The DP cost is bounded: O(len²) per pair on blocked
+    * pairs, never all-pairs across blocks.
+    */
+  private def fuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val left = sup.select(col("id").as("a_id"), col("nm").as("a_nm"))
+    val right = sup.select(col("id").as("b_id"), col("nm").as("b_nm"))
+    left.join(right,
+        col("a_id") < col("b_id") &&
+          length(col("a_nm")) === length(col("b_nm")))
+      .select(levenshtein(col("a_nm"), col("b_nm")).as("d"))
+      .where(col("d") <= 2)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("d")
+  }
+
+  private val fuzzyPairsOracle = """SELECT
+  levenshtein(a.s_name, b.s_name) AS d, COUNT(*) AS n_pairs
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey AND length(a.s_name) = length(b.s_name)
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+GROUP BY 1 ORDER BY d"""
+
   // --- salted skew join (result must equal the plain join) ------------
   private def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables(s, dir, "lineitem")
@@ -555,6 +588,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("io_compaction", compaction, Some(compactionOracle)),
     QueryDef("io_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("q_skew_metrics", skewMetrics, Some(skewMetricsOracle)),
+    QueryDef("q_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsOracle)),
     QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
 }
