@@ -407,8 +407,12 @@ object CorpusQuality {
     * both aggregations are map-side combinable. Determinism shape: each
     * −p·log2(p) term is rounded to integer micro-bits BEFORE the sum, so
     * the per-doc total is an order-independent integer sum — aggregation
-    * order (Spark task order vs any oracle's) can never flip a bit of
-    * the output double.
+    * order (Spark task order vs any oracle's) can never flip the output.
+    * Residual risk is per-TERM only: two engines' log2 may differ in the
+    * last ulp, which flips a micro-bit term only when the true value
+    * lands within ~1e-10 of a rounding boundary — per-term probability
+    * ~1e-10, absorbed for any realistic corpus but not a hard guarantee
+    * the way the 2-dp round2 pattern's 1e-2 granularity is.
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = df

@@ -726,8 +726,9 @@ FROM r ORDER BY doc_id"""
   /** [[CorpusQuality.tokenEntropy]] over `documents` — the signal that
     * catches boilerplate the repetition filters miss. The oracle
     * restates the identical fixed-point math: each −p·log2(p) term is
-    * floored to integer micro-bits BEFORE summing, so both engines sum
-    * the same integers and aggregation order cannot flip the hash.
+    * floored to integer micro-bits BEFORE summing, so aggregation order
+    * cannot flip the hash (see [[CorpusQuality.tokenEntropy]] for the
+    * per-term log2-ulp residual this does NOT cover).
     */
   private def tokenEntropy(s: SparkSession, dir: String): DataFrame =
     CorpusQuality.tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
@@ -778,11 +779,18 @@ GROUP BY 1 ORDER BY doc_id"""
       .select(col("doc_id"))
     val exact = docs.join(dirty.distinct().withColumnRenamed("text", "t2"),
       col("text") === col("t2"), "left_semi").select(col("doc_id"))
-    val counts = exact.agg(count(lit(1)).as("n_true"))
-      .crossJoin(exact.join(flagged, Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_missed")))
-      .crossJoin(flagged.join(exact, Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_fp")))
+    // one full-outer compare computes true/missed/fp in a single pass —
+    // the exact semi-join (the expensive thing the filter replaces) is
+    // evaluated once, not once per gate
+    val counts = exact.withColumn("e", lit(1))
+      .join(flagged.withColumn("f", lit(1)), Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("e").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_true"),
+        coalesce(sum(when(col("e").isNotNull && col("f").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_missed"),
+        coalesce(sum(when(col("f").isNotNull && col("e").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_fp"))
       .crossJoin(docs.agg(count(lit(1)).as("n_corpus")))
     counts.select(col("n_true"),
       (col("n_missed") === 0).as("no_false_negatives"),

@@ -414,9 +414,9 @@ FROM a"""
   // --- fuzzy match (edit-distance entity resolution verifier) ---------
   /** Blocked edit-distance self-join — the VERIFY stage of entity
     * resolution: per-distance pair counts for supplier names within
-    * levenshtein ≤ 2, blocked on exact name length (|len(a)−len(b)| ≤ d
-    * is a necessary condition, so equal-length blocking is
-    * candidate-complete here where every name is fixed-width). At
+    * levenshtein ≤ 2, blocked on |len(a)−len(b)| ≤ 2 — the necessary
+    * condition for edit distance ≤ 2, so the block is
+    * candidate-complete for variable-length names too. At
     * corpus scale the DISCOVERY stage is the LSH/MinHash banding this
     * engine already grades — edit-distance is the exact verifier run
     * on candidates only, exactly like exact-Jaccard verifies the
@@ -430,7 +430,7 @@ FROM a"""
     val right = sup.select(col("id").as("b_id"), col("nm").as("b_nm"))
     left.join(right,
         col("a_id") < col("b_id") &&
-          length(col("a_nm")) === length(col("b_nm")))
+          abs(length(col("a_nm")) - length(col("b_nm"))) <= 2)
       .select(levenshtein(col("a_nm"), col("b_nm")).as("d"))
       .where(col("d") <= 2)
       .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
@@ -440,7 +440,8 @@ FROM a"""
   private val fuzzyPairsOracle = """SELECT
   levenshtein(a.s_name, b.s_name) AS d, COUNT(*) AS n_pairs
 FROM supplier a JOIN supplier b
-  ON a.s_suppkey < b.s_suppkey AND length(a.s_name) = length(b.s_name)
+  ON a.s_suppkey < b.s_suppkey
+  AND abs(length(a.s_name) - length(b.s_name)) <= 2
 WHERE levenshtein(a.s_name, b.s_name) <= 2
 GROUP BY 1 ORDER BY d"""
 

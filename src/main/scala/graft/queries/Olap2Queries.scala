@@ -222,8 +222,9 @@ ORDER BY ym"""
     * publishes per table (row count, per-column null/distinct counts,
     * min/max). ONE pass computes every statistic (the four
     * COUNT(DISTINCT)s share one expand+shuffle); the long-format output
-    * is four projections of that 1-row aggregate, so profiling N
-    * columns never becomes N scans. Values are normalized to BIGINT
+    * melts that 1-row aggregate through a struct-array explode — single
+    * scan BY CONSTRUCTION, not by hoping exchange reuse dedupes four
+    * unioned copies of the aggregate subtree. Values are normalized to BIGINT
     * (quantities are integral, timestamps → epoch µs) so no
     * float/timestamp formatting can differ between engines; at corpus
     * scale the graded `q_approx_distinct` sketch replaces the exact
@@ -241,14 +242,16 @@ ORDER BY ym"""
       expr("unix_micros(cast(min(l_shipdate) as timestamp))").as("mn_sd"),
       expr("unix_micros(cast(max(l_shipdate) as timestamp))").as("mx_sd"),
       countDistinct(col("l_returnflag")).as("nd_rf"))
-    def row(name: String, nd: String,
+    def entry(name: String, nd: String,
         mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =
-      a.select(lit(name).as("column"), col("n"), col(nd).as("n_distinct"),
+      struct(lit(name).as("column"), col("n"), col(nd).as("n_distinct"),
         mn.cast("long").as("min_v"), mx.cast("long").as("max_v"))
-    row("l_orderkey", "nd_ok", col("mn_ok"), col("mx_ok"))
-      .unionByName(row("l_quantity", "nd_q", col("mn_q"), col("mx_q")))
-      .unionByName(row("l_returnflag", "nd_rf", lit(null), lit(null)))
-      .unionByName(row("l_shipdate", "nd_sd", col("mn_sd"), col("mx_sd")))
+    a.select(explode(array(
+        entry("l_orderkey", "nd_ok", col("mn_ok"), col("mx_ok")),
+        entry("l_quantity", "nd_q", col("mn_q"), col("mx_q")),
+        entry("l_returnflag", "nd_rf", lit(null), lit(null)),
+        entry("l_shipdate", "nd_sd", col("mn_sd"), col("mx_sd")))).as("r"))
+      .select(col("r.*"))
       .orderBy("column")
   }
 
