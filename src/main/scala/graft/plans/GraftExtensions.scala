@@ -64,7 +64,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_norm_sq"),
       new ExpressionInfo(classOf[LongArrayNormSq].getName, "graft_norm_sq"),
-      (exprs: Seq[Expression]) => LongArrayNormSq(exprs(0))))
+      (exprs: Seq[Expression]) => LongArrayNormSq(exprs(0))),
+    (FunctionIdentifier("graft_damerau"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau"),
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

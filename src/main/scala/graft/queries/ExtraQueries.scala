@@ -445,6 +445,45 @@ FROM supplier a JOIN supplier b
 WHERE levenshtein(a.s_name, b.s_name) <= 2
 GROUP BY 1 ORDER BY d"""
 
+  /** [[q_fuzzy_pairs]]'s verifier upgraded to the native
+    * [[graft.plans.DamerauLevenshtein]] expression (true/unrestricted
+    * DL — the variant DuckDB's `damerau_levenshtein` computes). Spark
+    * ships no transposition-aware distance, so this is the custom-
+    * Expression seam earning its keep: `n_tighter` counts pairs where
+    * the transposition edit strictly tightens the distance (`dl < lev`)
+    * — exactly the human-typo pairs (digit swaps in keyed IDs) a
+    * levenshtein-only verifier over-penalizes. Same |Δlen| ≤ 2 block:
+    * still candidate-complete, since dl ≤ lev.
+    */
+  private def damerauPairs(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val left = sup.select(col("id").as("a_id"), col("nm").as("a_nm"))
+    val right = sup.select(col("id").as("b_id"), col("nm").as("b_nm"))
+    left.join(right,
+        col("a_id") < col("b_id") &&
+          abs(length(col("a_nm")) - length(col("b_nm"))) <= 2)
+      .select(
+        graft.plans.DamerauLevenshtein
+          .damerauLevenshtein(col("a_nm"), col("b_nm")).as("d"),
+        levenshtein(col("a_nm"), col("b_nm")).as("lev"))
+      .where(col("d") <= 2)
+      .groupBy(col("d")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("d") < col("lev"), 1L).otherwise(0L)).as("n_tighter"))
+      .orderBy("d")
+  }
+
+  private val damerauPairsOracle = """SELECT
+  damerau_levenshtein(a.s_name, b.s_name) AS d, COUNT(*) AS n_pairs,
+  CAST(SUM(CASE WHEN damerau_levenshtein(a.s_name, b.s_name)
+    < levenshtein(a.s_name, b.s_name) THEN 1 ELSE 0 END) AS BIGINT) AS n_tighter
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+  AND abs(length(a.s_name) - length(b.s_name)) <= 2
+WHERE damerau_levenshtein(a.s_name, b.s_name) <= 2
+GROUP BY 1 ORDER BY d"""
+
   // --- salted skew join (result must equal the plain join) ------------
   private def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables(s, dir, "lineitem")
@@ -590,6 +629,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("io_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("q_skew_metrics", skewMetrics, Some(skewMetricsOracle)),
     QueryDef("q_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsOracle)),
+    QueryDef("q_damerau_pairs", damerauPairs, Some(damerauPairsOracle)),
     QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
 }

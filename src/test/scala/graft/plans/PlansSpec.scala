@@ -50,6 +50,49 @@ class PlansSpec extends SparkSpec {
     assert(got == 2)
   }
 
+  test("DamerauLevenshtein: true (unrestricted) DL semantics, both eval paths") {
+    // Expected values verified against DuckDB's damerau_levenshtein
+    // (the driver's oracle engine): true DL, where a transposed pair
+    // may be edited again later — DL("CA","ABC")=2, not OSA's 3.
+    val cases = Seq(
+      ("CA", "ABC", 2), ("ab", "ba", 1), ("abc", "acb", 1),
+      ("kitten", "sitting", 3), ("", "abc", 3), ("abc", "", 3),
+      ("a", "a", 0), ("abcdef", "abcfed", 2), ("xabx", "xbax", 1),
+      ("specter", "spectre", 1), ("", "", 0))
+    cases.foreach { case (a, b, want) =>
+      assert(DamerauLevenshtein.compute(a, b) == want, s"compute($a,$b)")
+      assert(DamerauLevenshtein.compute(b, a) == want, s"symmetry($b,$a)")
+    }
+    // codegen'd path through a DataFrame agrees with the static compute
+    val df = cases.toDF("a", "b", "want")
+    val got = df.select(
+      DamerauLevenshtein.damerauLevenshtein(col("a"), col("b")).as("d"),
+      col("want")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // null propagation
+    val n = Seq((null: String, "x")).toDF("a", "b")
+      .select(DamerauLevenshtein.damerauLevenshtein(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+    // metric properties vs levenshtein on random-ish strings:
+    // dl <= lev always; triangle inequality holds (true DL is a metric)
+    val words = Seq("delivery", "dleivery", "dlievery", "delivary",
+      "deilvery", "package", "pacakge", "packgae", "pckage", "ackagep")
+    for (x <- words; y <- words) {
+      val dl = DamerauLevenshtein.compute(x, y)
+      val lev = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      assert(dl <= lev, s"dl($x,$y)=$dl > lev=$lev")
+      for (z <- words)
+        assert(dl <= DamerauLevenshtein.compute(x, z) +
+          DamerauLevenshtein.compute(z, y), s"triangle $x,$y via $z")
+    }
+  }
+
+  test("graft_damerau registered for SQL via GraftFunctions") {
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_damerau('CA', 'ABC') AS d").head().getInt(0) == 2)
+  }
+
   test("LongArrayDot/NormSq: native == interpreted aggregate formulation") {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
