@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge-list DataFrames — PageRank and
+  * triangle counting, the two classic "does your engine do graphs"
+  * probes. Both are expressed as joins + aggregations so Catalyst owns
+  * the physical strategy (AQE picks broadcast vs shuffle per
+  * iteration), and both use EXACT integer arithmetic so results are
+  * hash-reproducible against any engine that floors the same way.
+  *
+  * Scale notes (100 TB / 1e9+ edges):
+  *   - PageRank shuffles once per iteration on the join key (src) plus
+  *     once on dst for the inflow aggregation — the minimum for an
+  *     edge-partitioned layout. The rank vector (one long per node) is
+  *     orders of magnitude smaller than edges; Catalyst broadcasts it
+  *     when below the threshold and shuffle-joins otherwise, no code
+  *     change. Edges are persisted once and reused across iterations.
+  *   - For deep iteration counts the lineage must be cut (the same
+  *     per-round `localCheckpoint` pattern as
+  *     [[TextDedup.connectedComponents]]); at 5 iterations the plan is
+  *     shallow enough that checkpointing would cost more than it saves.
+  *   - Triangle counting uses the degree-ordered orientation: each
+  *     undirected edge points from the lower-(degree, id) endpoint to
+  *     the higher one, so every out-degree is O(√E) even on power-law
+  *     graphs — the wedge join can never explode on a hub node. Each
+  *     triangle has exactly one node with two out-edges, so it is
+  *     counted exactly once, and the count equals the naive
+  *     a<b<c 3-way join an oracle can run.
+  */
+object Graphs {
+
+  /** Weighted PageRank in fixed-point micro-units (integer-exact).
+    *
+    * r₀(v) = 1e6; rₜ₊₁(v) = 150000 + (85 · inflow(v)) div 100, where
+    * inflow(v) = Σ over in-edges (rₜ(u) · w(u,v)) div W(u), W(u) the
+    * total out-weight. Every division is an integer floor division, so
+    * the trajectory is bit-reproducible in any engine. Mass entering a
+    * dangling node (no out-edges) leaves the system — the
+    * "PageRank without dangling redistribution" variant — identically
+    * on both sides.
+    *
+    * @param edges (src: long-castable, dst, w: long weight ≥ 1)
+    * @param nodes single-column node universe (may exceed edge endpoints)
+    * @return (node, rank_micro) — exact longs
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val nodeCol = nodes.columns.head
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    // per-edge share denominators are joined once, not per iteration
+    val e = edges.join(outW, "src")
+      .select(col("src"), col("dst"), col("w"), col("w_out"))
+      .persist()
+    e.count() // materialize before the loop so iterations reuse the cache
+    try {
+      var ranks = nodes.select(col(nodeCol).cast("long").as("node"),
+        lit(1000000L).as("r"))
+      for (_ <- 1 to iterations) {
+        val inflow = e.join(ranks, e("src") === ranks("node"))
+          .select(col("dst"), expr("(r * w) div w_out").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        ranks = nodes.select(col(nodeCol).cast("long").as("node"))
+          .join(inflow, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+      }
+      // cut lineage before e is unpersisted (same pattern as
+      // connectedComponents): the result is one long per node, tiny
+      // next to the edge list it summarizes
+      ranks.select(col("node"), col("r").as("rank_micro"))
+        .localCheckpoint(eager = true)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Exact global triangle / wedge census via degree-ordered wedge
+    * join. Input edges are undirected, stored once with `a < b`
+    * (dedup'd). Returns one row: n_nodes, n_edges, n_wedges,
+    * n_triangles, and the global clustering coefficient
+    * 3·T / W (a single deterministic double division of two exact
+    * longs — no float accumulation).
+    */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("a", "b").where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each edge toward the higher (deg, id) endpoint
+    val da = deg.select(col("v").as("a"), col("deg").as("deg_a"))
+    val db = deg.select(col("v").as("b"), col("deg").as("deg_b"))
+    val oriented = p.join(da, "a").join(db, "b")
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("t")))
+          .otherwise(struct(col("b").as("u"), col("a").as("t"))).as("e"))
+      .select(col("e.u").as("u"), col("e.t").as("t"))
+      .persist()
+    oriented.count()
+    try {
+      // wedges at u: unordered out-neighbor pairs; close with any edge
+      val o1 = oriented.select(col("u"), col("t").as("x"))
+      val o2 = oriented.select(col("u"), col("t").as("y"))
+      val wedgePairs = o1.join(o2, "u").where(col("x") < col("y"))
+      val closing = p.select(
+        least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
+      val nTri = wedgePairs.join(closing, Seq("x", "y"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      // wedge census over the UNDIRECTED degree: sum C(deg, 2)
+      val census = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(deg) div 2").as("n_edges"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+      census.crossJoin(nTri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .as("clustering"))
+        .localCheckpoint(eager = true) // 1 row; frees `oriented` safely
+    } finally oriented.unpersist(blocking = false)
+  }
+
+  /** Per-user ordered transition edges from an event log: consecutive
+    * (k, next k) within each user, ordered by the raw nanosecond
+    * timestamp with `event_id` as the total-order tiebreak (ns ties
+    * exist in principle; id ties cannot). Returns (src, dst, w).
+    */
+  def transitionEdges(events: DataFrame, keyExpr: Column): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), keyExpr.as("k"))
+      .withColumn("nk", lead(col("k"), 1).over(w))
+      .where(col("nk").isNotNull)
+      .groupBy(col("k").as("src"), col("nk").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed fixed-point PageRank trajectories and closed-form
+  * triangle censuses on known graphs.
+  */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric 2-cycle is the exact fixed point 1e6") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L).toDF("node")
+    val got = Graphs.pageRank(edges, nodes, 5)
+      .as[(Long, Long)].collect().toMap
+    // inflow = (1e6 * 1) div 1 = 1e6; r' = 150000 + 85e4 = 1e6 exactly
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank: star graph matches the hand-run floor-division update") {
+    // A -> B, A -> C (W(A) = 2); B, C dangling
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val r1 = Graphs.pageRank(edges, nodes, 1).as[(Long, Long)].collect().toMap
+    // r1(A) = 150000; r1(B) = r1(C) = 150000 + (85 * (1e6 div 2)) div 100
+    assert(r1 == Map(1L -> 150000L, 2L -> 575000L, 3L -> 575000L))
+    val r2 = Graphs.pageRank(edges, nodes, 2).as[(Long, Long)].collect().toMap
+    // r2(B) = 150000 + (85 * (150000 div 2)) div 100 = 213750
+    assert(r2 == Map(1L -> 150000L, 2L -> 213750L, 3L -> 213750L))
+  }
+
+  test("pageRank: weighted split floors per edge") {
+    // A -> B w=2, A -> C w=1: shares are (r*2) div 3 and (r*1) div 3
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val r1 = Graphs.pageRank(edges, nodes, 1).as[(Long, Long)].collect().toMap
+    val sB = (1000000L * 2) / 3; val sC = 1000000L / 3
+    assert(r1(2L) == 150000L + (85 * sB) / 100)
+    assert(r1(3L) == 150000L + (85 * sC) / 100)
+  }
+
+  test("triangleCensus: K4, C5, and a hub graph") {
+    // K4: 4 nodes, 6 edges, deg 3 each -> wedges 4*3=12, triangles 4,
+    // clustering 3*4/12 = 1.0
+    val k4 = (for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val g1 = Graphs.triangleCensus(k4).head()
+    assert((g1.getLong(0), g1.getLong(1), g1.getLong(2), g1.getLong(3)) ==
+      ((4L, 6L, 12L, 4L)))
+    assert(g1.getDouble(4) == 1.0)
+    // C5 cycle: 5 wedges, 0 triangles
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L)).toDF("a", "b")
+    val g2 = Graphs.triangleCensus(c5).head()
+    assert((g2.getLong(2), g2.getLong(3)) == ((5L, 0L)))
+    // hub + one closing edge: star 1-(2,3,4) plus edge 2-3:
+    // deg = (3,2,2,1); wedges = 3 + 1 + 1 + 0 = 5; triangles = 1
+    val hub = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
+    val g3 = Graphs.triangleCensus(hub).head()
+    assert((g3.getLong(0), g3.getLong(1), g3.getLong(2), g3.getLong(3)) ==
+      ((4L, 4L, 5L, 1L)))
+    // input given in either orientation / with dups collapses identically
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 1L), (4L, 1L), (3L, 2L)).toDF("a", "b")
+    val g4 = Graphs.triangleCensus(messy).head()
+    assert(g4.getLong(3) == 1L && g4.getLong(1) == 4L)
+  }
+
+  test("transitionEdges: total order by (ts, event_id) within user") {
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (2L, 20L, 1L, "b"), (3L, 20L, 1L, "c"),
+      (4L, 5L, 2L, "x"), (5L, 6L, 2L, "x"))
+      .toDF("event_id", "ts", "user_id", "k")
+    val got = Graphs.transitionEdges(ev, col("k"))
+      .as[(String, String, Long)].collect().toSet
+    // user 1: a -> b (ts), b -> c (ts tie broken by event_id); user 2: x -> x
+    assert(got == Set(("a", "b", 1L), ("b", "c", 1L), ("x", "x", 1L)))
+  }
+}
