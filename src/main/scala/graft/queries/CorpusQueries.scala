@@ -154,6 +154,42 @@ FROM (
 ) WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token LIMIT 25"""
 
+  // --- BPE merge-pair statistics (tokenizer training, one round) ------
+  /** The inner loop of BPE tokenizer training: corpus-weighted adjacent
+    * character-pair frequencies, i.e. the statistic whose argmax is the
+    * next merge rule. The scale trick is the classic one — collapse the
+    * corpus to a (word, freq) VOCABULARY first, then explode character
+    * positions per DISTINCT word only: pair-counting work scales with
+    * vocabulary size (Heaps' law, ≪ corpus size), while corpus volume
+    * only feeds the word-count aggregation, which map-side combines.
+    * Overlapping occurrences each count ("aaa" → 2×(aa)), matching
+    * reference BPE implementations. Top 30 = the merge-table head.
+    */
+  private def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words.where(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"), col("w"))
+      .select(expr("substr(w, i, 2)").as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
+
+  private val bpePairsOracle = """WITH words AS (
+  SELECT token AS w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY 1
+)
+SELECT substr(w, CAST(i AS INT), 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
+FROM words, unnest(range(1, length(w))) AS t(i)
+WHERE length(w) >= 2
+GROUP BY 1 ORDER BY n DESC, pair LIMIT 30"""
+
   // --- C4-style segment-level duplication ---------------------------
   private val SegWords = 5
 
@@ -903,6 +939,7 @@ GROUP BY dev.source ORDER BY dev.source"""
     QueryDef("t_dsir_weights", dsir, Some(dsirOracle)),
     QueryDef("t_train_val_split", trainValTest, Some(trainValTestOracle)),
     QueryDef("t_vocab_topk", vocabTopK, Some(vocabTopKOracle)),
+    QueryDef("t_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     QueryDef("t_mixture_sample", mixture, Some(mixtureOracle)),
     QueryDef("t_shuffle_order", shuffleOrder, Some(shuffleOrderOracle)),
     QueryDef("t_repetition", repetition, Some(repetitionOracle)),

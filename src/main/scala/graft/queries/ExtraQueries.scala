@@ -484,6 +484,52 @@ FROM supplier a JOIN supplier b
 WHERE damerau_levenshtein(a.s_name, b.s_name) <= 2
 GROUP BY 1 ORDER BY d"""
 
+  // --- CDC merge / upsert (lakehouse MERGE INTO kernel) ---------------
+  /** [[graft.operators.Cdc.applyChangeset]] graded end-to-end: a
+    * deterministic changeset derived from the orders snapshot itself
+    * (deletes for keys ≡0 mod 89, updates ≡0 mod 97 with delete
+    * precedence, inserts on fresh negative keys ≡0 mod 83) is applied
+    * and the ENTIRE next snapshot is hash-compared against the oracle's
+    * full-outer-join formulation of MERGE. Prices travel as exact
+    * cents. One shuffle join on the key is the whole cost; AQE
+    * broadcasts the changeset when it is incremental-sized.
+    */
+  private def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+    val changes = snap.where(col("k") % 89 === 0 || col("k") % 97 === 0)
+      .select(col("k"),
+        when(col("k") % 89 === 0, "D").otherwise("U").as("op"),
+        lit("X").as("status"), (col("price_cents") + 1000L).as("price_cents"))
+      .unionByName(snap.where(col("k") % 83 === 0)
+        .select((-col("k")).as("k"), lit("I").as("op"),
+          lit("N").as("status"), col("price_cents")))
+    graft.operators.Cdc.applyChangeset(snap, changes, "k", "op")
+      .select(col("k").as("o_orderkey"), col("status"), col("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeUpsertOracle = """WITH snap AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), chg AS (
+  SELECT k, CASE WHEN k % 89 = 0 THEN 'D' ELSE 'U' END AS op,
+    'X' AS st, cents + 1000 AS cents
+  FROM snap WHERE k % 89 = 0 OR k % 97 = 0
+  UNION ALL
+  SELECT -k, 'I', 'N', cents FROM snap WHERE k % 83 = 0
+), merged AS (
+  SELECT COALESCE(c.k, s.k) AS k, c.op,
+    CASE WHEN c.op IN ('U', 'I') THEN c.st ELSE s.st END AS st,
+    CASE WHEN c.op IN ('U', 'I') THEN c.cents ELSE s.cents END AS cents
+  FROM snap s FULL OUTER JOIN chg c ON s.k = c.k
+)
+SELECT k AS o_orderkey, st AS status, cents AS price_cents
+FROM merged WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey"""
+
   // --- salted skew join (result must equal the plain join) ------------
   private def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables(s, dir, "lineitem")
@@ -630,6 +676,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("q_skew_metrics", skewMetrics, Some(skewMetricsOracle)),
     QueryDef("q_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsOracle)),
     QueryDef("q_damerau_pairs", damerauPairs, Some(damerauPairsOracle)),
+    QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
 }
