@@ -190,6 +190,53 @@ FROM words, unnest(range(1, length(w))) AS t(i)
 WHERE length(w) >= 2
 GROUP BY 1 ORDER BY n DESC, pair LIMIT 30"""
 
+  // --- count-min sketch heavy hitters (frequency sketch audit) --------
+  /** Count-min sketch vs exact truth for the corpus vocabulary head —
+    * the streaming-frequency sketch audited the same way
+    * `d_minhash_accuracy` audits MinHash. One pass computes the total
+    * token count AND the sketch (eps 0.001, confidence 0.99, fixed
+    * seed); the exact top-20 counts come from the ordinary groupBy.
+    * Graded properties, per heavy hitter: the CMS estimate NEVER
+    * undercounts (a hard guarantee of the sketch), and overcounts by
+    * at most 2·eps·N (twice the advertised bound, so the 1%-tail draw
+    * can never flip the hash). The sketch bytes live in ONE aggregate
+    * row (KB-sized): at 100 TB the same plan holds — map-side partial
+    * sketches merge associatively; only top-k candidate tokens are
+    * driver-side, never the vocabulary.
+    */
+  private def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val topK = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20).collect()
+    val row = toks.agg(count(lit(1)).as("total"),
+      expr("count_min_sketch(token, cast(0.001 as double), cast(0.99 as double), 42)")
+        .as("sk")).head()
+    val total = row.getLong(0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("sk")))
+    val bound = math.ceil(2 * 0.001 * total).toLong
+    val graded = topK.toSeq.map { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(t)
+      (t, n, est >= n, est - n <= bound)
+    }
+    import s.implicits._
+    graded.toDF("token", "n", "est_ge_exact", "within_bound")
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  private val cmsHeavyHittersOracle = """SELECT token, n,
+  TRUE AS est_ge_exact, TRUE AS within_bound
+FROM (
+  SELECT token, COUNT(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+  GROUP BY token ORDER BY n DESC, token LIMIT 20
+) ORDER BY n DESC, token"""
+
   // --- C4-style segment-level duplication ---------------------------
   private val SegWords = 5
 
@@ -940,6 +987,7 @@ GROUP BY dev.source ORDER BY dev.source"""
     QueryDef("t_train_val_split", trainValTest, Some(trainValTestOracle)),
     QueryDef("t_vocab_topk", vocabTopK, Some(vocabTopKOracle)),
     QueryDef("t_bpe_pairs", bpePairs, Some(bpePairsOracle)),
+    QueryDef("t_cms_heavyhitters", cmsHeavyHitters, Some(cmsHeavyHittersOracle)),
     QueryDef("t_mixture_sample", mixture, Some(mixtureOracle)),
     QueryDef("t_shuffle_order", shuffleOrder, Some(shuffleOrderOracle)),
     QueryDef("t_repetition", repetition, Some(repetitionOracle)),

@@ -490,7 +490,86 @@ FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
     """SELECT l_returnflag, COUNT(*) AS n, TRUE AS rank_ok
 FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
 
+  // --- 2D skyline (pareto frontier) -----------------------------------
+  /** Pareto-optimal (price, size) points over `part` — minimize both;
+    * a point is dominated if another is ≤ in both dimensions and < in
+    * at least one. Distributed skyline-of-skylines: each partition
+    * sweeps its slice (lexicographic sort + running size-min, O(n log
+    * n), keep iff size < every earlier size — on DISTINCT points this
+    * is exactly non-domination), then the surviving candidates — the
+    * union of local skylines provably contains the global one — are
+    * swept once more in a single bounded pass. No self-join anywhere.
+    * The oracle deliberately uses the other canonical formulation
+    * (quadratic NOT EXISTS dominance), so the grade also checks the
+    * two formulations agree on every point.
+    */
+  private def skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sweep(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+      val arr = it.toArray.sorted
+      var minSize = Long.MaxValue
+      arr.iterator.filter { case (_, sz) =>
+        if (sz < minSize) { minSize = sz; true } else false
+      }
+    }
+    val pts = Tables(s, dir, "part")
+      .select(cents(col("p_retailprice")).as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      .distinct().as[(Long, Long)]
+    val local = pts.mapPartitions(sweep)         // parallel local skylines
+    local.coalesce(1).mapPartitions(sweep)       // global stitch, candidates only
+      .toDF("price_cents", "size")
+      .orderBy("price_cents", "size")
+  }
+
+  private val skylineOracle = """WITH pts AS (
+  SELECT DISTINCT CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+    CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT price_cents, size FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.price_cents <= a.price_cents AND b.size <= a.size
+    AND (b.price_cents < a.price_cents OR b.size < a.size))
+ORDER BY price_cents, size"""
+
+  // --- incremental aggregate maintenance (partial-agg merge) ----------
+  /** Algebraic view maintenance: the pre-1997 aggregate is FROZEN (the
+    * materialized history) and only the 1997+ delta is aggregated
+    * fresh; merging the two partials (sum+sum, count+count, min(min),
+    * max(max)) must equal the oracle's from-scratch aggregate. This is
+    * the incremental-ETL contract at 100 TB — a daily delta re-agg
+    * touches the delta partition only, never the full history, which
+    * is why every aggregate this engine publishes sticks to
+    * algebraically mergeable forms (exact integer sums, counts,
+    * min/max) rather than holistic ones.
+    */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_shipdate"), cents(col("l_extendedprice")).as("cents"),
+      col("l_quantity"))
+    def partial(d: DataFrame) = d.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+    val history = partial(li.where(col("l_shipdate") < "1997-01-01"))
+    val delta = partial(li.where(col("l_shipdate") >= "1997-01-01"))
+    history.unionByName(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_qty")).as("min_qty"), max(col("max_qty")).as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val incrementalAggOracle = """SELECT l_returnflag,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_skyline", skyline, Some(skylineOracle)),
+    QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggOracle)),
     QueryDef("q_approx_distinct", approxDistinct, Some(approxDistinctOracle)),
     QueryDef("q_approx_median", approxMedian, Some(approxMedianOracle)),
     QueryDef("q_unpivot", unpivotQ, Some(unpivotOracle)),
