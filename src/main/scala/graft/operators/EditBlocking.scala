@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PassJoin-style segment blocking: CANDIDATE-COMPLETE pair discovery
+  * for edit-distance joins without a quadratic block (Li, Deng, Feng —
+  * "PassJoin: a partition-based method for similarity joins", PVLDB
+  * 2011; public algorithm, re-expressed declaratively).
+  *
+  * Pigeonhole: partition every string into d+1 contiguous segments; at
+  * most d segments can be touched by d edit operations, so any string
+  * within levenshtein d of r contains at least one of r's segments
+  * VERBATIM, at a position shifted by at most d. Candidates are
+  * therefore an equi-join on (segment-index, target-length, segment
+  * text) between an index side (each string's own segments: d+1 keys
+  * per string) and a probe side (every aligned window for every
+  * compatible target length: O(d³) keys per string — LINEAR in corpus
+  * size, versus the quadratic length-block join).
+  *
+  * This is the DISCOVERY stage; exact `levenshtein`/`graft_damerau`
+  * verifies candidates, exactly as exact-Jaccard verifies MinHash
+  * candidates. Completeness requires len ≥ d+1 (shorter strings get
+  * empty segments and lose the pigeonhole guarantee — pre-filter or
+  * cross tiny strings separately; they are O(Σ_{len≤d} n_len)²,
+  * trivial by definition).
+  */
+object EditBlocking {
+
+  /** @param names (id, nm) — id long-castable, nm non-null string
+    * @return distinct candidate pairs (a_id, b_id), a_id < b_id,
+    *         guaranteed to contain every pair with levenshtein ≤ d
+    *         (for strings of length ≥ d+1)
+    */
+  def passJoinCandidates(names: DataFrame, d: Int): DataFrame = {
+    require(d >= 1, "edit-distance budget must be >= 1")
+    val nseg = d + 1
+    val n = names.select(col("id"), col("nm"), length(col("nm")).as("len"))
+    // index side: the string's own d+1 even segments, keyed by its length
+    val idx = n
+      .select(col("id"), col("nm"), col("len"),
+        explode(sequence(lit(0), lit(nseg - 1))).as("i"))
+      .select(col("id").as("a_id"), col("i"), col("len"),
+        expr(s"substr(nm, (i * len) div $nseg + 1, " +
+          s"((i + 1) * len) div $nseg - (i * len) div $nseg)").as("seg"))
+      .where(length(col("seg")) > 0)
+    // probe side: for each compatible target length, each segment index,
+    // every window within +-d of that segment's aligned position
+    val probe = n
+      .select(col("id"), col("nm"), col("len"),
+        explode(sequence(greatest(col("len") - d, lit(1)), col("len") + d)).as("tl"))
+      .select(col("id"), col("nm"), col("len"), col("tl"),
+        explode(sequence(lit(0), lit(nseg - 1))).as("i"))
+      .select(col("id"), col("nm"), col("len"), col("tl"), col("i"),
+        expr(s"(i * tl) div $nseg").as("b"),
+        expr(s"((i + 1) * tl) div $nseg - (i * tl) div $nseg").as("sl"))
+      .where(col("sl") > 0)
+      .select(col("id"), col("nm"), col("len"), col("tl"), col("i"), col("sl"),
+        explode(sequence(col("b") - d, col("b") + d)).as("pos"))
+      .where(col("pos") >= 0 && col("pos") + col("sl") <= col("len"))
+      .select(col("id").as("b_id"), col("i"), col("tl").as("len"),
+        expr("substr(nm, pos + 1, sl)").as("seg"))
+    idx.join(probe, Seq("i", "len", "seg"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+  }
+}

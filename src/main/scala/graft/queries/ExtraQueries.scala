@@ -445,6 +445,27 @@ FROM supplier a JOIN supplier b
 WHERE levenshtein(a.s_name, b.s_name) <= 2
 GROUP BY 1 ORDER BY d"""
 
+  /** [[graft.operators.EditBlocking.passJoinCandidates]] graded for
+    * CANDIDATE COMPLETENESS: PassJoin segment blocking discovers
+    * candidate pairs in corpus-linear work, exact `levenshtein`
+    * verifies them, and the per-distance counts must equal the
+    * quadratic length-blocked join's (same oracle as `q_fuzzy_pairs`).
+    * A missed candidate shows up as a row-count/hash mismatch, so the
+    * pigeonhole guarantee is oracle-checked, not just spec-checked.
+    */
+  private def passjoinPairs(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val cand = graft.operators.EditBlocking.passJoinCandidates(sup, 2)
+    val a = sup.select(col("id").as("a_id"), col("nm").as("a_nm"))
+    val b = sup.select(col("id").as("b_id"), col("nm").as("b_nm"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .select(levenshtein(col("a_nm"), col("b_nm")).as("d"))
+      .where(col("d") <= 2)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("d")
+  }
+
   /** [[q_fuzzy_pairs]]'s verifier upgraded to the native
     * [[graft.plans.DamerauLevenshtein]] expression (true/unrestricted
     * DL — the variant DuckDB's `damerau_levenshtein` computes). Spark
@@ -677,6 +698,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("q_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsOracle)),
     QueryDef("q_damerau_pairs", damerauPairs, Some(damerauPairsOracle)),
     QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
+    QueryDef("q_passjoin_pairs", passjoinPairs, Some(fuzzyPairsOracle)),
     QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
 }

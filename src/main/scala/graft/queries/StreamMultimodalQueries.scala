@@ -195,6 +195,34 @@ ORDER BY c_mktsegment, event_type"""
 SELECT user_id, ts_ms, event_id, event_type, value
 FROM r WHERE rn = 1 ORDER BY user_id"""
 
+  /** [[EventStreams.cdcUpsertTable]] end-to-end: the event stream as a
+    * CDC command log (errors delete, everything else upserts) folded
+    * into a versioned serving table with tombstones; the surviving
+    * rows must equal the batch answer — latest event per user, minus
+    * users whose latest event is a delete. Last-writer-wins by
+    * (ts_ms, event_id) makes the grade batching-invariant.
+    */
+  private def streamCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cdc").toString + "/snapshot"
+    EventStreams.cdcUpsertTable(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"), table)
+    s.read.parquet(table)
+      .where(col("op") =!= "D")
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+      .orderBy("user_id")
+  }
+
+  private val streamCdcUpsertOracle = """WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, ts_ms, event_id, value
+FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"""
+
   private def streamJoin(s: SparkSession, dir: String): DataFrame = {
     val out = EventStreams.viewPurchaseJoin(
       EventStreams.eventsStream(s, s"$dir/events.parquet"))
@@ -392,6 +420,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
+    QueryDef("stream_cdc_upsert", streamCdcUpsert, Some(streamCdcUpsertOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)),

