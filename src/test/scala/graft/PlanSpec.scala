@@ -441,6 +441,35 @@ class PlanSpec extends SparkSpec {
       s"gram-count exchange must be shared across the two consumers:\n${finalPlan.take(2500)}")
   }
 
+  test("skyline is join-free; passjoin and triangles stay hash-joined") {
+    // skyline: two mapPartitions sweeps, never a dominance self-join
+    val sky = graft.SparkEntry.queries("q_skyline")(spark, Sf)
+    sky.collect()
+    val skyPlan = planOf(sky)
+    assert(!skyPlan.contains("Join"), s"skyline must be join-free:\n${skyPlan.take(1500)}")
+    // passjoin candidates: segment keys make the discovery an EQUI-join —
+    // a hash join, never the nested-loop a length-band inequality causes
+    val sup = Tables(spark, Sf, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val cand = graft.operators.EditBlocking.passJoinCandidates(sup, 2)
+    cand.collect()
+    val candPlan = planOf(cand)
+    assert(candPlan.contains("HashJoin"), candPlan.take(1500))
+    assert(!candPlan.contains("NestedLoop"),
+      s"candidate generation must never nested-loop:\n${candPlan.take(1500)}")
+    // triangle census: the wedge join is an equi-join on the wedge apex
+    // (the operator checkpoints its result, so pin the join fragment
+    // as built, not the post-checkpoint scan)
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val o1 = pairs.select(col("a").as("u"), col("b").as("x"))
+    val o2 = pairs.select(col("a").as("u"), col("b").as("y"))
+    val wedge = o1.join(o2, "u").where(col("x") < col("y"))
+    val wPlan = wedge.queryExecution.sparkPlan.toString
+    assert(wPlan.contains("Join") && !wPlan.contains("NestedLoop") &&
+      !wPlan.contains("CartesianProduct"), wPlan.take(1000))
+  }
+
   test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
     import graft.operators.Similarity
     val emb = Tables(spark, Sf, "embeddings")
