@@ -49,6 +49,11 @@ object Graphs {
   def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val nodeCol = nodes.columns.head
+    // node universe and edge list are both re-read every iteration:
+    // persist BOTH once (the node derivation may itself be a full scan
+    // of the source table — without this the loop re-scans it
+    // iterations+1 times, the kmeansCentroids lesson)
+    val nds = nodes.select(col(nodeCol).cast("long").as("node")).persist()
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
     // per-edge share denominators are joined once, not per iteration
     val e = edges.join(outW, "src")
@@ -56,23 +61,25 @@ object Graphs {
       .persist()
     e.count() // materialize before the loop so iterations reuse the cache
     try {
-      var ranks = nodes.select(col(nodeCol).cast("long").as("node"),
-        lit(1000000L).as("r"))
+      var ranks = nds.withColumn("r", lit(1000000L))
       for (_ <- 1 to iterations) {
         val inflow = e.join(ranks, e("src") === ranks("node"))
           .select(col("dst"), expr("(r * w) div w_out").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-        ranks = nodes.select(col(nodeCol).cast("long").as("node"))
+        ranks = nds
           .join(inflow, col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
       }
-      // cut lineage before e is unpersisted (same pattern as
+      // cut lineage before the caches go (same pattern as
       // connectedComponents): the result is one long per node, tiny
       // next to the edge list it summarizes
       ranks.select(col("node"), col("r").as("rank_micro"))
         .localCheckpoint(eager = true)
-    } finally e.unpersist(blocking = false)
+    } finally {
+      e.unpersist(blocking = false)
+      nds.unpersist(blocking = false)
+    }
   }
 
   /** Exact global triangle / wedge census via degree-ordered wedge
@@ -83,10 +90,15 @@ object Graphs {
     * longs — no float accumulation).
     */
   def triangleCensus(pairs: DataFrame): DataFrame = {
+    // the canonical edge list feeds THREE consumers (degrees, the
+    // orientation join, the closing-edge semi-join): materialize it
+    // once — rebuilding it tripled the wall time when `pairs` is itself
+    // a join (e.g. the market-basket co-order graph)
     val p = pairs.toDF("a", "b").where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+      .persist()
     val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient each edge toward the higher (deg, id) endpoint
@@ -100,15 +112,33 @@ object Graphs {
           .otherwise(struct(col("b").as("u"), col("a").as("t"))).as("e"))
       .select(col("e.u").as("u"), col("e.t").as("t"))
       .persist()
-    oriented.count()
+    val nEdges = oriented.count()
     try {
       // wedges at u: unordered out-neighbor pairs; close with any edge
       val o1 = oriented.select(col("u"), col("t").as("x"))
       val o2 = oriented.select(col("u"), col("t").as("y"))
       val wedgePairs = o1.join(o2, "u").where(col("x") < col("y"))
-      val closing = p.select(
-        least(col("a"), col("b")).as("x"), greatest(col("a"), col("b")).as("y"))
-      val nTri = wedgePairs.join(closing, Seq("x", "y"), "left_semi")
+      val closing = p.select(col("a").as("x"), col("b").as("y"))
+      // the wedge set is ~Σ C(outdeg,2) — orders of magnitude larger
+      // than E. Shuffling ALL wedges into the closing-edge semi-join is
+      // the bottleneck, so prefilter with a driver-built bloom over the
+      // edge keys (~1.2 bytes/edge at 1% fpp): survivors ≈ triangles +
+      // 1% of wedges, a ~10-50× shuffle cut before the exact semi-join.
+      // This is the engine's standard sketch-prefilter move (see
+      // d_bloom_prefilter) applied inside an operator; past ~100M edges
+      // the filter itself outgrows a task broadcast, so fall back to
+      // the plain shuffle (a cluster would switch to Spark's runtime
+      // bloom join injection there instead).
+      val candidates =
+        if (nEdges > 0 && nEdges <= 100000000L) {
+          val bits = math.max(1L << 16, 12L * nEdges)
+          val bf = p.select(xxhash64(col("a"), col("b")).as("h"))
+            .agg(graft.plans.BloomFilters.bloomAgg(col("h"), nEdges, bits))
+            .head().getAs[Array[Byte]](0)
+          wedgePairs.where(graft.plans.BloomFilters.mightContain(
+            lit(bf), xxhash64(col("x"), col("y"))))
+        } else wedgePairs
+      val nTri = candidates.join(closing, Seq("x", "y"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
       // wedge census over the UNDIRECTED degree: sum C(deg, 2)
       val census = deg.agg(
@@ -120,8 +150,11 @@ object Graphs {
           col("n_triangles"),
           (lit(3.0) * col("n_triangles") / col("n_wedges"))
             .as("clustering"))
-        .localCheckpoint(eager = true) // 1 row; frees `oriented` safely
-    } finally oriented.unpersist(blocking = false)
+        .localCheckpoint(eager = true) // 1 row; frees the caches safely
+    } finally {
+      oriented.unpersist(blocking = false)
+      p.unpersist(blocking = false)
+    }
   }
 
   /** Per-user ordered transition edges from an event log: consecutive
