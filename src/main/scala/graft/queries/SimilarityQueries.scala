@@ -570,6 +570,118 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
 FROM ranked WHERE rank <= $Bm25K ORDER BY q_id, rank"""
   }
 
+  // --- hybrid retrieval: reciprocal-rank fusion (RRF) -----------------
+  /** Lexical (BM25) and vector (brute-force cosine) rank lists fused
+    * with RRF — the standard hybrid-retrieval combiner (Cormack et al.
+    * 2009): score(d) = Σ_lists 1/(60 + rank_list(d)), here in exact
+    * integer micro-units (1e6 div (60 + rank)) so the fusion is
+    * hash-reproducible. Queries are aligned across modalities by id
+    * (vector query `vec_id = 50·q` ↔ BM25 query `q`); a doc missing
+    * from one list simply contributes nothing — the full-outer-join
+    * semantics every production RRF uses. Both input rankers are the
+    * ALREADY-GRADED operators; only the fusion join + per-query top-10
+    * window (3 queries × ≤15 rows) is new work.
+    */
+  private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lex = graft.operators.Retrieval.bm25TopK(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        Bm25Queries, Bm25K, Bm25K1, Bm25B)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val e = emb(s, dir)
+    val vec = Similarity.bruteForceTopK(
+        e, e.where(pmod(col("id"), lit(QueryStride)) === 0 &&
+          col("id") < QueryStride * 3), K)
+      .select(expr(s"q_id div $QueryStride").as("q_id"),
+        col("n_id").as("doc_id"), col("rank").as("vec_rank"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L))).as("rrf_micro"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10).drop("rn")
+      .orderBy(col("q_id"), col("rrf_micro").desc, col("doc_id"))
+  }
+
+  /** Restates BOTH graded chains under prefixed CTE names (`b_` BM25,
+    * `c_` cosine) — the copies must stay in lockstep with
+    * [[bm25Oracle]]/[[topkOracle]], which the gate enforces every run
+    * since all three queries grade against the same operators.
+    */
+  private val rrfOracle: String = {
+    val values = Bm25Queries
+      .flatMap { case (q, ts) => ts.distinct.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(", ")
+    s"""WITH $quantCtes,
+b_toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+b_tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM b_toks GROUP BY 1, 2),
+b_dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM b_tf GROUP BY 1),
+b_corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM b_dl),
+b_q(q_id, term) AS (VALUES $values),
+b_dfreq AS (
+  SELECT term, COUNT(*) AS df FROM b_tf
+  WHERE term IN (SELECT term FROM b_q) GROUP BY 1
+),
+b_scored AS (
+  SELECT q_id, b_tf.doc_id,
+    SUM(
+      ln(${D("1")} + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + ${D("0.5")})
+        / (CAST(df AS DOUBLE) + ${D("0.5")}))
+      * (CAST(tf AS DOUBLE) * (${D(Bm25K1.toString)} + ${D("1")})
+        / (CAST(tf AS DOUBLE) + ${D(Bm25K1.toString)}
+          * (${D("1")} - ${D(Bm25B.toString)} + ${D(Bm25B.toString)}
+            * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+    ) AS s
+  FROM b_tf JOIN b_q USING (term) JOIN b_dfreq USING (term)
+    JOIN b_dl USING (doc_id), b_corpus
+  GROUP BY 1, 2
+),
+b_rr AS (
+  SELECT q_id, doc_id,
+    CAST(FLOOR(s * ${D("10000")} + ${D("0.5")}) AS BIGINT) AS sq
+  FROM b_scored
+),
+b_top AS (
+  SELECT q_id, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq DESC, doc_id) AS rank
+  FROM b_rr
+  QUALIFY rank <= $Bm25K
+),
+c_dots AS (
+  SELECT a.vec_id AS qv_id, b.vec_id AS doc_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0 AND a.vec_id < ${QueryStride * 3}
+  GROUP BY 1, 2
+),
+c_scored AS (
+  SELECT qv_id, doc_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+  FROM c_dots JOIN norms na ON qv_id = na.vec_id JOIN norms nb ON doc_id = nb.vec_id
+),
+c_top AS (
+  SELECT qv_id // $QueryStride AS q_id, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY qv_id ORDER BY cosine DESC, doc_id) AS rank
+  FROM c_scored
+  QUALIFY rank <= $K
+),
+fused AS (
+  SELECT COALESCE(l.q_id, v.q_id) AS q_id, COALESCE(l.doc_id, v.doc_id) AS doc_id,
+    CAST(COALESCE(1000000 // (60 + l.rank), 0)
+       + COALESCE(1000000 // (60 + v.rank), 0) AS BIGINT) AS rrf_micro
+  FROM b_top l FULL OUTER JOIN c_top v
+    ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+)
+SELECT q_id, doc_id, rrf_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+    ORDER BY rrf_micro DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= 10
+ORDER BY q_id, rrf_micro DESC, doc_id"""
+  }
+
   /** SemDeDup: id-stride centroids (the [[ivfTopK]] oracle trick — the
     * trained-codebook path is spec-verified), greedy keep-lowest-id
     * within-cluster near-dup drop at cosine ≥ 0.4 (the corpus has no
@@ -685,5 +797,6 @@ FROM best GROUP BY cell ORDER BY cell"""
     QueryDef("s_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)),
     QueryDef("s_bm25_topk", bm25, Some(bm25Oracle)),
+    QueryDef("s_rrf_fusion", rrfFusion, Some(rrfOracle)),
     QueryDef("d_embedding_dedup", embDedup, Some(embDedupOracle)))
 }
