@@ -72,6 +72,83 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket"""
       .orderBy("user_id")
   }
 
+  /** Debounce (near-duplicate event suppression): an event is noise if
+    * it follows the PREVIOUS event of the same (user, type) within 5 s
+    * — the standard lag-window formulation (suppression does not chain:
+    * a suppressed event still resets the clock, which is what one lag
+    * computes and what an at-least-once producer's duplicates look
+    * like). Counts per type; ms-integer gaps, no float anywhere.
+    */
+  private def debounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("gap", col("_ms") - lag(col("_ms"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("gap") < 5000L, 1L).otherwise(0L)).as("n_suppressed"),
+        sum(when(col("gap").isNull || col("gap") >= 5000L, 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy("event_type")
+  }
+
+  private val debounceOracle = """WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms FROM events
+), g AS (
+  SELECT event_type,
+    ms - LAG(ms, 1) OVER (PARTITION BY user_id, event_type
+      ORDER BY ms, event_id) AS gap
+  FROM e
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN gap < 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+  CAST(SUM(CASE WHEN gap IS NULL OR gap >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM g GROUP BY 1 ORDER BY event_type"""
+
+  /** Time-weighted average (TWAP): each observation holds until the
+    * next one, weighted by that holding interval (capped at 1 h so one
+    * overnight gap cannot own the series; the final observation has no
+    * interval and drops out). Numerator/denominator are exact integer
+    * (value-cents × ms); the published mean is ONE double division of
+    * the two — the same exactness pattern as every money aggregate
+    * here.
+    */
+  private def twap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("hold_ms",
+        least(lead(col("_ms"), 1).over(w) - col("_ms"), lit(3600000L)))
+      .where(col("hold_ms").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents") * col("hold_ms")).as("num"),
+        sum(col("hold_ms")).as("den"))
+      .select(col("user_id"), col("num"), col("den"),
+        (col("num").cast("double") / col("den").cast("double")).as("twap_cents"))
+      .orderBy("user_id")
+  }
+
+  private val twapOracle = """WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), h AS (
+  SELECT user_id, cents,
+    LEAST(LEAD(ms, 1) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms,
+      3600000) AS hold_ms
+  FROM e
+)
+SELECT user_id, CAST(SUM(cents * hold_ms) AS BIGINT) AS num,
+  CAST(SUM(hold_ms) AS BIGINT) AS den,
+  CAST(CAST(SUM(cents * hold_ms) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(SUM(hold_ms) AS BIGINT) AS DOUBLE) AS twap_cents
+FROM h WHERE hold_ms IS NOT NULL
+GROUP BY 1 ORDER BY user_id"""
+
   private val sessionizeOracle = """WITH e AS (
   SELECT user_id, event_id, epoch_ms(ts) AS _ms FROM events
 ), l AS (
@@ -418,6 +495,8 @@ ORDER BY user_id"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_latest_by_key", latestByKey, Some(latestByKeyOracle)),
+    QueryDef("ev_debounce", debounce, Some(debounceOracle)),
+    QueryDef("ev_twap", twap, Some(twapOracle)),
     QueryDef("ev_scd2_lookup", scd2Lookup, Some(scd2LookupOracle)),
     QueryDef("ev_scd2_intervals", scd2, Some(scd2Oracle)),
     QueryDef("ev_retention", retention, Some(retentionOracle)),

@@ -567,7 +567,106 @@ ORDER BY price_cents, size"""
   MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
 FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
 
+  // --- re-aggregatable HLL sketch rollup ------------------------------
+  /** The property that matters at 100 TB: per-group Datasketches HLL
+    * sketches MERGE to the global sketch (`hll_union_agg`), so the
+    * overall distinct count never re-touches the data — unlike
+    * `approx_count_distinct`, whose result is a number you cannot roll
+    * up. Per-type sketches estimate distinct users; their union
+    * estimates the overall distinct users; each estimate is graded
+    * against the exact count at ±5% (lgK 14 → ~0.8% standard error,
+    * 6σ slack). Exact counts ride a separate aggregation — same
+    * distinct-rewrite trap as [[approxDistinct]].
+    */
+  private def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sketches = ev.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val perType = sketches
+      .select(col("event_type"), expr("hll_sketch_estimate(sk)").as("est"))
+    val merged = sketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .select(lit("TOTAL").as("event_type"), col("est"))
+    val exactPer = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val exactTot = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(lit("TOTAL").as("event_type"), col("exact_users"))
+    perType.unionByName(merged)
+      .join(exactPer.unionByName(exactTot), Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est").cast("double") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("event_type")
+  }
+
+  private val hllRollupOracle = """SELECT event_type,
+  COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE FROM events
+ORDER BY event_type"""
+
+  // --- data-quality expectation suite ---------------------------------
+  /** A dbt-tests-style expectation run as ONE query: uniqueness,
+    * not-null, accepted range, and referential integrity, each a
+    * (check, n_violations, passed) row. The table-local checks share a
+    * single orders scan (one aggregate computes all counts); the FK
+    * check is the one extra anti-join, shuffled on the key it probes.
+    * At 100 TB this is the pre-publish gate that runs BEFORE a dataset
+    * version is announced — cheap relative to the write it certifies.
+    */
+  private def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val li = Tables(s, dir, "lineitem")
+    val a = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("nk"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when(col("o_orderdate") < "1992-01-01" ||
+        col("o_orderdate") >= "2000-01-01", 1L).otherwise(0L)).as("bad_date"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    def entry(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check"), v.as("n_violations"))
+    a.crossJoin(orphans)
+      .select(explode(array(
+        entry("orderkey_unique", col("n") - col("nk")),
+        entry("custkey_not_null", col("null_cust")),
+        entry("totalprice_positive", col("bad_price")),
+        entry("orderdate_in_range", col("bad_date")),
+        entry("lineitem_fk_orders", col("n_orphans")))).as("r"))
+      .select(col("r.check").as("check"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0).as("passed"))
+      .orderBy("check")
+  }
+
+  private val dqExpectationsOracle = """WITH a AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS nk,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+    CAST(SUM(CASE WHEN o_orderdate < '1992-01-01'
+      OR o_orderdate >= '2000-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+  FROM orders
+), orph AS (
+  SELECT COUNT(*) AS n_orphans FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+), checks AS (
+  SELECT 'orderkey_unique' AS "check", n - nk AS n_violations FROM a
+  UNION ALL SELECT 'custkey_not_null', null_cust FROM a
+  UNION ALL SELECT 'totalprice_positive', bad_price FROM a
+  UNION ALL SELECT 'orderdate_in_range', bad_date FROM a
+  UNION ALL SELECT 'lineitem_fk_orders', n_orphans FROM orph
+)
+SELECT "check", n_violations, n_violations = 0 AS passed
+FROM checks ORDER BY "check""""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_hll_rollup", hllRollup, Some(hllRollupOracle)),
+    QueryDef("q_dq_expectations", dqExpectations, Some(dqExpectationsOracle)),
     QueryDef("q_skyline", skyline, Some(skylineOracle)),
     QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggOracle)),
     QueryDef("q_approx_distinct", approxDistinct, Some(approxDistinctOracle)),
