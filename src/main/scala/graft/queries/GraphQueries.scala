@@ -109,7 +109,56 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
   CAST(3 AS DOUBLE) * n_triangles / n_wedges AS clustering
 FROM agg, tri"""
 
+  /** Association rules over the same market-basket pairs: support /
+    * lift for co-ordered part pairs. All counts are exact integers;
+    * lift is ONE double division of two exact integer products
+    * (n_ab·N / n_a·n_b). Top 15 by lift with support ≥ 2 — the rule
+    * head a recommender would consume. Item and pair counts are plain
+    * map-side-combined aggregates; nothing quadratic beyond the
+    * per-order pair explode, which is bounded by basket size.
+    */
+  private def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val n = li.select(countDistinct(col("ok")).as("n_orders"))
+    val items = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val a = li.select(col("ok"), col("pk").as("a"))
+    val b = li.select(col("ok"), col("pk").as("b"))
+    val pairs = a.join(b, "ok").where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    pairs
+      .join(items.select(col("pk").as("a"), col("n_item").as("n_a")), Seq("a"))
+      .join(items.select(col("pk").as("b"), col("n_item").as("n_b")), Seq("b"))
+      .crossJoin(n)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_orders"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(15)
+  }
+
+  private val assocRulesOracle = """WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT ok) AS n_orders FROM li
+), items AS (
+  SELECT pk, COUNT(*) AS n_item FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.pk AS a, b.pk AS b, COUNT(*) AS n_ab
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT a, b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b, n_orders,
+  CAST(n_ab * n_orders AS DOUBLE)
+    / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+FROM pairs JOIN items ia ON a = ia.pk JOIN items ib ON b = ib.pk, n
+ORDER BY lift DESC, a, b LIMIT 15"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),
-    QueryDef("g_triangles", triangles, Some(trianglesOracle)))
+    QueryDef("g_triangles", triangles, Some(trianglesOracle)),
+    QueryDef("g_assoc_rules", assocRules, Some(assocRulesOracle)))
 }

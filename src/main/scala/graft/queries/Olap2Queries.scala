@@ -664,7 +664,95 @@ ORDER BY event_type"""
 SELECT "check", n_violations, n_violations = 0 AS passed
 FROM checks ORDER BY "check""""
 
+  // --- OLS trend per group (exact-integer normal equations) -----------
+  /** Least-squares revenue trend per return flag: x = month index from
+    * 1992-01, y = monthly revenue cents. The normal-equation terms
+    * (n·Σxy − Σx·Σy and n·Σx² − (Σx)²) are EXACT BIGINT arithmetic
+    * over the monthly aggregate (84-ish rows per group); the published
+    * slope is one double division. Regression over pre-aggregated
+    * series is the scale shape — the raw scan only feeds the monthly
+    * rollup, which map-side combines.
+    */
+  private def olsTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(cents(col("l_extendedprice"))).as("y"))
+    monthly.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_cents_per_month",
+        col("slope_num").cast("double") / col("slope_den").cast("double"))
+      .orderBy("l_returnflag")
+  }
+
+  private val olsTrendOracle = """WITH monthly AS (
+  SELECT l_returnflag,
+    CAST((EXTRACT(year FROM l_shipdate) - 1992) * 12
+      + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS x,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1, 2
+), t AS (
+  SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM monthly GROUP BY 1
+)
+SELECT l_returnflag, n, n * sxy - sx * sy AS slope_num,
+  n * sxx - sx * sx AS slope_den,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_month
+FROM t ORDER BY l_returnflag"""
+
+  // --- equi-depth histogram (decile buckets, no global sort) ----------
+  /** Ten equal-population price buckets WITHOUT ntile's global sort:
+    * exact interpolated decile boundaries (pinned to integer cents the
+    * way `q_quantiles` pins to 2 dp) are computed once, then bucket
+    * assignment is a scan-local comparison chain — the boundaries
+    * broadcast, the data never re-sorts. Per-bucket count + min/max in
+    * exact cents.
+    */
+  private def equidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(cents(col("l_extendedprice")).as("c"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val bs = li.agg(expr(
+      s"percentile(c, array(${ps.mkString(",")}))").as("bs"))
+      .head().getSeq[Double](0).map(v => math.floor(v + 0.5).toLong)
+    val bucket = bs.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col("c") > b, 1L).otherwise(0L)
+    }
+    li.select(col("c"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("c")).as("min_cents"),
+        max(col("c")).as("max_cents"))
+      .orderBy("bucket")
+  }
+
+  private val equidepthOracle: String = {
+    val qs = (1 to 9).map(i =>
+      s"CAST(FLOOR(quantile_cont(c, ${D((i / 10.0).toString)}) + ${D("0.5")}) AS BIGINT) AS b$i")
+      .mkString(", ")
+    val assign = (1 to 9).map(i =>
+      s"(CASE WHEN c > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH li AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c FROM lineitem
+), bs AS (
+  SELECT $qs FROM li
+)
+SELECT CAST($assign AS BIGINT) AS bucket, COUNT(*) AS n,
+  MIN(c) AS min_cents, MAX(c) AS max_cents
+FROM li, bs GROUP BY 1 ORDER BY bucket"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ols_trend", olsTrend, Some(olsTrendOracle)),
+    QueryDef("q_equidepth_hist", equidepthHist, Some(equidepthOracle)),
     QueryDef("q_hll_rollup", hllRollup, Some(hllRollupOracle)),
     QueryDef("q_dq_expectations", dqExpectations, Some(dqExpectationsOracle)),
     QueryDef("q_skyline", skyline, Some(skylineOracle)),
