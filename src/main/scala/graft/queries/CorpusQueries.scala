@@ -969,7 +969,62 @@ SELECT dev.source, COUNT(*) AS n_docs, MAX(dev.med) AS med, MAX(mad.mad) AS mad,
 FROM dev JOIN mad USING (source)
 GROUP BY dev.source ORDER BY dev.source"""
 
+  // --- per-source KL divergence (corpus drift detector) ---------------
+  /** KL(source ‖ corpus) over token distributions — the domain-shift /
+    * drift detector that flags a source whose vocabulary usage diverges
+    * from the blend (e.g. a scrape gone bad or a mislabeled dump).
+    * Per-(source, token) probability terms are exact count ratios; each
+    * term's double value is floored to nano-units so the per-source SUM
+    * is an order-independent integer — the same determinism trick as
+    * the DSIR weights. Shuffle shape at 100 TB: one (source, token)
+    * aggregation, one equi-join on token to the corpus totals, and a
+    * broadcast of the per-source totals (|sources| rows).
+    */
+  private def klDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("n_st"))
+    val tot = st.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    val grand = srcTot.agg(sum(col("n_s")).as("n")) // 1×1
+    val p = col("n_st").cast("double") / col("n_s").cast("double")
+    val q = col("n_t").cast("double") / col("n").cast("double")
+    st.join(tot, Seq("token"))
+      .join(srcTot, Seq("source"))
+      .crossJoin(grand)
+      .select(col("source"),
+        floor(p * log(p / q) * lit(1.0e9)).cast("long").as("term_nano"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("term_nano")).as("kl_nano"))
+      .withColumn("kl", col("kl_nano").cast("double") / lit(1.0e9))
+      .orderBy("source")
+  }
+
+  private val klDivergenceOracle: String = {
+    val p = "(CAST(n_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+    val q = "(CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), t AS (SELECT source, token FROM tok WHERE token <> ''),
+st AS (SELECT source, token, COUNT(*) AS n_st FROM t GROUP BY 1, 2),
+tot AS (SELECT token, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1),
+srct AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+grand AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM srct),
+terms AS (
+  SELECT st.source,
+    CAST(FLOOR($p * ln($p / $q) * ${D("1000000000")}) AS BIGINT) AS term_nano
+  FROM st JOIN tot USING (token) JOIN srct USING (source) CROSS JOIN grand
+)
+SELECT source, COUNT(*) AS n_types, CAST(SUM(term_nano) AS BIGINT) AS kl_nano,
+  CAST(SUM(term_nano) AS DOUBLE) / ${D("1000000000")} AS kl
+FROM terms GROUP BY source ORDER BY source"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_kl_divergence", klDivergence, Some(klDivergenceOracle)),
     QueryDef("t_robust_scale", robustScale, Some(robustScaleOracle)),
     QueryDef("d_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterOracle)),
     QueryDef("t_winsorize", winsorize, Some(winsorizeOracle)),

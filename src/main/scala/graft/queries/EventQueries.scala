@@ -493,7 +493,90 @@ SELECT user_id, last_ms, last_event_id, last_type, last_value FROM e
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY last_ms DESC, last_event_id DESC) = 1
 ORDER BY user_id"""
 
+  // --- Markov transition matrix (next-action model) -------------------
+  /** Event-type transition matrix over each user's timeline: counts and
+    * P(dst|src) for consecutive pairs — the next-action model / UX-flow
+    * audit. Reuses [[graft.operators.Graphs.transitionEdges]] (one lead
+    * window per user, one shuffle on the pair); the probability window
+    * then runs over the aggregated |types|² matrix, which stays tiny
+    * however large the event log, and P is ONE division of two exact
+    * counts, so no float-order divergence.
+    */
+  private def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.operators.Graphs
+      .transitionEdges(Tables.events(s, dir), col("event_type"))
+      .select(col("src"), col("dst"), col("w").as("n"))
+    m.withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
+      .orderBy("src", "dst")
+  }
+
+  private val transitionMatrixOracle = """WITH seq AS (
+  SELECT event_type AS src,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), m AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n,
+  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+FROM m ORDER BY src, dst"""
+
+  // --- top session paths (clickstream path analysis) ------------------
+  /** Top-20 session opening paths: sessionize (30-minute gap), take each
+    * session's first five event types in time order, and count sessions
+    * per `a>b>c` path string. The per-session path is assembled from
+    * five conditional `max(when(rn = i))` aggregates — map-side
+    * combinable, no collect_list, so a monster session costs the same
+    * as a short one — and `concat_ws` skips the nulls of short sessions
+    * exactly like the oracle's ordered `string_agg` over `rn <= 5`.
+    */
+  private def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val sessioned = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("prev", lag(col("_ms"), 1).over(wu))
+      .withColumn("is_new",
+        when(col("prev").isNull || (col("_ms") - col("prev")) > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("is_new")).over(wu))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("_ms"), col("event_id"))))
+    def at(i: Int) = max(when(col("rn") === i, col("event_type")))
+    sessioned.where(col("rn") <= 5)
+      .groupBy(col("user_id"), col("sess"))
+      .agg(concat_ws(">", at(1), at(2), at(3), at(4), at(5)).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(20)
+  }
+
+  private val sessionPathsOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS _ms FROM events
+), l AS (
+  SELECT *, LAG(_ms) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS prev FROM e
+), s AS (
+  SELECT user_id, event_id, event_type, _ms,
+    SUM(CASE WHEN prev IS NULL OR _ms - prev > 1800000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY _ms, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM l
+), r AS (
+  SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY user_id, sess ORDER BY _ms, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY 1, 2
+)
+SELECT path, COUNT(*) AS n_sessions FROM p
+GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_transition_matrix", transitionMatrix, Some(transitionMatrixOracle)),
+    QueryDef("ev_session_paths", sessionPaths, Some(sessionPathsOracle)),
     QueryDef("ev_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     QueryDef("ev_debounce", debounce, Some(debounceOracle)),
     QueryDef("ev_twap", twap, Some(twapOracle)),

@@ -750,7 +750,79 @@ SELECT CAST($assign AS BIGINT) AS bucket, COUNT(*) AS n,
 FROM li, bs GROUP BY 1 ORDER BY bucket"""
   }
 
+  // --- A/B experiment readout (Welch's t) -----------------------------
+  /** Deterministic A/B experiment analysis over purchase values: users
+    * are hashed into arms by their md5 first nibble (< 8 → A, a
+    * user-level split so every event of a user lands in one arm), and
+    * the readout is per-arm n/mean/sample-variance plus Welch's
+    * t-statistic. All three derive from SIX exact integer aggregates
+    * (count, cent-sum, cent-sum-of-squares per arm) in one map-side
+    * combinable pass — the 100 TB shape: the shuffle carries six longs
+    * total, and every float is a fixed expression over those exact
+    * integers, so the statistic is bit-reproducible across engines,
+    * retries, and partitionings.
+    */
+  private def abWelch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val armA = conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+      .cast("int") < 8
+    val g = Tables.events(s, dir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(armA.as("is_a"), cents(col("value")).as("c"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), col("c")).otherwise(0L)).as("s1_a"),
+        sum(when(col("is_a"), col("c") * col("c")).otherwise(0L)).as("s2_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("is_a"), col("c")).otherwise(0L)).as("s1_b"),
+        sum(when(!col("is_a"), col("c") * col("c")).otherwise(0L)).as("s2_b"))
+    def mean(s1: Column, n: Column): Column =
+      s1.cast("double") / n.cast("double") / lit(100.0)
+    def vr(s2: Column, s1: Column, n: Column): Column =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")) /
+        (n - 1).cast("double") / lit(10000.0)
+    g.select(
+        col("n_a"), mean(col("s1_a"), col("n_a")).as("mean_a"),
+        vr(col("s2_a"), col("s1_a"), col("n_a")).as("var_a"),
+        col("n_b"), mean(col("s1_b"), col("n_b")).as("mean_b"),
+        vr(col("s2_b"), col("s1_b"), col("n_b")).as("var_b"))
+      .withColumn("t_stat",
+        (col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a").cast("double") +
+            col("var_b") / col("n_b").cast("double")))
+  }
+
+  private val abWelchOracle: String = {
+    val mean = (s1: String, n: String) =>
+      s"CAST($s1 AS DOUBLE) / CAST($n AS DOUBLE) / ${D("100")}"
+    val vr = (s2: String, s1: String, n: String) =>
+      s"(CAST($s2 AS DOUBLE) - CAST($s1 AS DOUBLE) * CAST($s1 AS DOUBLE) / CAST($n AS DOUBLE)) / CAST($n - 1 AS DOUBLE) / ${D("10000")}"
+    s"""WITH e AS (
+  SELECT (strpos('0123456789abcdef',
+      substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 8 AS is_a,
+    CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), g AS (
+  SELECT
+    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN is_a THEN c ELSE 0 END) AS BIGINT) AS s1_a,
+    CAST(SUM(CASE WHEN is_a THEN c * c ELSE 0 END) AS BIGINT) AS s2_a,
+    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN NOT is_a THEN c ELSE 0 END) AS BIGINT) AS s1_b,
+    CAST(SUM(CASE WHEN NOT is_a THEN c * c ELSE 0 END) AS BIGINT) AS s2_b
+  FROM e
+), d AS (
+  SELECT n_a, ${mean("s1_a", "n_a")} AS mean_a, ${vr("s2_a", "s1_a", "n_a")} AS var_a,
+         n_b, ${mean("s1_b", "n_b")} AS mean_b, ${vr("s2_b", "s1_b", "n_b")} AS var_b
+  FROM g
+)
+SELECT n_a, mean_a, var_a, n_b, mean_b, var_b,
+  (mean_a - mean_b) / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)) AS t_stat
+FROM d"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ab_welch", abWelch, Some(abWelchOracle)),
     QueryDef("q_ols_trend", olsTrend, Some(olsTrendOracle)),
     QueryDef("q_equidepth_hist", equidepthHist, Some(equidepthOracle)),
     QueryDef("q_hll_rollup", hllRollup, Some(hllRollupOracle)),
