@@ -1023,7 +1023,60 @@ SELECT source, COUNT(*) AS n_types, CAST(SUM(term_nano) AS BIGINT) AS kl_nano,
 FROM terms GROUP BY source ORDER BY source"""
   }
 
+  // --- pairwise source similarity (sparse cosine) ---------------------
+  /** Source-by-source cosine similarity over token-count vectors — the
+    * companion readout to [[klDivergence]]: KL flags one drifting
+    * source, this matrix says WHICH sources are interchangeable (near-1)
+    * vs complementary, the signal that drives mixture re-weighting. The
+    * sparse dot product is an equi-join on token between per-source
+    * count rows — vectors are never materialized, the shuffle carries
+    * (token, count) pairs, and the output is |sources|² tiny. Dot and
+    * squared norms are exact integers; cosine is one fixed double
+    * expression over them.
+    */
+  private def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val norms = st.groupBy(col("source"))
+      .agg(sum(col("n") * col("n")).as("nrm2"))
+    val a = st.select(col("source").as("src_a"), col("token"), col("n").as("na"))
+    val b = st.select(col("source").as("src_b"), col("token"), col("n").as("nb"))
+    a.join(b, Seq("token"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("na") * col("nb")).as("dot"))
+      .join(norms.select(col("source").as("src_a"), col("nrm2").as("nrm2_a")), Seq("src_a"))
+      .join(norms.select(col("source").as("src_b"), col("nrm2").as("nrm2_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("dot"),
+        (col("dot").cast("double") /
+          (sqrt(col("nrm2_a").cast("double")) * sqrt(col("nrm2_b").cast("double"))))
+          .as("cosine"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val sourceSimilarityOracle: String = s"""WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY 1, 2
+), norms AS (
+  SELECT source, CAST(SUM(n * n) AS BIGINT) AS nrm2 FROM st GROUP BY 1
+), dots AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, dot,
+  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+FROM dots JOIN norms na ON dots.src_a = na.source
+JOIN norms nb ON dots.src_b = nb.source
+ORDER BY src_a, src_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_source_similarity", sourceSimilarity, Some(sourceSimilarityOracle)),
     QueryDef("t_kl_divergence", klDivergence, Some(klDivergenceOracle)),
     QueryDef("t_robust_scale", robustScale, Some(robustScaleOracle)),
     QueryDef("d_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterOracle)),

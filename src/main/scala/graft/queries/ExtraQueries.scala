@@ -348,6 +348,44 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 FROM lineitem WHERE l_returnflag = 'R'
 GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // --- dynamic partition pruning, end-to-end --------------------------
+  /** Join-driven partition pruning: the fact table is laid out
+    * partitioned by month, the dimension carries the filter (year =
+    * 1994), and the month partitions to scan are only known at RUNTIME
+    * from the dim side — exactly what Spark's dynamic partition pruning
+    * (on by default) injects as a `dynamicpruning` subquery into the
+    * fact scan, pinned in PlanSpec. At 100 TB this is the difference
+    * between scanning 7 years of a date-partitioned fact and scanning
+    * the 12 months the dimension filter selects, with no handwritten
+    * partition predicate. The oracle restates the join on the
+    * unpartitioned source.
+    */
+  private def dppJoin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_dpp").toString
+    val o = Tables(s, dir, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    o.select(col("o_orderkey"), col("o_totalprice"), col("o_month"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+    val fact = s.read.parquet(tmp)
+    val dim = o.select(col("o_month")).distinct()
+      .where(substring(col("o_month"), 1, 4) === "1994")
+    fact.join(dim, Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("price_cents"))
+      .orderBy("o_month")
+  }
+
+  private val dppJoinOracle = s"""WITH f AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice FROM orders
+), dim AS (
+  SELECT DISTINCT o_month FROM f WHERE substring(o_month, 1, 4) = '1994'
+)
+SELECT f.o_month, COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(o_totalprice * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT)) AS BIGINT) AS price_cents
+FROM f JOIN dim USING (o_month)
+GROUP BY 1 ORDER BY o_month"""
+
   // --- bucketed co-location, end-to-end ------------------------------
   /** Both join sides written bucketed+sorted on the join key, then
     * joined via the catalog tables: the layout that amortizes ONE
@@ -792,6 +830,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("io_partition_prune", partitionPrune, Some(partitionPruneOracle)),
     QueryDef("io_compaction", compaction, Some(compactionOracle)),
     QueryDef("io_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
+    QueryDef("io_dpp_join", dppJoin, Some(dppJoinOracle)),
     QueryDef("q_skew_metrics", skewMetrics, Some(skewMetricsOracle)),
     QueryDef("q_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsOracle)),
     QueryDef("q_damerau_pairs", damerauPairs, Some(damerauPairsOracle)),

@@ -196,6 +196,22 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.nonEmpty && !readSchema.contains("l_returnflag"), readSchema)
   }
 
+  test("dim-filtered join onto a partitioned fact uses dynamic partition pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp_pin").toString
+    val o = Tables(spark, Sf, "orders")
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    o.select(col("o_orderkey"), col("o_totalprice"), col("o_month"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(tmp)
+    val fact = spark.read.parquet(tmp)
+    val dim = o.select(col("o_month")).distinct()
+      .where(substring(col("o_month"), 1, 4) === "1994")
+    val df = fact.join(dim, Seq("o_month"))
+      .groupBy(col("o_month")).agg(count(lit(1)).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n${plan.take(2000)}")
+  }
+
   test("quality gate broadcasts the per-language medians, never sort-merges") {
     val plan = planOf(SparkEntry.queries("t_quality_gate")(spark, Sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
