@@ -67,7 +67,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => LongArrayNormSq(exprs(0))),
     (FunctionIdentifier("graft_damerau"),
       new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau"),
-      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

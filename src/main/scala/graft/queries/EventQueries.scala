@@ -493,6 +493,45 @@ SELECT user_id, last_ms, last_event_id, last_type, last_value FROM e
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY last_ms DESC, last_event_id DESC) = 1
 ORDER BY user_id"""
 
+  // --- gaps and islands (activity streaks) ----------------------------
+  /** Per-user activity streaks over distinct active DAYS — the classic
+    * gaps-and-islands shape (day minus row_number is constant within a
+    * run of consecutive days): total active days, number of islands,
+    * and longest streak. All integer arithmetic; the distinct collapses
+    * the event volume to ≤ (users × days) rows before the one window
+    * pass, so a chatty user costs the same as a quiet one.
+    */
+  private def activityIslands(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  private val activityIslandsOracle = """WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), g AS (
+  SELECT user_id,
+    CAST(d - DATE '1970-01-01' AS BIGINT)
+      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+), isl AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+  COUNT(*) AS n_islands, CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM isl GROUP BY user_id ORDER BY user_id"""
+
   // --- Markov transition matrix (next-action model) -------------------
   /** Event-type transition matrix over each user's timeline: counts and
     * P(dst|src) for consecutive pairs — the next-action model / UX-flow
@@ -575,6 +614,7 @@ SELECT path, COUNT(*) AS n_sessions FROM p
 GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_activity_islands", activityIslands, Some(activityIslandsOracle)),
     QueryDef("ev_transition_matrix", transitionMatrix, Some(transitionMatrixOracle)),
     QueryDef("ev_session_paths", sessionPaths, Some(sessionPathsOracle)),
     QueryDef("ev_latest_by_key", latestByKey, Some(latestByKeyOracle)),

@@ -543,6 +543,42 @@ FROM supplier a JOIN supplier b
 WHERE damerau_levenshtein(a.s_name, b.s_name) <= 2
 GROUP BY 1 ORDER BY d"""
 
+  // --- Jaro-Winkler similarity histogram ------------------------------
+  /** [[graft.plans.JaroWinkler]] graded against DuckDB's
+    * `jaro_winkler_similarity` on every length-blocked supplier pair:
+    * per-pair scores rounded to nano-units (one deterministic double
+    * expression each side), bucketed to percent, counted. A
+    * disagreement at ANY pair shows up as a bucket-count mismatch, so
+    * the native expression's full semantics — match window,
+    * half-transpositions, 0.7 boost threshold, 4-char prefix cap — are
+    * oracle-checked across thousands of real name pairs, not just unit
+    * cases. The hot loop stays inside whole-stage codegen.
+    */
+  private def jaroBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("nm"))
+    val left = sup.select(col("id").as("a_id"), col("nm").as("a_nm"))
+    val right = sup.select(col("id").as("b_id"), col("nm").as("b_nm"))
+    left.join(right,
+        col("a_id") < col("b_id") &&
+          abs(length(col("a_nm")) - length(col("b_nm"))) <= 2)
+      .select(floor(graft.plans.JaroWinkler.jaroWinkler(col("a_nm"), col("b_nm"))
+        * lit(1.0e9) + lit(0.5)).cast("long").as("jw9"))
+      .selectExpr("jw9 DIV 10000000 AS pct_bucket")
+      .groupBy("pct_bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("pct_bucket")
+  }
+
+  private val jaroBucketsOracle = s"""WITH p AS (
+  SELECT CAST(FLOOR(jaro_winkler_similarity(a.s_name, b.s_name)
+    * ${Sql.D("1000000000")} + ${Sql.D("0.5")}) AS BIGINT) AS jw9
+  FROM supplier a JOIN supplier b
+    ON a.s_suppkey < b.s_suppkey
+    AND abs(length(a.s_name) - length(b.s_name)) <= 2
+)
+SELECT jw9 // 10000000 AS pct_bucket, COUNT(*) AS n_pairs
+FROM p GROUP BY 1 ORDER BY pct_bucket"""
+
   // --- entity resolution capstone: block → verify → cluster -----------
   /** End-to-end entity resolution over supplier names, composing the
     * three stages this engine grades separately: BLOCK (|Δlen| ≤ 2 —
@@ -837,6 +873,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     QueryDef("q_passjoin_pairs", passjoinPairs, Some(fuzzyPairsOracle)),
     QueryDef("q_entity_clusters", entityClusters, Some(entityClustersOracle)),
+    QueryDef("q_jaro_buckets", jaroBuckets, Some(jaroBucketsOracle)),
     QueryDef("q_table_fingerprint", tableFingerprint, Some(tableFingerprintOracle)),
     QueryDef("io_zorder_locality", zorderLocality, Some(zorderOracle)),
     QueryDef("io_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))

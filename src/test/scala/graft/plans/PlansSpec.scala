@@ -88,6 +88,49 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("JaroWinkler: DuckDB-verified values, both eval paths") {
+    // Expected values verified against DuckDB's jaro_winkler_similarity:
+    // standard Winkler (p=0.1, prefix cap 4, boost only when jaro > 0.7),
+    // empty-vs-anything (including empty-empty) scores 0.
+    val eps = 1e-12
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "abc", 1.0), ("", "abc", 0.0), ("ab", "", 0.0), ("", "", 0.0),
+      ("abcdefgh", "abzzzzzz", 0.5), // jaro 0.5 ≤ 0.7: prefix must NOT boost
+      ("ab", "axyz", 0.5833333333333334),
+      ("a", "ab", 0.8500000000000001),
+      ("Supplier#000000001", "Supplier#000000002", 0.9777777777777777))
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(JaroWinkler.compute(a, b) - want) < eps, s"compute($a,$b)")
+      assert(math.abs(JaroWinkler.compute(b, a) - want) < eps, s"symmetry($b,$a)")
+    }
+    // codegen'd path through a DataFrame agrees with the static compute
+    val df = cases.toDF("a", "b", "want")
+    val got = df.select(
+      JaroWinkler.jaroWinkler(col("a"), col("b")).as("s"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < eps))
+    // null propagation
+    val n = Seq((null: String, "x")).toDF("a", "b")
+      .select(JaroWinkler.jaroWinkler(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+    // range and identity properties on real-ish names
+    val words = Seq("delivery", "dleivery", "delivary", "package", "pacakge")
+    for (x <- words; y <- words) {
+      val s = JaroWinkler.compute(x, y)
+      assert(s >= 0.0 && s <= 1.0, s"range($x,$y)=$s")
+      if (x == y) assert(s == 1.0)
+    }
+  }
+
+  test("graft_jaro_winkler registered for SQL via GraftFunctions") {
+    GraftFunctions.register(spark)
+    val s = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS s")
+      .head().getDouble(0)
+    assert(math.abs(s - 0.9611111111111111) < 1e-12)
+  }
+
   test("graft_damerau registered for SQL via GraftFunctions") {
     GraftFunctions.register(spark)
     assert(spark.sql("SELECT graft_damerau('CA', 'ABC') AS d").head().getInt(0) == 2)
