@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -1023,6 +1024,172 @@ SELECT source, COUNT(*) AS n_types, CAST(SUM(term_nano) AS BIGINT) AS kl_nano,
 FROM terms GROUP BY source ORDER BY source"""
   }
 
+  // --- Zipf rank-frequency fit (power-law diagnostics) ----------------
+  /** Per-source Zipf exponent: OLS slope of ln(frequency) on ln(rank)
+    * over the token vocabulary, published as alpha = −slope (healthy
+    * natural text sits near 1). A broken scrape (boilerplate spam,
+    * truncated pages) bends the rank-frequency line, so alpha is a
+    * one-number corpus-health probe per source. Each point's ln is
+    * floored to MILLI-units before the five OLS sums — order-independent
+    * integer aggregation (the DSIR trick), with milli not nano chosen so
+    * `sum(x²)` stays in BIGINT at Heaps-law vocabulary sizes. The final
+    * slope ratio is evaluated in DOUBLE because `sx·sy` would overflow
+    * BIGINT; both engines run the identical expression tree. The rank
+    * window sorts one source's vocabulary per task — Heaps-bounded,
+    * never corpus-volume-bounded.
+    */
+  private def zipfAlpha(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("token"))
+    val pts = st.withColumn("r", row_number().over(w))
+      .select(col("source"),
+        floor(log(col("r").cast("double")) * lit(1000.0)).cast("long").as("x"),
+        floor(log(col("n").cast("double")) * lit(1000.0)).cast("long").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("alpha",
+        -((col("n_types").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_types").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))))
+      .select(col("source"), col("n_types"), col("alpha"))
+      .orderBy("source")
+  }
+
+  private val zipfAlphaOracle: String = s"""WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY 1, 2
+), pts AS (
+  SELECT source,
+    CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, token) AS DOUBLE)) * ${D("1000")}) AS BIGINT) AS x,
+    CAST(FLOOR(ln(CAST(n AS DOUBLE)) * ${D("1000")}) AS BIGINT) AS y
+  FROM st
+), t AS (
+  SELECT source, COUNT(*) AS n_types, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT source, n_types,
+  -((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+    (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS alpha
+FROM t ORDER BY source"""
+
+  // --- bigram PMI collocations (phrase mining) ------------------------
+  /** Top-20 adjacent-bigram collocations by pointwise mutual
+    * information, min support 5 — the phrase-mining signal that feeds
+    * tokenizer vocabularies ("new york" belongs together; "of the" does
+    * not, PMI separates them where raw counts cannot). Bigrams come
+    * from one `zip_with` over the token array inside the scan stage —
+    * no positional self-join; PMI is one double expression over five
+    * exact integer counts, floored to nano-units so the ranking is
+    * engine-exact.
+    */
+  private def bigramPmi(s: SparkSession, dir: String): DataFrame = {
+    val arr = Tables(s, dir, "documents")
+      .select(split(trim(lower(col("text"))), "\\s+").as("a"))
+    val bi = arr.select(explode(expr(
+        """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+           (x, y) -> named_struct('w1', x, 'w2', y))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .where(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 5)
+    val uni = Tables(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val totals = uni.agg(sum(col("n_tok")).as("n_uni")) // 1×1
+    // total bigram count includes sub-support pairs: one scan-side size sum
+    val nbi = arr.select(
+        (size(col("a")) - lit(1)).cast("long").as("k"))
+      .where(col("k") > 0)
+      .agg(sum(col("k")).as("n_bi")) // counts "" edge bigrams too — see oracle
+    bi.join(uni.select(col("token").as("w1"), col("n_tok").as("n_a")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("n_tok").as("n_b")), Seq("w2"))
+      .crossJoin(totals).crossJoin(nbi)
+      .select(col("w1"), col("w2"), col("n_ab"),
+        floor(log((col("n_ab").cast("double") / col("n_bi").cast("double")) /
+            ((col("n_a").cast("double") / col("n_uni").cast("double")) *
+             (col("n_b").cast("double") / col("n_uni").cast("double"))))
+          * lit(1.0e9)).cast("long").as("pmi_nano"))
+      .orderBy(col("pmi_nano").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val bigramPmiOracle: String = s"""WITH arr AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS a FROM documents
+), bi0 AS (
+  SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+  FROM arr, unnest(range(1, len(a))) AS t(i)
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM bi0
+  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), uni AS (
+  SELECT token, COUNT(*) AS n_tok FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> '' GROUP BY 1
+), totals AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_uni FROM uni),
+nbi AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS n_bi FROM (
+    SELECT CAST(len(a) - 1 AS BIGINT) AS k FROM arr
+  ) WHERE k > 0
+)
+SELECT w1, w2, n_ab,
+  CAST(FLOOR(ln((CAST(n_ab AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+      ((CAST(na.n_tok AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+       (CAST(nb.n_tok AS DOUBLE) / CAST(n_uni AS DOUBLE))))
+    * ${D("1000000000")}) AS BIGINT) AS pmi_nano
+FROM bi JOIN uni na ON bi.w1 = na.token
+JOIN uni nb ON bi.w2 = nb.token
+CROSS JOIN totals CROSS JOIN nbi
+ORDER BY pmi_nano DESC, w1, w2 LIMIT 20"""
+
+  // --- deterministic weighted sampling (Efraimidis-Spirakis) ----------
+  /** Weighted sampling without replacement, fully deterministic: each
+    * doc draws its "uniform" u from its own md5 (60-bit prefix mapped
+    * into (0, 1]), and the Efraimidis-Spirakis key ln(u)/w — monotone
+    * with u^(1/w) — picks the top-20 by char-length weight. Retries,
+    * partitionings, and engines agree bit-for-bit because there is no
+    * RNG anywhere; the key is floored to nano-units before ranking. At
+    * 100 TB the top-k is a bounded TakeOrdered, never a global sort.
+    */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"), h.as("h"))
+      .where(col("w") > 0)
+      .select(col("doc_id"), col("w"),
+        floor(log((col("h") + lit(1L)).cast("double") /
+            lit(1152921504606846977L).cast("double")) /
+          col("w").cast("double") * lit(1.0e9)).cast("long").as("key_nano"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val weightedSampleOracle: String = s"""WITH d AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, w,
+  CAST(FLOOR(ln(CAST(h + 1 AS DOUBLE) / CAST(1152921504606846977 AS DOUBLE))
+    / CAST(w AS DOUBLE) * ${D("1000000000")}) AS BIGINT) AS key_nano
+FROM d WHERE w > 0
+ORDER BY key_nano DESC, doc_id LIMIT 20"""
+
   // --- pairwise source similarity (sparse cosine) ---------------------
   /** Source-by-source cosine similarity over token-count vectors — the
     * companion readout to [[klDivergence]]: KL flags one drifting
@@ -1076,6 +1243,9 @@ JOIN norms nb ON dots.src_b = nb.source
 ORDER BY src_a, src_b"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_zipf_alpha", zipfAlpha, Some(zipfAlphaOracle)),
+    QueryDef("t_bigram_pmi", bigramPmi, Some(bigramPmiOracle)),
+    QueryDef("t_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("q_source_similarity", sourceSimilarity, Some(sourceSimilarityOracle)),
     QueryDef("t_kl_divergence", klDivergence, Some(klDivergenceOracle)),
     QueryDef("t_robust_scale", robustScale, Some(robustScaleOracle)),
