@@ -493,6 +493,83 @@ SELECT user_id, last_ms, last_event_id, last_type, last_value FROM e
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY last_ms DESC, last_event_id DESC) = 1
 ORDER BY user_id"""
 
+  // --- funnel conversion latency --------------------------------------
+  /** Time-to-convert distribution: for every user whose first purchase
+    * happens at-or-after their first view, the view→purchase latency in
+    * ms, summarized as count + exact interpolated p50/p90 (floored to
+    * integer ms so both engines publish the identical value). Two
+    * conditional min aggregates and one broadcast-sized join — no
+    * window over the event log, so the plan is two map-side-combinable
+    * passes however large the stream.
+    */
+  private def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("v_ms"))
+    val lat = ev.where(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .where(col("ms") >= col("v_ms"))
+      .groupBy(col("user_id"))
+      .agg((min(col("ms")) - max(col("v_ms"))).as("lat_ms"))
+    lat.agg(count(lit(1)).as("n_converted"),
+      floor(expr("percentile(lat_ms, 0.5)") + lit(0.5)).cast("long").as("p50_ms"),
+      floor(expr("percentile(lat_ms, 0.9)") + lit(0.5)).cast("long").as("p90_ms"))
+  }
+
+  private val funnelLatencyOracle = s"""WITH v AS (
+  SELECT user_id, MIN(epoch_ms(ts)) AS v_ms FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), lat AS (
+  SELECT e.user_id, MIN(epoch_ms(e.ts)) - MAX(v.v_ms) AS lat_ms
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= v.v_ms
+  GROUP BY 1
+)
+SELECT COUNT(*) AS n_converted,
+  CAST(FLOOR(quantile_cont(lat_ms, ${Sql.D("0.5")}) + ${Sql.D("0.5")}) AS BIGINT) AS p50_ms,
+  CAST(FLOOR(quantile_cont(lat_ms, ${Sql.D("0.9")}) + ${Sql.D("0.5")}) AS BIGINT) AS p90_ms
+FROM lat"""
+
+  // --- churn label generation (training-data shape) -------------------
+  /** Supervised-learning label table: per user, activity features
+    * (event count, distinct active days, days since last event relative
+    * to the corpus horizon) and a `churned` label = silent for the last
+    * 14 days of the observed window. The horizon is ONE scalar max
+    * cross-joined back — integer day math end-to-end, so the label
+    * boundary cannot drift between engines. This is the label-joins-
+    * features shape every churn/abuse model pipeline feeds on.
+    */
+  private def churnLabels(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        to_date(col("ts")).as("d"))
+    val g = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("d")).as("n_active_days"),
+        max(col("ms")).as("last_ms"))
+    val horizon = e.agg(max(col("ms")).as("end_ms")) // 1×1
+    g.crossJoin(horizon)
+      .select(col("user_id"), col("n_events"), col("n_active_days"),
+        ((col("end_ms") - col("last_ms")) / lit(86400000L)).cast("long")
+          .as("last_gap_days"))
+      .withColumn("churned", col("last_gap_days") >= 14)
+      .orderBy("user_id")
+  }
+
+  private val churnLabelsOracle = """WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms, CAST(ts AS DATE) AS d FROM events
+), g AS (
+  SELECT user_id, COUNT(*) AS n_events,
+    CAST(COUNT(DISTINCT d) AS BIGINT) AS n_active_days,
+    MAX(ms) AS last_ms
+  FROM e GROUP BY 1
+), h AS (SELECT MAX(ms) AS end_ms FROM e)
+SELECT user_id, n_events, n_active_days,
+  (end_ms - last_ms) // 86400000 AS last_gap_days,
+  (end_ms - last_ms) // 86400000 >= 14 AS churned
+FROM g CROSS JOIN h ORDER BY user_id"""
+
   // --- gaps and islands (activity streaks) ----------------------------
   /** Per-user activity streaks over distinct active DAYS — the classic
     * gaps-and-islands shape (day minus row_number is constant within a
@@ -614,6 +691,8 @@ SELECT path, COUNT(*) AS n_sessions FROM p
 GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_funnel_latency", funnelLatency, Some(funnelLatencyOracle)),
+    QueryDef("ev_churn_labels", churnLabels, Some(churnLabelsOracle)),
     QueryDef("ev_activity_islands", activityIslands, Some(activityIslandsOracle)),
     QueryDef("ev_transition_matrix", transitionMatrix, Some(transitionMatrixOracle)),
     QueryDef("ev_session_paths", sessionPaths, Some(sessionPathsOracle)),
