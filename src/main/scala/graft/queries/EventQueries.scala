@@ -493,6 +493,124 @@ SELECT user_id, last_ms, last_event_id, last_type, last_value FROM e
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY last_ms DESC, last_event_id DESC) = 1
 ORDER BY user_id"""
 
+  // --- day-of-week seasonality profile --------------------------------
+  /** Per-(event_type, weekday) seasonality index: share of the type's
+    * events on that weekday versus the uniform 1/7, as 7·n/total — one
+    * division of two exact counts. The weekday comes from integer epoch
+    * arithmetic ((days + 4) mod 7, Sunday = 0) rather than either
+    * engine's `dayofweek` builtin, whose numbering conventions disagree
+    * — the same trap `etl` dodges for weekday names.
+    */
+  private def dowProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          + lit(4), lit(7)).cast("long").as("wd"))
+    val byDow = e.groupBy(col("event_type"), col("wd"))
+      .agg(count(lit(1)).as("n"))
+    val tot = byDow.groupBy(col("event_type")).agg(sum(col("n")).as("total"))
+    byDow.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("wd"), col("n"),
+        (lit(7.0) * col("n").cast("double") / col("total").cast("double"))
+          .as("seasonal_idx"))
+      .orderBy("event_type", "wd")
+  }
+
+  private val dowProfileOracle = s"""WITH e AS (
+  SELECT event_type,
+    ((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 AS wd
+  FROM events
+), b AS (
+  SELECT event_type, CAST(wd AS BIGINT) AS wd, COUNT(*) AS n
+  FROM e GROUP BY 1, 2
+), t AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM b GROUP BY 1
+)
+SELECT b.event_type AS event_type, wd, n,
+  ${Sql.D("7")} * CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS seasonal_idx
+FROM b JOIN t ON b.event_type = t.event_type
+ORDER BY b.event_type, wd"""
+
+  // --- cumulative adoption curve --------------------------------------
+  /** Daily new-user counts and the running cumulative user total — the
+    * adoption curve. The event log collapses to one row per user (first
+    * seen day), then to one row per DAY, and only that days-long series
+    * takes the single global cumulative window — the one place a global
+    * window is the right plan, because its input is calendar-bounded,
+    * not data-bounded.
+    */
+  private def adoptionCurve(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("d"))
+    val daily = first.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+    daily
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("d"))))
+      .orderBy("d")
+  }
+
+  private val adoptionCurveOracle = """WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY 1
+), daily AS (
+  SELECT d, COUNT(*) AS new_users FROM f GROUP BY 1
+)
+SELECT d, new_users,
+  CAST(SUM(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM daily ORDER BY d"""
+
+  // --- bounce rate by entry event type --------------------------------
+  /** Session bounce rate keyed by how the session STARTED: sessions are
+    * the 30-minute-gap islands, the entry event is the session's
+    * (ms, event_id)-minimum — one struct-min aggregate, no second
+    * window — and a bounce is a single-event session. Rate is one
+    * division of two exact counts per entry type.
+    */
+  private def bounceRate(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("prev", lag(col("_ms"), 1).over(wu))
+      .withColumn("is_new",
+        when(col("prev").isNull || (col("_ms") - col("prev")) > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("is_new")).over(wu))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(struct(col("_ms"), col("event_id"), col("event_type"))).as("entry"),
+        count(lit(1)).as("n_events"))
+    sess.groupBy(col("entry.event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_rate",
+        col("n_bounces").cast("double") / col("n_sessions").cast("double"))
+      .orderBy("entry_type")
+  }
+
+  private val bounceRateOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS _ms FROM events
+), l AS (
+  SELECT *, LAG(_ms) OVER (PARTITION BY user_id ORDER BY _ms, event_id) AS prev FROM e
+), s AS (
+  SELECT user_id, event_id, event_type, _ms,
+    SUM(CASE WHEN prev IS NULL OR _ms - prev > 1800000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY _ms, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM l
+), per AS (
+  SELECT user_id, sess, COUNT(*) AS n_events FROM s GROUP BY 1, 2
+), entry AS (
+  SELECT user_id, sess, event_type AS entry_type FROM s
+  QUALIFY ROW_NUMBER()
+    OVER (PARTITION BY user_id, sess ORDER BY _ms, event_id) = 1
+), per2 AS (
+  SELECT entry_type, n_events FROM per JOIN entry USING (user_id, sess)
+)
+SELECT entry_type, COUNT(*) AS n_sessions,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+FROM per2 GROUP BY 1 ORDER BY entry_type"""
+
   // --- funnel conversion latency --------------------------------------
   /** Time-to-convert distribution: for every user whose first purchase
     * happens at-or-after their first view, the view→purchase latency in
@@ -691,6 +809,9 @@ SELECT path, COUNT(*) AS n_sessions FROM p
 GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_dow_profile", dowProfile, Some(dowProfileOracle)),
+    QueryDef("ev_adoption_curve", adoptionCurve, Some(adoptionCurveOracle)),
+    QueryDef("ev_bounce_rate", bounceRate, Some(bounceRateOracle)),
     QueryDef("ev_funnel_latency", funnelLatency, Some(funnelLatencyOracle)),
     QueryDef("ev_churn_labels", churnLabels, Some(churnLabelsOracle)),
     QueryDef("ev_activity_islands", activityIslands, Some(activityIslandsOracle)),

@@ -750,6 +750,40 @@ SELECT CAST($assign AS BIGINT) AS bucket, COUNT(*) AS n,
 FROM li, bs GROUP BY 1 ORDER BY bucket"""
   }
 
+  // --- ship-latency percentile matrix ---------------------------------
+  /** Order-to-ship latency distribution per order priority: exact
+    * interpolated p50/p90/p99 of (l_shipdate − o_orderdate) in integer
+    * days, floored to integers so both engines publish identical
+    * values. One shuffle join on the order key, one group-by over the
+    * priority dimension — the SLA-dashboard query shape.
+    */
+  private def shipLatency(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        floor(expr("percentile(lat, 0.5)") + lit(0.5)).cast("long").as("p50_days"),
+        floor(expr("percentile(lat, 0.9)") + lit(0.5)).cast("long").as("p90_days"),
+        floor(expr("percentile(lat, 0.99)") + lit(0.5)).cast("long").as("p99_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val shipLatencyOracle = s"""WITH j AS (
+  SELECT o_orderpriority,
+    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(FLOOR(quantile_cont(lat, ${D("0.5")}) + ${D("0.5")}) AS BIGINT) AS p50_days,
+  CAST(FLOOR(quantile_cont(lat, ${D("0.9")}) + ${D("0.5")}) AS BIGINT) AS p90_days,
+  CAST(FLOOR(quantile_cont(lat, ${D("0.99")}) + ${D("0.5")}) AS BIGINT) AS p99_days
+FROM j GROUP BY 1 ORDER BY o_orderpriority"""
+
   // --- A/B experiment readout (Welch's t) -----------------------------
   /** Deterministic A/B experiment analysis over purchase values: users
     * are hashed into arms by their md5 first nibble (< 8 → A, a
@@ -823,6 +857,7 @@ FROM d"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_ab_welch", abWelch, Some(abWelchOracle)),
+    QueryDef("q_ship_latency", shipLatency, Some(shipLatencyOracle)),
     QueryDef("q_ols_trend", olsTrend, Some(olsTrendOracle)),
     QueryDef("q_equidepth_hist", equidepthHist, Some(equidepthOracle)),
     QueryDef("q_hll_rollup", hllRollup, Some(hllRollupOracle)),
