@@ -19,7 +19,7 @@ object SparkEntry {
       EventQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++
       StreamMultimodalQueries.defs ++ ExtraQueries.defs ++ Olap2Queries.defs ++
-      CorpusQueries.defs ++ GraphQueries.defs
+      CorpusQueries.defs ++ GraphQueries.defs ++ BizQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Sql.D
+
+/** Business-analytics wave: RFM segmentation, Pareto concentration,
+  * Gini coefficient, Benford's-law digit audit, chi-square independence.
+  * All follow the package's oracle-parity ground rules (QueryDef scaladoc):
+  * exact integer math first, one deterministic float op at the end.
+  */
+object BizQueries {
+
+  private def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long")
+
+  // --- RFM segmentation -----------------------------------------------
+  /** Classic RFM: per customer recency (days since last order), frequency
+    * (order count) and monetary (exact cents), each scored 1-5 against
+    * quintile cutpoints. The cutpoints come from ONE exact-percentile
+    * aggregate broadcast back over the table — no global ntile sort, so
+    * the plan is two shuffle-free passes over a customer-cardinality
+    * aggregate at any scale (swap `percentile` for `percentile_approx`
+    * when billions of customers make exact unaffordable). Recency is
+    * inverted (freshest = 5) per convention. Cutpoint comparisons are
+    * stable across engines: interpolated cutpoints can never collide
+    * with the integer metrics they cut (a strict quintile boundary
+    * falls between consecutive order statistics).
+    */
+  private def rfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(
+      col("o_custkey"),
+      to_date(col("o_orderdate")).as("d"),
+      cents(col("o_totalprice")).as("c"))
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+        sum(col("c")).as("mon_cents"))
+    val dmax = o.agg(max(col("d")).as("dmax"))
+    val base = perCust.crossJoin(broadcast(dmax))
+      .withColumn("rec_days", datediff(col("dmax"), col("last_d")).cast("long"))
+    val cuts = base.agg(
+      expr("percentile(rec_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rc"),
+      expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
+      expr("percentile(mon_cents, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
+    def above(m: Column, cuts: Column): Column =
+      (0 to 3).map(i => when(m > cuts.getItem(i), 1L).otherwise(0L)).reduce(_ + _)
+    base.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(5L) - above(col("rec_days"), col("rc")))
+      .withColumn("f_score", lit(1L) + above(col("freq"), col("fc")))
+      .withColumn("m_score", lit(1L) + above(col("mon_cents"), col("mc")))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("mon_cents")).cast("double") / lit(100.0)).as("segment_revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  private val rfmOracle = s"""WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+    CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS c
+  FROM orders
+), pc AS (
+  SELECT o_custkey, MAX(d) AS last_d, COUNT(*) AS freq, SUM(c) AS mon_cents
+  FROM o GROUP BY 1
+), base AS (
+  SELECT pc.*, CAST(date_diff('day', last_d, (SELECT MAX(d) FROM o)) AS BIGINT) AS rec_days
+  FROM pc
+), cuts AS (
+  SELECT
+    quantile_cont(rec_days, 0.2) AS rc1, quantile_cont(rec_days, 0.4) AS rc2,
+    quantile_cont(rec_days, 0.6) AS rc3, quantile_cont(rec_days, 0.8) AS rc4,
+    quantile_cont(freq, 0.2) AS fc1, quantile_cont(freq, 0.4) AS fc2,
+    quantile_cont(freq, 0.6) AS fc3, quantile_cont(freq, 0.8) AS fc4,
+    quantile_cont(mon_cents, 0.2) AS mc1, quantile_cont(mon_cents, 0.4) AS mc2,
+    quantile_cont(mon_cents, 0.6) AS mc3, quantile_cont(mon_cents, 0.8) AS mc4
+  FROM base
+), scored AS (
+  SELECT
+    5 - ((rec_days > rc1)::BIGINT + (rec_days > rc2)::BIGINT
+       + (rec_days > rc3)::BIGINT + (rec_days > rc4)::BIGINT) AS r_score,
+    1 + ((freq > fc1)::BIGINT + (freq > fc2)::BIGINT
+       + (freq > fc3)::BIGINT + (freq > fc4)::BIGINT) AS f_score,
+    1 + ((mon_cents > mc1)::BIGINT + (mon_cents > mc2)::BIGINT
+       + (mon_cents > mc3)::BIGINT + (mon_cents > mc4)::BIGINT) AS m_score,
+    mon_cents
+  FROM base, cuts
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+  CAST(SUM(mon_cents) AS DOUBLE) / ${D("100")} AS segment_revenue
+FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score"""
+
+  // --- Pareto 80/20 coverage ------------------------------------------
+  /** Per market segment: how few customers cover 80% of revenue. A
+    * customer is in the top set while the cumulative revenue BEFORE it
+    * stays under 80% of the segment total (smallest prefix reaching
+    * 80%); the 80% test is the exact-integer inequality 5·cum_prev <
+    * 4·total — no float in the cut. The per-segment window is bounded
+    * by segment cardinality; at extreme scale the same prefix count is
+    * derivable from the `q_group_topn`-style bounded aggregate.
+    */
+  private def pareto80(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("rev"))
+      .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+    val cum = rev
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("total", sum(col("rev")).over(Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("in_top",
+        when(lit(5L) * (col("cum") - col("rev")) < lit(4L) * col("total"), 1L).otherwise(0L))
+    cum.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("in_top")).as("n_top"),
+        (sum(when(col("in_top") === 1L, col("rev")).otherwise(0L)).cast("double")
+          / sum(col("rev")).cast("double")).as("top_rev_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val pareto80Oracle = s"""WITH rev AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT o_custkey, rev, c_mktsegment
+  FROM rev JOIN customer ON o_custkey = c_custkey
+), c AS (
+  SELECT c_mktsegment, rev,
+    SUM(rev) OVER (PARTITION BY c_mktsegment ORDER BY rev DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(rev) OVER (PARTITION BY c_mktsegment) AS total
+  FROM j
+), f AS (
+  SELECT c_mktsegment, rev,
+    CASE WHEN 5 * (cum - rev) < 4 * total THEN 1 ELSE 0 END AS in_top
+  FROM c
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+  CAST(SUM(in_top) AS BIGINT) AS n_top,
+  CAST(SUM(CASE WHEN in_top = 1 THEN rev ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(rev) AS DOUBLE) AS top_rev_share
+FROM f GROUP BY 1 ORDER BY c_mktsegment"""
+
+  // --- Gini coefficient -----------------------------------------------
+  /** Revenue concentration per market segment as a Gini coefficient,
+    * via the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending
+    * revenue. Both Σ terms are exact BIGINT sums (rank from a
+    * deterministic (rev, custkey) order), so the two final float ops
+    * are identical in both engines.
+    */
+  private def gini(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("rev"))
+      .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev"), col("o_custkey"))
+    rev.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev")).as("sx"), sum(col("i") * col("rev")).as("six"))
+      .select(col("c_mktsegment"), col("n"),
+        ((lit(2L) * col("six")).cast("double") / (col("n") * col("sx")).cast("double")
+          - (col("n") + lit(1L)).cast("double") / col("n").cast("double")).as("gini"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val giniOracle = s"""WITH rev AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT o_custkey, rev, c_mktsegment
+  FROM rev JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT c_mktsegment, rev,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY rev, o_custkey) AS BIGINT) AS i
+  FROM j
+), a AS (
+  SELECT c_mktsegment, COUNT(*) AS n, SUM(rev) AS sx, SUM(i * rev) AS six
+  FROM r GROUP BY 1
+)
+SELECT c_mktsegment, n,
+  CAST(2 * six AS DOUBLE) / CAST(n * sx AS DOUBLE)
+    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM a ORDER BY c_mktsegment"""
+
+  // --- Benford first-digit audit --------------------------------------
+  /** Benford's-law audit of order totals: the first significant digit of
+    * a positive 2-dp price equals the first digit of its integer cents
+    * (leading digits are invariant under ×10ᵏ), so the digit extraction
+    * is pure string-on-integer — no float log10 on the data path. The
+    * expected shares log₁₀(1+1/d) are Scala-computed constants injected
+    * verbatim into BOTH engines (shortest-round-trip literals), so the
+    * deviation column is the same two float ops on both sides.
+    */
+  private val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  private def benford(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(cents(col("o_totalprice")).cast("string"), 1, 1).cast("long")
+    val expected = benfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(col("digit") === d.toLong, lit(v)).otherwise(acc)
+    }
+    val byDigit = Tables(s, dir, "orders")
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val tot = byDigit.agg(sum(col("n")).as("total"))
+    byDigit.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("expected", expected)
+      .withColumn("abs_dev", abs(col("share") - col("expected")))
+      .select(col("digit"), col("n"), col("share"), col("expected"), col("abs_dev"))
+      .orderBy("digit")
+  }
+
+  private val benfordOracle: String = {
+    val cases = benfordExpected
+      .map { case (d, v) => s"WHEN $d THEN ${Sql.Dlit(v)}" }.mkString(" ")
+    s"""WITH b AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+    COUNT(*) AS n
+  FROM orders GROUP BY 1
+), t AS (SELECT SUM(n) AS total FROM b)
+SELECT digit, n,
+  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+  CASE digit $cases END AS expected,
+  ABS(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - CASE digit $cases END) AS abs_dev
+FROM b, t ORDER BY digit"""
+  }
+
+  // --- chi-square independence test -----------------------------------
+  /** Pearson chi-square independence of `lang` × `source` over the
+    * documents table. Observed counts and the row/column/grand totals
+    * are exact; each cell's (o−e)²/e term is floored to micro-units
+    * BEFORE the sum, making the statistic an order-independent BIGINT
+    * sum (float-sum ordering can never flip the hash). One row out:
+    * cells, degrees of freedom, chi² in micro and float form.
+    */
+  private def chisq(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("lang"), col("source"))
+    val obs = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rows = d.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+    val cols = d.groupBy(col("source")).agg(count(lit(1)).as("cc"))
+    val n = d.agg(count(lit(1)).as("nn"))
+    val term = obs.join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("e", (col("r") * col("cc")).cast("double") / col("nn").cast("double"))
+      .withColumn("t_micro",
+        floor((col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e") * 1e6).cast("long"))
+    term.agg(
+      count(lit(1)).as("n_cells"),
+      ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1)).as("dof"),
+      sum(col("t_micro")).as("chi2_micro"))
+      .withColumn("chi2", col("chi2_micro").cast("double") / lit(1e6))
+      .orderBy("n_cells")
+  }
+
+  private val chisqOracle = s"""WITH d AS (
+  SELECT lang, source FROM documents
+), obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM d GROUP BY 1, 2
+), rs AS (SELECT lang, COUNT(*) AS r FROM d GROUP BY 1),
+cs AS (SELECT source, COUNT(*) AS cc FROM d GROUP BY 1),
+nn AS (SELECT COUNT(*) AS nn FROM d),
+term AS (
+  SELECT obs.lang, obs.source, o,
+    CAST(r * cc AS DOUBLE) / CAST(nn AS DOUBLE) AS e
+  FROM obs JOIN rs ON obs.lang = rs.lang
+           JOIN cs ON obs.source = cs.source, nn
+), t2 AS (
+  SELECT lang, source,
+    CAST(FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e * ${D("1000000")}) AS BIGINT) AS t_micro
+  FROM term
+)
+SELECT COUNT(*) AS n_cells,
+  CAST((SELECT COUNT(DISTINCT lang) FROM d) - 1 AS BIGINT)
+    * CAST((SELECT COUNT(DISTINCT source) FROM d) - 1 AS BIGINT) AS dof,
+  CAST(SUM(t_micro) AS BIGINT) AS chi2_micro,
+  CAST(SUM(t_micro) AS DOUBLE) / ${D("1000000")} AS chi2
+FROM t2 ORDER BY n_cells"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rfm", rfm, Some(rfmOracle)),
+    QueryDef("q_pareto80", pareto80, Some(pareto80Oracle)),
+    QueryDef("q_gini", gini, Some(giniOracle)),
+    QueryDef("q_benford", benford, Some(benfordOracle)),
+    QueryDef("q_chisq_indep", chisq, Some(chisqOracle)))
+}

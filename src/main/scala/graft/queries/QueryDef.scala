@@ -53,6 +53,16 @@ object Sql {
   def D(x: String): String = s"CAST($x AS DOUBLE)"
   def D(x: Double): String = D(x.toString)
 
+  /** Full-precision double constant. `CAST(0.12493873660829993 AS DOUBLE)`
+    * is parsed by DuckDB as a 17-digit DECIMAL first, whose int mantissa
+    * exceeds 2^53 — the DECIMAL→DOUBLE hop can land 1 ulp away from the
+    * correctly-rounded parse. Casting from a *string* uses the
+    * shortest-round-trip parser, which is bit-identical to the JVM double
+    * the Spark side embeds via `lit`. Use this (not `D`) for any constant
+    * with >15 significant digits.
+    */
+  def Dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+
   /** round-half-up to 2 dp via deterministic double ops — the SQL twin of
     * `graft.etl.Transform.round2`. */
   def round2(e: String): String =
