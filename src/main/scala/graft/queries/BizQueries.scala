@@ -282,7 +282,52 @@ SELECT COUNT(*) AS n_cells,
   CAST(SUM(t_micro) AS DOUBLE) / ${D("1000000")} AS chi2
 FROM t2 ORDER BY n_cells"""
 
+  // --- new-customer revenue share per month ---------------------------
+  /** Monthly revenue split by customer tenure: the share of each month's
+    * revenue coming from customers whose FIRST order falls in that
+    * month. One per-customer min-month aggregate joined back on the
+    * customer key (ids and cents only in the shuffle), then one monthly
+    * roll-up — the acquisition-health readout every revenue dashboard
+    * carries. Shares are single divisions of exact cent sums.
+    */
+  private def newCustShare(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(
+      col("o_custkey"),
+      trunc(to_date(col("o_orderdate")), "month").as("m"),
+      cents(col("o_totalprice")).as("c"))
+    val firstM = o.groupBy(col("o_custkey")).agg(min(col("m")).as("fm"))
+    o.join(firstM, Seq("o_custkey"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("c")).as("rev_cents"),
+        sum(when(col("fm") === col("m"), col("c")).otherwise(0L)).as("new_cents"))
+      .select(col("m"), col("n_orders"),
+        (col("rev_cents").cast("double") / lit(100.0)).as("revenue"),
+        (col("new_cents").cast("double") / col("rev_cents").cast("double"))
+          .as("new_share"))
+      .orderBy("m")
+  }
+
+  private val newCustShareOracle = s"""WITH o AS (
+  SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+    CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS c
+  FROM orders
+), f AS (
+  SELECT o_custkey, MIN(m) AS fm FROM o GROUP BY 1
+), j AS (
+  SELECT m, c, fm FROM o JOIN f USING (o_custkey)
+), a AS (
+  SELECT m, COUNT(*) AS n_orders, SUM(c) AS rev_cents,
+    SUM(CASE WHEN fm = m THEN c ELSE 0 END) AS new_cents
+  FROM j GROUP BY 1
+)
+SELECT m, n_orders,
+  CAST(rev_cents AS DOUBLE) / ${D("100")} AS revenue,
+  CAST(new_cents AS DOUBLE) / CAST(rev_cents AS DOUBLE) AS new_share
+FROM a ORDER BY m"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_newcust_share", newCustShare, Some(newCustShareOracle)),
     QueryDef("q_rfm", rfm, Some(rfmOracle)),
     QueryDef("q_pareto80", pareto80, Some(pareto80Oracle)),
     QueryDef("q_gini", gini, Some(giniOracle)),

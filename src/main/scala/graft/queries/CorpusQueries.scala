@@ -1242,7 +1242,65 @@ FROM dots JOIN norms na ON dots.src_a = na.source
 JOIN norms nb ON dots.src_b = nb.source
 ORDER BY src_a, src_b"""
 
+  // --- TF-IDF keyword extraction ------------------------------------
+  /** Top-3 TF-IDF keywords per document: tf and df are exact integer
+    * counts; the per-term score tf·ln((N+1)/(df+1)) is floored to
+    * micro-units BEFORE ranking, so the (score, token) rank order is an
+    * integer sort and the ln-ulp residual can only flip a rank when two
+    * scores collide within 1e-6 — broken deterministically by the token
+    * tiebreak. df and N come from one distinct (doc, token) pass; the
+    * final top-3 is a row_number window partitioned by doc_id (high-
+    * cardinality key — no single-partition funnel at scale).
+    */
+  private def tfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = tok.agg(countDistinct(col("doc_id")).as("nd"))
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+      .withColumn("score_micro",
+        floor(col("tf").cast("double")
+          * log((col("nd").cast("double") + 1) / (col("df").cast("double") + 1))
+          * 1e6).cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"),
+        col("score_micro"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfKeywordsOracle = """WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, token FROM tok WHERE LENGTH(token) > 0
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM tok2
+), scored AS (
+  SELECT doc_id, token, tf, df,
+    CAST(FLOOR(CAST(tf AS DOUBLE)
+      * ln((CAST(nd AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1))
+      * 1000000) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (token), nd
+), rk AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY score_micro DESC, token) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, token, tf, df, score_micro
+FROM rk WHERE rk <= 3 ORDER BY doc_id, rk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_idf_keywords", tfidfKeywords, Some(tfidfKeywordsOracle)),
     QueryDef("t_zipf_alpha", zipfAlpha, Some(zipfAlphaOracle)),
     QueryDef("t_bigram_pmi", bigramPmi, Some(bigramPmiOracle)),
     QueryDef("t_weighted_sample", weightedSample, Some(weightedSampleOracle)),

@@ -808,7 +808,93 @@ FROM m ORDER BY src, dst"""
 SELECT path, COUNT(*) AS n_sessions FROM p
 GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20"""
 
+  // --- DAU / WAU stickiness -------------------------------------------
+  /** Daily active users, trailing-7-day weekly active users, and the
+    * DAU/WAU stickiness ratio per observed day. WAU is computed WITHOUT
+    * a range join or a distinct-over-range window: each (user, day)
+    * activity row fans out to the 7 window-end days it covers
+    * (`explode(sequence(d, d+6))`), then one count-distinct per
+    * covering day — an equi-shuffle plan that scales linearly with a
+    * constant 7× fan-out, where the naive `BETWEEN` join is a
+    * broadcast-nested-loop. At extreme scale the count-distinct swaps
+    * for an HLL sketch union with no shape change.
+    */
+  private def dauWau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("d"), date_add(col("d"), 6))).as("wd"))
+      .groupBy(col("wd")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("d") === col("wd"))
+      .select(col("d"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy("d")
+  }
+
+  private val dauWauOracle = """WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+  SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1
+), fan AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+    CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wd
+  FROM ud
+), wau AS (
+  SELECT wd, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY 1
+)
+SELECT d, dau, wau,
+  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON d = wd ORDER BY d"""
+
+  // --- audience overlap between event types ---------------------------
+  /** Pairwise audience overlap across event types: for every type pair,
+    * the distinct-user intersection plus Jaccard and Szymkiewicz-
+    * Simpson overlap coefficients. One distinct (type, user) pass, a
+    * self-equi-join on user (ids only cross the shuffle), and exact
+    * integer set sizes — the two coefficients are single divisions of
+    * exact counts. Pairs with an empty intersection drop out of the
+    * inner join by construction.
+    */
+  private def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val su = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = su.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    val inter = su.as("a").join(su.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("nu", "na"), col("type_a") === col("event_type")).drop("event_type")
+      .join(sizes.withColumnRenamed("nu", "nb"), col("type_b") === col("event_type")).drop("event_type")
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"), col("n_inter"),
+        (col("n_inter").cast("double")
+          / (col("na") + col("nb") - col("n_inter")).cast("double")).as("jaccard"),
+        (col("n_inter").cast("double")
+          / least(col("na"), col("nb")).cast("double")).as("overlap"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val audienceOverlapOracle = """WITH su AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sz AS (
+  SELECT event_type, COUNT(*) AS nu FROM su GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
+  FROM su a JOIN su b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.nu AS na, sb.nu AS nb, n_inter,
+  CAST(n_inter AS DOUBLE) / CAST(sa.nu + sb.nu - n_inter AS DOUBLE) AS jaccard,
+  CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.nu, sb.nu) AS DOUBLE) AS overlap
+FROM inter JOIN sz sa ON type_a = sa.event_type
+           JOIN sz sb ON type_b = sb.event_type
+ORDER BY type_a, type_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_dau_wau", dauWau, Some(dauWauOracle)),
+    QueryDef("ev_audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
     QueryDef("ev_dow_profile", dowProfile, Some(dowProfileOracle)),
     QueryDef("ev_adoption_curve", adoptionCurve, Some(adoptionCurveOracle)),
     QueryDef("ev_bounce_rate", bounceRate, Some(bounceRateOracle)),
