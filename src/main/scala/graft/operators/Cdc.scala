@@ -43,4 +43,34 @@ object Cdc {
       d.withColumn(p, when(takeChange, col(s"_c_$p")).otherwise(col(s"_b_$p")))
     }.select(keyCol, payload: _*)
   }
+
+  /** Snapshot diff — the inverse of [[applyChangeset]]: given two
+    * keyed snapshots, classify every key as added ('A', in v2 only),
+    * removed ('R', in v1 only), or changed ('C', in both with any
+    * payload column differing). Unchanged keys are not emitted — on a
+    * 100 TB table the diff output is proportional to the CHURN, not
+    * the table.
+    *
+    * Payload comparison is null-safe equality over all non-key
+    * columns (via a single struct `<=>`), so a NULL→value transition
+    * counts as a change. One full-outer shuffle join on the key is
+    * the whole cost; both sides' scans prune to key + compared
+    * columns.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String): DataFrame = {
+    val payload = v1.columns.filter(_ != keyCol)
+    require(payload.forall(v2.columns.contains) &&
+      v2.columns.length == v1.columns.length,
+      "snapshots must share the same schema")
+    val a = v1.select(col(keyCol),
+      struct(payload.map(col).toIndexedSeq: _*).as("_p1"), lit(1).as("_in1"))
+    val b = v2.select(col(keyCol).as("_k2"),
+      struct(payload.map(col).toIndexedSeq: _*).as("_p2"), lit(1).as("_in2"))
+    a.join(b, col(keyCol) === col("_k2"), "full_outer")
+      .select(coalesce(col(keyCol), col("_k2")).as(keyCol),
+        when(col("_in1").isNull, "A")
+          .when(col("_in2").isNull, "R")
+          .when(!(col("_p1") <=> col("_p2")), "C").as("change"))
+      .where(col("change").isNotNull)
+  }
 }

@@ -171,4 +171,53 @@ object Graphs {
       .groupBy(col("k").as("src"), col("nk").as("dst"))
       .agg(count(lit(1)).as("w"))
   }
+
+  /** Single-source BFS hop distances by iterative frontier expansion —
+    * the level-synchronous formulation every distributed graph engine
+    * uses (Pregel supersteps are exactly this loop). Returns
+    * (node, hops) for every node reachable from `source` in at most
+    * `maxHops` hops; hops are exact ints, so any engine agrees.
+    *
+    * Scale notes (1e9+ edges): each round is ONE join of the current
+    * frontier against the edge list (shuffle on src — or broadcast
+    * while the frontier is small, Catalyst's call) plus one anti-join
+    * against the visited set. Edges are persisted once across rounds.
+    * Visited/frontier carry only (node, hop) longs — never adjacency
+    * payloads. The loop materializes each frontier via
+    * `localCheckpoint` so round N's plan does not replay rounds
+    * 0..N-1 (the same lineage-cut every iterative operator in this
+    * package applies), and stops early on an empty frontier, so
+    * `maxHops` is a bound, not a fixed cost.
+    *
+    * @param edges (src, dst) long-castable directed edge list
+    */
+  def bfsHops(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist()
+    try {
+      var visited = Seq((source, 0)).toDF("node", "hop").localCheckpoint()
+      var frontier = visited
+      var hop = 0
+      var done = frontier.isEmpty
+      while (!done && hop < maxHops) {
+        hop += 1
+        val next = frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(hop).as("hop"))
+          .distinct()
+          .join(visited.select(col("node").as("vn")), col("node") === col("vn"),
+            "left_anti")
+          .localCheckpoint()
+        done = next.isEmpty
+        if (!done) {
+          frontier = next
+          visited = visited.unionByName(next).localCheckpoint()
+        }
+      }
+      visited.select(col("node"), col("hop").cast("long").as("hops"))
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -1299,7 +1299,48 @@ ORDER BY src_a, src_b"""
 SELECT doc_id, rk, token, tf, df, score_micro
 FROM rk WHERE rk <= 3 ORDER BY doc_id, rk"""
 
+  /** Corpus-order n-gram novelty: for each document, the fraction of
+    * its distinct 5-grams never seen in any earlier (lower doc_id)
+    * document — the "how much NEW text does this doc add" signal that
+    * ranks sources for dedup-aware training-data curation (a doc full
+    * of already-seen grams is a near-dup even when no single pair
+    * crosses a Jaccard threshold). Engine shape: distinct (doc, gram)
+    * → per-gram argmin(doc) → join back — two shuffles on the 32-byte
+    * gram hash space, never all-pairs; the first-occurrence table is
+    * the same size as the gram vocabulary, not the corpus.
+    */
+  private def gramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = CorpusQuality
+      .ngramOccurrences(Tables(s, dir, "documents"), "doc_id", "text", 5)
+      .distinct()
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  private val gramNoveltyOracle: String = s"""WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+${gramCte(5, "g5")},
+dg AS (SELECT DISTINCT doc_id, gram FROM g5),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY 1)
+SELECT dg.doc_id, COUNT(*) AS n_grams,
+  CAST(SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(SUM(CASE WHEN first_doc = dg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM dg JOIN first USING (gram)
+GROUP BY dg.doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_gram_novelty", gramNovelty, Some(gramNoveltyOracle)),
     QueryDef("t_idf_keywords", tfidfKeywords, Some(tfidfKeywordsOracle)),
     QueryDef("t_zipf_alpha", zipfAlpha, Some(zipfAlphaOracle)),
     QueryDef("t_bigram_pmi", bigramPmi, Some(bigramPmiOracle)),

@@ -892,7 +892,129 @@ FROM inter JOIN sz sa ON type_a = sa.event_type
            JOIN sz sb ON type_b = sb.event_type
 ORDER BY type_a, type_b"""
 
+  /** Per-user exponentially weighted moving average (α = 1/2) over the
+    * (ts, event_id)-ordered value series — the one aggregate in this
+    * module that is inherently SEQUENTIAL per key (each step depends on
+    * the previous), so no window/agg builtin expresses it. The engine
+    * shape is the secondary-sort pattern: `repartition(user_id)` +
+    * `sortWithinPartitions(user_id, ts, event_id)` + one-pass
+    * `mapPartitions` over contiguous per-user runs — one shuffle, zero
+    * per-key state beyond the running scalar, and the executor never
+    * materializes a user's series (contrast collect_list, which would).
+    * At 100 TB this is the same plan: the shuffle is keyed on user_id
+    * and each task streams its users in order.
+    *
+    * α = 1/2 makes every step `(s + x) / 2` — the identical left-fold
+    * IEEE sequence DuckDB's `list_reduce` runs, so the doubles are
+    * bit-equal with no cents detour.
+    */
+  private def ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Double, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Double, Long) = {
+            val (u, _, _, v0) = buf.next()
+            var acc = v0
+            var n = 1L
+            while (buf.hasNext && buf.head._1 == u) {
+              acc = (acc + buf.next()._4) / 2
+              n += 1
+            }
+            (u, acc, n)
+          }
+        }
+      }
+      .toDF("user_id", "ewma", "n_events")
+      .orderBy("user_id")
+  }
+
+  private val ewmaOracle = """SELECT user_id,
+  CAST(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+    (a, b) -> (a + b) / CAST(2 AS DOUBLE)) AS DOUBLE) AS ewma,
+  COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Cohort revenue matrix: users cohorted by first-purchase ISO week,
+    * revenue laid out by (cohort week × active week) — the standard
+    * cohort-LTV triangle. Two shuffles: the per-user first-week agg
+    * (one row per user — AQE broadcasts it back onto the purchase
+    * stream while small, shuffle-joins at scale) and the final matrix
+    * agg, whose cardinality is weeks², not users. Spark `weekofyear`
+    * and DuckDB `week` are both ISO-8601, so the integer keys agree.
+    */
+  private def cohortRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (year(col("ts")) * 100 + weekofyear(col("ts"))).cast("int").as("yw"),
+        col("value"))
+    val cohort = p.groupBy(col("user_id")).agg(min(col("yw")).as("cohort_yw"))
+    p.join(cohort, "user_id")
+      .groupBy(col("cohort_yw"), col("yw"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        (sum(cents(col("value"))) / 100.0).as("revenue"))
+      .orderBy("cohort_yw", "yw")
+  }
+
+  private val cohortRevenueOracle = s"""WITH p AS (
+  SELECT user_id, CAST(year(ts) * 100 + week(ts) AS INT) AS yw, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, MIN(yw) AS cohort_yw FROM p GROUP BY 1
+)
+SELECT c.cohort_yw, p.yw, COUNT(DISTINCT p.user_id) AS n_users,
+  ${Sql.sumCents("p.value")} AS revenue
+FROM p JOIN c ON p.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY cohort_yw, yw"""
+
+  /** Last-touch marketing attribution: each purchase credits the
+    * user's most recent PRIOR non-purchase event type; purchases with
+    * no prior touch are 'direct'. One window over the per-user
+    * timeline (`last(..., ignoreNulls)` over an unbounded-preceding
+    * frame — the carry-forward idiom, same engine shape as
+    * `ev_interpolate`'s bracket fill), then a channel-cardinality
+    * aggregate. One shuffle on user_id, one on channel.
+    */
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(cents(col("value"))) / 100.0).as("revenue"))
+      .orderBy("channel")
+  }
+
+  private val attributionOracle = s"""WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events
+), a AS (
+  SELECT event_type, value,
+    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM e
+)
+SELECT COALESCE(channel, 'direct') AS channel, COUNT(*) AS n_purchases,
+  ${Sql.sumCents("value")} AS revenue
+FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY channel"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_ewma", ewma, Some(ewmaOracle)),
+    QueryDef("ev_cohort_revenue", cohortRevenue, Some(cohortRevenueOracle)),
+    QueryDef("ev_attribution", attribution, Some(attributionOracle)),
     QueryDef("ev_dau_wau", dauWau, Some(dauWauOracle)),
     QueryDef("ev_audience_overlap", audienceOverlap, Some(audienceOverlapOracle)),
     QueryDef("ev_dow_profile", dowProfile, Some(dowProfileOracle)),

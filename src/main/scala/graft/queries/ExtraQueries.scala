@@ -723,6 +723,52 @@ FROM h GROUP BY 1 ORDER BY l_returnflag"""
 SELECT k AS o_orderkey, st AS status, cents AS price_cents
 FROM merged WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey"""
 
+  /** [[graft.operators.Cdc.snapshotDiff]] graded end-to-end: v2 is a
+    * deterministic mutation of the orders snapshot (drop keys ≡0 mod
+    * 13, bump price-cents on ≡0 mod 11, fresh negative keys from ≡0
+    * mod 17), and the diff must classify exactly the churn — graded as
+    * per-class row counts plus exact key checksums. The operator's
+    * output is proportional to churn, so the aggregate is the honest
+    * scale readout.
+    */
+  private def dataDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+    val v2 = v1.where(col("k") % 13 =!= 0)
+      .withColumn("price_cents",
+        when(col("k") % 11 === 0, col("price_cents") + 100L)
+          .otherwise(col("price_cents")))
+      .unionByName(v1.where(col("k") % 17 === 0)
+        .select((-col("k")).as("k"), col("status"), col("price_cents")))
+    graft.operators.Cdc.snapshotDiff(v1, v2, "k")
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("k")).as("key_sum"))
+      .orderBy("change")
+  }
+
+  private val dataDiffOracle = """WITH v1 AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), v2 AS (
+  SELECT k, status,
+    CASE WHEN k % 11 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM v1 WHERE k % 13 <> 0
+  UNION ALL
+  SELECT -k, status, cents FROM v1 WHERE k % 17 = 0
+), d AS (
+  SELECT COALESCE(v1.k, v2.k) AS k,
+    CASE WHEN v1.k IS NULL THEN 'A'
+         WHEN v2.k IS NULL THEN 'R'
+         WHEN v1.status IS DISTINCT FROM v2.status
+           OR v1.cents IS DISTINCT FROM v2.cents THEN 'C' END AS change
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT change, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum
+FROM d WHERE change IS NOT NULL GROUP BY change ORDER BY change"""
+
   // --- salted skew join (result must equal the plain join) ------------
   private def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
     val l = Tables(s, dir, "lineitem")
@@ -871,6 +917,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("q_fuzzy_pairs", fuzzyPairs, Some(fuzzyPairsOracle)),
     QueryDef("q_damerau_pairs", damerauPairs, Some(damerauPairsOracle)),
     QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
+    QueryDef("q_data_diff", dataDiff, Some(dataDiffOracle)),
     QueryDef("q_passjoin_pairs", passjoinPairs, Some(fuzzyPairsOracle)),
     QueryDef("q_entity_clusters", entityClusters, Some(entityClustersOracle)),
     QueryDef("q_jaro_buckets", jaroBuckets, Some(jaroBucketsOracle)),

@@ -219,7 +219,47 @@ SELECT lbl AS community, COUNT(*) AS n_members
 FROM l3 GROUP BY 1 ORDER BY community"""
   }
 
+  /** [[Graphs.bfsHops]] over the strong transition backbone: edges are
+    * k→k' transitions observed ≥ 4 times (the w≥4 cut keeps the graph
+    * sparse enough at sf0.01 to have real diameter — hops 0..8 — rather
+    * than a 2-hop hub ball), source node 0, 8-hop bound. The oracle is
+    * the textbook recursive-CTE BFS: UNION-dedup on (node, hop), MIN
+    * per node — exactly what the level-synchronous frontier loop
+    * computes, so the exact-int rows agree engine-for-engine.
+    */
+  private def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
+    val edges = Graphs.transitionEdges(ev, k)
+      .where(col("src") =!= col("dst") && col("w") >= 4)
+      .select("src", "dst")
+    Graphs.bfsHops(edges, 0L, 8).orderBy("hops", "node")
+  }
+
+  private val bfsHopsOracle = """WITH RECURSIVE ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), we AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq
+  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM we WHERE w >= 4
+), bfs(node, hop) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.hop + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hop < 8
+)
+SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
+FROM bfs GROUP BY node ORDER BY hops, node"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),
     QueryDef("g_triangles", triangles, Some(trianglesOracle)),
     QueryDef("g_label_prop", labelProp, Some(labelPropOracle)),

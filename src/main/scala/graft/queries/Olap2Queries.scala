@@ -855,7 +855,83 @@ SELECT n_a, mean_a, var_a, n_b, mean_b, var_b,
 FROM d"""
   }
 
+  /** Two-feature OLS (y = β₀ + β₁·n_items + β₂·sum_qty on order
+    * totals) trained the distributed way: ONE pass accumulates the 9
+    * sufficient statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y,
+    * Σx₂y — all exact integers, map-side combined into a single-row
+    * reduce), then the normal equations solve in closed form on the
+    * driver-free final projection. This is how regression/GLMs train
+    * at 100 TB: the data never moves, only the fixed-size statistics
+    * vector does. Covariance cross-products are formed in DOUBLE (the
+    * integer products would overflow BIGINT at scale); the expression
+    * tree is identical in both engines, so the IEEE results are
+    * bit-equal.
+    */
+  private def multiOls(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        sum(col("l_quantity").cast("long")).as("x2"))
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+      cents(col("o_totalprice")).as("y"))
+    val d = o.join(li, col("o_orderkey") === col("l_orderkey"))
+    val st = d.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    def dbl(name: String): org.apache.spark.sql.Column = col(name).cast("double")
+    val c11 = (dbl("n") * dbl("s11") - dbl("s1") * dbl("s1")).as("c11")
+    val c12 = (dbl("n") * dbl("s12") - dbl("s1") * dbl("s2")).as("c12")
+    val c22 = (dbl("n") * dbl("s22") - dbl("s2") * dbl("s2")).as("c22")
+    val cy1 = (dbl("n") * dbl("s1y") - dbl("s1") * dbl("sy")).as("cy1")
+    val cy2 = (dbl("n") * dbl("s2y") - dbl("s2") * dbl("sy")).as("cy2")
+    st.select(col("n"), c11, c12, c22, cy1, cy2)
+      .select(col("n"),
+        ((col("c22") * col("cy1") - col("c12") * col("cy2"))
+          / (col("c11") * col("c22") - col("c12") * col("c12"))).as("beta1"),
+        ((col("c11") * col("cy2") - col("c12") * col("cy1"))
+          / (col("c11") * col("c22") - col("c12") * col("c12"))).as("beta2"),
+        col("cy1"), col("cy2"))
+      .select(col("n"), col("beta1"), col("beta2"))
+  }
+
+  private val multiOlsOracle: String = s"""WITH li AS (
+  SELECT l_orderkey, COUNT(*) AS x1,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+  FROM lineitem GROUP BY 1
+), d AS (
+  SELECT CAST(FLOOR(o_totalprice * ${D("100")} + ${D("0.5")}) AS BIGINT) AS y,
+    x1, x2
+  FROM orders JOIN li ON o_orderkey = l_orderkey
+), st AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+    CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+    CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+    CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+    CAST(SUM(x2 * y) AS BIGINT) AS s2y
+  FROM d
+), c AS (
+  SELECT n,
+    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+    CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS cy1,
+    CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS cy2
+  FROM st
+)
+SELECT n,
+  (c22 * cy1 - c12 * cy2) / (c11 * c22 - c12 * c12) AS beta1,
+  (c11 * cy2 - c12 * cy1) / (c11 * c22 - c12 * c12) AS beta2
+FROM c"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_multi_ols", multiOls, Some(multiOlsOracle)),
     QueryDef("q_ab_welch", abWelch, Some(abWelchOracle)),
     QueryDef("q_ship_latency", shipLatency, Some(shipLatencyOracle)),
     QueryDef("q_ols_trend", olsTrend, Some(olsTrendOracle)),

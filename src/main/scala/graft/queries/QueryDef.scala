@@ -24,8 +24,26 @@ final case class QueryDef(
     oracle: Option[String])
 
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Testdata loader. Parquet µs timestamps written WITHOUT the
+    * isAdjustedToUTC flag read back as TIMESTAMP_NTZ under Spark 4's
+    * inference; every temporal function this engine grades
+    * (`unix_millis`, watermarks, …) wants the instant-typed TIMESTAMP.
+    * The session runs in UTC, so the NTZ→LTZ cast reinterprets the
+    * wall clock as the same instant DuckDB's naive-timestamp epoch
+    * arithmetic sees — one normalization at the single load seam
+    * instead of per-function NTZ special-casing.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.foldLeft(raw) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => d
+      }
+    }
+  }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`

@@ -192,6 +192,67 @@ WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 200000)
 GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** LATERAL correlated subquery — per-nation top-2 customers by
+    * balance, the "top-N per outer row" shape LATERAL expresses
+    * directly. Catalyst rewrites the lateral into a ranked window under
+    * DomainJoin, so the physical plan is one shuffle on the correlation
+    * key — identical cost to the hand-written `q_window_rank`, which is
+    * the point: the SQL front door loses nothing.
+    */
+  private def qLateralTopn(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "nation").createOrReplaceTempView("vlat_nation")
+    Tables(s, dir, "customer").createOrReplaceTempView("vlat_customer")
+    s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM vlat_nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM vlat_customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+  }
+
+  private val qLateralTopnOracle = """SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) — a synthetic
+    * bill-of-materials walk: part p "contains" parts 2p and 2p+1 when
+    * they exist, so roots 1..3 each expand a binary assembly tree to
+    * depth 4; the query rolls up per-root part counts and exact-cents
+    * assembly cost. Recursion in Spark executes as an iterative
+    * union-loop over the step relation (the same level-synchronous
+    * shape as [[graft.operators.Graphs.bfsHops]]); the per-level join
+    * is on p_partkey, so each level is one bounded shuffle/broadcast.
+    */
+  private def qRecursiveBom(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "part").createOrReplaceTempView("vrec_part")
+    s.sql("""WITH RECURSIVE bom AS (
+        SELECT p_partkey AS root, p_partkey AS pk, 0 AS depth,
+               p_retailprice FROM vrec_part WHERE p_partkey BETWEEN 1 AND 3
+        UNION ALL
+        SELECT b.root, p.p_partkey, b.depth + 1, p.p_retailprice
+        FROM bom b JOIN vrec_part p
+          ON p.p_partkey IN (b.pk * 2, b.pk * 2 + 1)
+        WHERE b.depth < 4)
+      SELECT root, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
+        CAST(SUM(CAST(FLOOR(p_retailprice * 100 + 0.5D) AS BIGINT)) AS BIGINT)
+          / CAST(100 AS DOUBLE) AS assembly_cost
+      FROM bom GROUP BY root ORDER BY root""")
+  }
+
+  private val qRecursiveBomOracle = s"""WITH RECURSIVE bom AS (
+  SELECT p_partkey AS root, p_partkey AS pk, 0 AS depth, p_retailprice
+  FROM part WHERE p_partkey BETWEEN 1 AND 3
+  UNION ALL
+  SELECT b.root, p.p_partkey, b.depth + 1, p.p_retailprice
+  FROM bom b JOIN part p ON p.p_partkey IN (b.pk * 2, b.pk * 2 + 1)
+  WHERE b.depth < 4)
+SELECT root, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
+  ${Sql.sumCents("p_retailprice")} AS assembly_cost
+FROM bom GROUP BY root ORDER BY root"""
+
   // --- window functions ---------------------------------------------
   private def qWindowRank(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
@@ -748,6 +809,8 @@ WHERE s_suppkey IN (
 ORDER BY s_suppkey"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_lateral_topn", qLateralTopn, Some(qLateralTopnOracle)),
+    QueryDef("q_recursive_bom", qRecursiveBom, Some(qRecursiveBomOracle)),
     QueryDef("q11_value_concentration", q11, Some(q11Oracle)),
     QueryDef("q13_order_histogram", q13, Some(q13Oracle)),
     QueryDef("q15_top_supplier", q15, Some(q15Oracle)),

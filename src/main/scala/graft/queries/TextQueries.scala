@@ -133,6 +133,57 @@ FROM h GROUP BY 1, 2 ORDER BY lang, pred_lang"""
     * recomputes hits; the oracle reuses its CTE — identical values.
     */
 
+  /** Cohen's kappa for the language classifier vs the labeled `lang`
+    * column — chance-corrected agreement, the honest single-number
+    * readout next to the raw confusion matrix (a majority-class
+    * guesser scores high accuracy but κ≈0). Reduced to integer
+    * sufficient statistics: κ = (N·agree − Σ rowₗ·colₗ) /
+    * (N² − Σ rowₗ·colₗ), so ONE double division at the end —
+    * bit-equal across engines. The confusion matrix is
+    * langs²-cardinality: every join/agg after the first groupBy is
+    * driver-trivial at any corpus size.
+    */
+  private def cohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val cm = Tables(s, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.languageGuess(col("text"), TextFunctions.DefaultProfiles)
+          .as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.agg(sum(col("n")).as("total"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("agree"))
+    val peNum = cm.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
+      .join(cm.groupBy(col("pred_lang")).agg(sum(col("n")).as("cn")),
+        col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("pe_num"))
+    tot.crossJoin(peNum)
+      .select(col("total"), col("agree"), col("pe_num"),
+        ((col("total") * col("agree") - col("pe_num")).cast("double")
+          / (col("total") * col("total") - col("pe_num")).cast("double"))
+          .as("kappa"))
+  }
+
+  private val cohensKappaOracle: String = s"""WITH h AS (
+  SELECT doc_id, lang, $langHitsSql, text FROM documents
+), cm AS (
+  SELECT lang, $predLangCaseSql AS pred_lang, COUNT(*) AS n
+  FROM h GROUP BY 1, 2
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+    CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS agree
+  FROM cm
+), rm AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM cm GROUP BY 1),
+co AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS cn FROM cm GROUP BY 1),
+pe AS (
+  SELECT CAST(COALESCE(SUM(rn * cn), 0) AS BIGINT) AS pe_num
+  FROM rm JOIN co ON lang = pred_lang
+)
+SELECT total, agree, pe_num,
+  CAST(total * agree - pe_num AS DOUBLE)
+    / CAST(total * total - pe_num AS DOUBLE) AS kappa
+FROM t, pe"""
+
   // --- fingerprint / exact dedup ------------------------------------
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(
@@ -607,6 +658,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("t_quality_by_source", quality, Some(qualityOracle)),
     QueryDef("t_langid", langid, Some(langidOracle)),
     QueryDef("t_langid_confusion", langidConfusion, Some(langidConfusionOracle)),
+    QueryDef("t_cohens_kappa", cohensKappa, Some(cohensKappaOracle)),
     QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)),
     QueryDef("t_fingerprint", fingerprintQ, Some(fingerprintOracle)),
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),

@@ -483,8 +483,15 @@ object EventStreams {
         spark.readStream.schema(batchSchema)
           .option("pathGlobFilter", f.getName).parquet(f.getParent)
       else spark.readStream.schema(batchSchema).parquet(path)
-    if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs-no-tz parquet reads as NTZ; watermarks/unix_millis want the
+        // instant type — UTC session makes the cast the identity instant
+        // (same normalization as graft.queries.Tables)
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -34,4 +34,26 @@ class CdcSpec extends SparkSpec {
       Cdc.applyChangeset(base, bad, "k", "op")
     }
   }
+
+  test("snapshotDiff: A/R/C classification, null-safe payload compare") {
+    val v1 = Seq(
+      (1L, Option("a"), 10L),  // unchanged
+      (2L, Option("b"), 20L),  // removed
+      (3L, Option("c"), 30L),  // value change
+      (4L, None, 40L),         // null -> value change
+      (5L, Option("e"), 50L))  // value -> null change
+      .toDF("k", "s", "v")
+    val v2 = Seq(
+      (1L, Option("a"), 10L),
+      (3L, Option("c"), 31L),
+      (4L, Option("d"), 40L),
+      (5L, None, 50L),
+      (6L, Option("f"), 60L))  // added
+      .toDF("k", "s", "v")
+    val got = Cdc.snapshotDiff(v1, v2, "k")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "R"), (3L, "C"), (4L, "C"), (5L, "C"), (6L, "A")))
+    // identical snapshots diff to empty
+    assert(Cdc.snapshotDiff(v1, v1, "k").count() == 0)
+  }
 }

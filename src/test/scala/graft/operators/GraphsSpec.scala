@@ -76,4 +76,23 @@ class GraphsSpec extends SparkSpec {
     // user 1: a -> b (ts), b -> c (ts tie broken by event_id); user 2: x -> x
     assert(got == Set(("a", "b", 1L), ("b", "c", 1L), ("x", "x", 1L)))
   }
+
+  test("bfsHops: shortest hop wins over longer path; unreachable absent") {
+    // 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3; 9 -> 1 unreachable FROM 1;
+    // self-loop 2 -> 2 ignored
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    val got = Graphs.bfsHops(edges, 1L, 8).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsHops: maxHops bounds the frontier; cycles terminate") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graphs.bfsHops(ring, 1L, 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4 is 3 hops: cut
+    // isolated source: just the seed row
+    val none = Seq((5L, 6L)).toDF("src", "dst")
+    assert(Graphs.bfsHops(none, 1L, 3).as[(Long, Long)].collect().toMap
+      == Map(1L -> 0L))
+  }
 }

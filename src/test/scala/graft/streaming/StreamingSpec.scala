@@ -572,4 +572,58 @@ class StreamingSpec extends SparkSpec {
         "the 14:00 window is still open and must not be in append output")
     } finally q.stop()
   }
+
+  test("observability: observe() metrics and state-operator progress surface") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
+
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val terminated = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = { started.incrementAndGet(); () }
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = { terminated.incrementAndGet(); () }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val dir = Files.createTempDirectory("graft_obs").toString
+      def ev(id: Long, user: Long, minute: Int): EventStreams.Event =
+        EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+          user, "click", 1.0)
+      writeBatch(dir, "b1", Seq(ev(1, 1, 0), ev(2, 1, 0), ev(3, 2, 5)))
+      val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(dir)
+        // observe(): named arbitrary aggregates evaluated over each
+        // micro-batch's rows, surfaced in StreamingQueryProgress — the
+        // zero-cost pipeline-health hook (no extra pass over the data)
+        .observe("src", count(lit(1)).as("rows"), sum(col("value")).as("value_sum"))
+      val out = EventStreams.dedupPairsWatermarked(stream, "2 hours")
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("graft_obs").start()
+      try {
+        q.processAllAvailable()
+        val progs = q.recentProgress.toSeq
+        assert(progs.nonEmpty, "processAllAvailable must leave progress records")
+        // observed metrics: total rows across micro-batches == input rows
+        val observed = progs.flatMap(p =>
+          Option(p.observedMetrics.get("src")).map(_.getLong(0)))
+        assert(observed.sum == 3L,
+          s"observe() must count every input row exactly once: $observed")
+        // the dedup state operator reports its state size: 2 distinct
+        // (user, type) pairs held within the watermark horizon
+        val stateRows = progs.flatMap(_.stateOperators.toSeq)
+          .map(_.numRowsTotal).max
+        assert(stateRows == 2L,
+          s"dropDuplicatesWithinWatermark must hold one state row per " +
+            s"distinct in-horizon pair: $stateRows")
+      } finally q.stop()
+      // listener lifecycle events are delivered asynchronously
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while ((started.get() < 1 || terminated.get() < 1) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(started.get() >= 1 && terminated.get() >= 1,
+        s"listener must see start+termination: ${started.get()}/${terminated.get()}")
+    } finally spark.streams.removeListener(listener)
+  }
 }
