@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Global contiguous ID assignment WITHOUT a global sort-to-one-task:
+  * the standard two-pass offset pattern every large-scale pipeline uses
+  * to number 1e11 rows (training-example ids, surrogate keys).
+  *
+  *   1. range-partition on the order key and sort within partitions —
+  *      partitions now hold disjoint, ordered key ranges;
+  *   2. first pass counts rows per partition (one long per partition to
+  *      the driver — bounded by partition count, never data);
+  *   3. second pass assigns `offset(partition) + local index`.
+  *
+  * The result equals `ROW_NUMBER() OVER (ORDER BY key)` exactly, but no
+  * single task ever sees more than its partition: the one-task window
+  * funnel becomes an embarrassingly-parallel map. Where the range
+  * boundaries land (they come from sampling) affects only which task
+  * computes which span, never the ids themselves, because offsets are
+  * accumulated in partition-range order.
+  *
+  * A `ROW_NUMBER` over a content-hash order is the degenerate
+  * one-partition case of this; at 100 TB that window is the single
+  * worst plan in the book, and this is its replacement.
+  */
+object Ids {
+
+  /** Append a 1-based contiguous `gid` column equal to the row's rank
+    * under ORDER BY `keys` (which must be a total order — include a
+    * unique tiebreak).
+    *
+    * Both passes run over the SAME materialized RDD (persisted
+    * memory-and-disk for the duration of the job), so the sampled range
+    * boundaries are computed once and shared — re-evaluating the range
+    * shuffle per pass could sample different boundaries and corrupt the
+    * offsets.
+    *
+    * @param nPartitions range partition count (cluster knob; ids do
+    *                    not depend on it)
+    */
+  def assignGlobalIds(df: DataFrame, keys: Seq[Column],
+      nPartitions: Int, gidCol: String = "gid"): DataFrame = {
+    require(keys.nonEmpty && nPartitions >= 1)
+    val spark = df.sparkSession
+    val schema = df.schema
+    val ranged = df
+      .repartitionByRange(nPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .toDF().rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition counts, in partition-range order (tiny
+      // collect: one (index, count) pair per partition)
+      val counts = ranged
+        .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val bc = spark.sparkContext.broadcast(offsets)
+      // pass 2: offset + local index, reading the persisted partitions
+      val withId = ranged.mapPartitionsWithIndex { (i, it) =>
+        var k = bc.value(i)
+        it.map { row => k += 1
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ k)
+        }
+      }
+      val out = spark.createDataFrame(withId,
+        schema.add(gidCol, org.apache.spark.sql.types.LongType, nullable = false))
+      // materialize before unpersisting so the returned plan never
+      // re-runs the range sampling (localCheckpoint cuts the lineage)
+      out.localCheckpoint(eager = true)
+    } finally ranged.unpersist(blocking = false)
+  }
+}

@@ -1011,7 +1011,50 @@ SELECT COALESCE(channel, 'direct') AS channel, COUNT(*) AS n_purchases,
   ${Sql.sumCents("value")} AS revenue
 FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY channel"""
 
+  /** Event-time disorder metrics — the data-quality readout that decides
+    * watermark horizons: per event type, the fraction of adjacent
+    * events (in event_id = generation order, per user) whose timestamp
+    * runs BACKWARDS, and the worst regression in ms. All integer ms
+    * arithmetic; one per-user window, one tiny aggregate.
+    */
+  private def disorder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("prev_ms", lag(col("_ms"), 1).over(w))
+      .where(col("prev_ms").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_ms") < col("prev_ms"), 1L).otherwise(0L))
+          .as("n_backwards"),
+        max(when(col("_ms") < col("prev_ms"), col("prev_ms") - col("_ms"))
+          .otherwise(0L)).as("max_regression_ms"))
+      .select(col("event_type"), col("n_pairs"), col("n_backwards"),
+        (col("n_backwards").cast("double") / col("n_pairs").cast("double"))
+          .as("disorder_frac"),
+        col("max_regression_ms"))
+      .orderBy("event_type")
+  }
+
+  private val disorderOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+), g AS (
+  SELECT event_type, ms,
+    LAG(ms, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ms
+  FROM e
+)
+SELECT event_type, COUNT(*) AS n_pairs,
+  CAST(SUM(CASE WHEN ms < prev_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_backwards,
+  CAST(SUM(CASE WHEN ms < prev_ms THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS disorder_frac,
+  CAST(MAX(CASE WHEN ms < prev_ms THEN prev_ms - ms ELSE 0 END) AS BIGINT)
+    AS max_regression_ms
+FROM g WHERE prev_ms IS NOT NULL
+GROUP BY 1 ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_disorder", disorder, Some(disorderOracle)),
     QueryDef("ev_ewma", ewma, Some(ewmaOracle)),
     QueryDef("ev_cohort_revenue", cohortRevenue, Some(cohortRevenueOracle)),
     QueryDef("ev_attribution", attribution, Some(attributionOracle)),

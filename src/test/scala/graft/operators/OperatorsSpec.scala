@@ -651,4 +651,20 @@ class OperatorsSpec extends SparkSpec {
       TextFunctions.DefaultProfiles).as("l")).as[String].collect().toSeq
     assert(got == Seq("en", "es", "de", "en")) // zero hits everywhere → first profile
   }
+
+  test("assignGlobalIds == ROW_NUMBER, invariant to partition count") {
+    val df = (1 to 500).map(i => (i.toLong, s"k${(i * 131) % 500}%03d"))
+      .toDF("id", "key")
+    def ids(n: Int): Map[Long, Long] =
+      Ids.assignGlobalIds(df, Seq(col("key"), col("id")), n)
+        .select(col("id"), col("gid")).as[(Long, Long)].collect().toMap
+    val expected = df
+      .withColumn("gid", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("key"), col("id")))
+        .cast("long"))
+      .select(col("id"), col("gid")).as[(Long, Long)].collect().toMap
+    assert(ids(7) == expected, "7 partitions must reproduce the global rank")
+    assert(ids(1) == expected && ids(32) == expected,
+      "ids must not depend on the partition count")
+  }
 }
