@@ -177,21 +177,37 @@ ORDER BY lift DESC, a, b LIMIT 15"""
     val b = li.select(col("ok"), col("pk").as("b"))
     val pairs = a.join(b, "ok").where(col("a") < col("b"))
       .select("a", "b").distinct()
+    // the symmetrized edge list feeds every round's join — materialize
+    // it ONCE (it is itself a distinct self-join; recomputing it per
+    // round tripled this query's wall time), and cut each round's
+    // lineage so round N never replays rounds 1..N-1 (the standard
+    // iterative-operator pattern, see Graphs.bfsHops)
     val sym = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-    for (_ <- 1 to 3) {
-      labels = sym
-        .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
-        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("u"))
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
-    }
-    labels.groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy("community")
+      .persist()
+    try {
+      // Round 1 against the identity labeling over a DISTINCT edge list
+      // degenerates algebraically: every (u, lbl=v) group has count 1,
+      // so the (count desc, lbl) argmax is just min(v) — one aggregate,
+      // no join. (Valid because `pairs` is distinct; rounds 2+ run the
+      // generic update.)
+      var labels = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("lbl"))
+        .select(col("u").as("node"), col("lbl"))
+        .localCheckpoint()
+      for (_ <- 2 to 3) {
+        labels = sym
+          .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("community")
+    } finally sym.unpersist(blocking = false)
   }
 
   private val labelPropOracle: String = {
@@ -258,7 +274,57 @@ FROM l3 GROUP BY 1 ORDER BY community"""
 SELECT node, CAST(MIN(hop) AS BIGINT) AS hops
 FROM bfs GROUP BY node ORDER BY hops, node"""
 
+  /** Majority-next-state baseline accuracy: predict each node's next
+    * transition as its historical argmax target, score over ALL
+    * transitions — the canonical "is a Markov-1 model better than
+    * majority?" readout for sequence models. The argmax is ONE
+    * max-of-struct aggregate per source node ((w, −dst) so ties take
+    * the smallest target — map-side combinable, no window); scoring is
+    * a |nodes|-sized broadcast join back onto the edge counts.
+    */
+  private def markovAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
+    val edges = Graphs.transitionEdges(ev, k)
+    val pred = edges.groupBy(col("src"))
+      .agg(max(struct(col("w"), (-col("dst")).as("nd"))).as("m"))
+      .select(col("src").as("p_src"), (-col("m.nd")).as("pred_dst"))
+    edges.join(pred, col("src") === col("p_src"))
+      .groupBy(col("src"))
+      .agg(sum(col("w")).as("n_transitions"),
+        max(col("pred_dst")).as("pred_dst"),
+        sum(when(col("dst") === col("pred_dst"), col("w")).otherwise(0L))
+          .as("n_correct"))
+      .select(col("src"), col("pred_dst"), col("n_transitions"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_transitions").cast("double"))
+          .as("accuracy"))
+      .orderBy("src")
+  }
+
+  private val markovAccuracyOracle = """WITH ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), e AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT src, dst AS pred_dst FROM e
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) = 1
+)
+SELECT e.src, MAX(pred_dst) AS pred_dst,
+  CAST(SUM(w) AS BIGINT) AS n_transitions,
+  CAST(SUM(CASE WHEN dst = pred_dst THEN w ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(SUM(CASE WHEN dst = pred_dst THEN w ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(w) AS DOUBLE) AS accuracy
+FROM e JOIN p ON e.src = p.src
+GROUP BY e.src ORDER BY e.src"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),
     QueryDef("g_triangles", triangles, Some(trianglesOracle)),

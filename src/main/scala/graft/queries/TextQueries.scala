@@ -164,6 +164,44 @@ FROM h GROUP BY 1, 2 ORDER BY lang, pred_lang"""
           .as("kappa"))
   }
 
+  /** Score calibration curve: the en-stopword-density score bucketed
+    * into deciles vs the TRUE-label rate per bucket — the reliability
+    * diagram that tells you whether a cheap heuristic score can be
+    * thresholded as a classifier (monotone frac_en ⇒ yes). Bucket ids
+    * are integer arithmetic ((10·hits) div tokens, capped at 9), so
+    * both engines bucket identically; output is 10 rows regardless of
+    * corpus size.
+    */
+  private def calibration(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokenCount(col("text")).cast("long")
+    val hits = TextFunctions.stopwordCount(col("text"), Stopwords).cast("long")
+    Tables(s, dir, "documents")
+      .select(col("lang"), toks.as("n_tok"), hits.as("n_sw"))
+      .where(col("n_tok") > 0)
+      .select(least(lit(9L), expr("(n_sw * 10) div n_tok")).as("bucket"),
+        col("lang"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("bucket"), col("n_docs"), col("n_en"),
+        (col("n_en").cast("double") / col("n_docs").cast("double")).as("frac_en"))
+      .orderBy("bucket")
+  }
+
+  private val calibrationOracle: String = s"""WITH d AS (
+  SELECT lang, ${reaCount("text, '\\S+'")} AS n_tok,
+    ${reaCount(s"text, '\\b(${Stopwords.mkString("|")})\\b'")} AS n_sw
+  FROM documents
+), b AS (
+  SELECT LEAST(9, (CAST(n_sw AS BIGINT) * 10) // CAST(n_tok AS BIGINT)) AS bucket, lang
+  FROM d WHERE n_tok > 0
+)
+SELECT bucket, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS frac_en
+FROM b GROUP BY bucket ORDER BY bucket"""
+
   private val cohensKappaOracle: String = s"""WITH h AS (
   SELECT doc_id, lang, $langHitsSql, text FROM documents
 ), cm AS (
@@ -659,6 +697,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("t_langid", langid, Some(langidOracle)),
     QueryDef("t_langid_confusion", langidConfusion, Some(langidConfusionOracle)),
     QueryDef("t_cohens_kappa", cohensKappa, Some(cohensKappaOracle)),
+    QueryDef("t_calibration", calibration, Some(calibrationOracle)),
     QueryDef("t_token_count", tokenCount, Some(tokenCountOracle)),
     QueryDef("t_fingerprint", fingerprintQ, Some(fingerprintOracle)),
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
