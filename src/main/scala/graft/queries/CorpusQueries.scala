@@ -1339,7 +1339,49 @@ SELECT dg.doc_id, COUNT(*) AS n_grams,
 FROM dg JOIN first USING (gram)
 GROUP BY dg.doc_id ORDER BY doc_id"""
 
+  /** Tokenizer ENCODE: map every token to its frequency-rank vocab id
+    * (the text→ids step before any training run). The vocabulary is
+    * ranked WITHOUT a global window by composing
+    * [[graft.operators.Ids.assignGlobalIds]] over (−count, token) —
+    * vocab ids come from range-partitioned offsets, so a 1e9-term
+    * vocabulary ranks in parallel; the encode itself is one
+    * token-equi-join (broadcast while the vocab head is small). Graded
+    * on the first 8 positions of every document.
+    */
+  private def encodeTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos0", "token")))
+      .where(col("token") =!= "")
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val ids = graft.operators.Ids.assignGlobalIds(
+        vocab, Seq((-col("cnt")).asc, col("token").asc), 32, "token_id")
+      .select(col("token").as("v_token"), col("token_id"))
+    toks.where(col("pos") <= 8)
+      .join(ids, col("token") === col("v_token"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  private val encodeTokensOracle: String = """WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), toks AS (
+  SELECT doc_id, i AS pos, w[i] AS token
+  FROM docs, UNNEST(generate_series(1, len(w))) AS t(i)
+  WHERE w[i] <> ''
+), vocab AS (
+  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+), ids AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS token_id
+  FROM vocab
+)
+SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, ids.token_id
+FROM toks t JOIN ids ON t.token = ids.token
+WHERE t.pos <= 8 ORDER BY doc_id, pos"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_encode_tokens", encodeTokens, Some(encodeTokensOracle)),
     QueryDef("t_gram_novelty", gramNovelty, Some(gramNoveltyOracle)),
     QueryDef("t_idf_keywords", tfidfKeywords, Some(tfidfKeywordsOracle)),
     QueryDef("t_zipf_alpha", zipfAlpha, Some(zipfAlphaOracle)),

@@ -284,6 +284,31 @@ ORDER BY purchase_id, view_id NULLS FIRST"""
         .orderBy("event_id")
     }
 
+  /** [[EventStreams.streamingEwma]] end-to-end: the inherently
+    * SEQUENTIAL per-key fold running as carried `transformWithState`
+    * state. Each micro-batch emits the running (ewma, n); n is strictly
+    * increasing per user, so keeping each user's max-n row recovers the
+    * final fold state — which must equal the batch `ev_ewma` answer
+    * bit-for-bit (same IEEE left-fold, replayed incrementally).
+    */
+  private def streamEwma(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.streamingEwma(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"))
+      EventStreams.runToMemory(s, out, "graft_stream_ewma", OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("ewma"))).as("m"))
+        .select(col("user_id"), col("m.ewma").as("ewma"),
+          col("m.n_events").as("n_events"))
+        .orderBy("user_id")
+    }
+
+  private val streamEwmaOracle = """SELECT user_id,
+  CAST(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+    (a, b) -> (a + b) / CAST(2 AS DOUBLE)) AS DOUBLE) AS ewma,
+  COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id"""
+
   private val streamTwsRunningOracle = s"""WITH e AS (
   SELECT event_id, user_id, epoch_ms(ts) AS ms,
     CAST(FLOOR(value * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT) AS cents
@@ -418,6 +443,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("stream_join_outer", streamJoinOuter, Some(streamJoinOuterOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
+    QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
     QueryDef("stream_cdc_upsert", streamCdcUpsert, Some(streamCdcUpsertOracle)),

@@ -138,6 +138,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA resumes the fold from carried state") {
+    val dir = Files.createTempDirectory("graft_sewma").toString
+    def ev(id: Long, minute: Int, value: Double): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        7L, "click", value)
+
+    // batch 1: s = 1.0, then (1.0 + 3.0) / 2 = 2.0
+    writeBatch(dir, "b1", Seq(ev(1, 0, 1.0), ev(2, 5, 3.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.streamingEwma(stream)
+
+    spark.streams.active.filter(_.name == "sewma_test").foreach(_.stop())
+    val q = EventStreams.withRocksDbState(spark) {
+      out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("sewma_test").start()
+    }
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("sewma_test")
+        .as[(Long, Double, Long)].collect().toSet
+      assert(afterB1 == Set((7L, 2.0, 2L)))
+
+      // batch 2: the fold must RESUME at 2.0 → (2.0 + 6.0) / 2 = 4.0,
+      // not restart at 6.0
+      writeBatch(dir, "b2", Seq(ev(3, 10, 6.0)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sewma_test")
+        .as[(Long, Double, Long)].collect().toSet
+      assert(afterB2 == afterB1 + ((7L, 4.0, 3L)),
+        s"EWMA state must carry across micro-batches: $afterB2")
+    } finally q.stop()
+  }
+
   test("left-outer stream join: null rows emit only when the watermark releases them") {
     val dir = Files.createTempDirectory("graft_loj").toString
     def ev(id: Long, user: Long, kind: String, time: String): EventStreams.Event =
