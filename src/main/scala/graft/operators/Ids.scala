@@ -72,4 +72,66 @@ object Ids {
       out.localCheckpoint(eager = true)
     } finally ranged.unpersist(blocking = false)
   }
+
+  /** Distributed PREFIX SUM (inclusive running total of `valueCol` per
+    * `keyCol`, ordered by `orderCols`) — the generalization of
+    * [[assignGlobalIds]] from counting to summing, and the scalable
+    * replacement for a running-SUM window whose partition key has LOW
+    * cardinality (3 media kinds over 1e10 items = 3 tasks in the window
+    * plan; here every range partition scans in parallel).
+    *
+    * Pass 1 computes per-(partition, key) sums; the driver folds them
+    * in partition-range order into per-(partition, key) starting
+    * offsets (state ≈ #partitions + #keys pairs, never rows — range
+    * partitioning keeps each key in few partitions); pass 2 walks each
+    * partition once accumulating from its offsets. Both passes share
+    * one persisted RDD (same boundary-sampling argument as
+    * [[assignGlobalIds]]).
+    */
+  def prefixSumByKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, nPartitions: Int, outCol: String = "cum"): DataFrame = {
+    require(orderCols.nonEmpty && nPartitions >= 1)
+    val spark = df.sparkSession
+    val schema = df.schema
+    val sortCols = (keyCol +: orderCols).map(col)
+    val ranged = df.repartitionByRange(nPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .toDF().rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vIdx = schema.fieldIndex(valueCol)
+      val kIdx = schema.fieldIndex(keyCol)
+      // pass 1: per-(partition, key) sums
+      val partKey = ranged.mapPartitionsWithIndex { (i, it) =>
+        val sums = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r =>
+          val k = r.get(kIdx)
+          sums(k) = sums.getOrElse(k, 0L) + r.getLong(vIdx)
+        }
+        sums.iterator.map { case (k, s) => (i, k, s) }
+      }.collect()
+      // fold in partition order → starting offset of each key in each partition
+      val running = scala.collection.mutable.HashMap.empty[Any, Long]
+      val offsets: Map[(Int, Any), Long] =
+        partKey.sortBy(_._1).map { case (i, k, s) =>
+          val start = running.getOrElse(k, 0L)
+          running(k) = start + s
+          (i, k) -> start
+        }.toMap
+      val bc = spark.sparkContext.broadcast(offsets)
+      // pass 2: accumulate within each partition from the offsets
+      val withCum = ranged.mapPartitionsWithIndex { (i, it) =>
+        val acc = scala.collection.mutable.HashMap.empty[Any, Long]
+        it.map { r =>
+          val k = r.get(kIdx)
+          val c = acc.getOrElse(k, bc.value.getOrElse((i, k), 0L)) + r.getLong(vIdx)
+          acc(k) = c
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
+        }
+      }
+      spark.createDataFrame(withCum,
+        schema.add(outCol, org.apache.spark.sql.types.LongType, nullable = false))
+        .localCheckpoint(eager = true)
+    } finally ranged.unpersist(blocking = false)
+  }
 }

@@ -1053,7 +1053,56 @@ SELECT event_type, COUNT(*) AS n_pairs,
 FROM g WHERE prev_ms IS NOT NULL
 GROUP BY 1 ORDER BY event_type"""
 
+  /** Linear multi-touch attribution — the fair-split companion to the
+    * last-touch model: each purchase divides its value equally across
+    * the DISTINCT touch types seen in its trailing hour (integer cents
+    * floor-divided by the touch count, so the split is exact in both
+    * engines). The purchase-to-touch match is an equi-join on user_id
+    * with a bounded time-range predicate — the same join shape as the
+    * stream-stream interval join, and AQE-skew-splittable at scale.
+    */
+  private def attributionLinear(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ms"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id"),
+        cents(col("value")).as("v_cents"), col("ms").as("p_ms"))
+    val t = e.where(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_type").as("channel"),
+        col("ms").as("t_ms"))
+    val pt = p.join(t, col("p_user") === col("t_user") &&
+        col("t_ms") < col("p_ms") && col("t_ms") >= col("p_ms") - 3600000L)
+      .select(col("event_id"), col("v_cents"), col("channel"))
+      .distinct()
+    val nt = pt.groupBy(col("event_id")).agg(count(lit(1)).as("n_ch"))
+    pt.join(nt, "event_id")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("v_cents div n_ch")).as("credit_cents"))
+      .orderBy("channel")
+  }
+
+  private val attributionLinearOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events
+), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+t AS (SELECT user_id, event_type AS channel, ms FROM e WHERE event_type <> 'purchase'),
+pt AS (
+  SELECT DISTINCT p.event_id,
+    CAST(FLOOR(p.value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v_cents,
+    t.channel
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.ms < p.ms AND t.ms >= p.ms - 3600000
+), nt AS (
+  SELECT event_id, COUNT(*) AS n_ch FROM pt GROUP BY 1
+)
+SELECT channel, COUNT(*) AS n_touches,
+  CAST(SUM(v_cents // n_ch) AS BIGINT) AS credit_cents
+FROM pt JOIN nt USING (event_id)
+GROUP BY 1 ORDER BY channel"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_attribution_linear", attributionLinear, Some(attributionLinearOracle)),
     QueryDef("ev_disorder", disorder, Some(disorderOracle)),
     QueryDef("ev_ewma", ewma, Some(ewmaOracle)),
     QueryDef("ev_cohort_revenue", cohortRevenue, Some(cohortRevenueOracle)),

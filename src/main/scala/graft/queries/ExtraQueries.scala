@@ -769,6 +769,36 @@ FROM merged WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey"""
 SELECT change, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum
 FROM d WHERE change IS NOT NULL GROUP BY change ORDER BY change"""
 
+  /** Backfill planner — the partition-maintenance op every scheduled
+    * pipeline needs: diff the month spine the DATA implies against the
+    * partitions that actually exist on disk (here a partitioned write
+    * that deterministically skips every ym≡0 mod 3 month, discovered
+    * back via partition listing — metadata-only, no row scan), and emit
+    * the missing partitions with their expected row counts. The plan
+    * output is partitions-cardinality, never rows.
+    */
+  private def backfillPlan(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("int").as("ym"),
+      col("o_orderkey"))
+    val tmp = Files.createTempDirectory("graft_backfill").toString + "/t"
+    o.where(col("ym") % 3 =!= 0).write.mode("overwrite")
+      .partitionBy("ym").parquet(tmp)
+    val existing = s.read.parquet(tmp).select(col("ym")).distinct()
+      .select(col("ym").as("e_ym"))
+    o.groupBy(col("ym")).agg(count(lit(1)).as("expected_rows"))
+      .join(existing, col("ym") === col("e_ym"), "left_anti")
+      .orderBy("ym")
+  }
+
+  private val backfillPlanOracle = """SELECT
+  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+  COUNT(*) AS expected_rows
+FROM orders
+WHERE CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) % 3 = 0
+GROUP BY 1 ORDER BY ym"""
+
   /** [[graft.operators.Ids.assignGlobalIds]] graded end-to-end: global
     * contiguous ids in content-hash order over the orders table must
     * equal the oracle's `ROW_NUMBER() OVER (ORDER BY md5(key), key)` —
@@ -996,6 +1026,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     QueryDef("q_data_diff", dataDiff, Some(dataDiffOracle)),
     QueryDef("q_global_ids", globalIds, Some(globalIdsOracle)),
+    QueryDef("io_backfill_plan", backfillPlan, Some(backfillPlanOracle)),
     QueryDef("q_gdpr_erasure", gdprErasure, Some(gdprErasureOracle)),
     QueryDef("q_passjoin_pairs", passjoinPairs, Some(fuzzyPairsOracle)),
     QueryDef("q_entity_clusters", entityClusters, Some(entityClustersOracle)),

@@ -347,6 +347,50 @@ FROM s GROUP BY user_id ORDER BY user_id"""
   private def payloadMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeStub(media(s, dir)).toDF().orderBy("media_id")
 
+  private val ShardBytes = 16384L
+
+  /** WebDataset-style shard packing plan: per media kind, items in
+    * media_id order are packed greedily into ~16 KiB shards (an item
+    * opens a new shard when the running bytes cross the budget). The
+    * running total comes from [[graft.operators.Ids.prefixSumByKey]] —
+    * the distributed scan — NOT a 3-task running-SUM window, so the
+    * plan parallelizes over range partitions at any item count. Output
+    * is the shard manifest (kind, shard, item count, bytes, id span) a
+    * training loader consumes.
+    */
+  private def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    val items = media(s, dir).toDF()
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    graft.operators.Ids.prefixSumByKey(
+        items, "kind", Seq("media_id"), "n_bytes", 32, "cum_bytes")
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        ((col("cum_bytes") - col("n_bytes")) / ShardBytes).cast("long")
+          .as("shard"))
+      .groupBy(col("kind"), col("shard"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("media_id")).as("first_id"),
+        max(col("media_id")).as("last_id"))
+      .orderBy("kind", "shard")
+  }
+
+  private val shardManifestOracle = s"""WITH items AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      ELSE 'video' END AS kind,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+), c AS (
+  SELECT *, SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+  FROM items
+)
+SELECT kind, (cum_bytes - n_bytes) // $ShardBytes AS shard,
+  COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+  MIN(media_id) AS first_id, MAX(media_id) AS last_id
+FROM c GROUP BY 1, 2 ORDER BY kind, shard"""
+
   private val nib: Int => String = i =>
     s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
 
@@ -448,6 +492,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
     QueryDef("stream_cdc_upsert", streamCdcUpsert, Some(streamCdcUpsertOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
+    QueryDef("m_shard_manifest", shardManifest, Some(shardManifestOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)),
     QueryDef("m_features", features, Some(featuresOracle)))

@@ -667,4 +667,25 @@ class OperatorsSpec extends SparkSpec {
     assert(ids(1) == expected && ids(32) == expected,
       "ids must not depend on the partition count")
   }
+
+  test("prefixSumByKey == running-SUM window, keys interleaved across partitions") {
+    val df = (1 to 300)
+      .map(i => (s"k${i % 3}", i.toLong, (i % 7 + 1).toLong))
+      .toDF("k", "ord", "v")
+    def cums(n: Int): Map[(String, Long), Long] =
+      Ids.prefixSumByKey(df, "k", Seq("ord"), "v", n)
+        .select(col("k"), col("ord"), col("cum"))
+        .as[(String, Long, Long)].collect()
+        .map { case (k, o, c) => (k, o) -> c }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val expected = df.withColumn("cum", sum(col("v")).over(w))
+      .select(col("k"), col("ord"), col("cum"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, o, c) => (k, o) -> c }.toMap
+    assert(cums(5) == expected, "5 partitions must match the window scan")
+    assert(cums(1) == expected && cums(16) == expected,
+      "prefix sums must not depend on the partition count")
+  }
 }
