@@ -148,6 +148,66 @@ FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
       .orderBy("event_id")
   }
 
+  /** NEAREST-in-time join (sensor/series alignment): each purchase
+    * matched to the view with the smallest |Δt|, either direction, ties
+    * to the earlier side. Composed from TWO runs of the same
+    * [[graft.operators.Joins.asofJoin]] — backward as-is, forward by
+    * negating both time axes (at-or-before on −t ≡ at-or-after on t) —
+    * then one integer CASE picks the closer match. Same shuffles as
+    * as-of ×2; no new operator machinery. The oracle is DuckDB's
+    * native ASOF in both directions (`>=` back, `<` forward; the
+    * equal-time case is provably covered by the backward pass on both
+    * sides, so the strict/inclusive difference cannot diverge).
+    */
+  private def asofNearestQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_millis(col("ts")).as("ms"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ms").as("p_ms"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ms").as("v_ms"))
+      .agg(max(col("event_id")).as("view_id"))
+    val back = graft.operators.Joins.asofJoin(p, "p_ms", v, "v_ms", Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("p_ms"),
+        col("v_ms").as("b_ms"), col("view_id").as("b_id"))
+    val pN = p.select(col("user_id"), col("event_id").as("f_event"),
+      (-col("p_ms")).as("np"))
+    val vN = v.select(col("user_id"), (-col("v_ms")).as("nv"),
+      col("view_id").as("f_view"))
+    val fwd = graft.operators.Joins.asofJoin(pN, "np", vN, "nv", Seq("user_id"))
+      .select(col("f_event"), (-col("nv")).as("f_ms"), col("f_view").as("f_id"))
+    val pickBack = col("f_ms").isNull ||
+      (col("b_ms").isNotNull &&
+        (col("p_ms") - col("b_ms")) <= (col("f_ms") - col("p_ms")))
+    back.join(fwd, col("event_id") === col("f_event"))
+      .select(col("event_id"), col("user_id"), col("p_ms"),
+        when(pickBack, col("b_ms")).otherwise(col("f_ms")).as("near_ms"),
+        when(pickBack, col("b_id")).otherwise(col("f_id")).as("near_id"))
+      .orderBy("event_id")
+  }
+
+  private val asofNearestOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+), p AS (
+  SELECT user_id, event_id, ms AS p_ms FROM e WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ms AS v_ms, MAX(event_id) AS view_id
+  FROM e WHERE event_type = 'view' GROUP BY 1, 2
+), back AS (
+  SELECT p.event_id, p.user_id, p.p_ms, v.v_ms AS b_ms, v.view_id AS b_id
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ms >= v.v_ms
+), fwd AS (
+  SELECT p.event_id, v.v_ms AS f_ms, v.view_id AS f_id
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.p_ms < v.v_ms
+)
+SELECT b.event_id, b.user_id, b.p_ms,
+  CASE WHEN f_ms IS NULL OR (b_ms IS NOT NULL AND p_ms - b_ms <= f_ms - p_ms)
+       THEN b_ms ELSE f_ms END AS near_ms,
+  CASE WHEN f_ms IS NULL OR (b_ms IS NOT NULL AND p_ms - b_ms <= f_ms - p_ms)
+       THEN b_id ELSE f_id END AS near_id
+FROM back b JOIN fwd f USING (event_id)
+ORDER BY b.event_id"""
+
   private val asofJoinOracle = """WITH e AS (
   SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
 ), p AS (
@@ -1011,6 +1071,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("d_simhash_pairs", simhashPairs, Some(simhashPairsOracle)),
     QueryDef("ev_asof_view_purchase", asof, Some(asofOracle)),
     QueryDef("ev_asof_join", asofJoinQ, Some(asofJoinOracle)),
+    QueryDef("ev_asof_nearest", asofNearestQ, Some(asofNearestOracle)),
     QueryDef("ev_asof_join_chunked", asofJoinChunkedQ, Some(asofJoinOracle)),
     QueryDef("io_text_roundtrip", textRoundtrip, Some(textRoundtripOracle)),
     QueryDef("io_csv_roundtrip", (s, d) => roundtrip(s, d, "csv"), Some(roundtripOracle)),

@@ -309,6 +309,37 @@ ORDER BY purchase_id, view_id NULLS FIRST"""
   COUNT(*) AS n_events
 FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** Native `session_window` running INCREMENTALLY: gap-based sessions
+    * maintained by the streaming session-window state store (Spark
+    * merges overlapping session slices per key as batches arrive) —
+    * the third sessionization API beside the lag-window batch form and
+    * the flatMapGroupsWithState bounded-state form, and the one with
+    * built-in watermark eviction. Complete mode over the bounded
+    * replay; per-user rollup must equal the batch `ev_session_window`
+    * answer.
+    */
+  private def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val src = EventStreams.eventsStream(s, s"$dir/events.parquet")
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val out = EventStreams.runToMemory(s, src, "graft_stream_sw",
+      OutputMode.Complete())
+    out.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val streamSessionWindowOracle = """WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS u FROM events
+), l AS (
+  SELECT user_id,
+    CASE WHEN prev IS NULL OR u - prev >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM (SELECT *, LAG(u) OVER (PARTITION BY user_id ORDER BY u, event_id) AS prev FROM e)
+)
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM l GROUP BY user_id ORDER BY user_id"""
+
   private val streamTwsRunningOracle = s"""WITH e AS (
   SELECT event_id, user_id, epoch_ms(ts) AS ms,
     CAST(FLOOR(value * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT) AS cents
@@ -488,6 +519,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_join_outer", streamJoinOuter, Some(streamJoinOuterOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
+    QueryDef("stream_session_window", streamSessionWindow, Some(streamSessionWindowOracle)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
     QueryDef("stream_cdc_upsert", streamCdcUpsert, Some(streamCdcUpsertOracle)),
