@@ -92,6 +92,33 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query, the k MOST similar vectors whose label DIFFERS (highest
+    * cosine across the class boundary = the negatives a contrastive
+    * loss learns most from). Same dataflow as [[bruteForceTopK]] with
+    * the label-mismatch predicate applied before the bounded top-k
+    * combine, so the shuffle still moves ≤k rows per (query,
+    * partition); at corpus scale the crossJoin scan is replaced by the
+    * IVF/LSH candidate path exactly as for plain top-k.
+    *
+    * Inputs carry (id, vec, label); null labels never match each other
+    * (null-safe inequality), so unlabeled rows are negatives for
+    * everyone.
+    */
+  def hardNegativesTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val base = emb.select(col("id").as("n_id"), quantize(col("vec")).as("qv"),
+        col("label").as("n_label"))
+      .withColumn("nn", normSqQ(col("qv")))
+    val qs = queries.select(col("id").as("q_id"), quantize(col("vec")).as("qqv"),
+        col("label").as("q_label"))
+      .withColumn("qn", normSqQ(col("qqv")))
+    val scored = base.crossJoin(broadcast(qs))
+      .where(col("n_id") =!= col("q_id") && !(col("n_label") <=> col("q_label")))
+      .select(col("q_id"), col("n_id"),
+        cosineQ(dotQ(col("qv"), col("qqv")), col("nn"), col("qn")).as("cosine"))
+    perQueryTopK(scored, k)
+  }
+
   /** IVF (inverted-file) top-k ANN — the other classic scale path next
     * to hyperplane LSH. A small coarse codebook partitions the corpus
     * into cells (each vector belongs to its max-cosine centroid, ties to

@@ -37,6 +37,94 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** [[Similarity.hardNegativesTopK]] graded end-to-end: per query, the
+    * 3 highest-cosine vectors across the label boundary.
+    */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    Similarity.hardNegativesTopK(
+      e, e.where(pmod(col("id"), lit(QueryStride)) === 0), 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Matryoshka truncation evaluation: top-K recall of HALF-dimension
+    * cosine against the full-dimension ranking — the measurement that
+    * decides whether truncated embeddings can serve the first-stage
+    * retrieval (the MRL deployment question). Runs the SAME top-k
+    * operator twice (full vectors; `slice(vec, 1, 32)`) and counts the
+    * per-query overlap with one ids-only join; cost is two scans + two
+    * bounded top-k combines, nothing quadratic beyond the scorer
+    * itself.
+    */
+  private def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val half = e.select(col("id"), slice(col("vec"), 1, Dim / 2).as("vec"))
+    val qFull = e.where(pmod(col("id"), lit(QueryStride)) === 0)
+    val qHalf = half.where(pmod(col("id"), lit(QueryStride)) === 0)
+    val full = Similarity.bruteForceTopK(e, qFull, K)
+      .select(col("q_id"), col("n_id"))
+    val trunc = Similarity.bruteForceTopK(half, qHalf, K)
+      .select(col("q_id").as("t_q"), col("n_id").as("t_n"))
+    full.join(trunc,
+        col("q_id") === col("t_q") && col("n_id") === col("t_n"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / K).as("recall"))
+      .orderBy("q_id")
+  }
+
+  private lazy val matryoshkaOracle: String = s"""WITH $quantCtes,
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+    CAST(SUM(a.e * b.e) AS BIGINT) AS dot,
+    CAST(SUM(CASE WHEN a.i <= ${Dim / 2} THEN a.e * b.e ELSE 0 END) AS BIGINT) AS dot_h
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+), normh AS (
+  SELECT vec_id, CAST(SUM(e * e) AS BIGINT) AS nnh FROM flat
+  WHERE i <= ${Dim / 2} GROUP BY vec_id
+), ranked AS (
+  SELECT q_id, n_id,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) DESC,
+      n_id) AS rk,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      CAST(dot_h AS DOUBLE) / sqrt(CAST(ha.nnh AS DOUBLE) * CAST(hb.nnh AS DOUBLE)) DESC,
+      n_id) AS rk_h
+  FROM dots JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+  JOIN normh ha ON q_id = ha.vec_id JOIN normh hb ON n_id = hb.vec_id
+)
+SELECT f.q_id, COUNT(*) AS n_overlap,
+  CAST(COUNT(*) AS DOUBLE) / ${Sql.D(K.toString)} AS recall
+FROM (SELECT q_id, n_id FROM ranked WHERE rk <= $K) f
+JOIN (SELECT q_id, n_id FROM ranked WHERE rk_h <= $K) h
+  ON f.q_id = h.q_id AND f.n_id = h.n_id
+GROUP BY f.q_id ORDER BY f.q_id"""
+
+  // lazy: quantCtes initializes later in the file (vals run top-down)
+  private lazy val hardNegativesOracle: String = s"""WITH $quantCtes,
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+), lbl AS (
+  SELECT vec_id, label FROM embeddings
+), scored AS (
+  SELECT q_id, n_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+  FROM dots JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+  JOIN lbl la ON q_id = la.vec_id JOIN lbl lb ON n_id = lb.vec_id
+  WHERE la.label IS DISTINCT FROM lb.label
+), ranked AS (
+  SELECT q_id, n_id, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
   /** Shared oracle plumbing: quantized vectors flattened to
     * (vec_id, i, e) with BIGINT components.
     */
@@ -787,6 +875,8 @@ FROM best GROUP BY cell ORDER BY cell"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
+    QueryDef("s_hard_negatives", hardNegatives, Some(hardNegativesOracle)),
+    QueryDef("s_matryoshka_recall", matryoshkaRecall, Some(matryoshkaOracle)),
     QueryDef("s_semdedup", semdedup, Some(semdedupOracle)),
     QueryDef("s_ivf_inertia", ivfInertia, Some(ivfInertiaOracle)),
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
