@@ -829,6 +829,43 @@ FROM merged WHERE op IS NULL OR op <> 'D' ORDER BY o_orderkey"""
 SELECT change, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum
 FROM d WHERE change IS NOT NULL GROUP BY change ORDER BY change"""
 
+  /** PERMISSIVE malformed-record handling — the ingest-robustness
+    * contract: a CSV where every orderkey ≡0 mod 19 row carries a
+    * non-numeric field is read back with a `_corrupt_record` column;
+    * bad rows must be COUNTED and quarantined (raw line preserved),
+    * never dropped silently or allowed to poison the parsed aggregate.
+    * The classification happens in the scan's codegen'd parser —
+    * shuffle-free until the final 1-row audit.
+    */
+  private def csvMalformed(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables(s, dir, "orders").select(
+      when(col("o_orderkey") % 19 === 0,
+        concat(col("o_orderkey").cast("string"), lit(",notanumber")))
+        .otherwise(concat(col("o_orderkey").cast("string"), lit(","),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string")))
+        .as("value"))
+    val tmp = Files.createTempDirectory("graft_malformed").toString + "/m.csv"
+    Writers.text(lines, tmp)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k LONG, cents LONG, _corrupt_record STRING")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("cents"))).as("cents_sum"))
+  }
+
+  private val csvMalformedOracle = """SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderkey % 19 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+  CAST(SUM(CASE WHEN o_orderkey % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+  CAST(SUM(CASE WHEN o_orderkey % 19 <> 0
+    THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS cents_sum
+FROM orders"""
+
   /** Backfill planner — the partition-maintenance op every scheduled
     * pipeline needs: diff the month spine the DATA implies against the
     * partitions that actually exist on disk (here a partitioned write
@@ -1088,6 +1125,7 @@ GROUP BY window_id ORDER BY window_id"""
     QueryDef("q_data_diff", dataDiff, Some(dataDiffOracle)),
     QueryDef("q_global_ids", globalIds, Some(globalIdsOracle)),
     QueryDef("io_backfill_plan", backfillPlan, Some(backfillPlanOracle)),
+    QueryDef("io_csv_malformed", csvMalformed, Some(csvMalformedOracle)),
     QueryDef("q_gdpr_erasure", gdprErasure, Some(gdprErasureOracle)),
     QueryDef("q_passjoin_pairs", passjoinPairs, Some(fuzzyPairsOracle)),
     QueryDef("q_entity_clusters", entityClusters, Some(entityClustersOracle)),

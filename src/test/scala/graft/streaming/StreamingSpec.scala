@@ -608,6 +608,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed restart recovers transformWithState RocksDB state") {
+    val dir = Files.createTempDirectory("graft_twsr_in").toString
+    val ckpt = Files.createTempDirectory("graft_twsr_ck").toString
+    val outDir = Files.createTempDirectory("graft_twsr_out").toString
+    def ev(id: Long, minute: Int, value: Double): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        3L, "click", value)
+
+    writeBatch(dir, "b1", Seq(ev(1, 0, 1.0), ev(2, 5, 2.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def start() = EventStreams.withRocksDbState(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      EventStreams.runningUserStats(stream).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // restart from the checkpoint: the RocksDB ValueState must resume
+    // at (seq=2, cum=300), not recount from zero
+    writeBatch(dir, "b2", Seq(ev(3, 10, 0.5)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("event_id", "seq", "cum_cents")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 100L), (2L, 2L, 300L), (3L, 3L, 350L)),
+      s"state API v2 must recover across restart: $got")
+  }
+
   test("observability: observe() metrics and state-operator progress surface") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
