@@ -323,7 +323,73 @@ SELECT e.src, MAX(pred_dst) AS pred_dst,
 FROM e JOIN p ON e.src = p.src
 GROUP BY e.src ORDER BY e.src"""
 
+  /** Bounded k-core peel: 3 synchronous rounds of removing nodes with
+    * degree < k from the co-order graph, k chosen scale-adaptively as
+    * ⌊0.8 · average degree⌋ in integer math (so both engines derive the
+    * identical threshold at any SF). Each round is one degree aggregate
+    * + two semi-join restrictions — the level-synchronous peel every
+    * distributed k-core implementation runs; lineage cut per round.
+    * Output: per-round surviving node/half-edge counts — the cascade
+    * curve (how fast the periphery sloughs off) that characterizes the
+    * graph's cohesion.
+    */
+  private def kcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val a = li.select(col("ok"), col("pk").as("a"))
+    val b = li.select(col("ok"), col("pk").as("b"))
+    val pairs = a.join(b, "ok").where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    var e = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
+    val first = e.agg(count(lit(1)).as("m"),
+      countDistinct(col("u")).as("n")).head()
+    val k = first.getLong(0) * 8 / (first.getLong(1) * 10)
+    val stats = Seq.newBuilder[(Long, Long, Long)]
+    stats += ((0L, first.getLong(1), first.getLong(0)))
+    for (round <- 1 to 3) {
+      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("u").as("kn"))
+      e = e.join(keep, col("u") === col("kn"), "left_semi")
+        .join(keep.select(col("kn").as("kv")), col("v") === col("kv"), "left_semi")
+        .localCheckpoint()
+      val st = e.agg(coalesce(count(lit(1)), lit(0L)),
+        coalesce(countDistinct(col("u")), lit(0L))).head()
+      stats += ((round.toLong, st.getLong(1), st.getLong(0)))
+    }
+    stats.result().toDF("round", "n_nodes", "n_halfedges").orderBy("round")
+  }
+
+  private val kcoreOracle = """WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), e0 AS (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p
+), kk AS (
+  SELECT (COUNT(*) * 8) // (COUNT(DISTINCT u) * 10) AS k FROM e0
+), d1 AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY 1),
+keep1 AS (SELECT u FROM d1, kk WHERE d >= kk.k),
+e1 AS (SELECT e.u, e.v FROM e0 e JOIN keep1 a ON e.u = a.u JOIN keep1 b ON e.v = b.u),
+d2 AS (SELECT u, COUNT(*) AS d FROM e1 GROUP BY 1),
+keep2 AS (SELECT u FROM d2, kk WHERE d >= kk.k),
+e2 AS (SELECT e.u, e.v FROM e1 e JOIN keep2 a ON e.u = a.u JOIN keep2 b ON e.v = b.u),
+d3 AS (SELECT u, COUNT(*) AS d FROM e2 GROUP BY 1),
+keep3 AS (SELECT u FROM d3, kk WHERE d >= kk.k),
+e3 AS (SELECT e.u, e.v FROM e2 e JOIN keep3 a ON e.u = a.u JOIN keep3 b ON e.v = b.u)
+SELECT CAST(0 AS BIGINT) AS round, (SELECT COUNT(DISTINCT u) FROM e0) AS n_nodes,
+  (SELECT COUNT(*) FROM e0) AS n_halfedges
+UNION ALL SELECT CAST(1 AS BIGINT), (SELECT COUNT(DISTINCT u) FROM e1), (SELECT COUNT(*) FROM e1)
+UNION ALL SELECT CAST(2 AS BIGINT), (SELECT COUNT(DISTINCT u) FROM e2), (SELECT COUNT(*) FROM e2)
+UNION ALL SELECT CAST(3 AS BIGINT), (SELECT COUNT(DISTINCT u) FROM e3), (SELECT COUNT(*) FROM e3)
+ORDER BY round"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_kcore", kcore, Some(kcoreOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),
