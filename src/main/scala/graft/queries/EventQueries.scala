@@ -1101,7 +1101,64 @@ SELECT channel, COUNT(*) AS n_touches,
 FROM pt JOIN nt USING (event_id)
 GROUP BY 1 ORDER BY channel"""
 
+  /** Holt double exponential smoothing (level + trend, α = β = 1/2) —
+    * the forecasting-grade sequential fold next to [[ewma]]: same
+    * secondary-sort engine shape (one user_id shuffle, one-pass
+    * mapPartitions over contiguous runs, two running scalars of state),
+    * twice the state. The halving steps keep the IEEE op sequence
+    * identical to the oracle's recursive-CTE restatement, so the final
+    * (level, trend) doubles are bit-equal.
+    */
+  private def holt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Double, Double, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Double, Double, Long) = {
+            val (u, _, _, v0) = buf.next()
+            var level = v0
+            var trend = 0.0
+            var n = 1L
+            while (buf.hasNext && buf.head._1 == u) {
+              val x = buf.next()._4
+              val nl = (x + (level + trend)) / 2
+              trend = ((nl - level) + trend) / 2
+              level = nl
+              n += 1
+            }
+            (u, level, trend, n)
+          }
+        }
+      }
+      .toDF("user_id", "level", "trend", "n_events")
+      .orderBy("user_id")
+  }
+
+  private val holtOracle = """WITH RECURSIVE e AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), h(user_id, rn, level, trend) AS (
+  SELECT user_id, CAST(1 AS BIGINT), x, CAST(0 AS DOUBLE) FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, h.rn + 1,
+    (e.x + (h.level + h.trend)) / CAST(2 AS DOUBLE),
+    (((e.x + (h.level + h.trend)) / CAST(2 AS DOUBLE) - h.level) + h.trend)
+      / CAST(2 AS DOUBLE)
+  FROM h JOIN e ON e.user_id = h.user_id AND e.rn = h.rn + 1
+)
+SELECT user_id, level, trend, rn AS n_events FROM h
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_holt", holt, Some(holtOracle)),
     QueryDef("ev_attribution_linear", attributionLinear, Some(attributionLinearOracle)),
     QueryDef("ev_disorder", disorder, Some(disorderOracle)),
     QueryDef("ev_ewma", ewma, Some(ewmaOracle)),
