@@ -1380,7 +1380,56 @@ SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, ids.token_id
 FROM toks t JOIN ids ON t.token = ids.token
 WHERE t.pos <= 8 ORDER BY doc_id, pos"""
 
+  /** Exact token-budget apportionment (largest-remainder / Hamilton
+    * method): split a 1M-token training budget across sources in
+    * proportion to their token counts such that the allocations are
+    * integers that sum EXACTLY to the budget — floor quotas first, then
+    * +1 to the largest fractional remainders. All integer arithmetic
+    * (quota = B·nᵢ div N, remainder = B·nᵢ mod N), so both engines
+    * apportion identically; the post-aggregate window runs over
+    * sources-cardinality rows.
+    */
+  private def budgetApportion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1000000L
+    val w = Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+        .cast("long")).as("n_tok"))
+    val tot = w.agg(sum(col("n_tok")).as("N"))
+    val quotas = w.crossJoin(tot)
+      .select(col("source"), col("n_tok"),
+        expr(s"($B * n_tok) div N").as("quota"),
+        expr(s"($B * n_tok) % N").as("rem"))
+    val leftover = quotas.agg((lit(B) - sum(col("quota"))).as("leftover"))
+    quotas.crossJoin(leftover)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_tok"),
+        (col("quota") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("budget"))
+      .orderBy("source")
+  }
+
+  private val budgetApportionOracle: String = s"""WITH w AS (
+  SELECT source,
+    CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY source
+), t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS N FROM w
+), q AS (
+  SELECT source, n_tok,
+    (1000000 * n_tok) // N AS quota, (1000000 * n_tok) % N AS rem
+  FROM w, t
+), l AS (SELECT 1000000 - CAST(SUM(quota) AS BIGINT) AS leftover FROM q
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM q
+)
+SELECT source, n_tok,
+  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM r, l ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_budget_apportion", budgetApportion, Some(budgetApportionOracle)),
     QueryDef("t_encode_tokens", encodeTokens, Some(encodeTokensOracle)),
     QueryDef("t_gram_novelty", gramNovelty, Some(gramNoveltyOracle)),
     QueryDef("t_idf_keywords", tfidfKeywords, Some(tfidfKeywordsOracle)),

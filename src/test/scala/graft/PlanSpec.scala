@@ -516,6 +516,30 @@ class PlanSpec extends SparkSpec {
       s"unused columns must be pruned from the scan: $readSchema")
   }
 
+  test("batch observe(): named metrics surface on the QueryExecution") {
+    val df = Tables(spark, Sf, "orders")
+      .observe("audit", count(lit(1)).as("rows"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      .where(col("o_orderkey") > 0)
+    // collect() executes THIS QueryExecution — count() would plan its
+    // own and the observed metrics would stay empty on this one
+    val n = df.collect().length.toLong
+    val m = df.queryExecution.observedMetrics("audit")
+    // observe measures at its position in the plan — BEFORE the filter —
+    // so the audit row count is the scan's, independent of downstream
+    assert(m.getAs[Long]("rows") >= n && m.getAs[Long]("cents") > 0L,
+      s"observed metrics must be recorded: $m vs count $n")
+  }
+
+  test("join strategy hints are honored: SHUFFLE_HASH and MERGE") {
+    val l = Tables(spark, Sf, "lineitem").select(col("l_orderkey"))
+    val o = Tables(spark, Sf, "orders").select(col("o_orderkey"))
+    val sh = l.join(o.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(sh).contains("ShuffledHashJoin"), planOf(sh).take(1200))
+    val sm = l.join(o.hint("MERGE"), col("l_orderkey") === col("o_orderkey"))
+    assert(planOf(sm).contains("SortMergeJoin"), planOf(sm).take(1200))
+  }
+
   test("lateral top-n decorrelates: ranked window, no nested-loop join") {
     val plan = planOf(SparkEntry.queries("q_lateral_topn")(spark, Sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
