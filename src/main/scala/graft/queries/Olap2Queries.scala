@@ -930,7 +930,139 @@ SELECT n,
   (c11 * cy2 - c12 * cy1) / (c11 * c22 - c12 * c12) AS beta2
 FROM c"""
 
+  /** Difference-in-differences readout: purchase spend means over the
+    * 2×2 (treated = even user_id) × (post = after 2024-01-15) design,
+    * and the DiD estimate — the causal-impact workhorse when a clean
+    * A/B is impossible. ONE pass computes all eight integer sufficient
+    * statistics (conditional cents sums + counts, map-side combined);
+    * each mean is one double division and the DiD is the fixed
+    * subtraction tree, so both engines agree bitwise.
+    */
+  private def did(s: SparkSession, dir: String): DataFrame = {
+    val Cut = 1705276800000L // 2024-01-15 00:00 UTC
+    val e = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select((col("user_id") % 2 === 0).as("t"),
+        (unix_millis(col("ts")) >= Cut).as("p"),
+        cents(col("value")).as("c"))
+    def cell(t: Boolean, p: Boolean, suffix: String) = Seq(
+      sum(when(col("t") === t && col("p") === p, col("c")).otherwise(0L))
+        .as(s"s_$suffix"),
+      sum(when(col("t") === t && col("p") === p, 1L).otherwise(0L))
+        .as(s"n_$suffix"))
+    val cells = cell(true, true, "tp") ++ cell(true, false, "t0") ++
+      cell(false, true, "cp") ++ cell(false, false, "c0")
+    val st = e.agg(cells.head, cells.tail: _*)
+    def m(suffix: String) =
+      col(s"s_$suffix").cast("double") / col(s"n_$suffix").cast("double")
+    st.select(
+      m("tp").as("mean_treated_post"), m("t0").as("mean_treated_pre"),
+      m("cp").as("mean_control_post"), m("c0").as("mean_control_pre"))
+      .select(col("mean_treated_post"), col("mean_treated_pre"),
+        col("mean_control_post"), col("mean_control_pre"),
+        ((col("mean_treated_post") - col("mean_treated_pre"))
+          - (col("mean_control_post") - col("mean_control_pre")))
+          .as("did_cents"))
+  }
+
+  private val didOracle = """WITH e AS (
+  SELECT user_id % 2 = 0 AS t, epoch_ms(ts) >= 1705276800000 AS p,
+    CAST(FLOOR(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), st AS (
+  SELECT
+    CAST(SUM(CASE WHEN t AND p THEN c ELSE 0 END) AS BIGINT) AS s_tp,
+    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+    CAST(SUM(CASE WHEN t AND NOT p THEN c ELSE 0 END) AS BIGINT) AS s_t0,
+    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+    CAST(SUM(CASE WHEN NOT t AND p THEN c ELSE 0 END) AS BIGINT) AS s_cp,
+    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+    CAST(SUM(CASE WHEN NOT t AND NOT p THEN c ELSE 0 END) AS BIGINT) AS s_c0,
+    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_c0
+  FROM e
+)
+SELECT
+  CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE) AS mean_treated_post,
+  CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) AS mean_treated_pre,
+  CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE) AS mean_control_post,
+  CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) AS mean_control_pre,
+  (CAST(s_tp AS DOUBLE) / CAST(n_tp AS DOUBLE)
+    - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+  - (CAST(s_cp AS DOUBLE) / CAST(n_cp AS DOUBLE)
+    - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) AS did_cents
+FROM st"""
+
+  /** CUPED variance reduction: per-arm post-period spend means adjusted
+    * by the pre-period covariate, adj = ȳₐ − θ·(x̄ₐ − x̄), with θ =
+    * cov(X,Y)/var(X) estimated from the pooled per-user (pre, post)
+    * sums — the experimentation-platform standard for tightening A/B
+    * confidence intervals. Per-user sums and the five pooled moments
+    * are exact integers; θ and the adjustments are a fixed double
+    * expression tree (products formed in DOUBLE, one division), so the
+    * adjusted means agree bitwise across engines.
+    */
+  private def cuped(s: SparkSession, dir: String): DataFrame = {
+    val Cut = 1705276800000L
+    val u = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), (unix_millis(col("ts")) >= Cut).as("p"),
+        cents(col("value")).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(!col("p"), col("c")).otherwise(0L)).as("x"),
+        sum(when(col("p"), col("c")).otherwise(0L)).as("y"))
+      .select((col("user_id") % 2 === 0).as("arm"), col("x"), col("y"))
+    val g = u.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val theta = ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+      / (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+    val arms = u.groupBy(col("arm")).agg(count(lit(1)).as("na"),
+      sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+    arms.crossJoin(g)
+      .select(col("arm"), col("na"),
+        (d(col("sya")) / d(col("na"))).as("mean_y"),
+        (d(col("sxa")) / d(col("na"))).as("mean_x"),
+        ((d(col("sya")) / d(col("na")))
+          - theta * (d(col("sxa")) / d(col("na")) - d(col("sx")) / d(col("n"))))
+          .as("adj_mean"))
+      .orderBy("arm")
+  }
+
+  private val cupedOracle = """WITH pu AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN epoch_ms(ts) < 1705276800000
+      THEN CAST(FLOOR(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN epoch_ms(ts) >= 1705276800000
+      THEN CAST(FLOOR(value * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), u AS (
+  SELECT user_id % 2 = 0 AS arm, x, y FROM pu
+), g AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM u
+), a AS (
+  SELECT arm, COUNT(*) AS na, CAST(SUM(x) AS BIGINT) AS sxa,
+    CAST(SUM(y) AS BIGINT) AS sya
+  FROM u GROUP BY arm
+)
+SELECT arm, na,
+  CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mean_y,
+  CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_x,
+  CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+    AS adj_mean
+FROM a, g ORDER BY arm"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_did", did, Some(didOracle)),
+    QueryDef("q_cuped", cuped, Some(cupedOracle)),
     QueryDef("q_multi_ols", multiOls, Some(multiOlsOracle)),
     QueryDef("q_ab_welch", abWelch, Some(abWelchOracle)),
     QueryDef("q_ship_latency", shipLatency, Some(shipLatencyOracle)),
