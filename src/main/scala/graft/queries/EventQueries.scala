@@ -1157,7 +1157,150 @@ SELECT user_id, level, trend, rn AS n_events FROM h
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
 ORDER BY user_id"""
 
+  /** Kaplan-Meier survival over session lifetimes (minutes): risk sets
+    * and death counts are exact integers per duration tick; the
+    * survival prefix-product Π(1 − dₜ/nₜ) folds LEFT over the
+    * tick-ordered factor array (ticks-cardinality, collected after
+    * aggregation — bounded by the max session length, never by data).
+    * The fold is the same IEEE sequence in both engines (a leading
+    * ×1.0 is exact), so the curve matches bitwise. All sessions in the
+    * bounded replay are fully observed — the uncensored special case;
+    * censoring enters as a second per-tick count without changing the
+    * fold.
+    */
+  private def survival(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms"))
+      .withColumn("is_new",
+        when(lag(col("_ms"), 1).over(wOrd).isNull ||
+          (col("_ms") - lag(col("_ms"), 1).over(wOrd)) > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr("(max(_ms) - min(_ms)) div 60000").as("t"))
+    val deaths = sess.groupBy(col("t")).agg(count(lit(1)).as("n_deaths"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val km = deaths
+      .withColumn("n_risk", sum(col("n_deaths")).over(wDesc))
+      .withColumn("f", lit(1.0) -
+        col("n_deaths").cast("double") / col("n_risk").cast("double"))
+    val arr = km.agg(sort_array(collect_list(struct(col("t"), col("f"))))
+      .as("a"))
+    km.crossJoin(arr)
+      .select(col("t"), col("n_risk"), col("n_deaths"),
+        expr("aggregate(filter(a, y -> y.t <= t), CAST(1.0 AS DOUBLE), " +
+          "(acc, y) -> acc * y.f)").as("survival"))
+      .orderBy("t")
+  }
+
+  private val survivalOracle = """WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+), l AS (
+  SELECT user_id, ms, event_id,
+    CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+      OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+      THEN 1 ELSE 0 END AS is_new
+  FROM e
+), s AS (
+  SELECT user_id, ms,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+), sess AS (
+  SELECT user_id, sid, (MAX(ms) - MIN(ms)) // 60000 AS t FROM s GROUP BY 1, 2
+), deaths AS (
+  SELECT t, COUNT(*) AS n_deaths FROM sess GROUP BY t
+), km AS (
+  SELECT t, n_deaths,
+    CAST(SUM(n_deaths) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS n_risk
+  FROM deaths
+), f AS (
+  SELECT t, n_risk, n_deaths,
+    CAST(1 AS DOUBLE) - CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f
+  FROM km
+), arr AS (
+  SELECT list(struct_pack(t := t, f := f) ORDER BY t) AS a FROM f
+)
+SELECT f.t, f.n_risk, f.n_deaths,
+  list_reduce(list_transform(list_filter(arr.a, y -> y.t <= f.t), y -> y.f),
+    (p, q) -> p * q) AS survival
+FROM f, arr ORDER BY f.t"""
+
+  /** Peak concurrency (max simultaneous open sessions) by sweep-line:
+    * every session contributes (+1 at start, −1 at end+1ms) boundary
+    * events; the running sum over the time-ordered boundaries is the
+    * live concurrency and its max is the capacity-planning number. The
+    * GLOBAL running sum — the textbook one-task window — runs through
+    * [[graft.operators.Ids.prefixSumByKey]] on a constant key instead:
+    * the distributed scan's driver state is per-partition offsets, so
+    * the sweep parallelizes over range partitions at any session count.
+    * Ends sort before starts at the same ms (delta asc), so
+    * back-to-back sessions never double-count.
+    */
+  private def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms"))
+      .withColumn("is_new",
+        when(lag(col("_ms"), 1).over(wOrd).isNull ||
+          (col("_ms") - lag(col("_ms"), 1).over(wOrd)) > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("_ms")).as("start_ms"), max(col("_ms")).as("end_ms"))
+    val bounds = sess.select(col("user_id"), col("sid"),
+        col("start_ms").as("ms"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("user_id"), col("sid"),
+        (col("end_ms") + 1L).as("ms"), lit(-1L).as("delta")))
+      .withColumn("one", lit(1))
+    val swept = graft.operators.Ids.prefixSumByKey(
+      bounds, "one", Seq("ms", "delta", "user_id", "sid"), "delta", 32, "live")
+    swept.agg(max(col("live")).as("peak"))
+      .crossJoin(sess.agg(count(lit(1)).as("n_sessions")))
+      .join(swept.groupBy(col("live").as("peak2"))
+          .agg(min(col("ms")).as("first_peak_ms")),
+        col("peak") === col("peak2"))
+      .select(col("peak"), col("first_peak_ms"), col("n_sessions"))
+  }
+
+  private val peakConcurrencyOracle = """WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+), l AS (
+  SELECT user_id, ms, event_id,
+    CASE WHEN LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+      OR ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+      THEN 1 ELSE 0 END AS is_new
+  FROM e
+), s AS (
+  SELECT user_id, ms,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+), sess AS (
+  SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS end_ms
+  FROM s GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, sid, start_ms AS ms, CAST(1 AS BIGINT) AS delta FROM sess
+  UNION ALL
+  SELECT user_id, sid, end_ms + 1, CAST(-1 AS BIGINT) FROM sess
+), swept AS (
+  SELECT ms, SUM(delta) OVER (ORDER BY ms, delta, user_id, sid
+    ROWS UNBOUNDED PRECEDING) AS live
+  FROM bounds
+)
+SELECT (SELECT CAST(MAX(live) AS BIGINT) FROM swept) AS peak,
+  (SELECT CAST(MIN(ms) AS BIGINT) FROM swept
+   WHERE live = (SELECT MAX(live) FROM swept)) AS first_peak_ms,
+  (SELECT COUNT(*) FROM sess) AS n_sessions"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_peak_concurrency", peakConcurrency, Some(peakConcurrencyOracle)),
+    QueryDef("ev_survival", survival, Some(survivalOracle)),
     QueryDef("ev_holt", holt, Some(holtOracle)),
     QueryDef("ev_attribution_linear", attributionLinear, Some(attributionLinearOracle)),
     QueryDef("ev_disorder", disorder, Some(disorderOracle)),
