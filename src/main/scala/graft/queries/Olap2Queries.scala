@@ -1060,7 +1060,80 @@ SELECT arm, na,
     AS adj_mean
 FROM a, g ORDER BY arm"""
 
+  /** Ordered string aggregation — Spark 4's `LISTAGG ... WITHIN GROUP`
+    * through the SQL front door (DuckDB's `string_agg(... ORDER BY)`
+    * twin): per-nation ordered customer-name rosters. The explicit
+    * WITHIN GROUP order makes the concatenation deterministic — an
+    * UNORDERED listagg would be partition-order-dependent and could
+    * never be oracle-graded.
+    */
+  private def listaggQ(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .where(col("c_custkey") % 50 === 0)
+      .groupBy(col("c_nationkey"))
+      .agg(expr("listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name)")
+        .as("roster"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  private val listaggOracle = """SELECT c_nationkey,
+  string_agg(c_name, '|' ORDER BY c_name) AS roster, COUNT(*) AS n
+FROM customer WHERE c_custkey % 50 = 0
+GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  /** Spearman rank correlation (quantity vs extended price), tie-aware:
+    * average ranks enter as INTEGER double-ranks (2·minrank + tiecount
+    * − 1 — Pearson is affine-invariant, so the ×2 changes nothing) and
+    * ρ comes out of the same five-integer-moment machinery as
+    * [[multiOls]]/[[cuped]] — one pass, one fixed double tree. Rank
+    * windows are global by necessity (ranking IS a total order), over
+    * the two ranked columns only.
+    */
+  private def spearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = Tables(s, dir, "lineitem").select(
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    val rk = r.select(
+      (lit(2) * rank().over(Window.orderBy(col("x")))
+        + count(lit(1)).over(Window.partitionBy(col("x"))) - 1)
+        .cast("long").as("rx"),
+      (lit(2) * rank().over(Window.orderBy(col("y")))
+        + count(lit(1)).over(Window.partitionBy(col("y"))) - 1)
+        .cast("long").as("ry"))
+    val st = rk.agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
+      sum(col("ry")).as("sy"), sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"), sum(col("rx") * col("ry")).as("sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    st.select(col("n"),
+      ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+        / sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+          * (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+        .as("rho"))
+  }
+
+  private val spearmanOracle = """WITH r AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+), rk AS (
+  SELECT
+    CAST(2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+    CAST(2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+  FROM r
+), st AS (
+  SELECT COUNT(*) AS n, CAST(SUM(rx) AS BIGINT) AS sx,
+    CAST(SUM(ry) AS BIGINT) AS sy, CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+    CAST(SUM(ry * ry) AS BIGINT) AS syy, CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM rk
+)
+SELECT n,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS rho
+FROM st"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_listagg", listaggQ, Some(listaggOracle)),
+    QueryDef("q_spearman", spearman, Some(spearmanOracle)),
     QueryDef("q_did", did, Some(didOracle)),
     QueryDef("q_cuped", cuped, Some(cupedOracle)),
     QueryDef("q_multi_ols", multiOls, Some(multiOlsOracle)),
