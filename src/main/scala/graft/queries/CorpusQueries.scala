@@ -1428,7 +1428,63 @@ SELECT source, n_tok,
   CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS budget
 FROM r, l ORDER BY source"""
 
+  /** Dataset card — the summary block a curated corpus ships with,
+    * computed as ONE (metric, value) long table: doc/token/char
+    * volumes, language and source cardinalities, exact-duplicate count
+    * and the post-dedup keeper count. Each metric is a plain aggregate
+    * (the dup counts reuse the md5 fingerprint of the exact-dedup
+    * operator); the union is rows-of-scalars, so the card costs two
+    * scans regardless of corpus size.
+    */
+  private def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dup = d.select(graft.functions.TextFunctions.fingerprint(col("text"))
+        .as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_unique_fp"),
+        sum(col("c") - 1).as("n_dup_docs"))
+    base.crossJoin(dup).select(
+      expr("stack(7, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+        "'n_chars', n_chars, 'n_langs', n_langs, 'n_sources', n_sources, " +
+        "'n_unique_fp', n_unique_fp, 'n_dup_docs', n_dup_docs) " +
+        "AS (metric, value)"))
+      .orderBy("metric")
+  }
+
+  private val datasetCardOracle = """WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+    CAST(SUM(length(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents
+), fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f,
+    COUNT(*) AS c
+  FROM documents GROUP BY 1
+), dup AS (
+  SELECT COUNT(*) AS n_unique_fp, CAST(SUM(c - 1) AS BIGINT) AS n_dup_docs
+  FROM fp
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+  UNION ALL SELECT 'n_chars', n_chars FROM base
+  UNION ALL SELECT 'n_langs', n_langs FROM base
+  UNION ALL SELECT 'n_sources', n_sources FROM base
+  UNION ALL SELECT 'n_unique_fp', n_unique_fp FROM dup
+  UNION ALL SELECT 'n_dup_docs', n_dup_docs FROM dup
+) ORDER BY metric"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("t_budget_apportion", budgetApportion, Some(budgetApportionOracle)),
     QueryDef("t_encode_tokens", encodeTokens, Some(encodeTokensOracle)),
     QueryDef("t_gram_novelty", gramNovelty, Some(gramNoveltyOracle)),
