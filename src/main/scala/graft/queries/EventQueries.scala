@@ -1298,7 +1298,54 @@ SELECT (SELECT CAST(MAX(live) AS BIGINT) FROM swept) AS peak,
    WHERE live = (SELECT MAX(live) FROM swept)) AS first_peak_ms,
   (SELECT COUNT(*) FROM sess) AS n_sessions"""
 
+  /** One-sided CUSUM change detection over the hourly event-rate
+    * series: Sₜ = max(0, Sₜ₋₁ + (xₜ − μ)) accumulates sustained
+    * above-mean rate — the classic drift detector whose alarm
+    * threshold a monitor would tune. The series is hours-cardinality
+    * (post-aggregate), so the per-hour prefix folds run over a bounded
+    * array; the fold is seeded with an explicit 0.0 so the IEEE
+    * sequence (greatest(0, acc + dev)) is identical in both engines.
+    */
+  private def cusum(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val tot = hourly.agg(sum(col("n")).as("sn"), count(lit(1)).as("nh"))
+    val dev = hourly.crossJoin(tot)
+      .select(col("h"), col("n"),
+        (col("n").cast("double") - col("sn").cast("double") / col("nh").cast("double"))
+          .as("dev"))
+    val arr = dev.agg(sort_array(collect_list(struct(col("h"), col("dev"))))
+      .as("a"))
+    dev.crossJoin(arr)
+      .select(col("h").as("hour_epoch"), col("n").as("n_events"),
+        expr("aggregate(transform(filter(a, y -> y.h <= h), y -> y.dev), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> greatest(CAST(0.0 AS DOUBLE), acc + x))")
+          .as("cusum"))
+      .orderBy("hour_epoch")
+  }
+
+  private val cusumOracle = """WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS sn, COUNT(*) AS nh FROM hourly
+), dev AS (
+  SELECT h, n,
+    CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / CAST(nh AS DOUBLE) AS dev
+  FROM hourly, t
+), arr AS (
+  SELECT list(struct_pack(h := h, dev := dev) ORDER BY h) AS a FROM dev
+)
+SELECT dev.h AS hour_epoch, dev.n AS n_events,
+  list_reduce(
+    list_prepend(CAST(0 AS DOUBLE),
+      list_transform(list_filter(arr.a, y -> y.h <= dev.h), y -> y.dev)),
+    (p, q) -> greatest(CAST(0 AS DOUBLE), p + q)) AS cusum
+FROM dev, arr ORDER BY hour_epoch"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_cusum", cusum, Some(cusumOracle)),
     QueryDef("ev_peak_concurrency", peakConcurrency, Some(peakConcurrencyOracle)),
     QueryDef("ev_survival", survival, Some(survivalOracle)),
     QueryDef("ev_holt", holt, Some(holtOracle)),

@@ -169,14 +169,22 @@ ORDER BY lift DESC, a, b LIMIT 15"""
     * 3 rounds as chained CTEs with the identical tie rule. Output is
     * the community-size histogram.
     */
-  private def labelProp(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct co-order part pairs (a < b) — the shared undirected edge
+    * list behind labelProp, triangles, kcore, and modularity. */
+  private def coOrderPairs(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
     val a = li.select(col("ok"), col("pk").as("a"))
     val b = li.select(col("ok"), col("pk").as("b"))
-    val pairs = a.join(b, "ok").where(col("a") < col("b"))
+    a.join(b, "ok").where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  /** 3-round LPA labels over the symmetrized co-order graph (see
+    * [[labelProp]] for the round semantics). Returns (node, lbl).
+    */
+  private def lpaLabels(pairs: DataFrame): DataFrame = {
     // the symmetrized edge list feeds every round's join — materialize
     // it ONCE (it is itself a distinct self-join; recomputing it per
     // round tripled this query's wall time), and cut each round's
@@ -204,11 +212,15 @@ ORDER BY lift DESC, a, b LIMIT 15"""
           .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
           .localCheckpoint()
       }
-      labels.groupBy(col("lbl").as("community"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy("community")
+      labels
     } finally sym.unpersist(blocking = false)
   }
+
+  private def labelProp(s: SparkSession, dir: String): DataFrame =
+    lpaLabels(coOrderPairs(s, dir))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("community")
 
   private val labelPropOracle: String = {
     val rounds = (1 to 3).map { i =>
@@ -388,7 +400,81 @@ UNION ALL SELECT CAST(2 AS BIGINT), (SELECT COUNT(DISTINCT u) FROM e2), (SELECT 
 UNION ALL SELECT CAST(3 AS BIGINT), (SELECT COUNT(DISTINCT u) FROM e3), (SELECT COUNT(*) FROM e3)
 ORDER BY round"""
 
+  /** Modularity of the LPA communities — the quality score that says
+    * whether the detected partition beats random wiring: Q = Σ_c
+    * (m_c/m − (d_c/2m)²) from three INTEGER sufficient statistics per
+    * community (intra-edge count, degree mass, global edge count);
+    * each contribution is one fixed double tree. Computing Q closes
+    * the loop on community detection: detect (`g_label_prop`), then
+    * MEASURE — communities²-free, all joins on node/community keys.
+    */
+  private def modularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir).persist()
+    try {
+      val labels = lpaLabels(pairs)
+      val la = labels.select(col("node").as("a"), col("lbl").as("ca"))
+      val lb = labels.select(col("node").as("b"), col("lbl").as("cb"))
+      val m = pairs.count() // one driver scalar: the global edge count
+      val intra = pairs.join(la, "a").join(lb, "b")
+        .where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("m_c"))
+      val deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val dc = deg.join(labels, "node")
+        .groupBy(col("lbl").as("community")).agg(sum(col("d")).as("d_c"))
+      dc.join(intra, Seq("community"), "left")
+        .select(col("community"),
+          coalesce(col("m_c"), lit(0L)).as("m_c"), col("d_c"),
+          (coalesce(col("m_c"), lit(0L)).cast("double") / lit(m).cast("double")
+            - (col("d_c").cast("double") / lit(2 * m).cast("double"))
+              * (col("d_c").cast("double") / lit(2 * m).cast("double")))
+            .as("contribution"))
+        .orderBy("community")
+    } finally pairs.unpersist(blocking = false)
+  }
+
+  private val modularityOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+  SELECT s.u, l.lbl, COUNT(*) AS c
+  FROM sym s JOIN l${i - 1} l ON s.v = l.node GROUP BY 1, 2
+), l$i AS (
+  SELECT u AS node, lbl FROM c$i
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) = 1
+)"""
+    }.mkString(",\n")
+    s"""WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), sym AS (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS lbl FROM sym
+),
+$rounds,
+m AS (SELECT COUNT(*) AS m FROM p),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1),
+intra AS (
+  SELECT la.lbl AS community, COUNT(*) AS m_c
+  FROM p JOIN l3 la ON p.a = la.node JOIN l3 lb ON p.b = lb.node
+  WHERE la.lbl = lb.lbl GROUP BY 1
+), dc AS (
+  SELECT l3.lbl AS community, CAST(SUM(deg.d) AS BIGINT) AS d_c
+  FROM deg JOIN l3 ON deg.node = l3.node GROUP BY 1
+)
+SELECT dc.community, CAST(COALESCE(m_c, 0) AS BIGINT) AS m_c, d_c,
+  CAST(COALESCE(m_c, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+    - (CAST(d_c AS DOUBLE) / CAST(2 * m AS DOUBLE))
+      * (CAST(d_c AS DOUBLE) / CAST(2 * m AS DOUBLE)) AS contribution
+FROM dc LEFT JOIN intra ON dc.community = intra.community, m
+ORDER BY dc.community"""
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_modularity", modularity, Some(modularityOracle)),
     QueryDef("g_kcore", kcore, Some(kcoreOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
