@@ -1344,7 +1344,68 @@ SELECT dev.h AS hour_epoch, dev.n AS n_events,
     (p, q) -> greatest(CAST(0 AS DOUBLE), p + q)) AS cusum
 FROM dev, arr ORDER BY hour_epoch"""
 
+  /** Forecast backtest: the hour-of-day seasonal-naive predictor
+    * (per-hour mean over the 7-day train window) evaluated on the
+    * remaining days — MAE and MASE (scaled by the in-sample naive-1
+    * MAE), the standard baseline every forecasting pipeline must beat.
+    * Exactness trick: the train window is exactly 7 days, so pred =
+    * S_h/7 with a CONSTANT denominator and |7·n − S_h| is an exact
+    * integer — both error sums are integer totals with ONE double
+    * division each, immune to float summation order.
+    */
+  private def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("h"), col("n"),
+        expr("h div 86400 - 19723").as("day"),
+        expr("(h div 3600) % 24").as("hod"))
+    val train = hourly.where(col("day") < 7)
+    val test = hourly.where(col("day") >= 7)
+    val model = train.groupBy(col("hod")).agg(sum(col("n")).as("s_h"))
+    val testErr = test.join(model, "hod")
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(lit(7L) * col("n") - col("s_h"))).as("err7"))
+    val wNaive = Window.orderBy(col("h"))
+    val naive = train
+      .withColumn("prev", lag(col("n"), 1).over(wNaive))
+      .where(col("prev").isNotNull)
+      .agg(count(lit(1)).as("n_tr"), sum(abs(col("n") - col("prev"))).as("errn"))
+    testErr.crossJoin(naive)
+      .select(col("n_test"),
+        (col("err7").cast("double") / (lit(7L) * col("n_test")).cast("double"))
+          .as("mae"),
+        (col("errn").cast("double") / col("n_tr").cast("double"))
+          .as("naive_mae"),
+        ((col("err7").cast("double") / (lit(7L) * col("n_test")).cast("double"))
+          / (col("errn").cast("double") / col("n_tr").cast("double")))
+          .as("mase"))
+  }
+
+  private val forecastBacktestOracle = """WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1
+), d AS (
+  SELECT h, n, h // 86400 - 19723 AS day, (h // 3600) % 24 AS hod FROM hourly
+), model AS (
+  SELECT hod, CAST(SUM(n) AS BIGINT) AS s_h FROM d WHERE day < 7 GROUP BY 1
+), te AS (
+  SELECT COUNT(*) AS n_test, CAST(SUM(abs(7 * n - s_h)) AS BIGINT) AS err7
+  FROM d JOIN model USING (hod) WHERE day >= 7
+), tr AS (
+  SELECT COUNT(*) AS n_tr, CAST(SUM(abs(n - prev)) AS BIGINT) AS errn
+  FROM (SELECT n, LAG(n) OVER (ORDER BY h) AS prev FROM d WHERE day < 7)
+  WHERE prev IS NOT NULL
+)
+SELECT n_test,
+  CAST(err7 AS DOUBLE) / CAST(7 * n_test AS DOUBLE) AS mae,
+  CAST(errn AS DOUBLE) / CAST(n_tr AS DOUBLE) AS naive_mae,
+  (CAST(err7 AS DOUBLE) / CAST(7 * n_test AS DOUBLE))
+    / (CAST(errn AS DOUBLE) / CAST(n_tr AS DOUBLE)) AS mase
+FROM te, tr"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_forecast_backtest", forecastBacktest, Some(forecastBacktestOracle)),
     QueryDef("ev_cusum", cusum, Some(cusumOracle)),
     QueryDef("ev_peak_concurrency", peakConcurrency, Some(peakConcurrencyOracle)),
     QueryDef("ev_survival", survival, Some(survivalOracle)),
