@@ -1404,7 +1404,56 @@ SELECT n_test,
     / (CAST(errn AS DOUBLE) / CAST(n_tr AS DOUBLE)) AS mase
 FROM te, tr"""
 
+  /** Supervised-label generation: for every event, the time until the
+    * SAME user's next purchase (the propensity/time-to-event label a
+    * training pipeline joins onto features) — a forward-looking
+    * `min(conditional future ms)` window per user, then per-type label
+    * statistics: labeled fraction (events with a future purchase) and
+    * exact mean gap (integer ms sum / count, one division). The label
+    * window and the feature timeline share one user_id exchange.
+    */
+  private def labelNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("_ms"))
+      .withColumn("next_p_ms",
+        min(when(col("event_type") === "purchase", col("_ms"))).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("next_p_ms").isNotNull, 1L).otherwise(0L)).as("n_labeled"),
+        sum(when(col("next_p_ms").isNotNull, col("next_p_ms") - col("_ms"))
+          .otherwise(0L)).as("gap_sum_ms"))
+      .select(col("event_type"), col("n_events"), col("n_labeled"),
+        (col("n_labeled").cast("double") / col("n_events").cast("double"))
+          .as("labeled_frac"),
+        (col("gap_sum_ms").cast("double") / col("n_labeled").cast("double"))
+          .as("mean_gap_ms"))
+      .orderBy("event_type")
+  }
+
+  private val labelNextPurchaseOracle = """WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+), l AS (
+  SELECT event_type, ms,
+    MIN(CASE WHEN event_type = 'purchase' THEN ms END)
+      OVER (PARTITION BY user_id ORDER BY ms, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p_ms
+  FROM e
+)
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN next_p_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_labeled,
+  CAST(SUM(CASE WHEN next_p_ms IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS labeled_frac,
+  CAST(SUM(CASE WHEN next_p_ms IS NOT NULL THEN next_p_ms - ms ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CASE WHEN next_p_ms IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    AS mean_gap_ms
+FROM l GROUP BY 1 ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_label_next_purchase", labelNextPurchase, Some(labelNextPurchaseOracle)),
     QueryDef("ev_forecast_backtest", forecastBacktest, Some(forecastBacktestOracle)),
     QueryDef("ev_cusum", cusum, Some(cusumOracle)),
     QueryDef("ev_peak_concurrency", peakConcurrency, Some(peakConcurrencyOracle)),
