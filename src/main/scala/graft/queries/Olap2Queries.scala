@@ -1131,7 +1131,39 @@ SELECT n,
     AS rho
 FROM st"""
 
+  /** Year-over-year revenue growth — the annual twin of `q_mom_growth`:
+    * exact-cents yearly totals, lag on the years-cardinality post-agg
+    * series, growth as one double division of exact cents.
+    */
+  private def yoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val yearly = Tables(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    yearly
+      .withColumn("prev_cents",
+        lag(col("rev_cents"), 1).over(Window.orderBy(col("yr"))))
+      .select(col("yr"), (col("rev_cents") / 100.0).as("revenue"),
+        when(col("prev_cents").isNotNull,
+          (col("rev_cents") - col("prev_cents")).cast("double")
+            / col("prev_cents").cast("double")).as("yoy_growth"))
+      .orderBy("yr")
+  }
+
+  private val yoyGrowthOracle = s"""WITH y AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+    CAST(SUM(CAST(FLOOR(o_totalprice * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS rc
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT yr, rc, LAG(rc) OVER (ORDER BY yr) AS prev FROM y
+)
+SELECT yr, rc / ${D("100")} AS revenue,
+  CASE WHEN prev IS NOT NULL
+    THEN CAST(rc - prev AS DOUBLE) / CAST(prev AS DOUBLE) END AS yoy_growth
+FROM l ORDER BY yr"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_yoy_growth", yoyGrowth, Some(yoyGrowthOracle)),
     QueryDef("q_listagg", listaggQ, Some(listaggOracle)),
     QueryDef("q_spearman", spearman, Some(spearmanOracle)),
     QueryDef("q_did", did, Some(didOracle)),
