@@ -54,7 +54,13 @@ object Ids {
       // pass 1: per-partition counts, in partition-range order (tiny
       // collect: one (index, count) pair per partition)
       val counts = ranged
-        .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+        .mapPartitionsWithIndex { (i, it) =>
+          // Long accumulator: Iterator.size returns Int and would wrap
+          // silently past 2^31 rows per partition — at the 1e11-row
+          // scale this operator exists for, that corrupts every offset
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }
+          Iterator((i, n))
+        }
         .collect().sortBy(_._1).map(_._2)
       val offsets = counts.scanLeft(0L)(_ + _)
       val bc = spark.sparkContext.broadcast(offsets)

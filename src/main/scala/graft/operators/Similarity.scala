@@ -101,9 +101,11 @@ object Similarity {
     * partition); at corpus scale the crossJoin scan is replaced by the
     * IVF/LSH candidate path exactly as for plain top-k.
     *
-    * Inputs carry (id, vec, label); null labels never match each other
-    * (null-safe inequality), so unlabeled rows are negatives for
-    * everyone.
+    * Inputs carry (id, vec, label); the null-safe inequality means an
+    * unlabeled row is a negative for every LABELED query and vice
+    * versa, but two unlabeled rows are treated as same-class (null <=>
+    * null holds) and never returned for each other — mine within
+    * unlabeled data by assigning pseudo-labels first.
     */
   def hardNegativesTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val base = emb.select(col("id").as("n_id"), quantize(col("vec")).as("qv"),

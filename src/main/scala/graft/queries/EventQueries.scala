@@ -953,7 +953,10 @@ FROM events GROUP BY user_id ORDER BY user_id"""
     val p = Tables.events(s, dir)
       .where(col("event_type") === "purchase")
       .select(col("user_id"),
-        (year(col("ts")) * 100 + weekofyear(col("ts"))).cast("int").as("yw"),
+        // ISO YEAR with the ISO week — calendar year would misfile the
+        // year-straddling weeks (Dec 30 in ISO week 1 of the NEXT year)
+        (expr("extract(YEAROFWEEK FROM ts)") * 100 + weekofyear(col("ts")))
+          .cast("int").as("yw"),
         col("value"))
     val cohort = p.groupBy(col("user_id")).agg(min(col("yw")).as("cohort_yw"))
     p.join(cohort, "user_id")
@@ -964,7 +967,7 @@ FROM events GROUP BY user_id ORDER BY user_id"""
   }
 
   private val cohortRevenueOracle = s"""WITH p AS (
-  SELECT user_id, CAST(year(ts) * 100 + week(ts) AS INT) AS yw, value
+  SELECT user_id, CAST(isoyear(ts) * 100 + week(ts) AS INT) AS yw, value
   FROM events WHERE event_type = 'purchase'
 ), c AS (
   SELECT user_id, MIN(yw) AS cohort_yw FROM p GROUP BY 1
@@ -1168,10 +1171,16 @@ ORDER BY user_id"""
     * censoring enters as a second per-tick count without changing the
     * fold.
     */
-  private def survival(s: SparkSession, dir: String): DataFrame = {
+  /** Per-session spans from the 30-minute-gap sessionization — the ONE
+    * (user_id, sid) → (start_ms, end_ms) derivation shared by the
+    * survival and concurrency queries (the same lag/running-sum core as
+    * `ev_sessionize`; a gap-constant change belongs here, not in each
+    * consumer).
+    */
+  private def sessionSpans(s: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
-    val sess = Tables.events(s, dir)
+    Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms"))
       .withColumn("is_new",
         when(lag(col("_ms"), 1).over(wOrd).isNull ||
@@ -1179,7 +1188,13 @@ ORDER BY user_id"""
           .otherwise(0))
       .withColumn("sid", sum(col("is_new")).over(wRun))
       .groupBy(col("user_id"), col("sid"))
-      .agg(expr("(max(_ms) - min(_ms)) div 60000").as("t"))
+      .agg(min(col("_ms")).as("start_ms"), max(col("_ms")).as("end_ms"))
+  }
+
+  private def survival(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionSpans(s, dir)
+      .select(col("user_id"), col("sid"),
+        expr("(end_ms - start_ms) div 60000").as("t"))
     val deaths = sess.groupBy(col("t")).agg(count(lit(1)).as("n_deaths"))
     val wDesc = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1242,17 +1257,7 @@ FROM f, arr ORDER BY f.t"""
     * back-to-back sessions never double-count.
     */
   private def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
-    val sess = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms"))
-      .withColumn("is_new",
-        when(lag(col("_ms"), 1).over(wOrd).isNull ||
-          (col("_ms") - lag(col("_ms"), 1).over(wOrd)) > 1800000L, 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("is_new")).over(wRun))
-      .groupBy(col("user_id"), col("sid"))
-      .agg(min(col("_ms")).as("start_ms"), max(col("_ms")).as("end_ms"))
+    val sess = sessionSpans(s, dir)
     val bounds = sess.select(col("user_id"), col("sid"),
         col("start_ms").as("ms"), lit(1L).as("delta"))
       .unionByName(sess.select(col("user_id"), col("sid"),

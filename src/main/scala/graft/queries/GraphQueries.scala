@@ -347,13 +347,7 @@ GROUP BY e.src ORDER BY e.src"""
     */
   private def kcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val a = li.select(col("ok"), col("pk").as("a"))
-    val b = li.select(col("ok"), col("pk").as("b"))
-    val pairs = a.join(b, "ok").where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    val pairs = coOrderPairs(s, dir)
     var e = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
@@ -409,8 +403,12 @@ ORDER BY round"""
     * MEASURE — communities²-free, all joins on node/community keys.
     */
   private def modularity(s: SparkSession, dir: String): DataFrame = {
-    val pairs = coOrderPairs(s, dir).persist()
-    try {
+    // localCheckpoint, not persist/unpersist: the returned plan
+    // executes AFTER this function exits, so an unpersist in a finally
+    // would evict the cache before the intra/deg branches ever read it
+    // and the distinct self-join would recompute at collect time
+    val pairs = coOrderPairs(s, dir).localCheckpoint()
+    locally {
       val labels = lpaLabels(pairs)
       val la = labels.select(col("node").as("a"), col("lbl").as("ca"))
       val lb = labels.select(col("node").as("b"), col("lbl").as("cb"))
@@ -431,7 +429,7 @@ ORDER BY round"""
               * (col("d_c").cast("double") / lit(2 * m).cast("double")))
             .as("contribution"))
         .orderBy("community")
-    } finally pairs.unpersist(blocking = false)
+    }
   }
 
   private val modularityOracle: String = {

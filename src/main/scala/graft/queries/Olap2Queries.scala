@@ -1100,9 +1100,15 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
       (lit(2) * rank().over(Window.orderBy(col("y")))
         + count(lit(1)).over(Window.partitionBy(col("y"))) - 1)
         .cast("long").as("ry"))
+    // rank cross-products grow ~4n³ and would wrap a BIGINT sum past
+    // ~1.3e6 rows — sum them as DECIMAL(38,0) (exact, order-free, like
+    // DuckDB's HUGEINT sum) and only then drop to DOUBLE
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val st = rk.agg(count(lit(1)).as("n"), sum(col("rx")).as("sx"),
-      sum(col("ry")).as("sy"), sum(col("rx") * col("rx")).as("sxx"),
-      sum(col("ry") * col("ry")).as("syy"), sum(col("rx") * col("ry")).as("sxy"))
+      sum(col("ry")).as("sy"),
+      sum(dec(col("rx")) * dec(col("rx"))).as("sxx"),
+      sum(dec(col("ry")) * dec(col("ry"))).as("syy"),
+      sum(dec(col("rx")) * dec(col("ry"))).as("sxy"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     st.select(col("n"),
       ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
@@ -1120,8 +1126,8 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
   FROM r
 ), st AS (
   SELECT COUNT(*) AS n, CAST(SUM(rx) AS BIGINT) AS sx,
-    CAST(SUM(ry) AS BIGINT) AS sy, CAST(SUM(rx * rx) AS BIGINT) AS sxx,
-    CAST(SUM(ry * ry) AS BIGINT) AS syy, CAST(SUM(rx * ry) AS BIGINT) AS sxy
+    CAST(SUM(ry) AS BIGINT) AS sy, SUM(rx * rx) AS sxx,
+    SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
   FROM rk
 )
 SELECT n,

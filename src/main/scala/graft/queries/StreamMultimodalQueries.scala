@@ -316,7 +316,12 @@ FROM events GROUP BY user_id ORDER BY user_id"""
     * the flatMapGroupsWithState bounded-state form, and the one with
     * built-in watermark eviction. Complete mode over the bounded
     * replay; per-user rollup must equal the batch `ev_session_window`
-    * answer.
+    * answer (both are the native operator: a gap of EXACTLY 30 minutes
+    * CLOSES the session — half-open windows, oracle splits at
+    * `gap >= 30min`). The lag-based `ev_sessionize` family splits
+    * strictly-greater instead; the two sessionization rules genuinely
+    * differ at the exact boundary and each query is graded against its
+    * own.
     */
   private def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
     val src = EventStreams.eventsStream(s, s"$dir/events.parquet")
