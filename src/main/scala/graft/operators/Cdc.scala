@@ -59,9 +59,12 @@ object Cdc {
     */
   def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String): DataFrame = {
     val payload = v1.columns.filter(_ != keyCol)
-    require(payload.forall(v2.columns.contains) &&
-      v2.columns.length == v1.columns.length,
-      "snapshots must share the same schema")
+    // Exact column-set equality (implies v2 carries keyCol) — a renamed
+    // key plus an extra column would otherwise pass a subset check and
+    // surface later as an opaque unresolved-column error.
+    require(v1.columns.toSet == v2.columns.toSet,
+      s"snapshots must share the same columns: v1=${v1.columns.sorted.mkString(",")} " +
+        s"v2=${v2.columns.sorted.mkString(",")}")
     val a = v1.select(col(keyCol),
       struct(payload.map(col).toIndexedSeq: _*).as("_p1"), lit(1).as("_in1"))
     val b = v2.select(col(keyCol).as("_k2"),

@@ -66,4 +66,36 @@ object EditBlocking {
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
   }
+
+  /** Length-band self-join as an EQUI-join: every unordered pair with
+    * `|len(a) − len(b)| ≤ band`, exactly once (`a_id < b_id`), via a
+    * shuffled hash/merge join on an exploded length key — never a
+    * BroadcastNestedLoopJoin. One side keeps its own length as the key;
+    * the other emits the 2·band+1 compatible target lengths, so a
+    * qualifying pair meets on exactly one key (`key = len(a)`) and the
+    * residual is just the id ordering.
+    *
+    * This is the right plan when the SEMANTICS are per-pair-in-band
+    * (e.g. scoring every banded pair): the candidate set is the output,
+    * so no blocking scheme can beat it. When a small edit budget bounds
+    * the output (levenshtein/damerau ≤ d), [[passJoinCandidates]] is
+    * the corpus-linear discovery path — band join the residual verify
+    * still handles skew better than a nested loop, since the length key
+    * hash-partitions and AQE can split hot lengths.
+    *
+    * @param names (id, nm) — id long-castable, nm non-null string
+    * @return (a_id, a_nm, b_id, b_nm), a_id < b_id
+    */
+  def lengthBandPairs(names: DataFrame, band: Int): DataFrame = {
+    require(band >= 0)
+    val n = names.select(col("id"), col("nm"), length(col("nm")).as("len"))
+    val a = n.select(col("id").as("a_id"), col("nm").as("a_nm"),
+      col("len").as("band_key"))
+    val b = n.select(col("id").as("b_id"), col("nm").as("b_nm"),
+      explode(sequence(greatest(col("len") - band, lit(0)),
+        col("len") + band)).as("band_key"))
+    a.join(b, "band_key")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "a_nm", "b_id", "b_nm")
+  }
 }

@@ -93,10 +93,18 @@ object Ids {
     * partition once accumulating from its offsets. Both passes share
     * one persisted RDD (same boundary-sampling argument as
     * [[assignGlobalIds]]).
+    *
+    * `valueCol` must be LongType: the running sum is accumulated in
+    * Long arithmetic (cast narrower integers up, or scale doubles to
+    * fixed-point, before calling).
     */
   def prefixSumByKey(df: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCol: String, nPartitions: Int, outCol: String = "cum"): DataFrame = {
     require(orderCols.nonEmpty && nPartitions >= 1)
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"prefixSumByKey: $valueCol must be LongType, " +
+        s"got ${df.schema(valueCol).dataType.simpleString}")
     val spark = df.sparkSession
     val schema = df.schema
     val sortCols = (keyCol +: orderCols).map(col)

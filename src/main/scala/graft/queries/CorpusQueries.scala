@@ -490,8 +490,8 @@ GROUP BY doc_id ORDER BY doc_id"""
   FROM d
 )
 SELECT doc_id, shard, n_tokens,
-  start_tok // $PackBudget AS pack_id,
-  start_tok % $PackBudget AS offset_in_pack
+  CAST(start_tok // $PackBudget AS BIGINT) AS pack_id,
+  CAST(start_tok % $PackBudget AS BIGINT) AS offset_in_pack
 FROM c ORDER BY doc_id"""
   }
 

@@ -1093,13 +1093,16 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
     import org.apache.spark.sql.expressions.Window
     val r = Tables(s, dir, "lineitem").select(
       col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    // 2·rank in Long arithmetic from the start: rank() is IntegerType,
+    // so an Int doubling would wrap past ~1.07e9 rows — inconsistent
+    // with the DECIMAL(38,0) guard on the cross-products below.
     val rk = r.select(
-      (lit(2) * rank().over(Window.orderBy(col("x")))
+      (lit(2L) * rank().over(Window.orderBy(col("x"))).cast("long")
         + count(lit(1)).over(Window.partitionBy(col("x"))) - 1)
-        .cast("long").as("rx"),
-      (lit(2) * rank().over(Window.orderBy(col("y")))
+        .as("rx"),
+      (lit(2L) * rank().over(Window.orderBy(col("y"))).cast("long")
         + count(lit(1)).over(Window.partitionBy(col("y"))) - 1)
-        .cast("long").as("ry"))
+        .as("ry"))
     // rank cross-products grow ~4n³ and would wrap a BIGINT sum past
     // ~1.3e6 rows — sum them as DECIMAL(38,0) (exact, order-free, like
     // DuckDB's HUGEINT sum) and only then drop to DOUBLE

@@ -203,8 +203,7 @@ FROM r WHERE rn = 1 ORDER BY user_id"""
     * (ts_ms, event_id) makes the grade batching-invariant.
     */
   private def streamCdcUpsert(s: SparkSession, dir: String): DataFrame = {
-    val table = java.nio.file.Files
-      .createTempDirectory("graft_cdc").toString + "/snapshot"
+    val table = graft.util.Scratch.dir("graft_cdc") + "/snapshot"
     EventStreams.cdcUpsertTable(
       EventStreams.eventsStream(s, s"$dir/events.parquet"), table)
     s.read.parquet(table)
@@ -422,7 +421,7 @@ FROM s GROUP BY user_id ORDER BY user_id"""
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
   FROM items
 )
-SELECT kind, (cum_bytes - n_bytes) // $ShardBytes AS shard,
+SELECT kind, CAST((cum_bytes - n_bytes) // $ShardBytes AS BIGINT) AS shard,
   COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
   MIN(media_id) AS first_id, MAX(media_id) AS last_id
 FROM c GROUP BY 1, 2 ORDER BY kind, shard"""
@@ -474,10 +473,10 @@ ORDER BY media_id, frame_idx"""
   FROM meta
 )
 SELECT media_id, kind, src_width, src_height,
-  GREATEST(2, CAST(FLOOR(CAST(src_width AS DOUBLE) * scale) AS INT)
-    - CAST(FLOOR(CAST(src_width AS DOUBLE) * scale) AS INT) % 2) AS out_width,
-  GREATEST(2, CAST(FLOOR(CAST(src_height AS DOUBLE) * scale) AS INT)
-    - CAST(FLOOR(CAST(src_height AS DOUBLE) * scale) AS INT) % 2) AS out_height,
+  CAST(GREATEST(2, CAST(FLOOR(CAST(src_width AS DOUBLE) * scale) AS INT)
+    - CAST(FLOOR(CAST(src_width AS DOUBLE) * scale) AS INT) % 2) AS INT) AS out_width,
+  CAST(GREATEST(2, CAST(FLOOR(CAST(src_height AS DOUBLE) * scale) AS INT)
+    - CAST(FLOOR(CAST(src_height AS DOUBLE) * scale) AS INT) % 2) AS INT) AS out_height,
   scale
 FROM scaled ORDER BY media_id"""
 

@@ -55,14 +55,17 @@ object EventStreams {
 
   /** 30-minute-gap sessionization, incremental: per-user state carries
     * (last event ms, session count, event count) across micro-batches.
-    * Within a batch events are sorted by (ms, event_id) — iterator order
-    * from shuffle is not deterministic, the sort makes the result so.
+    * Within a batch events are sorted by (ms, nanos, event_id) — full
+    * timestamp precision, so the fold order equals the batch/oracle
+    * (ts, event_id) total order even for same-millisecond events;
+    * iterator order from shuffle is not deterministic, the sort makes
+    * the result so.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     def update(userId: Long, it: Iterator[Event],
         state: GroupState[SessionState]): UserSessions = {
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
       sorted.foreach { e =>
         val ms = e.ts.getTime
@@ -129,7 +132,7 @@ object EventStreams {
         state.remove()
         Iterator(SessionOut(userId, s.startMs, s.lastMs, s.nEvents))
       } else {
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
         val out = Seq.newBuilder[SessionOut]
         var open = state.getOption
         sorted.foreach { e =>
@@ -260,7 +263,7 @@ object EventStreams {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[RunningOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
       val out = sorted.map { e =>
         n += 1
@@ -297,7 +300,7 @@ object EventStreams {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[EwmaOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       var (s, n) = if (st.exists()) st.get() else (0.0, 0L)
       sorted.foreach { e =>
         s = if (n == 0L) e.value else (s + e.value) / 2

@@ -486,6 +486,24 @@ class PlanSpec extends SparkSpec {
       !wPlan.contains("CartesianProduct"), wPlan.take(1000))
   }
 
+  test("fuzzy-pair discovery never nested-loops (band join is an equi-join)") {
+    // The |Δlen| ≤ 2 block runs as lengthBandPairs (exploded length key
+    // → hash join) in q_fuzzy_pairs / q_damerau_pairs / q_jaro_buckets,
+    // and as PassJoin discovery in q_entity_clusters: a
+    // BroadcastNestedLoopJoin here is O(n²) pair EVALUATIONS and the
+    // exact anti-pattern these rewrites removed.
+    for (name <- Seq("q_fuzzy_pairs", "q_damerau_pairs", "q_jaro_buckets",
+        "q_entity_clusters")) {
+      val df = graft.SparkEntry.queries(name)(spark, Sf)
+      df.collect()
+      val plan = planOf(df)
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"$name must not nested-loop:\n${plan.take(1500)}")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$name discovery must be an equi-join:\n${plan.take(1500)}")
+    }
+  }
+
   test("native dot stays inside whole-stage codegen (no interpreted HOF)") {
     import graft.operators.Similarity
     val emb = Tables(spark, Sf, "embeddings")

@@ -324,6 +324,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("finalized sessions: lone cross-batch stray before the open start merges backward") {
+    // The minimal red-before/green-after case for the
+    // `min(s.startMs, ms)` merge line: the ONLY event of a later
+    // micro-batch predates the open session's start (but is within
+    // gap-reach and in-horizon). Without the backward extension the
+    // emitted session starts at 11:00 with 2 events.
+    val dir = Files.createTempDirectory("graft_ooo_lone").toString
+    def ev(id: Long, user: Long, time: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, "click", 1.0)
+    def ms(time: String): Long = Timestamp.valueOf(s"2024-01-01 $time").getTime
+
+    writeBatch(dir, "b1", Seq(ev(1, 1, "11:00:00")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[EventStreams.Event]
+    val out = EventStreams.finalizedSessions(stream, gapMs = 30 * 60 * 1000,
+      horizon = "2 hours").toDF()
+
+    spark.streams.active.filter(_.name == "ooo_lone_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ooo_lone_test").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: ONE stray at 10:40 — 20 min before the open start,
+      // within the 30-min gap, above the b1 watermark (09:00)
+      writeBatch(dir, "b2", Seq(ev(2, 1, "10:40:00")))
+      q.processAllAvailable()
+      assert(spark.table("ooo_lone_test").isEmpty,
+        "the merge must be silent — nothing finalizes yet")
+      // batch 3: far-future event expires the merged session
+      writeBatch(dir, "b3", Seq(ev(3, 9, "16:00:00")))
+      q.processAllAvailable()
+      val fin = spark.table("ooo_lone_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(fin.contains((1L, ms("10:40:00"), ms("11:00:00"), 2L)),
+        s"lone cross-batch stray must extend the start to 10:40: $fin")
+    } finally q.stop()
+  }
+
   test("checkpointed restart is exactly-once: window state survives, no re-emits") {
     val dir = Files.createTempDirectory("graft_ckpt_in").toString
     val ckpt = Files.createTempDirectory("graft_ckpt").toString

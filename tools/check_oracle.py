@@ -57,6 +57,24 @@ def main(sf_dir, out_dir):
             failed.append(name)
             continue
         got, exp = got[gcols], exp[ecols]
+        # dtype-class gate: the driver's hash is value-representation
+        # sensitive, so an oracle column that comes back float64/object
+        # where Spark wrote integers (DuckDB HUGEINT → pandas float64,
+        # e.g. an uncast SUM over BIGINT) hash-mismatches even when
+        # every value is numerically equal. Catch it here, not in the
+        # driver's artifact.
+        def dclass(dt):
+            k = dt.kind  # i/u int, f float, O object, b bool, M datetime
+            return {"i": "int", "u": "int"}.get(k, k)
+        dt_bad = [c for c in gcols
+                  if dclass(got[c].dtype) != dclass(exp[c].dtype)]
+        if dt_bad:
+            for c in dt_bad:
+                print(f"  {name} col {c}: spark dtype {got[c].dtype} "
+                      f"!= oracle dtype {exp[c].dtype}")
+            print(f"FAIL  {name}: dtype-class mismatch (driver hash would differ)")
+            failed.append(name)
+            continue
         if len(got) != len(exp):
             print(f"FAIL  {name}: rows {len(got)} != {len(exp)}")
             failed.append(name)
