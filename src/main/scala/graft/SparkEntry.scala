@@ -19,7 +19,8 @@ object SparkEntry {
       EventQueries.defs ++
       TextQueries.defs ++ SimilarityQueries.defs ++
       StreamMultimodalQueries.defs ++ ExtraQueries.defs ++ Olap2Queries.defs ++
-      CorpusQueries.defs ++ GraphQueries.defs ++ BizQueries.defs
+      CorpusQueries.defs ++ GraphQueries.defs ++ BizQueries.defs ++
+      SignatureQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
