@@ -494,7 +494,78 @@ FROM dc LEFT JOIN intra ON dc.community = intra.community, m
 ORDER BY dc.community"""
   }
 
+  // --- neighborhood Jaccard (structural edge similarity) --------------
+  /** Neighborhood-overlap similarity for the heaviest co-order edges:
+    * J(N(a), N(b)) = |N(a)∩N(b)| / |N(a)∪N(b)| — the structural-
+    * equivalence score behind link prediction and role discovery
+    * (SimRank's first iteration). The scale shape: candidate edges are
+    * bounded FIRST (top-[[JaccardTopEdges]] by co-order weight, a
+    * TakeOrdered — at 100 TB you score the edges you care about, not
+    * all of them), then the common-neighbor count is a broadcast-pruned
+    * equi-join of the bounded edge set against the adjacency list —
+    * work proportional to the endpoints' degrees, never a wedge
+    * explosion.
+    */
+  private val JaccardTopEdges = 50
+
+  private def neighborJaccard(s: SparkSession, dir: String): DataFrame = {
+    val li = coOrderLi(s, dir)
+    val a = li.select(col("ok"), col("pk").as("a"))
+    val b = li.select(col("ok"), col("pk").as("b"))
+    val top = a.join(b, "ok").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("a"), col("b"))
+      .limit(JaccardTopEdges)
+    val pairs = coOrderPairs(s, dir)
+    val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val common = broadcast(top.select("a", "b"))
+      .join(sym.select(col("u").as("a"), col("v").as("x")), Seq("a"))
+      .join(sym.select(col("u").as("b"), col("v").as("x")), Seq("b", "x"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    top.join(common, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(deg.select(col("u").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_orders"),
+        col("deg_a"), col("deg_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  private val neighborJaccardOracle: String = s"""WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+w AS (
+  SELECT a.pk AS a, b.pk AS b, COUNT(*) AS n_orders
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2
+),
+top AS (
+  SELECT a, b, n_orders FROM w
+  QUALIFY ROW_NUMBER() OVER (ORDER BY n_orders DESC, a, b) <= $JaccardTopEdges
+),
+p AS (SELECT DISTINCT a, b FROM w),
+sym AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+common AS (
+  SELECT t.a, t.b, COUNT(*) AS n_common
+  FROM top t JOIN sym sa ON sa.u = t.a JOIN sym sb ON sb.u = t.b AND sb.v = sa.v
+  GROUP BY 1, 2
+)
+SELECT t.a, t.b, t.n_orders,
+  da.deg AS deg_a, db.deg AS deg_b,
+  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+  CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+    / CAST(da.deg + db.deg - COALESCE(c.n_common, 0) AS DOUBLE) AS jaccard
+FROM top t LEFT JOIN common c ON t.a = c.a AND t.b = c.b
+JOIN deg da ON da.u = t.a JOIN deg db ON db.u = t.b
+ORDER BY t.a, t.b"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_neighbor_jaccard", neighborJaccard, Some(neighborJaccardOracle)),
     QueryDef("g_modularity", modularity, Some(modularityOracle)),
     QueryDef("g_kcore", kcore, Some(kcoreOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
@@ -873,7 +873,173 @@ best AS (
 SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(d2) AS BIGINT) AS sum_d2
 FROM best GROUP BY cell ORDER BY cell"""
 
+  // --- mutual kNN graph (LSH-bounded) ---------------------------------
+  /** Mutual-nearest-neighbour pairs: (a, b) where each is in the
+    * other's top-[[MutualK]] by cosine AMONG ITS LSH CANDIDATES — the
+    * reciprocal-kNN edge used to build ANN graphs and high-precision
+    * dedup clusters (mutuality filters out hub-induced asymmetric
+    * neighbors). Candidate generation is the already-graded banded LSH
+    * join (corpus-linear); ranking is the bounded top-k combine per
+    * direction; the mutual check is one self-join on the k-bounded
+    * ranked edges. Nothing here is all-pairs.
+    */
+  private val MutualK = 3
+
+  private def mutualKnn(s: SparkSession, dir: String): DataFrame = {
+    val cand = Similarity.lshCandidates(emb(s, dir), planes, Bands, RowsPerBand, MinCos)
+    val sym = cand.select(col("a_id").as("q_id"), col("b_id").as("n_id"), col("cosine"))
+      .union(cand.select(col("b_id").as("q_id"), col("a_id").as("n_id"), col("cosine")))
+    val ranked = sym.groupBy(col("q_id"))
+      .agg(graft.functions.TopKPairs.topK(MutualK)(
+        col("cosine"), col("n_id").cast("long")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("x"))
+      .select(col("q_id"), col("x._2").as("n_id"), col("x._1").as("cosine"))
+    ranked.as("f")
+      .join(ranked.as("r"),
+        col("f.q_id") === col("r.n_id") && col("f.n_id") === col("r.q_id"))
+      .where(col("f.q_id") < col("f.n_id"))
+      .select(col("f.q_id").as("a_id"), col("f.n_id").as("b_id"),
+        col("f.cosine").as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private lazy val mutualKnnOracle: String = s"""WITH $quantCtes,
+$lshCandCtes,
+thr AS (
+  SELECT a_id, b_id, cosine FROM scored_cand WHERE cosine >= ${D(MinCos)}
+),
+symq AS (
+  SELECT a_id AS q_id, b_id AS n_id, cosine FROM thr
+  UNION ALL SELECT b_id AS q_id, a_id AS n_id, cosine FROM thr
+),
+rankedq AS (
+  SELECT q_id, n_id, cosine FROM symq
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) <= $MutualK
+)
+SELECT f.q_id AS a_id, f.n_id AS b_id, f.cosine
+FROM rankedq f JOIN rankedq r ON f.q_id = r.n_id AND f.n_id = r.q_id
+WHERE f.q_id < f.n_id
+ORDER BY a_id, b_id"""
+
+  // --- MMR diversified re-ranking -------------------------------------
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) re-rank:
+    * from each query's top-[[MmrPool]] cosine candidates, greedily pick
+    * [[MmrPick]] maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked (λ = 1/2) — the diversity stage a RAG retriever
+    * runs after first-stage ANN. The greedy recursion is UNROLLED into
+    * [[MmrPick]] argmax-of-struct rounds over the pool: per query the
+    * state is ≤ pool² candidate-pair similarities, so the whole rerank
+    * is bounded work after the (already bounded) first stage — exactly
+    * how a production reranker treats it. Scores are fixed double
+    * trees over quantized-cosine inputs; ties break on n_id.
+    */
+  private val MmrPool = 10
+  private val MmrPick = 3
+
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cand = Similarity.bruteForceTopK(
+        e, e.where(pmod(col("id"), lit(QueryStride)) === 0), MmrPool)
+      .select(col("q_id"), col("n_id"), col("cosine").as("rel"))
+    val base = e.select(col("id"), Similarity.quantize(col("vec")).as("qv"))
+      .withColumn("nn", Similarity.normSqQ(col("qv")))
+    val sims = cand.select(col("q_id"), col("n_id").as("a_id"))
+      .join(cand.select(col("q_id"), col("n_id").as("b_id")), Seq("q_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .join(base.select(col("id").as("a_id"), col("qv").as("av"), col("nn").as("an")), Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("qv").as("bv"), col("nn").as("bn")), Seq("b_id"))
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        Similarity.cosineQ(Similarity.dotQ(col("av"), col("bv")),
+          col("an"), col("bn")).as("sim"))
+    def argmax(df: DataFrame, score: Column, idAs: String, scoreAs: String): DataFrame =
+      df.groupBy(col("q_id"))
+        .agg(max(struct(score.as("s"), (-col("n_id")).as("ni"))).as("m"))
+        .select(col("q_id"), (-col("m.ni")).as(idAs), col("m.s").as(scoreAs))
+    val s1 = argmax(cand, lit(0.5) * col("rel"), "s1_id", "score1")
+    val r2 = cand.join(s1, Seq("q_id")).where(col("n_id") =!= col("s1_id"))
+      .join(sims.select(col("q_id"), col("a_id").as("n_id"),
+        col("b_id").as("s1_id"), col("sim").as("sim1")), Seq("q_id", "n_id", "s1_id"))
+    val s2 = argmax(r2, lit(0.5) * col("rel") - lit(0.5) * col("sim1"), "s2_id", "score2")
+    val r3 = cand.join(s1.select("q_id", "s1_id"), Seq("q_id"))
+      .join(s2, Seq("q_id"))
+      .where(col("n_id") =!= col("s1_id") && col("n_id") =!= col("s2_id"))
+      .join(sims.select(col("q_id"), col("a_id").as("n_id"),
+        col("b_id").as("s1_id"), col("sim").as("sim1")), Seq("q_id", "n_id", "s1_id"))
+      .join(sims.select(col("q_id"), col("a_id").as("n_id"),
+        col("b_id").as("s2_id"), col("sim").as("sim2")), Seq("q_id", "n_id", "s2_id"))
+    val s3 = argmax(r3,
+      lit(0.5) * col("rel") - lit(0.5) * greatest(col("sim1"), col("sim2")),
+      "s3_id", "score3")
+    s1.select(col("q_id"), lit(1L).as("pick"), col("s1_id").as("n_id"), col("score1").as("mmr_score"))
+      .union(s2.select(col("q_id"), lit(2L), col("s2_id"), col("score2")))
+      .union(s3.select(col("q_id"), lit(3L), col("s3_id"), col("score3")))
+      .orderBy("q_id", "pick")
+  }
+
+  private lazy val mmrRerankOracle: String = s"""WITH $quantCtes,
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT q_id, n_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS rel
+  FROM dots JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) <= $MmrPool
+),
+cpairs AS (
+  SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id
+  FROM cand a JOIN cand b USING (q_id) WHERE a.n_id <> b.n_id
+),
+pdots AS (
+  SELECT cp.q_id, cp.a_id, cp.b_id, CAST(SUM(fa.e * fb.e) AS BIGINT) AS dot
+  FROM cpairs cp
+  JOIN flat fa ON fa.vec_id = cp.a_id
+  JOIN flat fb ON fb.vec_id = cp.b_id AND fb.i = fa.i
+  GROUP BY 1, 2, 3
+),
+psims AS (
+  SELECT q_id, a_id, b_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS sim
+  FROM pdots JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
+),
+s1 AS (
+  SELECT q_id, n_id AS s1_id, ${D("0.5")} * rel AS score1 FROM cand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) = 1
+),
+r2 AS (
+  SELECT c.q_id, c.n_id, ${D("0.5")} * c.rel - ${D("0.5")} * ps.sim AS score
+  FROM cand c JOIN s1 USING (q_id)
+  JOIN psims ps ON ps.q_id = c.q_id AND ps.a_id = c.n_id AND ps.b_id = s1.s1_id
+  WHERE c.n_id <> s1.s1_id
+),
+s2 AS (
+  SELECT q_id, n_id AS s2_id, score AS score2 FROM r2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) = 1
+),
+r3 AS (
+  SELECT c.q_id, c.n_id,
+    ${D("0.5")} * c.rel - ${D("0.5")} * GREATEST(p1.sim, p2.sim) AS score
+  FROM cand c JOIN s1 USING (q_id) JOIN s2 USING (q_id)
+  JOIN psims p1 ON p1.q_id = c.q_id AND p1.a_id = c.n_id AND p1.b_id = s1.s1_id
+  JOIN psims p2 ON p2.q_id = c.q_id AND p2.a_id = c.n_id AND p2.b_id = s2.s2_id
+  WHERE c.n_id <> s1.s1_id AND c.n_id <> s2.s2_id
+),
+s3 AS (
+  SELECT q_id, n_id AS s3_id, score AS score3 FROM r3
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) = 1
+)
+SELECT q_id, pick, n_id, mmr_score FROM (
+  SELECT q_id, CAST(1 AS BIGINT) AS pick, s1_id AS n_id, score1 AS mmr_score FROM s1
+  UNION ALL SELECT q_id, 2, s2_id, score2 FROM s2
+  UNION ALL SELECT q_id, 3, s3_id, score3 FROM s3
+) ORDER BY q_id, pick"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s_mutual_knn", mutualKnn, Some(mutualKnnOracle)),
+    QueryDef("s_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
     QueryDef("s_hard_negatives", hardNegatives, Some(hardNegativesOracle)),
     QueryDef("s_matryoshka_recall", matryoshkaRecall, Some(matryoshkaOracle)),
