@@ -65,6 +65,57 @@ object TextDedup {
       .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact set-similarity join (AllPairs/SSJoin prefix
+    * filtering, Bayardo et al. WWW'07): same output as [[jaccardPairs]]
+    * (pairs with Jaccard >= threshold) but candidates are generated
+    * ONLY from each document's PREFIX — its first
+    * `p = n − ⌈τ·n⌉ + 1` shingles under a global (df ASC, shingle ASC)
+    * rarest-first total order. Any pair with J ≥ τ must share a prefix
+    * shingle (pigeonhole on the ⌈τ·n⌉ suffix), so completeness is
+    * guaranteed while the candidate join touches only rare shingles —
+    * the deterministic-threshold complement to probabilistic MinHash
+    * banding. ⌈τ·n⌉ is computed in INTEGER arithmetic
+    * (`(num·n + den − 1) div den`), so the prefix boundary can never
+    * drift between engines. The verify stage computes intersections
+    * only for candidate pairs (work ∝ Σ|candidate doc sizes|, never the
+    * full co-shingle join).
+    *
+    * The per-doc ranking window partitions on doc_id — bounded by
+    * document size, the same budget as shingling itself.
+    */
+  def ppjoinPairs(shingles: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen)
+    val threshold = tauNum.toDouble / tauDen
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = shingles.join(dfreq, Seq("shingle"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <=
+        col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val inter = cand
+      .join(shingles.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(shingles.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("_na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("_nb")), Seq("b_id"))
+      .withColumn("n_union", col("_na") + col("_nb") - col("n_inter"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"), col("jaccard"))
+  }
+
   /** Directed Jaccard CONTAINMENT over a shingle table: pairs where
     * one doc's shingle set is mostly inside the other's —
     * `containment(A in B) = |A∩B| / |A|`. Catches the asymmetric dups

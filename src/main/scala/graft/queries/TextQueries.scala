@@ -285,6 +285,18 @@ FROM p JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= ${D("0.5")}
 ORDER BY a_id, b_id"""
 
+  /** [[TextDedup.ppjoinPairs]] graded against the SAME oracle as
+    * `d_ngram_jaccard`: prefix filtering must lose no pair (a missed
+    * candidate flips the hash) while generating candidates only from
+    * rarest-first prefixes — the AllPairs/SSJoin guarantee,
+    * hash-enforced every run.
+    */
+  private def ppjoin(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.wordShingles(
+      Tables(s, dir, "documents"), "doc_id", "text", 3)
+    TextDedup.ppjoinPairs(sh, 1, 2).orderBy("a_id", "b_id")
+  }
+
   // --- directed containment (asymmetric near-dup) --------------------
   private def containment(s: SparkSession, dir: String): DataFrame = {
     val sh = TextDedup.wordShingles(
@@ -702,6 +714,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("t_fingerprint", fingerprintQ, Some(fingerprintOracle)),
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
+    QueryDef("d_ppjoin_pairs", ppjoin, Some(jaccardOracle)),
     QueryDef("d_containment", containment, Some(containmentOracle)),
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
     QueryDef("d_minhash_accuracy", minhashAccuracy, Some(minhashAccuracyOracle)),

@@ -688,4 +688,25 @@ class OperatorsSpec extends SparkSpec {
     assert(cums(1) == expected && cums(16) == expected,
       "prefix sums must not depend on the partition count")
   }
+
+  test("ppjoin prefix filtering loses no pair vs the full jaccard join") {
+    // near-dup pairs at several overlap levels + unrelated noise docs
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replace("tok20", "zzz"),               // J ≈ 17/19 of shingles
+      3L -> base.replace("tok10", "yyy"),               // mid-doc edit
+      4L -> (5 to 24).map(i => s"tok$i").mkString(" "), // shifted window
+      5L -> "completely different words here entirely now",
+      6L -> (1 to 20).map(i => s"other$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val sh = TextDedup.wordShingles(docs, "doc_id", "text", 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "n_inter", "n_union")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val full = key(TextDedup.jaccardPairs(sh, 0.5))
+    val pp = key(TextDedup.ppjoinPairs(sh, 1, 2))
+    assert(full.nonEmpty, "fixture must contain qualifying pairs")
+    assert(pp == full, "prefix filtering must be candidate-complete")
+  }
 }
