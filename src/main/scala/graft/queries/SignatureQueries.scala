@@ -290,6 +290,88 @@ FROM pred p JOIN embeddings q ON p.q_id = q.vec_id
 WHERE q.label IS NOT NULL
 GROUP BY 1 ORDER BY label"""
 
+  // --- nDCG@K ranking-quality eval ------------------------------------
+  /** nDCG@K of the exact cosine ranking against label-match relevance
+    * (neighbor label == query label → rel 1) — the standard
+    * ranking-quality readout for a retrieval stack. The log2 discount
+    * weights 1/log2(i+1) are pre-quantized to exact integer micro-units
+    * (position count is a constant K, so the table is literal), which
+    * makes DCG an order-independent INTEGER sum — float addition order
+    * can never flip the hash; nDCG is one double division against the
+    * ideal prefix sum. Zero-relevant queries emit NULL (0/0 guarded on
+    * both engines).
+    */
+  private val NdcgWeights: Seq[Long] = (1 to K).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private val NdcgCum: Seq[Long] = NdcgWeights.scanLeft(0L)(_ + _)
+
+  private def ndcgLabel(s: SparkSession, dir: String): DataFrame = {
+    val full = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    val labels = full.select(col("id").as("l_id"), col("label").cast("long").as("l_label"))
+      .where(col("l_label").isNotNull)
+    val top = Similarity.bruteForceTopK(
+        full.select(col("id"), col("vec")),
+        full.where(pmod(col("id"), lit(QueryStride)) === 0)
+          .select(col("id"), col("vec")), K)
+    val wLit = typedLit(NdcgWeights)
+    val cumLit = typedLit(NdcgCum)
+    top
+      .join(labels.select(col("l_id").as("n_id"), col("l_label").as("n_label")), Seq("n_id"))
+      .join(labels.select(col("l_id").as("q_id"), col("l_label").as("q_label")), Seq("q_id"))
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("n_rel"),
+        sum(when(col("n_label") === col("q_label"),
+          element_at(wLit, col("rank").cast("int"))).otherwise(0L)).as("dcg_micro"))
+      .select(col("q_id"), col("n_rel"), col("dcg_micro"),
+        when(col("n_rel") > 0,
+          col("dcg_micro").cast("double") /
+            element_at(cumLit, (col("n_rel") + 1).cast("int")).cast("double"))
+          .as("ndcg"))
+      .orderBy("q_id")
+  }
+
+  private val ndcgLabelOracle: String = {
+    val wCase = NdcgWeights.zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+    val cumCase = NdcgCum.zipWithIndex.drop(1)
+      .map { case (c, i) => s"WHEN $i THEN $c" }.mkString(" ")
+    s"""WITH $quantCtes,
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, n_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+      CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) DESC,
+      n_id) AS INT) AS rank
+  FROM dots JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+  QUALIFY rank <= $K
+),
+rel AS (
+  SELECT r.q_id, r.rank,
+    CASE WHEN CAST(ne.label AS BIGINT) = CAST(qe.label AS BIGINT)
+      THEN 1 ELSE 0 END AS rel
+  FROM ranked r
+  JOIN embeddings ne ON r.n_id = ne.vec_id
+  JOIN embeddings qe ON r.q_id = qe.vec_id
+  WHERE ne.label IS NOT NULL AND qe.label IS NOT NULL
+),
+agg AS (
+  SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+    CAST(SUM(rel * CASE rank $wCase END) AS BIGINT) AS dcg_micro
+  FROM rel GROUP BY 1
+)
+SELECT q_id, n_rel, dcg_micro,
+  CASE WHEN n_rel > 0 THEN CAST(dcg_micro AS DOUBLE)
+    / CAST(CASE CAST(n_rel AS INT) $cumCase END AS DOUBLE) END AS ndcg
+FROM agg ORDER BY q_id"""
+  }
+
   // --- perceptual-hash banded near-dup (multimodal payloads) ----------
   /** Image/audio near-dup discovery over opaque binary payloads: a
     * 60-bit perceptual hash per payload (STUB: top-60 md5 bits — swap
@@ -446,6 +528,7 @@ FROM m, ks GROUP BY 1 ORDER BY day_k"""
     QueryDef("s_int8_recall", int8Recall, Some(int8RecallOracle)),
     QueryDef("s_binary_rerank", binaryRerank, Some(binaryRerankOracle)),
     QueryDef("s_knn_accuracy", knnAccuracy, Some(knnAccuracyOracle)),
+    QueryDef("s_ndcg_label", ndcgLabel, Some(ndcgLabelOracle)),
     QueryDef("m_phash_pairs", phashPairs, Some(phashPairsOracle)),
     QueryDef("t_hash_embed", hashEmbed, Some(hashEmbedOracle)),
     QueryDef("ev_retention_bitmap", retentionBitmap, Some(retentionBitmapOracle)))
