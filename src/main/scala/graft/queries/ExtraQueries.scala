@@ -1095,7 +1095,85 @@ SELECT window_id, COUNT(*) AS n_orders, CAST(SUM(o_orderkey) AS BIGINT) AS key_s
 FROM a JOIN b ON a.lo < b.whi AND b.wlo < a.hi
 GROUP BY window_id ORDER BY window_id"""
 
+  // --- join-cardinality estimation (CBO statistics) -------------------
+  /** The estimate a cost-based optimizer makes before picking a join
+    * strategy, graded against ground truth: |R ⋈ S| ≈ Σ_buckets
+    * n_r(b)·n_s(b) / max(ndv_r(b), ndv_s(b)) over 16 md5-hash buckets
+    * of the key (the histogram-refined form), beside the coarse
+    * single-bucket estimate — measuring how much a 16-cell histogram
+    * closes the gap. The statistics pass is two map-side-combined
+    * aggregates (counts + exact NDVs per bucket — at 100 TB the NDV
+    * becomes the HLL sketch with identical dataflow); per-bucket
+    * estimates multiply in DOUBLE (overflow-safe at any row count,
+    * fixed op order) and floor to BIGINT before the exact sum. Ground
+    * truth is the one number a CBO never has — here it grades the
+    * estimator's error ratio end-to-end.
+    */
+  private val CardBuckets = 16
+
+  private def joinCardEstimate(s: SparkSession, dir: String): DataFrame = {
+    def bucket(k: Column): Column =
+      pmod(conv(substring(md5(k.cast("string")), 1, 2), 16, 10).cast("long"),
+        lit(CardBuckets.toLong))
+    val r = Tables(s, dir, "orders")
+      .groupBy(bucket(col("o_orderkey")).as("b"))
+      .agg(count(lit(1)).as("n_r"), countDistinct(col("o_orderkey")).as("ndv_r"))
+    val sTab = Tables(s, dir, "lineitem")
+      .groupBy(bucket(col("l_orderkey")).as("b"))
+      .agg(count(lit(1)).as("n_s"), countDistinct(col("l_orderkey")).as("ndv_s"))
+    val perBucket = r.join(sTab, Seq("b"))
+      .select(col("n_r"), col("ndv_r"), col("n_s"), col("ndv_s"),
+        floor(col("n_r").cast("double") * col("n_s").cast("double") /
+          greatest(col("ndv_r"), col("ndv_s")).cast("double")).cast("long")
+          .as("est_b"))
+      .agg(sum(col("n_r")).as("n_r"), sum(col("ndv_r")).as("ndv_r"),
+        sum(col("n_s")).as("n_s"), sum(col("ndv_s")).as("ndv_s"),
+        sum(col("est_b")).as("est_hist"))
+    val actual = Tables(s, dir, "orders").select(col("o_orderkey").as("k"))
+      .join(Tables(s, dir, "lineitem").select(col("l_orderkey").as("k")), Seq("k"))
+      .agg(count(lit(1)).as("actual"))
+    perBucket.crossJoin(actual)
+      .select(col("n_r"), col("ndv_r"), col("n_s"), col("ndv_s"),
+        floor(col("n_r").cast("double") * col("n_s").cast("double") /
+          greatest(col("ndv_r"), col("ndv_s")).cast("double")).cast("long")
+          .as("est_coarse"),
+        col("est_hist"), col("actual"),
+        (col("est_hist").cast("double") / col("actual").cast("double"))
+          .as("err_hist"))
+  }
+
+  private val joinCardOracle: String = s"""WITH r AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS BIGINT)
+    % $CardBuckets AS b,
+    COUNT(*) AS n_r, COUNT(DISTINCT o_orderkey) AS ndv_r
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 2)) AS BIGINT)
+    % $CardBuckets AS b,
+    COUNT(*) AS n_s, COUNT(DISTINCT l_orderkey) AS ndv_s
+  FROM lineitem GROUP BY 1
+),
+pb AS (
+  SELECT CAST(SUM(n_r) AS BIGINT) AS n_r, CAST(SUM(ndv_r) AS BIGINT) AS ndv_r,
+    CAST(SUM(n_s) AS BIGINT) AS n_s, CAST(SUM(ndv_s) AS BIGINT) AS ndv_s,
+    CAST(SUM(CAST(FLOOR(CAST(n_r AS DOUBLE) * CAST(n_s AS DOUBLE)
+      / CAST(GREATEST(ndv_r, ndv_s) AS DOUBLE)) AS BIGINT)) AS BIGINT) AS est_hist
+  FROM r JOIN s USING (b)
+),
+act AS (
+  SELECT COUNT(*) AS actual FROM orders o JOIN lineitem l
+    ON o.o_orderkey = l.l_orderkey
+)
+SELECT n_r, ndv_r, n_s, ndv_s,
+  CAST(FLOOR(CAST(n_r AS DOUBLE) * CAST(n_s AS DOUBLE)
+    / CAST(GREATEST(ndv_r, ndv_s) AS DOUBLE)) AS BIGINT) AS est_coarse,
+  est_hist, actual,
+  CAST(est_hist AS DOUBLE) / CAST(actual AS DOUBLE) AS err_hist
+FROM pb, act"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_join_card_estimate", joinCardEstimate, Some(joinCardOracle)),
     QueryDef("q_interval_overlap", intervalOverlap, Some(intervalOverlapOracle)),
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinOracle)),
     QueryDef("q_salted_skew_join", saltedSkewJoin, Some(saltedOracle)),
