@@ -290,6 +290,87 @@ FROM pred p JOIN embeddings q ON p.q_id = q.vec_id
 WHERE q.label IS NOT NULL
 GROUP BY 1 ORDER BY label"""
 
+  // --- nearest-centroid classifier accuracy ---------------------------
+  /** Per-label accuracy of a nearest-class-prototype classifier — the
+    * centroid sibling of [[knnAccuracy]] (kNN needs the corpus at
+    * inference; centroids need labels-cardinality state). The distance
+    * to a MEAN centroid is kept exact without ever materializing the
+    * rational mean: n²·‖v − S/n‖² = n²‖v‖² − 2n(v·S) + ‖S‖² is all
+    * BIGINT arithmetic on quantized sums (bounded: fits 64-bit through
+    * n ≈ 10⁵ per label at this quantization — past that the sums
+    * switch to the same micro-unit scaling as everything else), and
+    * the ONE deterministic double division per (vector, label) makes
+    * the argmin engine-portable. Centroid state is labels × dims —
+    * broadcast at any corpus size; scoring is one linear pass.
+    */
+  private def centroidAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val full = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").cast("long").as("label"))
+      .where(col("label").isNotNull)
+    val base = full.select(col("id"), col("label"),
+        Similarity.quantize(col("vec")).as("qv"))
+      .withColumn("nv", Similarity.normSqQ(col("qv")))
+    val sums = base
+      .select(col("label"), posexplode(col("qv")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i")).agg(sum(col("v")).as("sv"))
+    val cents = sums.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, sv))), x -> x.sv)").as("sarr"))
+      .withColumn("s2", Similarity.normSqQ(col("sarr")))
+      .join(base.groupBy(col("label")).agg(count(lit(1)).as("n")), Seq("label"))
+      .select(col("label").as("c_label"), col("sarr"), col("s2"), col("n"))
+    val scored = base.crossJoin(broadcast(cents))
+      .select(col("id"), col("label"), col("c_label"),
+        ((col("n") * col("n") * col("nv") -
+          lit(2L) * col("n") * Similarity.dotQ(col("qv"), col("sarr")) +
+          col("s2")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))).as("dist"))
+    val pred = scored.groupBy(col("id"), col("label"))
+      .agg(min(struct(col("dist"), col("c_label"))).as("m"))
+      .select(col("id"), col("label"), col("m.c_label").as("pred"))
+    pred.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_vectors").cast("double"))
+      .orderBy("label")
+  }
+
+  private val centroidAccuracyOracle: String = s"""WITH $quantCtes,
+lab AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+  WHERE label IS NOT NULL
+),
+sums AS (
+  SELECT l.label, f.i, CAST(SUM(f.e) AS BIGINT) AS sv
+  FROM flat f JOIN lab l ON f.vec_id = l.vec_id GROUP BY 1, 2
+),
+nl AS (SELECT label, COUNT(*) AS n FROM lab GROUP BY 1),
+ns AS (SELECT label, CAST(SUM(sv * sv) AS BIGINT) AS s2 FROM sums GROUP BY 1),
+dvs AS (
+  SELECT f.vec_id, s.label, CAST(SUM(f.e * s.sv) AS BIGINT) AS dvs
+  FROM flat f JOIN sums s ON f.i = s.i
+  WHERE f.vec_id IN (SELECT vec_id FROM lab)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_id, d.label AS c_label,
+    CAST(nl.n * nl.n * nm.nn - 2 * nl.n * d.dvs + ns.s2 AS DOUBLE)
+      / (CAST(nl.n AS DOUBLE) * CAST(nl.n AS DOUBLE)) AS dist
+  FROM dvs d JOIN nl ON d.label = nl.label JOIN ns ON d.label = ns.label
+  JOIN norms nm ON d.vec_id = nm.vec_id
+),
+pred AS (
+  SELECT vec_id, c_label AS pred FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c_label) = 1
+)
+SELECT l.label, COUNT(*) AS n_vectors,
+  CAST(SUM(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  CAST(SUM(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM pred p JOIN lab l ON p.vec_id = l.vec_id
+GROUP BY 1 ORDER BY label"""
+
   // --- nDCG@K ranking-quality eval ------------------------------------
   /** nDCG@K of the exact cosine ranking against label-match relevance
     * (neighbor label == query label → rel 1) — the standard
@@ -529,6 +610,7 @@ FROM m, ks GROUP BY 1 ORDER BY day_k"""
     QueryDef("s_binary_rerank", binaryRerank, Some(binaryRerankOracle)),
     QueryDef("s_knn_accuracy", knnAccuracy, Some(knnAccuracyOracle)),
     QueryDef("s_ndcg_label", ndcgLabel, Some(ndcgLabelOracle)),
+    QueryDef("s_centroid_accuracy", centroidAccuracy, Some(centroidAccuracyOracle)),
     QueryDef("m_phash_pairs", phashPairs, Some(phashPairsOracle)),
     QueryDef("t_hash_embed", hashEmbed, Some(hashEmbedOracle)),
     QueryDef("ev_retention_bitmap", retentionBitmap, Some(retentionBitmapOracle)))
