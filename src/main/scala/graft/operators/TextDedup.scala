@@ -86,24 +86,48 @@ object TextDedup {
   def ppjoinPairs(shingles: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen)
     val threshold = tauNum.toDouble / tauDen
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfreq = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // shingle strings are hashed ONCE to 60-bit md5 longs (the repo's
+    // engine-portable collision-free key, as in tableFingerprint) and
+    // never travel again: every downstream shuffle/join moves 8-byte
+    // keys instead of 3-word strings. Any global total order satisfies
+    // the prefix-filter guarantee, so (df ASC, h ASC) replaces
+    // (df ASC, shingle ASC).
+    val sh = shingles.select(col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = shingles.join(dfreq, Seq("shingle"))
-      .join(sizes, Seq("doc_id"))
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    // rank and doc size ride the SAME doc_id exchange (row_number's sort
+    // serves both) — no separate sizes join on the prefix path
+    val prefix = sh.join(dfreq, Seq("h"))
       .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
       .where(col("rk") <=
         col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col("doc_id"), col("shingle"))
-    val cand = prefix.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
-      .where(col("a_id") < col("b_id"))
+      .select(col("doc_id"), col("h"), col("rk"), col("n"))
+    // PPJoin's two candidate prunes (Xiao et al. WWW'08), both in exact
+    // integer arithmetic so neither boundary can drift:
+    //  - length filter: J >= τ forces τ·na <= nb <= na/τ;
+    //  - positional filter: at a shared token at ranks (rka, rkb) the
+    //    remaining overlap is <= 1 + min(na−rka, nb−rkb); a qualifying
+    //    pair needs overlap o >= α = ⌈τ(na+nb)/(1+τ)⌉, and the bound
+    //    holds at the pair's FIRST shared prefix token, so filtering
+    //    per-token then distinct keeps every qualifying pair.
+    val alpha = expr(s"($tauNum * (n + nb) + ${tauNum + tauDen - 1}) div ${tauNum + tauDen}")
+    val cand = prefix.select(col("doc_id").as("a_id"), col("h"),
+        col("rk"), col("n"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("h"),
+        col("rk").as("rkb"), col("n").as("nb")), Seq("h"))
+      .where(col("a_id") < col("b_id") &&
+        lit(tauNum) * col("n") <= lit(tauDen) * col("nb") &&
+        lit(tauNum) * col("nb") <= lit(tauDen) * col("n") &&
+        lit(1) + least(col("n") - col("rk"), col("nb") - col("rkb")) >= alpha)
       .select("a_id", "b_id").distinct()
     val inter = cand
-      .join(shingles.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
-      .join(shingles.select(col("doc_id").as("b_id"), col("shingle")),
-        Seq("b_id", "shingle"))
+      .join(sh.select(col("doc_id").as("a_id"), col("h")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_inter"))
     inter
