@@ -486,6 +486,41 @@ class PlanSpec extends SparkSpec {
       !wPlan.contains("CartesianProduct"), wPlan.take(1000))
   }
 
+  test("signature-layer queries: equi-join candidates, broadcast small sides") {
+    // ppjoin candidates + verify, mutual-kNN rank self-join, and phash
+    // banding are all EQUI-joins on hashed keys — a nested loop in any
+    // of them is the all-pairs anti-pattern the signatures exist to
+    // avoid. (The deliberate broadcast-cross scans of bruteForceTopK /
+    // binary Hamming ARE nested-loop-shaped by design, so those two
+    // queries are pinned separately below.)
+    for (name <- Seq("d_ppjoin_pairs", "s_mutual_knn", "m_phash_pairs")) {
+      val df = graft.SparkEntry.queries(name)(spark, Sf)
+      df.collect()
+      val plan = planOf(df)
+      assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"$name must not nested-loop:\n${plan.take(1500)}")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$name candidates must be an equi-join:\n${plan.take(1500)}")
+    }
+    // binary rerank: signatures scan against BROADCAST query signatures
+    // (8 bytes/vector stream past a tiny build side), shortlist via the
+    // map-side-partial bounded top-k — never a window rank
+    val br = graft.SparkEntry.queries("s_binary_rerank")(spark, Sf)
+    br.collect()
+    val brPlan = planOf(br)
+    assert(brPlan.contains("BroadcastExchange"), brPlan.take(1500))
+    assert(!brPlan.contains("Window"),
+      s"rerank must rank via bounded aggregates, not windows:\n${brPlan.take(1500)}")
+    // neighborhood jaccard: the bounded edge set is TakeOrdered'd then
+    // broadcast into the adjacency equi-joins
+    val nj = graft.SparkEntry.queries("g_neighbor_jaccard")(spark, Sf)
+    nj.collect()
+    val njPlan = planOf(nj)
+    assert(njPlan.contains("TakeOrderedAndProject"), njPlan.take(1500))
+    assert(njPlan.contains("BroadcastHashJoin"), njPlan.take(1500))
+    assert(!njPlan.contains("CartesianProduct"), njPlan.take(1500))
+  }
+
   test("fuzzy-pair discovery never nested-loops (band join is an equi-join)") {
     // The |Δlen| ≤ 2 block runs as lengthBandPairs (exploded length key
     // → hash join) in q_fuzzy_pairs / q_damerau_pairs / q_jaro_buckets,
