@@ -1171,6 +1171,65 @@ ORDER BY user_id"""
     * censoring enters as a second per-tick count without changing the
     * fold.
     */
+  /** MATCH_RECOGNIZE-style sequence-pattern detection: per 30-min-gap
+    * session, the ordered event-initial string (v=view, c=click,
+    * p=purchase, s=signup, e=error — initials are distinct by
+    * construction of this schema) is matched against the funnel
+    * pattern `v.*v.*p` (two views then a purchase, in order, gaps
+    * allowed) — the PATTERN (V ... V ... P) clause of SQL:2016 row
+    * pattern matching, built from the same lag/running-sum
+    * sessionization core as `ev_sessionize`. The per-session string is
+    * the one bounded materialization (sessions are gap-bounded; the
+    * slice cap of 200 events pins the worst case), sorted
+    * deterministically by (ms, event_id) inside the aggregate, so the
+    * regex input is bit-identical in both engines.
+    */
+  private def patternMatch(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("_ms"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .withColumn("is_new",
+        when(lag(col("_ms"), 1).over(wOrd).isNull ||
+          (col("_ms") - lag(col("_ms"), 1).over(wOrd)) > 1800000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr("concat_ws('', transform(slice(array_sort(collect_list(struct(_ms, event_id, ini))), 1, 200), x -> x.ini))")
+        .as("seq"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("seq").rlike("v.*v.*p"), 1L).otherwise(0L))
+          .as("n_funnel_sessions"),
+        max(length(col("seq"))).cast("long").as("max_len"))
+      .orderBy("user_id")
+  }
+
+  private val patternMatchOracle = """WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+    substring(event_type, 1, 1) AS ini
+  FROM events
+), g AS (
+  SELECT *, CASE WHEN LAG(ms, 1) OVER w IS NULL
+      OR ms - LAG(ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+), sid AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+), seqs AS (
+  SELECT user_id, sid,
+    array_to_string(list_slice(list(ini ORDER BY ms, event_id), 1, 200), '') AS seq
+  FROM sid GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+  CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*v.*p') THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_funnel_sessions,
+  CAST(MAX(length(seq)) AS BIGINT) AS max_len
+FROM seqs GROUP BY 1 ORDER BY user_id"""
+
   /** Per-session spans from the 30-minute-gap sessionization — the ONE
     * (user_id, sid) → (start_ms, end_ms) derivation shared by the
     * survival and concurrency queries (the same lag/running-sum core as
@@ -1490,6 +1549,7 @@ FROM l GROUP BY 1 ORDER BY event_type"""
     QueryDef("ev_hopping", hopping, Some(hoppingOracle)),
     QueryDef("ev_props_extract", propsExtract, Some(propsOracle)),
     QueryDef("ev_sessionize", sessionize, Some(sessionizeOracle)),
+    QueryDef("ev_pattern_match", patternMatch, Some(patternMatchOracle)),
     QueryDef("ev_rolling_1h", rolling, Some(rollingOracle)),
     QueryDef("ev_rolling_zscore", rollingZscore, Some(rollingZscoreOracle)),
     QueryDef("ev_rolling_zscore_chunked", rollingZscoreChunked, Some(rollingZscoreOracle)),

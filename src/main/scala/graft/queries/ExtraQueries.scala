@@ -1095,6 +1095,34 @@ SELECT window_id, COUNT(*) AS n_orders, CAST(SUM(o_orderkey) AS BIGINT) AS key_s
 FROM a JOIN b ON a.lo < b.whi AND b.wlo < a.hi
 GROUP BY window_id ORDER BY window_id"""
 
+  // --- catalog table roundtrip (saveAsTable / insertInto) -------------
+  /** The catalog-API path a warehouse deployment actually uses:
+    * `saveAsTable` registers a parquet table in the session catalog
+    * (path-pinned into scratch so repeated runs never pollute the
+    * working dir), `insertInto` appends by POSITION through the catalog
+    * (the write path every scheduled batch job takes), and the read
+    * goes through `spark.table` name resolution — graded end-to-end by
+    * aggregating the doubled rows. DROP + overwrite first makes the
+    * query idempotent under bench reps.
+    */
+  private def catalogTable(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "graft_nation_catalog"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val nation = Tables(s, dir, "nation")
+    nation.write.mode("overwrite")
+      .option("path", graft.util.Scratch.dir("graft_catalog_tbl") + "/t")
+      .saveAsTable(tbl)
+    nation.write.mode("append").insertInto(tbl)
+    s.table(tbl).groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_nationkey")).as("key_sum"))
+      .orderBy("n_regionkey")
+  }
+
+  private val catalogTableOracle: String = """SELECT n_regionkey,
+  CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+  CAST(2 * SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY 1 ORDER BY n_regionkey"""
+
   // --- join-cardinality estimation (CBO statistics) -------------------
   /** The estimate a cost-based optimizer makes before picking a join
     * strategy, graded against ground truth: |R ⋈ S| ≈ Σ_buckets
@@ -1174,6 +1202,7 @@ FROM pb, act"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_join_card_estimate", joinCardEstimate, Some(joinCardOracle)),
+    QueryDef("io_catalog_table", catalogTable, Some(catalogTableOracle)),
     QueryDef("q_interval_overlap", intervalOverlap, Some(intervalOverlapOracle)),
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinOracle)),
     QueryDef("q_salted_skew_join", saltedSkewJoin, Some(saltedOracle)),
