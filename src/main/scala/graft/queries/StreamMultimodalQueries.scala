@@ -146,6 +146,56 @@ WHERE sess < last_sess
    OR session_end_ms + $SessGapMs < (SELECT MAX(ms) FROM e) - $SessHorizonMs
 ORDER BY user_id, session_start_ms"""
 
+  /** Streaming CEP — [[EventStreams.cepSessions]] graded end-to-end:
+    * every finalized session carries its ordered event-initial string
+    * and the funnel-pattern (`v.*v.*p`) verdict. The oracle is the
+    * batch sessionization restated WITH the sequence payload
+    * (deterministic (ms, event_id) list order, 200-event slice) and
+    * the same emission cutoff as `stream_sessions_wm` (in-replay close
+    * OR timeout past the final watermark).
+    */
+  private def streamCepFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = EventStreams.eventsStream(s, s"$dir/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val out = EventStreams.cepSessions(events, "v.*v.*p", SessGapMs, "2 hours").toDF()
+    EventStreams.runToMemory(s, out, "graft_stream_cep", OutputMode.Append())
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  private val streamCepFunnelOracle = s"""WITH e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+    substring(event_type, 1, 1) AS ini
+  FROM events
+), l AS (
+  SELECT user_id, event_id, ms, ini,
+    LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev FROM e
+), s AS (
+  SELECT user_id, event_id, ms, ini,
+    CASE WHEN prev IS NULL OR ms - prev > $SessGapMs THEN 1 ELSE 0 END AS is_new
+  FROM l
+), g AS (
+  SELECT user_id, event_id, ms, ini,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM s
+), sess AS (
+  SELECT user_id, sess,
+    MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+    COUNT(*) AS n_events,
+    array_to_string(list_slice(list(ini ORDER BY ms, event_id), 1, 200), '') AS seq,
+    MAX(sess) OVER (PARTITION BY user_id) AS last_sess
+  FROM g GROUP BY user_id, sess
+)
+SELECT user_id, session_start_ms, session_end_ms,
+  CAST(n_events AS BIGINT) AS n_events, seq,
+  regexp_matches(seq, 'v.*v.*p') AS matched
+FROM sess
+WHERE sess < last_sess
+   OR session_end_ms + $SessGapMs < (SELECT MAX(ms) FROM e) - $SessHorizonMs
+ORDER BY user_id, session_start_ms"""
+
   /** Stream-static enrichment: the events stream joins the static
     * customer dimension (user_id → market segment, broadcast per
     * micro-batch) and aggregates per (segment, event_type). Graded
@@ -519,6 +569,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_dedup", streamDedup, Some(streamDedupOracle)),
     QueryDef("stream_dedup_wm", streamDedupWm, Some(streamDedupOracle)),
     QueryDef("stream_sessions_wm", streamSessionsWm, Some(streamSessionsWmOracle)),
+    QueryDef("stream_cep_funnel", streamCepFunnel, Some(streamCepFunnelOracle)),
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("stream_join_outer", streamJoinOuter, Some(streamJoinOuterOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),

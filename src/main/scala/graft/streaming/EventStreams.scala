@@ -169,6 +169,79 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  final case class CepBufEvent(ms: Long, eventId: Long, ini: String)
+  final case class CepState(startMs: Long, lastMs: Long, nEvents: Long,
+      buf: List[CepBufEvent])
+  final case class CepOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long, seq: String, matched: Boolean)
+
+  /** Streaming complex-event processing (CEP): the
+    * [[finalizedSessions]] session machine additionally carrying each
+    * open session's ordered event-initial buffer, so every finalized
+    * session emits with its sequence string and a regex PATTERN match
+    * verdict — the Flink-CEP / SQL:2016 MATCH_RECOGNIZE shape as a
+    * watermark-bounded streaming operator. State per open session is
+    * the buffer capped at `maxBuf` events, KEPT AS THE SMALLEST
+    * (ms, event_id) so the emitted string equals the batch twin's
+    * `slice(sorted, 1, maxBuf)` exactly; `n_events` still counts every
+    * event. Same merge/out-of-order/timeout semantics as
+    * [[finalizedSessions]] (in-gap backward merge, stray-old singleton
+    * emit, EventTimeTimeout tail close) — the session boundaries are
+    * bit-identical, only the payload is richer.
+    */
+  def cepSessions(events: Dataset[Event], pattern: String,
+      gapMs: Long = 1800000L, horizon: String = "2 hours",
+      maxBuf: Int = 200): Dataset[CepOut] = {
+    import events.sparkSession.implicits._
+    val rx = java.util.regex.Pattern.compile(pattern)
+    def insert(buf: List[CepBufEvent], e: CepBufEvent): List[CepBufEvent] =
+      if (buf.sizeIs < maxBuf) e :: buf
+      else (e :: buf).sortBy(x => (x.ms, x.eventId)).take(maxBuf)
+    def emit(userId: Long, s: CepState): CepOut = {
+      val seq = s.buf.sortBy(x => (x.ms, x.eventId)).iterator
+        .map(_.ini).mkString
+      CepOut(userId, s.startMs, s.lastMs, s.nEvents, seq,
+        rx.matcher(seq).find())
+    }
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[CepState]): Iterator[CepOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(emit(userId, s))
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        val out = Seq.newBuilder[CepOut]
+        var open = state.getOption
+        sorted.foreach { e =>
+          val ms = e.ts.getTime
+          val be = CepBufEvent(ms, e.event_id, e.event_type.substring(0, 1))
+          open match {
+            case Some(s) if ms >= s.startMs - gapMs && ms - s.lastMs <= gapMs =>
+              open = Some(CepState(math.min(s.startMs, ms),
+                math.max(s.lastMs, ms), s.nEvents + 1, insert(s.buf, be)))
+            case Some(s) if ms < s.startMs - gapMs =>
+              out += emit(userId, CepState(ms, ms, 1L, List(be)))
+            case Some(s) =>
+              out += emit(userId, s)
+              open = Some(CepState(ms, ms, 1L, List(be)))
+            case None =>
+              open = Some(CepState(ms, ms, 1L, List(be)))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+    events.withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
   /** Bounded-state streaming dedup — the 100 TB-of-stream shape:
     * `withWatermark(horizon)` + `dropDuplicatesWithinWatermark`, which
     * keeps the same emit-first semantics as [[dedupPairs]] for

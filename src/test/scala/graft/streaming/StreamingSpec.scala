@@ -736,4 +736,46 @@ class StreamingSpec extends SparkSpec {
         s"listener must see start+termination: ${started.get()}/${terminated.get()}")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("CEP sessions assemble the pattern across micro-batches and emit the verdict once") {
+    val dir = Files.createTempDirectory("graft_cep").toString
+    def ev(id: Long, user: Long, time: String, typ: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $time"), user, typ, 1.0)
+    def ms(time: String): Long = Timestamp.valueOf(s"2024-01-01 $time").getTime
+
+    // batch 1: u1 view,view (open session); u2 view,purchase (one v only)
+    writeBatch(dir, "b1", Seq(
+      ev(1, 1, "10:00:00", "view"), ev(2, 1, "10:05:00", "view"),
+      ev(3, 2, "10:00:00", "view"), ev(4, 2, "10:02:00", "purchase")))
+
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[EventStreams.Event]
+    val out = EventStreams.cepSessions(stream, "v.*v.*p",
+      gapMs = 30 * 60 * 1000, horizon = "1 hour").toDF()
+
+    spark.streams.active.filter(_.name == "cep_test").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cep_test").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: the purchase lands in a LATER micro-batch but inside
+      // u1's open session — the pattern must complete across batches
+      writeBatch(dir, "b2", Seq(ev(5, 1, "10:10:00", "purchase")))
+      q.processAllAvailable()
+      // batch 3: far-future event advances the watermark past both
+      // open-session timeouts → both sessions finalize
+      writeBatch(dir, "b3", Seq(ev(6, 9, "14:00:00", "click")))
+      q.processAllAvailable()
+      val rows = spark.table("cep_test")
+        .select("user_id", "session_start_ms", "n_events", "seq", "matched")
+        .as[(Long, Long, Long, String, Boolean)].collect().toSet
+      assert(rows.contains((1L, ms("10:00:00"), 3L, "vvp", true)),
+        s"u1's cross-batch session must emit vvp/matched: $rows")
+      assert(rows.contains((2L, ms("10:00:00"), 2L, "vp", false)),
+        s"u2's single-view session must emit vp/unmatched: $rows")
+      assert(rows.count(_._1 == 1L) == 1, s"one emission per session: $rows")
+    } finally q.stop()
+  }
 }
