@@ -166,6 +166,90 @@ GROUP BY token ORDER BY n DESC, token LIMIT 25"""
     * Overlapping occurrences each count ("aaa" → 2×(aa)), matching
     * reference BPE implementations. Top 30 = the merge-table head.
     */
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016) — three full
+    * learn-then-merge rounds, not just pair statistics: each round
+    * counts corpus-weighted adjacent symbol pairs over the CURRENT
+    * segmentation, picks the top pair ((support DESC, pair ASC) — the
+    * deterministic rule selection), and applies it greedily
+    * left-to-right to every word. The greedy merge is ONE codegen'd
+    * `replace` per round on a delimiter-encoded segmentation string
+    * (`··`-joined symbols; the pattern `·a··b·` consumes one delimiter
+    * from each side, so adjacent merge sites stay independent and both
+    * engines' left-to-right non-overlapping replace compute the exact
+    * BPE greedy pass). Work per round: one pair-count aggregate over
+    * the Heaps-law-bounded vocabulary + one narrow map — the driver
+    * sees only the 1-row rule per round, the kmeans-codebook pattern.
+    * Output: the 3 learned merge rules with their support.
+    */
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .where(col("w") =!= "" && length(col("w")).between(2, 20) &&
+        !col("w").contains("·"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var seg = words.select(col("n"), expr(
+      "concat('··', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '··'), '··')")
+      .as("seg"))
+    val rules = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to 3) {
+      val top = seg
+        .select(col("n"), expr("filter(split(seg, '·+'), x -> x != '')").as("t"))
+        .select(col("n"), expr(
+          "explode(transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS a, t[i] AS b)))")
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("support"))
+        .orderBy(col("support").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, sup) = (top.getString(0), top.getString(1), top.getLong(2))
+      rules += ((r.toLong, a, b, a + b, sup))
+      seg = seg.select(col("n"),
+        org.apache.spark.sql.functions.replace(col("seg"),
+          lit("·" + a + "··" + b + "·"), lit("·" + a + b + "·")).as("seg"))
+    }
+    import s.implicits._
+    rules.result().toDF("merge_round", "lhs", "rhs", "merged", "support")
+      .orderBy("merge_round")
+  }
+
+  private val bpeTrainOracle: String = {
+    def round(r: Int): String = s"""p$r AS (
+  SELECT t[i] AS a, t[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS support
+  FROM (
+    SELECT n, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM (SELECT n, list_filter(regexp_split_to_array(seg, '·+'), x -> x <> '') AS t
+          FROM seg$r)
+  ) GROUP BY 1, 2
+),
+r$r AS (SELECT a, b, support FROM p$r ORDER BY support DESC, a, b LIMIT 1),
+seg${r + 1} AS (
+  SELECT n, replace(seg,
+    '·' || (SELECT a FROM r$r) || '··' || (SELECT b FROM r$r) || '·',
+    '·' || (SELECT a FROM r$r) || (SELECT b FROM r$r) || '·') AS seg
+  FROM seg$r
+)"""
+    s"""WITH words AS (
+  SELECT w, COUNT(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w FROM documents
+  ) WHERE w <> '' AND length(w) BETWEEN 2 AND 20 AND NOT contains(w, '·')
+  GROUP BY 1
+),
+seg1 AS (
+  SELECT n, '··' || array_to_string(
+    list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)), '··')
+    || '··' AS seg
+  FROM words
+),
+${round(1)},
+${round(2)},
+${round(3)}
+SELECT merge_round, lhs, rhs, lhs || rhs AS merged, support FROM (
+  SELECT CAST(1 AS BIGINT) AS merge_round, a AS lhs, b AS rhs, support FROM r1
+  UNION ALL SELECT 2, a, b, support FROM r2
+  UNION ALL SELECT 3, a, b, support FROM r3
+) ORDER BY merge_round"""
+  }
+
   private def bpePairs(s: SparkSession, dir: String): DataFrame = {
     val words = Tables(s, dir, "documents")
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
@@ -1549,6 +1633,7 @@ SELECT metric, value FROM (
     QueryDef("t_length_buckets", lengthBuckets, Some(lengthBucketsOracle)),
     QueryDef("t_bigram_lm", bigramLm, Some(bigramLmOracle)),
     QueryDef("t_kn_score", knScore, Some(knScoreOracle)),
+    QueryDef("t_bpe_train", bpeTrain, Some(bpeTrainOracle)),
     QueryDef("t_dsir_weights", dsir, Some(dsirOracle)),
     QueryDef("t_train_val_split", trainValTest, Some(trainValTestOracle)),
     QueryDef("t_vocab_topk", vocabTopK, Some(vocabTopKOracle)),
