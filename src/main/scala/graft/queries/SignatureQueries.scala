@@ -178,7 +178,10 @@ GROUP BY x.q_id ORDER BY x.q_id"""
       .select(col("q_id"), col("n_id"), (-col("neg_h")).cast("long").as("hamming"))
     val base = e.select(col("id"), Similarity.quantize(col("vec")).as("qv"))
       .withColumn("nn", Similarity.normSqQ(col("qv")))
-    val qbase = base.select(col("id").as("jq"), col("qv").as("qqv"), col("nn").as("qn"))
+    // queries only — broadcasting the full base here would ship the
+    // whole corpus to every task
+    val qbase = base.where(pmod(col("id"), lit(QueryStride)) === 0)
+      .select(col("id").as("jq"), col("qv").as("qqv"), col("nn").as("qn"))
     val scored = short
       .join(base, short("n_id") === base("id"))
       .join(broadcast(qbase), col("q_id") === col("jq"))
@@ -289,6 +292,95 @@ SELECT CAST(q.label AS BIGINT) AS label, COUNT(*) AS n_queries,
 FROM pred p JOIN embeddings q ON p.q_id = q.vec_id
 WHERE q.label IS NOT NULL
 GROUP BY 1 ORDER BY label"""
+
+  // --- filtered vector search (pre-filter vs post-filter) -------------
+  /** The filtered-ANN deployment question: top-K *among vectors
+    * matching a metadata predicate* (here label == query's label). The
+    * PRE-FILTER path pushes the predicate under the scan and ranks
+    * exactly on the filtered subset — always correct, and in Spark the
+    * filter reaches the parquet scan for free. The POST-FILTER path
+    * ranks on an over-fetched unfiltered top-(4K) and filters after —
+    * what an opaque ANN index forces you to do — and loses whatever
+    * fell outside the over-fetch. Output: per query, how many of the
+    * true filtered top-K the post-filter path recovered — the number
+    * that decides whether your vector store needs real predicate
+    * pushdown at 100 TB.
+    */
+  private val FilterOverfetch = 4
+
+  private def filteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val full = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("label").cast("long").as("label"))
+      .where(col("label").isNotNull)
+    val qs = full.where(pmod(col("id"), lit(QueryStride)) === 0)
+    val labels = full.select(col("id").as("l_id"), col("label").as("l_label"))
+    // pre-filter: per query label, exact top-K within that label slice
+    val pre = full.select(col("label"), col("id"), col("vec"))
+      .join(qs.select(col("label"), col("id").as("q_id"),
+        col("vec").as("q_vec")), Seq("label"))
+      .where(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        Similarity.cosineQ(
+          Similarity.dotQ(Similarity.quantize(col("vec")),
+            Similarity.quantize(col("q_vec"))),
+          Similarity.normSqQ(Similarity.quantize(col("vec"))),
+          Similarity.normSqQ(Similarity.quantize(col("q_vec")))).as("cosine"))
+    val preTop = topK(pre, K, "cosine").select(col("q_id"), col("n_id"))
+    // post-filter: unfiltered top-(overfetch*K), then the predicate
+    val post = Similarity.bruteForceTopK(
+        full.select(col("id"), col("vec")),
+        qs.select(col("id"), col("vec")), FilterOverfetch * K)
+      .join(labels.select(col("l_id").as("n_id"), col("l_label").as("n_label")), Seq("n_id"))
+      .join(qs.select(col("id").as("q_id"), col("label").as("q_label")), Seq("q_id"))
+      .where(col("n_label") === col("q_label"))
+      .select(col("q_id").as("p_q"), col("n_id").as("p_n"))
+    preTop.join(post,
+        col("q_id") === col("p_q") && col("n_id") === col("p_n"), "left_semi")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_recovered"))
+      .select(col("q_id"), col("n_recovered"),
+        (col("n_recovered").cast("double") / K).as("recall"))
+      .orderBy("q_id")
+  }
+
+  private val filteredAnnOracle: String = s"""WITH $quantCtes,
+lab AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+  WHERE label IS NOT NULL
+),
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+    AND a.vec_id IN (SELECT vec_id FROM lab)
+    AND b.vec_id IN (SELECT vec_id FROM lab)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.q_id, d.n_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+  FROM dots d JOIN norms na ON d.q_id = na.vec_id JOIN norms nb ON d.n_id = nb.vec_id
+),
+pre AS (
+  SELECT s.q_id, s.n_id FROM scored s
+  JOIN lab lq ON s.q_id = lq.vec_id JOIN lab ln ON s.n_id = ln.vec_id
+  WHERE lq.label = ln.label
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY s.cosine DESC, s.n_id) <= $K
+),
+post AS (
+  SELECT q_id, n_id FROM (
+    SELECT s.q_id, s.n_id,
+      ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY s.cosine DESC, s.n_id) AS rk
+    FROM scored s
+  ) r
+  JOIN lab lq ON r.q_id = lq.vec_id JOIN lab ln ON r.n_id = ln.vec_id
+  WHERE r.rk <= ${FilterOverfetch * K} AND lq.label = ln.label
+)
+SELECT p.q_id, COUNT(*) AS n_recovered,
+  CAST(COUNT(*) AS DOUBLE) / ${D(K.toString)} AS recall
+FROM pre p JOIN post ON p.q_id = post.q_id AND p.n_id = post.n_id
+GROUP BY 1 ORDER BY p.q_id"""
 
   // --- nearest-centroid classifier accuracy ---------------------------
   /** Per-label accuracy of a nearest-class-prototype classifier — the
@@ -611,6 +703,7 @@ FROM m, ks GROUP BY 1 ORDER BY day_k"""
     QueryDef("s_knn_accuracy", knnAccuracy, Some(knnAccuracyOracle)),
     QueryDef("s_ndcg_label", ndcgLabel, Some(ndcgLabelOracle)),
     QueryDef("s_centroid_accuracy", centroidAccuracy, Some(centroidAccuracyOracle)),
+    QueryDef("s_filtered_ann", filteredAnn, Some(filteredAnnOracle)),
     QueryDef("m_phash_pairs", phashPairs, Some(phashPairsOracle)),
     QueryDef("t_hash_embed", hashEmbed, Some(hashEmbedOracle)),
     QueryDef("ev_retention_bitmap", retentionBitmap, Some(retentionBitmapOracle)))
