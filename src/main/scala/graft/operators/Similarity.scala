@@ -67,13 +67,14 @@ object Similarity {
     * O(partitions × k) rows per query. Ordering (cosine DESC, n_id ASC)
     * is identical to the window's, so ranks are bit-for-bit the same.
     */
-  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def perQueryTopK(scored: DataFrame, k: Int,
+      scoreCol: String = "cosine"): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(graft.functions.TopKPairs.topK(k)(
-        col("cosine"), col("n_id").cast("long")).as("top"))
+        col(scoreCol), col("n_id").cast("long")).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("p", "x")))
       .select(col("q_id"), (col("p") + 1).as("rank"),
-        col("x._2").as("n_id"), col("x._1").as("cosine"))
+        col("x._2").as("n_id"), col("x._1").as(scoreCol))
 
   /** Brute-force cosine top-k: for each query vector (small set,
     * broadcast), the k nearest non-identical vectors. `emb` must have

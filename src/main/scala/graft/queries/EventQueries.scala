@@ -59,18 +59,29 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket"""
   /** Gap-based sessionization (30-minute inactivity), the lag/window
     * formulation; ms-epoch keys make Spark-µs vs DuckDB-ns invisible.
     */
-  private def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms"))
-      .withColumn("prev", lag(col("_ms"), 1).over(w))
-      .withColumn("is_new",
-        when(col("prev").isNull || (col("_ms") - col("prev")) > 1800000L, 1)
+  /** THE 30-minute-gap per-event session-id assignment (lag gap flag +
+    * running sum over the one (user_id) exchange) — the single core
+    * under `ev_sessionize`, `ev_pattern_match`, and [[sessionSpans]]'s
+    * consumers; a gap-rule or ordering change belongs here, nowhere
+    * else. Input needs (user_id, event_id, _ms); extra columns ride
+    * along untouched.
+    */
+  private def withSessionIds(df: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("is_new",
+        when(lag(col("_ms"), 1).over(wOrd).isNull ||
+          (col("_ms") - lag(col("_ms"), 1).over(wOrd)) > 1800000L, 1)
           .otherwise(0))
-      .groupBy(col("user_id"))
-      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
-      .orderBy("user_id")
+      .withColumn("sid", sum(col("is_new")).over(wRun))
   }
+
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    withSessionIds(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms")))
+      .groupBy(col("user_id"))
+      .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
 
   /** Debounce (near-duplicate event suppression): an event is noise if
     * it follows the PREVIOUS event of the same (user, type) within 5 s
@@ -1185,17 +1196,10 @@ ORDER BY user_id"""
     * regex input is bit-identical in both engines.
     */
   private def patternMatch(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(s, dir)
+    withSessionIds(Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("_ms"),
-        substring(col("event_type"), 1, 1).as("ini"))
-      .withColumn("is_new",
-        when(lag(col("_ms"), 1).over(wOrd).isNull ||
-          (col("_ms") - lag(col("_ms"), 1).over(wOrd)) > 1800000L, 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("is_new")).over(wRun))
+        substring(col("event_type"), 1, 1).as("ini")))
       .groupBy(col("user_id"), col("sid"))
       .agg(expr("concat_ws('', transform(slice(array_sort(collect_list(struct(_ms, event_id, ini))), 1, 200), x -> x.ini))")
         .as("seq"))
@@ -1236,19 +1240,11 @@ FROM seqs GROUP BY 1 ORDER BY user_id"""
     * `ev_sessionize`; a gap-constant change belongs here, not in each
     * consumer).
     */
-  private def sessionSpans(s: SparkSession, dir: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("_ms"), col("event_id"))
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms"))
-      .withColumn("is_new",
-        when(lag(col("_ms"), 1).over(wOrd).isNull ||
-          (col("_ms") - lag(col("_ms"), 1).over(wOrd)) > 1800000L, 1)
-          .otherwise(0))
-      .withColumn("sid", sum(col("is_new")).over(wRun))
+  private def sessionSpans(s: SparkSession, dir: String): DataFrame =
+    withSessionIds(Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("_ms")))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("_ms")).as("start_ms"), max(col("_ms")).as("end_ms"))
-  }
 
   private def survival(s: SparkSession, dir: String): DataFrame = {
     val sess = sessionSpans(s, dir)

@@ -655,7 +655,20 @@ FROM p GROUP BY 1 ORDER BY pct_bucket"""
     // path the scaladoc promises, not a quadratic length block.
     val a = sup.select(col("id").as("a_id"), col("nm").as("a_nm"))
     val b = sup.select(col("id").as("b_id"), col("nm").as("b_nm"))
+    // PassJoin is candidate-complete only for len >= d+1 = 3 (its own
+    // documented contract); names shorter than that can still match
+    // partners up to len+d, so the tiny len <= d+2 slice goes through
+    // the length-band EQUI-join as a supplement (empty on this corpus's
+    // fixed-width names, and at scale bounded by the short-string
+    // population — both paths stay hash joins, see PlanSpec).
+    val shortCand = graft.operators.EditBlocking.lengthBandPairs(
+        sup.where(length(col("nm")) <= 4), 2)
+      .where(least(length(col("a_nm")), length(col("b_nm"))) <= 2)
+      .select("a_id", "b_id")
     val edges = graft.operators.EditBlocking.passJoinCandidates(sup, 2)
+      .select("a_id", "b_id")
+      .union(shortCand)
+      .distinct()
       .join(a, "a_id").join(b, "b_id")
       .where(levenshtein(col("a_nm"), col("b_nm")) <= 2)
       .select("a_id", "b_id")

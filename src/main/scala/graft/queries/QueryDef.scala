@@ -107,4 +107,23 @@ object Sql {
     val whens = m.map { case (k, v) => s"WHEN '${k.replace("'", "''")}' THEN ${D(v)}" }
     s"CASE $keyExpr ${whens.mkString(" ")} ELSE ${D(default)} END"
   }
+
+  /** Shared embedding-oracle prelude — quantized vectors flattened to
+    * (vec_id, i, e) BIGINT components + per-vector squared norms, the
+    * SQL twin of [[graft.operators.Similarity.quantize]]/`normSqQ`.
+    * ONE copy: every vector-query oracle (SimilarityQueries,
+    * SignatureQueries) interpolates this, so the quantization contract
+    * cannot drift between oracle families.
+    */
+  val quantCtes: String = s"""q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${graft.operators.Similarity.Scale} + ${D("0.5")}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, unnest(qv) AS e, unnest(generate_series(1, len(qv))) AS i FROM q
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(e * e) AS BIGINT) AS nn FROM flat GROUP BY vec_id
+)"""
 }

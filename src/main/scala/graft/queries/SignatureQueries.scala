@@ -31,34 +31,15 @@ object SignatureQueries {
     Tables(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
-  /** Shared DuckDB CTE prelude: quantized vectors flattened to
-    * (vec_id, i, e) BIGINT components + per-vector squared norms
-    * (lockstep copy of the SimilarityQueries prelude — the gate keeps
-    * them honest since both grade against [[Similarity.quantize]]).
-    */
-  private val quantCtes: String = s"""q AS (
-  SELECT vec_id,
-    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${Similarity.Scale} + ${D("0.5")}) AS BIGINT)) AS qv
-  FROM embeddings
-),
-flat AS (
-  SELECT vec_id, unnest(qv) AS e, unnest(generate_series(1, len(qv))) AS i FROM q
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(e * e) AS BIGINT) AS nn FROM flat GROUP BY vec_id
-)"""
+  /** Shared DuckDB CTE prelude — the single [[Sql.quantCtes]] copy. */
+  private val quantCtes: String = Sql.quantCtes
 
-  /** Per-query top-k via the bounded [[graft.functions.TopKPairs]]
-    * combine — identical ordering (score DESC, id ASC) to a ranked
-    * window, O(partitions × k) shuffle rows per query.
+  /** Per-query top-k — the ONE bounded-combine ranking implementation
+    * ([[Similarity.perQueryTopK]]): (score DESC, id ASC) ordering,
+    * O(partitions × k) shuffle rows per query.
     */
   private def topK(scored: DataFrame, k: Int, score: String): DataFrame =
-    scored.groupBy(col("q_id"))
-      .agg(graft.functions.TopKPairs.topK(k)(
-        col(score), col("n_id").cast("long")).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("p", "x")))
-      .select(col("q_id"), (col("p") + 1).as("rank"),
-        col("x._2").as("n_id"), col("x._1").as(score))
+    Similarity.perQueryTopK(scored, k, score)
 
   // --- int8 scalar quantization recall --------------------------------
   /** Recall@K of int8 scalar-quantized cosine against full-precision

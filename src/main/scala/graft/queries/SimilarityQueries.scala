@@ -125,20 +125,8 @@ dots AS (
 )
 SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
-  /** Shared oracle plumbing: quantized vectors flattened to
-    * (vec_id, i, e) with BIGINT components.
-    */
-  private val quantCtes: String = s"""q AS (
-  SELECT vec_id,
-    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * ${Similarity.Scale} + ${D("0.5")}) AS BIGINT)) AS qv
-  FROM embeddings
-),
-flat AS (
-  SELECT vec_id, unnest(qv) AS e, unnest(generate_series(1, len(qv))) AS i FROM q
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(e * e) AS BIGINT) AS nn FROM flat GROUP BY vec_id
-)"""
+  /** Shared oracle plumbing — the single [[Sql.quantCtes]] copy. */
+  private val quantCtes: String = Sql.quantCtes
 
   private val topkOracle: String = s"""WITH $quantCtes,
 dots AS (

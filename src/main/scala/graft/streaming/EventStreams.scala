@@ -55,17 +55,22 @@ object EventStreams {
 
   /** 30-minute-gap sessionization, incremental: per-user state carries
     * (last event ms, session count, event count) across micro-batches.
-    * Within a batch events are sorted by (ms, nanos, event_id) — full
-    * timestamp precision, so the fold order equals the batch/oracle
-    * (ts, event_id) total order even for same-millisecond events;
-    * iterator order from shuffle is not deterministic, the sort makes
-    * the result so.
+    * Within a batch events are sorted by (ms, event_id) — the SAME
+    * total order this operator family's oracles use (`ORDER BY
+    * epoch_ms(ts), event_id`); iterator order from shuffle is not
+    * deterministic, the sort makes the result so. Two sort-order
+    * families exist deliberately: operators whose oracles order by
+    * millisecond epoch sort (ms, event_id); [[EwmaProcessor]] — whose
+    * batch twin and oracle fold by the FULL-precision timestamp —
+    * sorts (ms, nanos, event_id). An operator must match ITS oracle,
+    * and one key cannot satisfy both when two same-user events share a
+    * millisecond with sub-ms order opposite to their id order.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     def update(userId: Long, it: Iterator[Event],
         state: GroupState[SessionState]): UserSessions = {
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
       sorted.foreach { e =>
         val ms = e.ts.getTime
@@ -132,7 +137,7 @@ object EventStreams {
         state.remove()
         Iterator(SessionOut(userId, s.startMs, s.lastMs, s.nEvents))
       } else {
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         val out = Seq.newBuilder[SessionOut]
         var open = state.getOption
         sorted.foreach { e =>
@@ -210,12 +215,16 @@ object EventStreams {
         state.remove()
         Iterator(emit(userId, s))
       } else {
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         val out = Seq.newBuilder[CepOut]
         var open = state.getOption
         sorted.foreach { e =>
           val ms = e.ts.getTime
-          val be = CepBufEvent(ms, e.event_id, e.event_type.substring(0, 1))
+          // total like the batch twin's SQL substring: "" for an empty
+          // or null type, never an exception inside the state function
+          val ini = Option(e.event_type).filter(_.nonEmpty)
+            .map(_.substring(0, 1)).getOrElse("")
+          val be = CepBufEvent(ms, e.event_id, ini)
           open match {
             case Some(s) if ms >= s.startMs - gapMs && ms - s.lastMs <= gapMs =>
               open = Some(CepState(math.min(s.startMs, ms),
@@ -336,7 +345,7 @@ object EventStreams {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[RunningOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
       val out = sorted.map { e =>
         n += 1
