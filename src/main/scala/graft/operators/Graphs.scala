@@ -157,6 +157,118 @@ object Graphs {
     }
   }
 
+  /** HITS hubs & authorities in fixed-point micro-units (integer-exact).
+    *
+    * h₀(v) = 1e6. Per iteration: rawAuth(v) = Σ over in-edges h(u)·w;
+    * auth = rawAuth div max(ΣrawAuth div 1e6, 1) — i.e. sum-normalized
+    * to ≈1e6 total mass via a DIVISOR scale-down rather than a
+    * numerator scale-up (rawAuth·1e6 would overflow Long once edge
+    * mass passes ~1e12; rawAuth div (sum div 1e6) never can, at any
+    * SF). rawHub(u) = Σ over out-edges auth(v)·w, same normalization.
+    * Every op is Long floor arithmetic, so any engine that floors the
+    * same way reproduces the exact trajectory.
+    *
+    * Scale shape: per half-iteration ONE join of the (node, score)
+    * vector onto the edge list (broadcast while small — the vector is
+    * one long per node) + one aggregation on the far endpoint; the
+    * normalizing sum is a scalar crossJoin, not a collect. Edges are
+    * persisted once across iterations.
+    *
+    * @param edges (src, dst, w: long weight ≥ 1) directed
+    * @param nodes single-column node universe
+    * @return (node, auth_micro, hub_micro) — exact longs
+    */
+  def hits(edges: DataFrame, nodes: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val nodeCol = nodes.columns.head
+    val nds = nodes.select(col(nodeCol).cast("long").as("node")).persist()
+    val e = edges.select(col("src"), col("dst"), col("w")).persist()
+    e.count()
+    try {
+      def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+        // scale-down divisor d = max(Σraw div 1e6, 1): overflow-free twin
+        // of raw·1e6 div Σraw (see scaladoc)
+        val d = raw.agg(
+          greatest(expr(s"sum($scoreCol) div 1000000"), lit(1L)).as("d"))
+        nds.join(raw.crossJoin(d)
+            .select(col("node"), expr(s"$scoreCol div d").as(scoreCol)),
+            Seq("node"), "left")
+          .na.fill(0L, Seq(scoreCol))
+      }
+      var hub = nds.withColumn("h", lit(1000000L))
+      var auth = nds.withColumn("a", lit(0L))
+      for (_ <- 1 to iterations) {
+        val rawAuth = e.join(hub.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("h") * col("w")).as("a"))
+        auth = normalized(rawAuth, "a").localCheckpoint()
+        val rawHub = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("a") * col("w")).as("h"))
+        hub = normalized(rawHub, "h").localCheckpoint()
+      }
+      auth.join(hub, "node")
+        .select(col("node"), col("a").as("auth_micro"), col("h").as("hub_micro"))
+        .localCheckpoint(eager = true)
+    } finally {
+      e.unpersist(blocking = false)
+      nds.unpersist(blocking = false)
+    }
+  }
+
+  /** Per-node exact triangle counts via the same degree-ordered wedge
+    * orientation as [[triangleCensus]] — each triangle materializes
+    * exactly once (at its unique two-out-edge node), then credits all
+    * three corners. The orientation bounds every out-degree at O(√E),
+    * so the wedge join cannot explode on hubs; the closing-edge match
+    * is an equi-join on (x, y). Returns (node, n_tri) for nodes in ≥1
+    * triangle.
+    */
+  def localTriangles(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("a", "b").where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .persist()
+    val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("v").as("a"), col("deg").as("deg_a"))
+    val db = deg.select(col("v").as("b"), col("deg").as("deg_b"))
+    val oriented = p.join(da, "a").join(db, "b")
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+          (col("deg_a") === col("deg_b") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("t")))
+          .otherwise(struct(col("b").as("u"), col("a").as("t"))).as("e"))
+      .select(col("e.u").as("u"), col("e.t").as("t"))
+      .persist()
+    val nEdges = oriented.count()
+    try {
+      val o1 = oriented.select(col("u"), col("t").as("x"))
+      val o2 = oriented.select(col("u"), col("t").as("y"))
+      val wedgesAll = o1.join(o2, "u").where(col("x") < col("y"))
+      val closing = p.select(col("a").as("x"), col("b").as("y"))
+      // same bloom prefilter as triangleCensus: cut the wedge shuffle
+      // to ~triangles + 1% of wedges before the exact join
+      val wedges =
+        if (nEdges > 0 && nEdges <= 100000000L) {
+          val bits = math.max(1L << 16, 12L * nEdges)
+          val bf = p.select(xxhash64(col("a"), col("b")).as("h"))
+            .agg(graft.plans.BloomFilters.bloomAgg(col("h"), nEdges, bits))
+            .head().getAs[Array[Byte]](0)
+          wedgesAll.where(graft.plans.BloomFilters.mightContain(
+            lit(bf), xxhash64(col("x"), col("y"))))
+        } else wedgesAll
+      // inner join (not semi): each closed wedge IS one triangle
+      // (u, x, y) — explode its three corners and count per node
+      val triNodes = wedges.join(closing, Seq("x", "y"))
+        .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      triNodes.groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+        .localCheckpoint(eager = true)
+    } finally {
+      oriented.unpersist(blocking = false)
+      p.unpersist(blocking = false)
+    }
+  }
+
   /** Per-user ordered transition edges from an event log: consecutive
     * (k, next k) within each user, ordered by the raw nanosecond
     * timestamp with `event_id` as the total-order tiebreak (ns ties

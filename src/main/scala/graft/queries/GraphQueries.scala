@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Graphs
@@ -564,7 +565,190 @@ FROM top t LEFT JOIN common c ON t.a = c.a AND t.b = c.b
 JOIN deg da ON da.u = t.a JOIN deg db ON db.u = t.b
 ORDER BY t.a, t.b"""
 
+  // --- HITS hubs & authorities (fixed-point, 2 iterations) ------------
+  /** [[Graphs.hits]] over the same per-user k-value transition graph as
+    * `g_pagerank`: 2 iterations of sum-normalized integer HITS; top 20
+    * nodes by authority. Normalization divides by (Σraw div 1e6) — a
+    * divisor scale-DOWN, so no intermediate can overflow Long at any
+    * SF (see the operator scaladoc). The oracle unrolls both
+    * half-iterations per round as chained CTEs running the identical
+    * floor arithmetic.
+    */
+  private def hitsQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
+    val edges = Graphs.transitionEdges(ev, k)
+    val nodes = ev.select(regexp_extract(col("props"), kExpr, 1)
+      .cast("long").as("node")).distinct()
+    Graphs.hits(edges, nodes, 2)
+      .orderBy(col("auth_micro").desc, col("node"))
+      .limit(20)
+  }
+
+  private val hitsOracle: String = {
+    val iters = (1 to 2).map { i =>
+      s"""ra$i AS (
+  SELECT e.dst AS node, SUM(h.h * e.w) AS a
+  FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1
+), da$i AS (SELECT GREATEST(SUM(a) // 1000000, 1) AS d FROM ra$i),
+a$i AS (
+  SELECT n.node, CAST(COALESCE(r.a // da$i.d, 0) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN ra$i r ON r.node = n.node, da$i
+), rh$i AS (
+  SELECT e.src AS node, SUM(a.a * e.w) AS h
+  FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1
+), dh$i AS (SELECT GREATEST(SUM(h) // 1000000, 1) AS d FROM rh$i),
+h$i AS (
+  SELECT n.node, CAST(COALESCE(r.h // dh$i.d, 0) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN rh$i r ON r.node = n.node, dh$i
+)"""
+    }.mkString(",\n")
+    s"""WITH ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\\s*:\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), e AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ek
+), h0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes
+),
+$iters
+SELECT a2.node, a2.a AS auth_micro, h2.h AS hub_micro
+FROM a2 JOIN h2 ON a2.node = h2.node
+ORDER BY auth_micro DESC, a2.node LIMIT 20"""
+  }
+
+  // --- per-node local clustering coefficient --------------------------
+  /** [[Graphs.localTriangles]] over the co-order graph joined back onto
+    * degrees: coeff(v) = 2·T(v) / (deg·(deg−1)), one double division
+    * of exact integers. Top 25 triangle-dense nodes (deg ≥ 2). The
+    * Spark side's degree-ordered orientation + bloom-prefiltered
+    * closing join must reproduce the oracle's naive a<b<c 3-way
+    * self-join per-corner counts exactly.
+    */
+  private def localClustering(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir)
+    val tri = Graphs.localTriangles(pairs)
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("node"), col("deg"), col("n_tri"),
+        ((col("n_tri") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("coeff"))
+      .orderBy(col("coeff").desc, col("node"))
+      .limit(25)
+  }
+
+  private val localClusteringOracle = """WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), deg AS (
+  SELECT v AS node, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p) GROUP BY 1
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM p e1 JOIN p e2 ON e1.b = e2.a
+    JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+), tn AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), cnt AS (
+  SELECT node, COUNT(*) AS n_tri FROM tn GROUP BY 1
+)
+SELECT d.node, d.deg, CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+  CAST(2 * COALESCE(c.n_tri, 0) AS DOUBLE)
+    / CAST(d.deg * (d.deg - 1) AS DOUBLE) AS coeff
+FROM deg d LEFT JOIN cnt c ON c.node = d.node
+WHERE d.deg >= 2
+ORDER BY coeff DESC, d.node LIMIT 25"""
+
+  // --- link prediction: resource-allocation index ---------------------
+  /** Resource-allocation link prediction from a BOUNDED source set (the
+    * 20 highest-degree parts): for each source, score every
+    * non-adjacent 2-hop neighbor c by RA(s,c) = Σ over common
+    * neighbors w of 1e6 div deg(w) (exact integer — RA instead of
+    * Adamic-Adar's 1/log so no libm in the hash path), keep each
+    * source's top 3. The scale shape: candidates come from a 2-hop
+    * walk out of 20 broadcast sources — work is Σ_s Σ_{w∈N(s)} deg(w),
+    * never the all-pairs wedge explosion; adjacency is removed with
+    * one anti-join.
+    */
+  private val LinkPredSources = 20
+
+  private def linkPredRa(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir).localCheckpoint()
+    val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val sources = deg.orderBy(col("deg").desc, col("u"))
+      .limit(LinkPredSources).select(col("u").as("s"))
+    val hop1 = broadcast(sources)
+      .join(sym.select(col("u").as("s"), col("v").as("w")), Seq("s"))
+    val hop2 = hop1
+      .join(sym.select(col("u").as("w"), col("v").as("c")), Seq("w"))
+      .where(col("c") =!= col("s"))
+    val nonAdj = hop2.join(
+      sym.select(col("u").as("s"), col("v").as("c")), Seq("s", "c"),
+      "left_anti")
+    val scored = nonAdj
+      .join(deg.select(col("u").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .groupBy(col("s"), col("c"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div deg_w")).as("ra_micro"))
+    val win = Window.partitionBy(col("s"))
+      .orderBy(col("ra_micro").desc, col("c"))
+    scored.withColumn("rk", row_number().over(win)).where(col("rk") <= 3)
+      .select(col("s").as("source"), col("c").as("candidate"),
+        col("n_common"), col("ra_micro"))
+      .orderBy(col("source"), col("ra_micro").desc, col("candidate"))
+  }
+
+  private val linkPredRaOracle = s"""WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), sym AS (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1
+), src AS (
+  SELECT u AS s FROM deg
+  QUALIFY ROW_NUMBER() OVER (ORDER BY deg DESC, u) <= $LinkPredSources
+), hop2 AS (
+  SELECT src.s, s1.v AS w, s2.v AS c
+  FROM src JOIN sym s1 ON s1.u = src.s JOIN sym s2 ON s2.u = s1.v
+  WHERE s2.v <> src.s
+), nonadj AS (
+  SELECT h.s, h.w, h.c FROM hop2 h
+  WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.u = h.s AND e.v = h.c)
+), scored AS (
+  SELECT s, c, COUNT(*) AS n_common,
+    CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro
+  FROM nonadj JOIN deg d ON d.u = nonadj.w
+  GROUP BY 1, 2
+)
+SELECT s AS source, c AS candidate, n_common, ra_micro
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY ra_micro DESC, c) <= 3
+ORDER BY source, ra_micro DESC, candidate"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_hits", hitsQ, Some(hitsOracle)),
+    QueryDef("g_local_clustering", localClustering, Some(localClusteringOracle)),
+    QueryDef("g_link_pred_ra", linkPredRa, Some(linkPredRaOracle)),
     QueryDef("g_neighbor_jaccard", neighborJaccard, Some(neighborJaccardOracle)),
     QueryDef("g_modularity", modularity, Some(modularityOracle)),
     QueryDef("g_kcore", kcore, Some(kcoreOracle)),

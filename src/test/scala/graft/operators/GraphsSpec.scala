@@ -86,6 +86,58 @@ class GraphsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("hits: directed star — all authority lands on the center") {
+    // 1->3, 2->3: rawAuth(3) = h(1)+h(2) = 2e6; d = 2e6 div 1e6 = 2;
+    // auth(3) = 1e6, auth(1) = auth(2) = 0; rawHub(1) = rawHub(2) = 1e6,
+    // d = 2 -> hub(1) = hub(2) = 500000, hub(3) = 0. Iteration 2 is the
+    // fixed point of the same shape.
+    val edges = Seq((1L, 3L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val got = Graphs.hits(edges, nodes, 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(3L) == ((1000000L, 0L)))
+    assert(got(1L) == ((0L, 500000L)))
+    assert(got(2L) == ((0L, 500000L)))
+  }
+
+  test("hits: weighted edge dominates the authority split") {
+    // 1->2 w=3, 1->3 w=1: rawAuth = (3e6, 1e6), d = 4; auth = (750000,
+    // 250000); rawHub(1) = 750000*3 + 250000*1 = 2.5e6, d = 2 ->
+    // hub(1) = 1250000.
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val got = Graphs.hits(edges, nodes, 1)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2L)._1 == 750000L)
+    assert(got(3L)._1 == 250000L)
+    assert(got(1L)._2 == 1250000L)
+  }
+
+  test("localTriangles: K4 gives 3 per node; pendant gets none") {
+    val k4 = (for (a <- 1 to 4; b <- (a + 1) to 4) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val got = Graphs.localTriangles(k4).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // triangle 1-2-3 with pendant 4 off node 3: corners get 1, pendant
+    // is absent from the result (no zero rows)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got2 = Graphs.localTriangles(tri).as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("localTriangles sums to 3x the census count on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(30).toLong,
+      rnd.nextInt(30).toLong)).filter(e => e._1 != e._2).toDF("a", "b")
+    val perNode = Graphs.localTriangles(edges)
+      .agg(sum(col("n_tri"))).as[Long].head()
+    val census = Graphs.triangleCensus(edges)
+      .select(col("n_triangles")).as[Long].head()
+    assert(perNode == 3 * census)
+  }
+
   test("bfsHops: maxHops bounds the frontier; cycles terminate") {
     val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
     val got = Graphs.bfsHops(ring, 1L, 2).as[(Long, Long)].collect().toMap
