@@ -1025,7 +1025,157 @@ SELECT q_id, pick, n_id, mmr_score FROM (
   UNION ALL SELECT q_id, 3, s3_id, score3 FROM s3
 ) ORDER BY q_id, pick"""
 
+  // --- graph-walk ANN (NSW-style greedy beam search) ------------------
+  /** Navigable-graph ANN: build a neighbor graph (LSH candidates
+    * symmetrized, each node keeping its [[GraphK]] strongest edges — the
+    * practical billion-vector graph build; exact kNN would be
+    * all-pairs), then answer each query with a [[WalkRounds]]-round
+    * beam search from a fixed entry point: expand the beam's
+    * out-neighbors, score candidates with the exact integer cosine,
+    * keep the top [[WalkBeam]]. Previous beam members are rescored with
+    * the candidates, so the beam is monotone and the trajectory is
+    * fully deterministic — the oracle unrolls the identical rounds.
+    * Per-query work is O(rounds · beam · GraphK) score evaluations,
+    * INDEPENDENT of corpus size — the property that makes graph
+    * indexes the ANN scale path. Output: each query's walk result vs
+    * the exact NN (hit flag = did the greedy walk land on it).
+    */
+  private val GraphK = 8
+  private val WalkBeam = 6
+  private val WalkRounds = 4
+  private val WalkEntries = 4
+
+  private def graphAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.select(col("id"), Similarity.quantize(col("vec")).as("qv"))
+      .withColumn("nn", Similarity.normSqQ(col("qv")))
+      .localCheckpoint() // feeds graph build + every round's scoring
+    val cand = Similarity.lshCandidates(e, planes, Bands, RowsPerBand, MinCos)
+    val sym = cand
+      .select(col("a_id").as("node"), col("b_id").as("nbr"), col("cosine"))
+      .union(cand
+        .select(col("b_id").as("node"), col("a_id").as("nbr"), col("cosine")))
+    val graph = sym.groupBy(col("node"))
+      .agg(graft.functions.TopKPairs.topK(GraphK)(
+        col("cosine"), col("nbr").cast("long")).as("top"))
+      .select(col("node"), explode(col("top")).as("x"))
+      .select(col("node"), col("x._2").as("nbr"))
+      .localCheckpoint() // reused every round
+    val queries = base.where(pmod(col("id"), lit(QueryStride)) === 0)
+      .select(col("id").as("q_id"), col("qv").as("qqv"), col("nn").as("qn"))
+    // multiple spread entry points cut the expected path length to the
+    // query's neighborhood (the multi-entry trick graph indexes use
+    // when there is no hierarchy): the WalkEntries smallest ids
+    val entry = base.orderBy(col("id")).limit(WalkEntries)
+      .select(col("id").as("cand"))
+    // seed beam: every query starts at the entry points (unscored)
+    var beam = queries.select(col("q_id")).crossJoin(broadcast(entry))
+      .withColumn("rank", lit(1L)).withColumn("cosine", lit(0.0))
+    for (_ <- 1 to WalkRounds) {
+      val expanded = beam.select(col("q_id"), col("cand"))
+        .join(graph, col("cand") === col("node"))
+        .select(col("q_id"), col("nbr").as("cand"))
+      val cands = beam.select(col("q_id"), col("cand"))
+        .union(expanded).distinct()
+      val scored = cands.where(col("cand") =!= col("q_id"))
+        .join(base.select(col("id").as("cand"), col("qv"), col("nn")),
+          Seq("cand"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("cand").as("n_id"),
+          Similarity.cosineQ(Similarity.dotQ(col("qv"), col("qqv")),
+            col("nn"), col("qn")).as("cosine"))
+      beam = Similarity.perQueryTopK(scored, WalkBeam)
+        .select(col("q_id"), col("rank"), col("n_id").as("cand"),
+          col("cosine"))
+        .localCheckpoint() // cut per-round lineage
+    }
+    val exact = Similarity.bruteForceTopK(
+        e, e.where(pmod(col("id"), lit(QueryStride)) === 0), 1)
+      .select(col("q_id"), col("n_id").as("exact_id"),
+        col("cosine").as("exact_cos"))
+    beam.where(col("rank") === 1)
+      .select(col("q_id"), col("cand").as("found_id"),
+        col("cosine").as("found_cos"))
+      .join(exact, Seq("q_id"))
+      .withColumn("nn_hit",
+        when(col("found_id") === col("exact_id"), 1L).otherwise(0L))
+      .orderBy("q_id")
+  }
+
+  private lazy val graphAnnOracle: String = {
+    val rounds = (1 to WalkRounds).map { i =>
+      s"""c$i AS (
+  SELECT DISTINCT q_id, cand FROM (
+    SELECT q_id, cand FROM b${i - 1}
+    UNION ALL
+    SELECT b.q_id, g.nbr AS cand
+    FROM b${i - 1} b JOIN graphq g ON g.node = b.cand)
+), s$i AS (
+  SELECT c.q_id, c.cand,
+    CAST(CAST(SUM(fq.e * fc.e) AS BIGINT) AS DOUBLE)
+      / sqrt(CAST(nq.nn AS DOUBLE) * CAST(nc.nn AS DOUBLE)) AS cosine
+  FROM c$i c
+  JOIN flat fq ON fq.vec_id = c.q_id
+  JOIN flat fc ON fc.vec_id = c.cand AND fc.i = fq.i
+  JOIN norms nq ON nq.vec_id = c.q_id
+  JOIN norms nc ON nc.vec_id = c.cand
+  WHERE c.cand <> c.q_id
+  GROUP BY c.q_id, c.cand, nq.nn, nc.nn
+), b$i AS MATERIALIZED (
+  SELECT q_id, cand, cosine FROM s$i
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand)
+    <= $WalkBeam
+)"""
+    }.mkString(",\n")
+    s"""WITH $quantCtes,
+$lshCandCtes,
+thr AS MATERIALIZED (
+  SELECT a_id, b_id, cosine FROM scored_cand WHERE cosine >= ${D(MinCos)}
+),
+symg AS (
+  SELECT a_id AS node, b_id AS nbr, cosine FROM thr
+  UNION ALL SELECT b_id, a_id, cosine FROM thr
+),
+graphq AS MATERIALIZED (
+  SELECT node, nbr FROM symg
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY cosine DESC, nbr)
+    <= $GraphK
+),
+qs AS (
+  SELECT vec_id AS q_id FROM q WHERE vec_id % $QueryStride = 0
+),
+entry AS (
+  SELECT vec_id AS cand FROM q ORDER BY vec_id LIMIT $WalkEntries
+),
+b0 AS MATERIALIZED (SELECT q_id, cand FROM qs, entry),
+$rounds,
+exdots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+    CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, n_id AS exact_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+      AS exact_cos
+  FROM exdots JOIN norms na ON q_id = na.vec_id
+  JOIN norms nb ON n_id = nb.vec_id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY exact_cos DESC, n_id) = 1
+),
+found AS (
+  SELECT q_id, cand AS found_id, cosine AS found_cos FROM b$WalkRounds
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, cand) = 1
+)
+SELECT f.q_id, f.found_id, f.found_cos, e.exact_id, e.exact_cos,
+  CAST(CASE WHEN f.found_id = e.exact_id THEN 1 ELSE 0 END AS BIGINT) AS nn_hit
+FROM found f JOIN exact e ON f.q_id = e.q_id
+ORDER BY f.q_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s_graph_ann", graphAnn, Some(graphAnnOracle)),
     QueryDef("s_mutual_knn", mutualKnn, Some(mutualKnnOracle)),
     QueryDef("s_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
