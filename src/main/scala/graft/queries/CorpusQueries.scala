@@ -1608,7 +1608,74 @@ SELECT metric, value FROM (
   UNION ALL SELECT 'n_dup_docs', n_dup_docs FROM dup
 ) ORDER BY metric"""
 
+  // --- maximal duplicated k-gram spans (exact substring dedup) --------
+  /** Cross-document duplicated SPANS — the exact-substring dedup signal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better") at token-k-gram resolution: every 8-gram occurring
+    * in ≥ 2 distinct docs marks its positions, and runs of adjacent
+    * duplicated positions merge into maximal spans via the islands
+    * trick (pos − row_number). A suffix array finds character-exact
+    * spans; the k-gram formulation is the shuffle-friendly equivalent
+    * (one groupBy on the gram, one per-doc window) that distributes —
+    * k bounds the minimum span, adjacency merging recovers maximality
+    * above it. At 100 TB the gram key would be xxhash64(gram) (the
+    * md5-long trick every dedup op here uses) so the shuffle ships 8
+    * bytes, not the text — kept as the raw string ONLY for oracle
+    * string-equality parity. Top 30 spans by token length.
+    */
+  private val SpanK = 8
+
+  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    val g = docs.where(size(col("w")) >= SpanK)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (SpanK - 1))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        concat_ws(" ", slice(col("w"), col("p"), lit(SpanK))).as("gram"))
+    val dup = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("gram")
+    val dp = g.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dp.withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + (SpanK - 1)).as("end_tok"),
+        (max(col("pos")) - min(col("pos")) + SpanK).as("span_tokens"))
+      .select(col("doc_id"), col("start_tok"), col("end_tok"),
+        col("span_tokens"))
+      .orderBy(col("span_tokens").desc, col("doc_id"), col("start_tok"))
+      .limit(30)
+  }
+
+  private val dupSpansOracle: String = s"""WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(w) - ${SpanK - 1})) AS pos,
+    unnest(list_transform(generate_series(1, len(w) - ${SpanK - 1}),
+      i -> array_to_string(w[i:i+${SpanK - 1}], ' '))) AS gram
+  FROM docs WHERE len(w) >= $SpanK
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), dp AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dp
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+  CAST(MAX(pos) + ${SpanK - 1} AS BIGINT) AS end_tok,
+  CAST(MAX(pos) - MIN(pos) + $SpanK AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, grp
+ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("d_dup_spans", dupSpans, Some(dupSpansOracle)),
     QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("t_budget_apportion", budgetApportion, Some(budgetApportionOracle)),
     QueryDef("t_encode_tokens", encodeTokens, Some(encodeTokensOracle)),

@@ -1213,7 +1213,66 @@ SELECT n_r, ndv_r, n_s, ndv_s,
   CAST(est_hist AS DOUBLE) / CAST(actual AS DOUBLE) AS err_hist
 FROM pb, act"""
 
+  // --- k-anonymity lattice sweep (privacy governance) -----------------
+  /** k-anonymity audit over a generalization lattice — the governance
+    * gate a training corpus with person-level records passes before
+    * release (Sweeney 2002). Quasi-identifiers: (nation, market
+    * segment, account-balance bucket). ONE rollup pass computes every
+    * equivalence class at every generalization level simultaneously
+    * (level 0 = full QI … level 3 = fully generalized) — the lattice
+    * sweep is a single shuffle, not one groupBy per level — then a
+    * second tiny aggregate reports, per level: class count, classes
+    * under k=[[KAnon]], exposed row count, smallest class, and the
+    * re-identification risk Σ 1e6 div size over violating classes
+    * (exact integer, the expected-matches measure). Levels whose
+    * violation count reaches zero are safe to publish at.
+    */
+  private val KAnon = 5
+
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val cls = Tables(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("n"),
+        col("c_mktsegment").as("m"),
+        floor(col("c_acctbal") / 1000).cast("long").as("b"))
+      .rollup(col("n"), col("m"), col("b"))
+      .agg(count(lit(1)).as("sz"))
+      .select(
+        when(col("n").isNull, 3L).when(col("m").isNull, 2L)
+          .when(col("b").isNull, 1L).otherwise(0L).as("level"),
+        col("sz"))
+    cls.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("sz") < KAnon, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("sz") < KAnon, col("sz")).otherwise(0L))
+          .as("n_exposed_rows"),
+        min(col("sz")).as("min_class"),
+        sum(when(col("sz") < KAnon, expr("1000000 div sz")).otherwise(0L))
+          .as("risk_micro"))
+      .orderBy("level")
+  }
+
+  private val kAnonymityOracle: String = s"""WITH cls AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS n, c_mktsegment AS m,
+    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS b,
+    COUNT(*) AS sz
+  FROM customer GROUP BY ROLLUP (n, m, b)
+), lv AS (
+  SELECT CASE WHEN n IS NULL THEN 3 WHEN m IS NULL THEN 2
+              WHEN b IS NULL THEN 1 ELSE 0 END AS level, sz
+  FROM cls
+)
+SELECT CAST(level AS BIGINT) AS level,
+  COUNT(*) AS n_classes,
+  CAST(SUM(CASE WHEN sz < $KAnon THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+  CAST(SUM(CASE WHEN sz < $KAnon THEN sz ELSE 0 END) AS BIGINT)
+    AS n_exposed_rows,
+  CAST(MIN(sz) AS BIGINT) AS min_class,
+  CAST(SUM(CASE WHEN sz < $KAnon THEN 1000000 // sz ELSE 0 END) AS BIGINT)
+    AS risk_micro
+FROM lv GROUP BY level ORDER BY level"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("q_join_card_estimate", joinCardEstimate, Some(joinCardOracle)),
     QueryDef("io_catalog_table", catalogTable, Some(catalogTableOracle)),
     QueryDef("q_interval_overlap", intervalOverlap, Some(intervalOverlapOracle)),
