@@ -1512,7 +1512,152 @@ SELECT event_type, COUNT(*) AS n_events,
     AS mean_gap_ms
 FROM l GROUP BY 1 ORDER BY event_type"""
 
+  // --- classical seasonal decomposition (trend / seasonal / residual) -
+  /** Additive decomposition of the hourly event-count series:
+    * trend = centered 25-hour moving mean (full windows only),
+    * seasonal = per-hour-of-day mean of the detrended series,
+    * residual = detrended − seasonal. Output is the 24-row seasonal
+    * profile with the mean |residual| per slot — the daily-rhythm
+    * readout a capacity planner or anomaly detector consumes.
+    *
+    * Exactness: counts are integers; trend is (25h-sum · 1e6) div 25
+    * (nonnegative, so truncation == floor in both engines); the SIGNED
+    * means (seasonal, residual) use FLOOR(double division) — sums stay
+    * < 2^53, so the one double op is bit-identical cross-engine, and
+    * floor (not truncate) keeps negative means consistent.
+    *
+    * Scale: the series is built on an hour SPINE (gaps filled with 0 —
+    * a moving average over a gappy series silently shrinks its window),
+    * and its length grows with the TIME SPAN, not the corpus — the
+    * global-window trend scan over ~720 rows/month is constant work at
+    * any SF (the per-entity rolling ops are where the chunked-window
+    * machinery applies; see ev_rolling_1h_chunked).
+    */
+  private def seasonalDecomp(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(count(lit(1)).as("y"))
+    val spine = counts.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), lit(3600L))).as("h"))
+    val series = spine.join(counts, Seq("h"), "left")
+      .na.fill(0L, Seq("y"))
+    val w = Window.orderBy(col("h")).rowsBetween(-12, 12)
+    val detr = series
+      .withColumn("s25", sum(col("y")).over(w))
+      .withColumn("c25", count(lit(1)).over(w))
+      .where(col("c25") === 25)
+      .select(col("h"), col("y"),
+        expr("(s25 * 1000000L) div 25").as("trend_micro"))
+      .withColumn("detr_micro", col("y") * 1000000L - col("trend_micro"))
+      .withColumn("hod", expr("(h % 86400) div 3600"))
+    val seasonal = detr.groupBy(col("hod"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("detr_micro")).as("sd"))
+      .select(col("hod"), col("n_obs"),
+        floor(col("sd").cast("double") / col("n_obs").cast("double"))
+          .cast("long").as("seasonal_micro"))
+    detr.join(seasonal, Seq("hod"))
+      .withColumn("resid", col("detr_micro") - col("seasonal_micro"))
+      .groupBy(col("hod").as("hour_of_day"))
+      .agg(max(col("n_obs")).as("n_obs"),
+        max(col("seasonal_micro")).as("seasonal_micro"),
+        floor(sum(abs(col("resid"))).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("mean_abs_resid_micro"))
+      .orderBy("hour_of_day")
+  }
+
+  private val seasonalDecompOracle: String = """WITH counts AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, COUNT(*) AS y
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series((SELECT MIN(h) FROM counts),
+    (SELECT MAX(h) FROM counts), 3600)) AS h
+), series AS (
+  SELECT s.h, COALESCE(c.y, 0) AS y FROM spine s LEFT JOIN counts c USING (h)
+), detr AS (
+  SELECT h, y,
+    (SUM(y) OVER w * 1000000) // 25 AS trend_micro,
+    y * 1000000 - (SUM(y) OVER w * 1000000) // 25 AS detr_micro,
+    (h % 86400) // 3600 AS hod
+  FROM series
+  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+  QUALIFY COUNT(*) OVER w = 25
+), seasonal AS (
+  SELECT hod, COUNT(*) AS n_obs,
+    CAST(FLOOR(CAST(SUM(detr_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      AS BIGINT) AS seasonal_micro
+  FROM detr GROUP BY 1
+)
+SELECT CAST(d.hod AS BIGINT) AS hour_of_day,
+  CAST(MAX(s.n_obs) AS BIGINT) AS n_obs,
+  MAX(s.seasonal_micro) AS seasonal_micro,
+  CAST(FLOOR(CAST(SUM(ABS(d.detr_micro - s.seasonal_micro)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_abs_resid_micro
+FROM detr d JOIN seasonal s USING (hod)
+GROUP BY d.hod ORDER BY hour_of_day"""
+
+  // --- changepoint location (one round of binary segmentation) --------
+  /** Locate the single best changepoint in the daily purchase-revenue
+    * series: the split t maximizing the between-segment SSE reduction
+    * Δ(t) = S_t²/t + (S_n−S_t)²/(n−t) − S_n²/n — one round of binary
+    * segmentation, the workhorse behind PELT-style detectors (ev_cusum
+    * DETECTS drift; this LOCATES the break). Prefix sums come from a
+    * window over the days-cardinality series (time-bounded, not
+    * data-bounded — same scale argument as ev_seasonal_decomp); Δ is a
+    * fixed double tree over exact integer cents (S² at revenue scale
+    * wraps int64, so the quadratic lives in double); the argmax is
+    * total-ordered by (Δ DESC, day).
+    */
+  private def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day"))
+      .agg(sum(cents(col("value"))).as("y"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("st", sum(col("y")).over(w))
+      .withColumn("t", count(lit(1)).over(w))
+    val tot = daily.agg(sum(col("y")).as("sn"), count(lit(1)).as("n"))
+    def d(c: Column) = c.cast("double")
+    cum.crossJoin(tot)
+      .where(col("t") < col("n"))
+      .select(col("day").as("split_epoch"), col("n").as("n_days"),
+        expr("st div t").as("mean_before"),
+        expr("(sn - st) div (n - t)").as("mean_after"),
+        (d(col("st")) * d(col("st")) / d(col("t"))
+          + d(col("sn") - col("st")) * d(col("sn") - col("st"))
+            / d(col("n") - col("t"))
+          - d(col("sn")) * d(col("sn")) / d(col("n"))).as("delta"))
+      .orderBy(col("delta").desc, col("split_epoch"))
+      .limit(1)
+  }
+
+  private val changepointOracle: String = """WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), cum AS (
+  SELECT day, y,
+    CAST(SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st,
+    CAST(COUNT(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS t
+  FROM daily
+), tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS sn, COUNT(*) AS n FROM daily
+)
+SELECT day AS split_epoch, n AS n_days,
+  st // t AS mean_before,
+  (sn - st) // (n - t) AS mean_after,
+  CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(t AS DOUBLE)
+    + CAST(sn - st AS DOUBLE) * CAST(sn - st AS DOUBLE)
+      / CAST(n - t AS DOUBLE)
+    - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE) AS delta
+FROM cum, tot
+WHERE t < n
+ORDER BY delta DESC, split_epoch LIMIT 1"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_changepoint", changepoint, Some(changepointOracle)),
+    QueryDef("ev_seasonal_decomp", seasonalDecomp, Some(seasonalDecompOracle)),
     QueryDef("ev_label_next_purchase", labelNextPurchase, Some(labelNextPurchaseOracle)),
     QueryDef("ev_forecast_backtest", forecastBacktest, Some(forecastBacktestOracle)),
     QueryDef("ev_cusum", cusum, Some(cusumOracle)),

@@ -1171,7 +1171,88 @@ SELECT yr, rc / ${D("100")} AS revenue,
     THEN CAST(rc - prev AS DOUBLE) / CAST(prev AS DOUBLE) END AS yoy_growth
 FROM l ORDER BY yr"""
 
+  // --- Mann-Whitney U (rank-sum test) ---------------------------------
+  /** Mann-Whitney U: are BUILDING-segment order values drawn from the
+    * same distribution as MACHINERY's? The nonparametric A/B readout
+    * when values are skewed (revenue always is) and Welch's t is the
+    * wrong tool. Scale shape: no global row-level rank window — values
+    * collapse to their DISTINCT-cents histogram first (groupBy), the
+    * cumulative count runs through [[graft.operators.Ids.prefixSumByKey]]
+    * (the chunked distributed scan), and tied ranks fold in closed form
+    * (average rank of a tie group of size t starting after c rows is
+    * (2c + t + 1)/2 — kept ×2 so everything stays integer). Final z is
+    * one fixed double tree over five exact integers; the tie-corrected
+    * variance stays in double (the n⁵-scale product would wrap any
+    * int64).
+    */
+  private val MwSegA = "BUILDING"
+  private val MwSegB = "MACHINERY"
+
+  private def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .where(col("c_mktsegment").isin(MwSegA, MwSegB))
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))
+    val vals = Tables(s, dir, "orders")
+      .join(cust, col("o_custkey") === col("ck"))
+      .select(col("seg"), cents(col("o_totalprice")).as("val"))
+    val hist = vals.groupBy(col("val"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("seg") === MwSegA, 1L).otherwise(0L)).as("t_a"))
+      .withColumn("k", lit("all"))
+    val cum = graft.operators.Ids.prefixSumByKey(
+      hist, "k", Seq("val"), "t", 32, "cum")
+    val agg = cum.agg(
+      sum(col("t_a") * (lit(2L) * (col("cum") - col("t")) + col("t") + 1))
+        .as("r1x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie"),
+      sum(col("t_a")).as("n1"),
+      sum(col("t")).as("n"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg.select(col("n1"), (col("n") - col("n1")).as("n2"),
+        col("r1x2"), col("tie"), col("n"))
+      .select(col("n1"), col("n2"), col("r1x2"), col("tie"),
+        (d(col("r1x2") - col("n1") * (col("n1") + 1)
+            - col("n1") * col("n2"))
+          / (lit(2.0) * sqrt(
+            d(col("n1")) * d(col("n2")) / lit(12.0)
+              * (d(col("n") + 1)
+                - d(col("tie")) / (d(col("n")) * d(col("n") - 1))))))
+          .as("z"))
+  }
+
+  private val mannWhitneyOracle: String = s"""WITH c AS (
+  SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer
+  WHERE c_mktsegment IN ('$MwSegA', '$MwSegB')
+), v AS (
+  SELECT seg, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS val
+  FROM orders JOIN c ON o_custkey = ck
+), g AS (
+  SELECT val, COUNT(*) AS t,
+    CAST(SUM(CASE WHEN seg = '$MwSegA' THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+  FROM v GROUP BY 1
+), cum AS (
+  SELECT val, t, t_a,
+    SUM(t) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cum
+  FROM g
+), agg AS (
+  SELECT
+    CAST(SUM(t_a * (2 * (cum - t) + t + 1)) AS BIGINT) AS r1x2,
+    CAST(SUM(t * t * t - t) AS BIGINT) AS tie,
+    CAST(SUM(t_a) AS BIGINT) AS n1,
+    CAST(SUM(t) AS BIGINT) AS n
+  FROM cum
+)
+SELECT n1, n - n1 AS n2, r1x2, tie,
+  CAST(r1x2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+    / (${D("2")} * sqrt(
+      CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / ${D("12")}
+        * (CAST(n + 1 AS DOUBLE)
+          - CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))))
+    AS z
+FROM agg"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mann_whitney", mannWhitney, Some(mannWhitneyOracle)),
     QueryDef("q_yoy_growth", yoyGrowth, Some(yoyGrowthOracle)),
     QueryDef("q_listagg", listaggQ, Some(listaggOracle)),
     QueryDef("q_spearman", spearman, Some(spearmanOracle)),
