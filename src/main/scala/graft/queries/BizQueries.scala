@@ -326,7 +326,73 @@ SELECT m, n_orders,
   CAST(new_cents AS DOUBLE) / CAST(rev_cents AS DOUBLE) AS new_share
 FROM a ORDER BY m"""
 
+  // --- price-volume-mix bridge ----------------------------------------
+  /** Revenue-bridge decomposition per brand between two ship years:
+    * ΔR = volume effect (ΔQ · p₁) + price effect (R₂ − Q₂·p₁), the
+    * P&L waterfall every finance review runs. Totals (R, Q) are exact
+    * integer cents/units from ONE grouped pass over both years
+    * (conditional sums — not two scans); the average-price terms are a
+    * fixed double tree over those exact integers, and the two effects
+    * reconcile to ΔR by construction (vol + price = R₂ − R₁ in real
+    * arithmetic — the check column makes rounding visible instead of
+    * hiding it). Only brands present in BOTH years are bridgeable.
+    */
+  private val PvmY1 = 1995
+  private val PvmY2 = 1996
+
+  private def priceVolumeMix(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .where(year(col("l_shipdate")).isin(PvmY1, PvmY2))
+      .join(Tables(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val g = li.groupBy(col("p_brand").as("brand"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === PvmY1,
+          cents(col("l_extendedprice"))).otherwise(0L)).as("r1"),
+        sum(when(year(col("l_shipdate")) === PvmY1,
+          col("l_quantity").cast("long")).otherwise(0L)).as("q1"),
+        sum(when(year(col("l_shipdate")) === PvmY2,
+          cents(col("l_extendedprice"))).otherwise(0L)).as("r2"),
+        sum(when(year(col("l_shipdate")) === PvmY2,
+          col("l_quantity").cast("long")).otherwise(0L)).as("q2"))
+      .where(col("q1") > 0 && col("q2") > 0)
+    def d(c: Column) = c.cast("double")
+    g.select(col("brand"), col("r1"), col("q1"), col("r2"), col("q2"),
+        (d(col("q2") - col("q1")) * d(col("r1")) / d(col("q1")))
+          .as("volume_effect"),
+        (d(col("r2")) - d(col("q2")) * d(col("r1")) / d(col("q1")))
+          .as("price_effect"),
+        d(col("r2") - col("r1")).as("delta_r"))
+      .orderBy("brand")
+  }
+
+  private val priceVolumeMixOracle: String = s"""WITH g AS (
+  SELECT p_brand AS brand,
+    CAST(SUM(CASE WHEN year(l_shipdate) = $PvmY1
+      THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS r1,
+    CAST(SUM(CASE WHEN year(l_shipdate) = $PvmY1
+      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+    CAST(SUM(CASE WHEN year(l_shipdate) = $PvmY2
+      THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      AS BIGINT) AS r2,
+    CAST(SUM(CASE WHEN year(l_shipdate) = $PvmY2
+      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q2
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) IN ($PvmY1, $PvmY2)
+  GROUP BY 1
+)
+SELECT brand, r1, q1, r2, q2,
+  CAST(q2 - q1 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+    AS volume_effect,
+  CAST(r2 AS DOUBLE) - CAST(q2 AS DOUBLE) * CAST(r1 AS DOUBLE)
+    / CAST(q1 AS DOUBLE) AS price_effect,
+  CAST(r2 - r1 AS DOUBLE) AS delta_r
+FROM g WHERE q1 > 0 AND q2 > 0
+ORDER BY brand"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_price_volume_mix", priceVolumeMix, Some(priceVolumeMixOracle)),
     QueryDef("q_newcust_share", newCustShare, Some(newCustShareOracle)),
     QueryDef("q_rfm", rfm, Some(rfmOracle)),
     QueryDef("q_pareto80", pareto80, Some(pareto80Oracle)),

@@ -1655,7 +1655,223 @@ FROM cum, tot
 WHERE t < n
 ORDER BY delta DESC, split_epoch LIMIT 1"""
 
+  // --- Theil–Sen robust trend ----------------------------------------
+  /** Theil–Sen estimator over the daily purchase-revenue series: the
+    * median of all pairwise slopes (y_j−y_i)/(x_j−x_i) — the robust
+    * trend line one outlier day cannot hijack (OLS counterpart:
+    * q_ols_trend). The pair set is days², but days grow with the TIME
+    * SPAN, not the corpus (30 days → 435 pairs at any SF); each slope
+    * is ONE double division of exact integers, and the median picks
+    * the middle element under the total order (slope, i, j) — both
+    * engines sort identical doubles. Output: slope, the median-of-
+    * intercepts line, and the pair count.
+    */
+  private def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("x"))
+      .agg(sum(cents(col("value"))).as("y"))
+    val a = daily.select(col("x").as("xi"), col("y").as("yi"))
+    val b = daily.select(col("x").as("xj"), col("y").as("yj"))
+    val slopes = a.join(b, col("xi") < col("xj"))
+      .select(col("xi"), col("xj"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double")).as("m"))
+    val wm = Window.orderBy(col("m"), col("xi"), col("xj"))
+    val slope = slopes
+      .withColumn("rk", row_number().over(wm))
+      .crossJoin(slopes.agg(count(lit(1)).as("np")))
+      .where(col("rk") === expr("(np + 1) div 2"))
+      .select(col("m").as("slope"), col("np").as("n_pairs"))
+    val wi = Window.orderBy(col("ic"), col("x"))
+    val intercept = daily.crossJoin(slope)
+      .select(col("x"), (col("y").cast("double") -
+        col("slope") * col("x").cast("double")).as("ic"), col("slope"),
+        col("n_pairs"))
+      .withColumn("rk", row_number().over(wi))
+      .crossJoin(daily.agg(count(lit(1)).as("nd")))
+      .where(col("rk") === expr("(nd + 1) div 2"))
+    intercept.select(col("n_pairs"), col("nd").as("n_days"),
+      col("slope"), col("ic").as("intercept"))
+  }
+
+  private val theilSenOracle: String = """WITH daily AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS x,
+    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), slopes AS (
+  SELECT a.x AS xi, b.x AS xj,
+    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS m
+  FROM daily a JOIN daily b ON a.x < b.x
+), med AS (
+  SELECT m AS slope, (SELECT COUNT(*) FROM slopes) AS n_pairs
+  FROM slopes
+  QUALIFY ROW_NUMBER() OVER (ORDER BY m, xi, xj)
+    = ((SELECT COUNT(*) FROM slopes) + 1) // 2
+), ic AS (
+  SELECT CAST(d.y AS DOUBLE) - med.slope * CAST(d.x AS DOUBLE) AS ic,
+    med.slope, med.n_pairs, d.x
+  FROM daily d, med
+)
+SELECT n_pairs, (SELECT COUNT(*) FROM daily) AS n_days, slope,
+  ic AS intercept
+FROM ic
+QUALIFY ROW_NUMBER() OVER (ORDER BY ic, x)
+  = ((SELECT COUNT(*) FROM daily) + 1) // 2"""
+
+  // --- clamped running balance (Lindley recursion, closed form) -------
+  /** Per-user running balance with a zero floor — purchases credit,
+    * clicks debit, and the balance cannot go negative (the Lindley
+    * recursion B_t = max(0, B_{t−1} + d_t), which is a SEQUENTIAL fold
+    * on its face). Computed in closed form via Skorokhod reflection:
+    * B_t = S_t − min(0, min_{k≤t} S_k) over the plain prefix sum S —
+    * two per-user window passes, fully parallel across users, no UDF
+    * fold and no mapGroups. Output: the 20 largest final balances with
+    * each user's running peak.
+    */
+  private def clampedRunning(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", cents(col("value")))
+          .otherwise(-cents(col("value"))).as("d"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bal = ev
+      .withColumn("s", sum(col("d")).over(w))
+      .withColumn("b", col("s") - least(lit(0L), min(col("s")).over(w)))
+    bal.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_moves"),
+        max(struct(col("ts"), col("event_id"), col("b"))).as("last"),
+        max(col("b")).as("peak_cents"))
+      .select(col("user_id"), col("n_moves"),
+        col("last.b").as("final_cents"), col("peak_cents"))
+      .orderBy(col("final_cents").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private[queries] val clampedRunningOracle: String = """WITH d AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'purchase'
+      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+      ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS d
+  FROM events WHERE event_type IN ('purchase', 'click')
+), s1 AS (
+  SELECT user_id, ts, event_id,
+    CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+  FROM d
+), s2 AS (
+  SELECT user_id, ts, event_id,
+    s - LEAST(0, MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS b
+  FROM s1
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_moves, CAST(MAX(b) AS BIGINT) AS peak_cents
+  FROM s2 GROUP BY 1
+), lastb AS (
+  SELECT user_id, CAST(b AS BIGINT) AS final_cents FROM s2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT a.user_id, a.n_moves, l.final_cents, a.peak_cents
+FROM agg a JOIN lastb l USING (user_id)
+ORDER BY final_cents DESC, user_id LIMIT 20"""
+
+  // --- Shapley-value attribution --------------------------------------
+  /** EXACT Shapley-value conversion attribution over the 4 non-purchase
+    * channels (click/view/signup/error): per user-day, the touched
+    * channel set is a 4-bit mask and conversion = a purchase that day;
+    * the characteristic function v(S) = # converting user-days whose
+    * touchset ⊆ S collapses to 16 coalition counts, and each channel's
+    * Shapley value φ_c = Σ_{S∌c} w(|S|)·(v(S∪c)−v(S)) / 4! is computed
+    * EXACTLY in integer 1/24ths (w(k)=k!(3−k)! ∈ {6,2,2,6}) — no
+    * sampling, no float weights. The data pass is one groupBy to masks
+    * (corpus-scale) + one groupBy to 16 coalition counts; the lattice
+    * algebra is a 16×16 subset join over literally 16 rows (the
+    * bounded nested loop is the POINT — the exponential object stays
+    * constant-size because channels, not rows, drive it). Beside the
+    * heuristic rules (`ev_attribution` last-touch, `_linear`), this is
+    * the game-theoretically fair split. Σφ = v(full) − v(∅) by
+    * efficiency — v(∅) = purchase-only days, visible in the output.
+    */
+  private val ShapleyChannels =
+    Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+
+  private def shapleyAttrib(s: SparkSession, dir: String): DataFrame = {
+    val bitExpr = ShapleyChannels
+      .map { case (c, b) => s"WHEN '$c' THEN $b" }
+      .mkString("CASE event_type ", " ", " ELSE 0 END")
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        expr(bitExpr).as("bit"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("p"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(expr("bit_or(bit)").as("m"), max(col("p")).as("conv"))
+    val masks = daily.where(col("conv") === 1)
+      .groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+    val coalitions = s.range(16).select(col("id").cast("int").as("cs"))
+    // v(S): subset containment as a bit test over 16×16 rows — the
+    // nested loop is bounded by the coalition lattice, not the data
+    val v = coalitions.join(masks, expr("(m & (15 ^ cs)) = 0"), "left")
+      .groupBy(col("cs")).agg(coalesce(sum(col("cnt")), lit(0L)).as("v"))
+    val channels = {
+      import s.implicits._
+      ShapleyChannels.toDF("channel", "bit")
+    }
+    channels
+      .join(v.select(col("cs"), col("v").as("v_s")),
+        expr("(cs & bit) = 0"))
+      .join(v.select(col("cs").as("csc"), col("v").as("v_sc")),
+        expr("csc = (cs | bit)"))
+      .groupBy(col("channel"))
+      .agg(sum(expr(
+        "CASE bit_count(cs) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+          ) * (col("v_sc") - col("v_s"))).as("phi_x24"))
+      .select(col("channel"), col("phi_x24"),
+        (col("phi_x24").cast("double") / 24.0).as("phi"))
+      .orderBy("channel")
+  }
+
+  private val shapleyAttribOracle: String = {
+    val bitCase = ShapleyChannels
+      .map { case (c, b) => s"WHEN '$c' THEN $b" }
+      .mkString("CASE event_type ", " ", " ELSE 0 END")
+    val chanValues = ShapleyChannels
+      .map { case (c, b) => s"('$c', $b)" }.mkString(", ")
+    s"""WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+    BIT_OR($bitCase) AS m,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+), masks AS (
+  SELECT m, COUNT(*) AS cnt FROM daily WHERE conv = 1 GROUP BY 1
+), coalitions AS (
+  SELECT unnest(generate_series(0, 15)) AS cs
+), v AS (
+  SELECT cs, CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS v
+  FROM coalitions LEFT JOIN masks ON (m & xor(15, cs)) = 0
+  GROUP BY cs
+), channels(channel, bit) AS (VALUES $chanValues)
+SELECT c.channel,
+  CAST(SUM((CASE bit_count(s.cs) WHEN 0 THEN 6 WHEN 1 THEN 2
+            WHEN 2 THEN 2 ELSE 6 END) * (sc.v - s_v.v)) AS BIGINT)
+    AS phi_x24,
+  CAST(SUM((CASE bit_count(s.cs) WHEN 0 THEN 6 WHEN 1 THEN 2
+            WHEN 2 THEN 2 ELSE 6 END) * (sc.v - s_v.v)) AS DOUBLE)
+    / ${D("24")} AS phi
+FROM channels c
+JOIN coalitions s ON (s.cs & c.bit) = 0
+JOIN v s_v ON s_v.cs = s.cs
+JOIN v sc ON sc.cs = (s.cs | c.bit)
+GROUP BY c.channel ORDER BY c.channel"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_shapley_attrib", shapleyAttrib, Some(shapleyAttribOracle)),
+    QueryDef("ev_theil_sen", theilSen, Some(theilSenOracle)),
+    QueryDef("ev_clamped_running", clampedRunning, Some(clampedRunningOracle)),
     QueryDef("ev_changepoint", changepoint, Some(changepointOracle)),
     QueryDef("ev_seasonal_decomp", seasonalDecomp, Some(seasonalDecompOracle)),
     QueryDef("ev_label_next_purchase", labelNextPurchase, Some(labelNextPurchaseOracle)),

@@ -340,6 +340,31 @@ ORDER BY purchase_id, view_id NULLS FIRST"""
     * final fold state — which must equal the batch `ev_ewma` answer
     * bit-for-bit (same IEEE left-fold, replayed incrementally).
     */
+  /** [[EventStreams.streamingClampedBalance]] end-to-end: the Lindley
+    * fold B = max(0, B + d) carried as per-user state. n_moves is
+    * strictly increasing, so each user's max-n row is the final fold
+    * state; the top-20 rollup is graded against the SAME oracle as the
+    * batch `ev_clamped_running` closed form — sequential fold and
+    * Skorokhod reflection must agree exactly.
+    */
+  private def streamClamped(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.streamingClampedBalance(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"))
+      EventStreams.runToMemory(s, out, "graft_stream_clamped",
+          OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_moves"), col("final_cents"),
+          col("peak_cents"))).as("m"))
+        .select(col("user_id"), col("m.n_moves").as("n_moves"),
+          col("m.final_cents").as("final_cents"),
+          col("m.peak_cents").as("peak_cents"))
+        .orderBy(col("final_cents").desc, col("user_id"))
+        .limit(20)
+    }
+
+  private val streamClampedOracle = EventQueries.clampedRunningOracle
+
   private def streamEwma(s: SparkSession, dir: String): DataFrame =
     EventStreams.withRocksDbState(s) {
       val out = EventStreams.streamingEwma(
@@ -572,6 +597,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_cep_funnel", streamCepFunnel, Some(streamCepFunnelOracle)),
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("stream_join_outer", streamJoinOuter, Some(streamJoinOuterOracle)),
+    QueryDef("stream_clamped", streamClamped, Some(streamClampedOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
     QueryDef("stream_session_window", streamSessionWindow, Some(streamSessionWindowOracle)),

@@ -357,6 +357,70 @@ object EventStreams {
     }
   }
 
+  final case class ClampedOut(user_id: Long, n_moves: Long,
+      final_cents: Long, peak_cents: Long)
+
+  /** Per-user clamped running balance (the Lindley recursion
+    * B = max(0, B + d), purchases credit / clicks debit) as carried
+    * `transformWithState` state — the streaming twin of the batch
+    * Skorokhod-reflection closed form (`ev_clamped_running`): the
+    * stream runs the natural SEQUENTIAL fold one micro-batch at a
+    * time, the batch runs two window passes, and the two must agree
+    * exactly (the reflection identity, replayed incrementally). All
+    * integer cents — no accumulation drift. Within a batch events fold
+    * in full-precision (ts, event_id) order, matching the batch
+    * window's ORDER BY.
+    */
+  class ClampedBalanceProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ClampedOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("bal",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[ClampedOut] = {
+      val sorted = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      var (n, bal, peak) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      sorted.foreach { e =>
+        val cents = math.floor(e.value * 100 + 0.5).toLong
+        val d = if (e.event_type == "purchase") cents else -cents
+        n += 1
+        bal = math.max(0L, bal + d)
+        peak = math.max(peak, bal)
+      }
+      st.update((n, bal, peak))
+      if (sorted.isEmpty) Iterator.empty
+      else Iterator(ClampedOut(key, n, bal, peak))
+    }
+  }
+
+  /** [[ClampedBalanceProcessor]] wired to a stream (RocksDB required —
+    * run under [[withRocksDbState]]). Emits the running
+    * (n, balance, peak) per user after each batch; n is strictly
+    * increasing, so each user's max-n row is the final fold state.
+    */
+  def streamingClampedBalance(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new ClampedBalanceProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   final case class EwmaOut(user_id: Long, ewma: Double, n_events: Long)
 
   /** Streaming per-user EWMA (α = 1/2) — the incremental twin of the

@@ -593,6 +593,30 @@ class PlanSpec extends SparkSpec {
     assert(planOf(sm).contains("SortMergeJoin"), planOf(sm).take(1200))
   }
 
+  test("round-5 additions: equi-joins, one-pass lattice, no global rank window") {
+    // d_dup_spans: the duplicated-gram candidate path must stay
+    // equi-joined on the gram key — a nested loop here is the
+    // all-pairs-text disaster the k-gram design exists to avoid
+    val spans = planOf(SparkEntry.queries("d_dup_spans")(spark, Sf))
+    assert(!spans.contains("BroadcastNestedLoopJoin") &&
+      !spans.contains("CartesianProduct"), spans.take(2000))
+    // g_link_pred_ra: the bounded source set broadcasts into the 2-hop
+    // walk (work ∝ source degrees, never an all-pairs wedge sweep)
+    val ra = planOf(SparkEntry.queries("g_link_pred_ra")(spark, Sf))
+    assert(ra.contains("BroadcastHashJoin"), ra.take(2000))
+    assert(!ra.contains("CartesianProduct"), ra.take(2000))
+    // q_k_anonymity: the whole generalization lattice is ONE rollup
+    // pass — an Expand feeding aggregates, zero joins
+    val ka = planOf(SparkEntry.queries("q_k_anonymity")(spark, Sf))
+    assert(ka.contains("Expand"), ka.take(2000))
+    assert(!ka.contains("Join"), s"lattice must be join-free:\n${ka.take(2000)}")
+    // q_mann_whitney: ranks must come from the chunked prefix-sum scan,
+    // never a global row-level rank window (single-task at scale)
+    val mw = planOf(SparkEntry.queries("q_mann_whitney")(spark, Sf))
+    assert(!mw.contains("Window"),
+      s"no global rank window allowed:\n${mw.take(2000)}")
+  }
+
   test("lateral top-n decorrelates: ranked window, no nested-loop join") {
     val plan = planOf(SparkEntry.queries("q_lateral_topn")(spark, Sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

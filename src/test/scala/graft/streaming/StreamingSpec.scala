@@ -138,6 +138,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clamped balance: zero floor binds mid-stream and state carries over") {
+    val dir = Files.createTempDirectory("graft_sclamp").toString
+    def ev(id: Long, minute: Int, typ: String, value: Double): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        7L, typ, value)
+
+    // batch 1: +5.00 → bal 500, peak 500
+    writeBatch(dir, "b1", Seq(ev(1, 0, "purchase", 5.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.streamingClampedBalance(stream)
+
+    spark.streams.active.filter(_.name == "sclamp_test").foreach(_.stop())
+    val q = EventStreams.withRocksDbState(spark) {
+      out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("sclamp_test").start()
+    }
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("sclamp_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterB1 == Set((7L, 1L, 500L, 500L)))
+
+      // batch 2: −8.00 clamps at ZERO (not −300), then +2.00 → 200;
+      // a signed running sum would say −100 — the clamp is the point.
+      // Peak stays 500 from batch 1's carried state.
+      writeBatch(dir, "b2",
+        Seq(ev(2, 10, "click", 8.0), ev(3, 20, "purchase", 2.0)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sclamp_test")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(afterB2 == afterB1 + ((7L, 3L, 200L, 500L)),
+        s"Lindley fold must clamp at zero and carry state: $afterB2")
+    } finally q.stop()
+  }
+
   test("streaming EWMA resumes the fold from carried state") {
     val dir = Files.createTempDirectory("graft_sewma").toString
     def ev(id: Long, minute: Int, value: Double): EventStreams.Event =
