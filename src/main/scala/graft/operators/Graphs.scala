@@ -121,22 +121,25 @@ object Graphs {
       val closing = p.select(col("a").as("x"), col("b").as("y"))
       // the wedge set is ~Σ C(outdeg,2) — orders of magnitude larger
       // than E. Shuffling ALL wedges into the closing-edge semi-join is
-      // the bottleneck, so prefilter with a driver-built bloom over the
-      // edge keys (~1.2 bytes/edge at 1% fpp): survivors ≈ triangles +
-      // 1% of wedges, a ~10-50× shuffle cut before the exact semi-join.
-      // This is the engine's standard sketch-prefilter move (see
-      // d_bloom_prefilter) applied inside an operator; past ~100M edges
-      // the filter itself outgrows a task broadcast, so fall back to
-      // the plain shuffle (a cluster would switch to Spark's runtime
-      // bloom join injection there instead).
+      // the bottleneck, so prefilter with a bloom over the edge keys
+      // (~1.2 bytes/edge at 1% fpp): survivors ≈ triangles + 1% of
+      // wedges, a ~10-50× shuffle cut before the exact semi-join. The
+      // filter is injected as a SCALAR SUBQUERY — built on the cluster,
+      // shipped once with the stage's task binary — never collected to
+      // the driver or embedded as a plan literal (a 1e8-edge filter is
+      // ~150 MB; a literal that size is copied through every optimizer
+      // pass). Bits are capped at 2^28 (32 MB serialized): past ~22M
+      // edges the fpp degrades gracefully instead of the memory
+      // growing, and past the 1e8-edge guard fall back to the plain
+      // shuffle (a cluster would use Spark's runtime bloom join
+      // injection there instead).
       val candidates =
         if (nEdges > 0 && nEdges <= 100000000L) {
-          val bits = math.max(1L << 16, 12L * nEdges)
+          val bits = math.min(math.max(1L << 16, 12L * nEdges), 1L << 28)
           val bf = p.select(xxhash64(col("a"), col("b")).as("h"))
             .agg(graft.plans.BloomFilters.bloomAgg(col("h"), nEdges, bits))
-            .head().getAs[Array[Byte]](0)
           wedgePairs.where(graft.plans.BloomFilters.mightContain(
-            lit(bf), xxhash64(col("x"), col("y"))))
+            bf.scalar(), xxhash64(col("x"), col("y"))))
         } else wedgePairs
       val nTri = candidates.join(closing, Seq("x", "y"), "left_semi")
         .agg(count(lit(1)).as("n_triangles"))
@@ -196,7 +199,9 @@ object Graphs {
           .na.fill(0L, Seq(scoreCol))
       }
       var hub = nds.withColumn("h", lit(1000000L))
-      var auth = nds.withColumn("a", lit(0L))
+      // assigned on the first pass — `iterations >= 1` is required, so
+      // no initial auth vector is ever read
+      var auth: DataFrame = null
       for (_ <- 1 to iterations) {
         val rawAuth = e.join(hub.select(col("node").as("src"), col("h")), "src")
           .groupBy(col("dst").as("node")).agg(sum(col("h") * col("w")).as("a"))
@@ -246,16 +251,17 @@ object Graphs {
       val o2 = oriented.select(col("u"), col("t").as("y"))
       val wedgesAll = o1.join(o2, "u").where(col("x") < col("y"))
       val closing = p.select(col("a").as("x"), col("b").as("y"))
-      // same bloom prefilter as triangleCensus: cut the wedge shuffle
-      // to ~triangles + 1% of wedges before the exact join
+      // same bloom prefilter as triangleCensus — scalar-subquery
+      // injection, 2^28-bit cap (see the census scaladoc): cut the
+      // wedge shuffle to ~triangles + 1% of wedges before the exact
+      // join without a driver collect or a plan-literal filter
       val wedges =
         if (nEdges > 0 && nEdges <= 100000000L) {
-          val bits = math.max(1L << 16, 12L * nEdges)
+          val bits = math.min(math.max(1L << 16, 12L * nEdges), 1L << 28)
           val bf = p.select(xxhash64(col("a"), col("b")).as("h"))
             .agg(graft.plans.BloomFilters.bloomAgg(col("h"), nEdges, bits))
-            .head().getAs[Array[Byte]](0)
           wedgesAll.where(graft.plans.BloomFilters.mightContain(
-            lit(bf), xxhash64(col("x"), col("y"))))
+            bf.scalar(), xxhash64(col("x"), col("y"))))
         } else wedgesAll
       // inner join (not semi): each closed wedge IS one triangle
       // (u, x, y) — explode its three corners and count per node

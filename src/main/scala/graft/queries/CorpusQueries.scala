@@ -1612,13 +1612,15 @@ SELECT metric, value FROM (
   /** Cross-document duplicated SPANS — the exact-substring dedup signal
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better") at token-k-gram resolution: every 8-gram occurring
-    * in ≥ 2 distinct docs marks its positions, and runs of adjacent
-    * duplicated positions merge into maximal spans via the islands
-    * trick (pos − row_number). A suffix array finds character-exact
-    * spans; the k-gram formulation is the shuffle-friendly equivalent
-    * (one groupBy on the gram, one per-doc window) that distributes —
-    * k bounds the minimum span, adjacency merging recovers maximality
-    * above it. At 100 TB the gram key would be xxhash64(gram) (the
+    * in ≥ 2 distinct docs marks its positions, and duplicated positions
+    * within k of each other merge into maximal spans via gap-k islands
+    * (a lag-based gap flag + running sum — plain pos−row_number islands
+    * would only merge strictly-adjacent positions, leaving overlapping
+    * spans whose tokens double-count in the ranking). A suffix array
+    * finds character-exact spans; the k-gram formulation is the
+    * shuffle-friendly equivalent (one groupBy on the gram, one per-doc
+    * window) that distributes — k bounds the minimum span, gap-k
+    * merging recovers maximal NON-OVERLAPPING spans above it. At 100 TB the gram key would be xxhash64(gram) (the
     * md5-long trick every dedup op here uses) so the shuffle ships 8
     * bytes, not the text — kept as the raw string ONLY for oracle
     * string-equality parity. Top 30 spans by token length.
@@ -1639,8 +1641,15 @@ SELECT metric, value FROM (
       .select("gram")
     val dp = g.join(dup, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("pos"))
+    // gap-k islands: a new span starts where the gap to the previous
+    // duplicated position exceeds SpanK (merges overlapping AND
+    // touching spans); both windows are per-doc, bounded by doc length
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dp.withColumn("grp", col("pos") - row_number().over(win))
+    dp.withColumn("flag",
+        when(col("pos") - lag(col("pos"), 1).over(win) <= SpanK, 0L)
+          .otherwise(1L))
+      .withColumn("grp", sum(col("flag")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("pos")).as("start_tok"),
         (max(col("pos")) + (SpanK - 1)).as("end_tok"),
@@ -1663,10 +1672,16 @@ SELECT metric, value FROM (
   SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
 ), dp AS (
   SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), isl0 AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              <= $SpanK THEN 0 ELSE 1 END AS flag
+  FROM dp
 ), isl AS (
   SELECT doc_id, pos,
-    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM dp
+    SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM isl0
 )
 SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
   CAST(MAX(pos) + ${SpanK - 1} AS BIGINT) AS end_tok,

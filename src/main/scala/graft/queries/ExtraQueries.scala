@@ -1229,16 +1229,20 @@ FROM pb, act"""
     */
   private val KAnon = 5
 
-  private def kAnonymity(s: SparkSession, dir: String): DataFrame = {
-    val cls = Tables(s, dir, "customer")
-      .select(col("c_nationkey").cast("long").as("n"),
-        col("c_mktsegment").as("m"),
-        floor(col("c_acctbal") / 1000).cast("long").as("b"))
+  /** The lattice core of `q_k_anonymity`, seam-exposed so a spec can
+    * feed a frame with genuinely-NULL quasi-identifiers: the ROLLUP
+    * level is decoded from `grouping_id()` (n=MSB: 0b111=all
+    * generalized, 0b011=m+b, 0b001=b, 0b000=raw), NOT from isNull
+    * tests — a NULL quasi-identifier VALUE is a class of its own at
+    * every level and can never alias a coarser lattice level.
+    */
+  private[graft] def kAnonLattice(quasi: DataFrame): DataFrame = {
+    val cls = quasi
       .rollup(col("n"), col("m"), col("b"))
-      .agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("sz"), grouping_id().as("gid"))
       .select(
-        when(col("n").isNull, 3L).when(col("m").isNull, 2L)
-          .when(col("b").isNull, 1L).otherwise(0L).as("level"),
+        when(col("gid") === 7, 3L).when(col("gid") === 3, 2L)
+          .when(col("gid") === 1, 1L).otherwise(0L).as("level"),
         col("sz"))
     cls.groupBy(col("level"))
       .agg(count(lit(1)).as("n_classes"),
@@ -1251,14 +1255,20 @@ FROM pb, act"""
       .orderBy("level")
   }
 
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    kAnonLattice(Tables(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("n"),
+        col("c_mktsegment").as("m"),
+        floor(col("c_acctbal") / 1000).cast("long").as("b")))
+
   private val kAnonymityOracle: String = s"""WITH cls AS (
   SELECT CAST(c_nationkey AS BIGINT) AS n, c_mktsegment AS m,
     CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS b,
-    COUNT(*) AS sz
+    COUNT(*) AS sz, GROUPING(n, m, b) AS gid
   FROM customer GROUP BY ROLLUP (n, m, b)
 ), lv AS (
-  SELECT CASE WHEN n IS NULL THEN 3 WHEN m IS NULL THEN 2
-              WHEN b IS NULL THEN 1 ELSE 0 END AS level, sz
+  SELECT CASE WHEN gid = 7 THEN 3 WHEN gid = 3 THEN 2
+              WHEN gid = 1 THEN 1 ELSE 0 END AS level, sz
   FROM cls
 )
 SELECT CAST(level AS BIGINT) AS level,

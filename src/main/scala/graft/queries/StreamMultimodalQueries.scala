@@ -420,13 +420,13 @@ SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM l GROUP BY user_id ORDER BY user_id"""
 
   private val streamTwsRunningOracle = s"""WITH e AS (
-  SELECT event_id, user_id, epoch_ms(ts) AS ms,
+  SELECT event_id, user_id, ts,
     CAST(FLOOR(value * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT) AS cents
   FROM events
 )
 SELECT event_id, user_id,
-  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS seq,
-  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ms, event_id
+  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
 FROM e ORDER BY event_id"""
 

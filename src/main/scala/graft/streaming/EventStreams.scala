@@ -25,6 +25,22 @@ object EventStreams {
   final case class SessionState(lastMs: Long, nSessions: Long, nEvents: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** The engine's ONE total order over events: full-precision event
+    * time (ms epoch, then sub-second nanos — parquet microseconds
+    * survive), then `event_id` as the unique tiebreak. EVERY stateful
+    * processor sorts its per-batch group with this key, so any
+    * order-sensitive fold is deterministic down to sub-ms collisions.
+    * Oracles of order-sensitive folds (`stream_tws_running`,
+    * `stream_ewma`, `stream_clamped`) ORDER BY the full timestamp to
+    * match; the session-family folds ([[sessionize]],
+    * [[finalizedSessions]], [[cepSessions]]) are invariant to within-ms
+    * permutations (their transitions read only the ms value), so for
+    * them the shared key is uniformity, not a semantics change — pinned
+    * per state shape by the sub-ms collision specs in StreamingSpec.
+    */
+  private[graft] def eventOrder(e: Event): (Long, Int, Long) =
+    (e.ts.getTime, e.ts.getNanos, e.event_id)
+
   /** Tumbling 1-hour counts + exact cent sums; identical semantics to the
     * batch `ev_hourly` query (hour bucket as epoch seconds).
     */
@@ -55,22 +71,18 @@ object EventStreams {
 
   /** 30-minute-gap sessionization, incremental: per-user state carries
     * (last event ms, session count, event count) across micro-batches.
-    * Within a batch events are sorted by (ms, event_id) — the SAME
-    * total order this operator family's oracles use (`ORDER BY
-    * epoch_ms(ts), event_id`); iterator order from shuffle is not
-    * deterministic, the sort makes the result so. Two sort-order
-    * families exist deliberately: operators whose oracles order by
-    * millisecond epoch sort (ms, event_id); [[EwmaProcessor]] — whose
-    * batch twin and oracle fold by the FULL-precision timestamp —
-    * sorts (ms, nanos, event_id). An operator must match ITS oracle,
-    * and one key cannot satisfy both when two same-user events share a
-    * millisecond with sub-ms order opposite to their id order.
+    * Within a batch events are sorted by [[eventOrder]] — iterator
+    * order from shuffle is not deterministic, the sort makes the fold
+    * so. The session transitions read only the millisecond value, so
+    * the result is invariant to within-ms permutations and the oracle's
+    * `ORDER BY epoch_ms(ts), event_id` fold agrees (the sub-ms
+    * collision spec pins this).
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 1800000L): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     def update(userId: Long, it: Iterator[Event],
         state: GroupState[SessionState]): UserSessions = {
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = it.toSeq.sortBy(eventOrder)
       var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
       sorted.foreach { e =>
         val ms = e.ts.getTime
@@ -137,7 +149,7 @@ object EventStreams {
         state.remove()
         Iterator(SessionOut(userId, s.startMs, s.lastMs, s.nEvents))
       } else {
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = it.toSeq.sortBy(eventOrder)
         val out = Seq.newBuilder[SessionOut]
         var open = state.getOption
         sorted.foreach { e =>
@@ -215,7 +227,7 @@ object EventStreams {
         state.remove()
         Iterator(emit(userId, s))
       } else {
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = it.toSeq.sortBy(eventOrder)
         val out = Seq.newBuilder[CepOut]
         var open = state.getOption
         sorted.foreach { e =>
@@ -322,14 +334,16 @@ object EventStreams {
     * (StatefulProcessor + typed state handles, RocksDB-backed): the
     * modern replacement for `mapGroupsWithState` with composable named
     * state, per-state TTL, and timers. One `ValueState[(n, cents)]` per
-    * user carries across micro-batches; events are sorted
-    * (ms, event_id) within each batch so the fold is deterministic —
+    * user carries across micro-batches; events are sorted by
+    * [[eventOrder]] (full-precision ts, then event_id) within each
+    * batch so the fold is deterministic down to sub-ms collisions —
     * cross-batch out-of-order arrivals are the same documented caveat
     * as [[sessionize]].
     *
     * The output equals the batch `ROW_NUMBER / running SUM` window per
-    * user — graded against exactly that oracle. Exact integer cents, so
-    * no accumulation-order drift.
+    * user ordered by the SAME full-precision key — graded against
+    * exactly that oracle (`ORDER BY ts, event_id`). Exact integer
+    * cents, so no accumulation-order drift.
     */
   class RunningStatsProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -345,7 +359,7 @@ object EventStreams {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[RunningOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(eventOrder)
       var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
       val out = sorted.map { e =>
         n += 1
@@ -370,6 +384,16 @@ object EventStreams {
     * integer cents — no accumulation drift. Within a batch events fold
     * in full-precision (ts, event_id) order, matching the batch
     * window's ORDER BY.
+    *
+    * Cross-batch ordering ASSUMPTION (the same documented caveat as
+    * [[sessionize]] / [[RunningStatsProcessor]]): the fold is only
+    * order-deterministic if each user's events arrive in global
+    * (ts, event_id) order ACROSS micro-batches — unlike max/count
+    * state, a clamped fold is not permutation-invariant, so a late
+    * event replayed into a later batch diverges from the batch
+    * Skorokhod closed form. Single-source file streams (this harness)
+    * and any log-ordered source satisfy it; an out-of-order source
+    * needs a watermark-delayed sort upstream of the processor.
     */
   class ClampedBalanceProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -387,7 +411,7 @@ object EventStreams {
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[ClampedOut] = {
       val sorted = rows.toSeq
-        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .sortBy(eventOrder)
       var (n, bal, peak) = if (st.exists()) st.get() else (0L, 0L, 0L)
       sorted.foreach { e =>
         val cents = math.floor(e.value * 100 + 0.5).toLong
@@ -446,7 +470,7 @@ object EventStreams {
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[EwmaOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val sorted = rows.toSeq.sortBy(eventOrder)
       var (s, n) = if (st.exists()) st.get() else (0.0, 0L)
       sorted.foreach { e =>
         s = if (n == 0L) e.value else (s + e.value) / 2

@@ -815,4 +815,96 @@ class StreamingSpec extends SparkSpec {
       assert(rows.count(_._1 == 1L) == 1, s"one emission per session: $rows")
     } finally q.stop()
   }
+
+  // --- sub-ms collision pins: every stateful processor sorts with the
+  // ONE total order (eventOrder = full-precision ts, then event_id);
+  // these fix two same-user events in the SAME millisecond whose
+  // microsecond order is OPPOSITE to their id order -----------------
+
+  test("sub-ms collisions: tws running fold follows microseconds, not id order") {
+    val dir = Files.createTempDirectory("graft_subms_tws").toString
+    writeBatch(dir, "b1", Seq(
+      EventStreams.Event(5L,
+        Timestamp.valueOf("2024-01-01 10:00:00.000700"), 7L, "click", 2.0),
+      EventStreams.Event(9L,
+        Timestamp.valueOf("2024-01-01 10:00:00.000400"), 7L, "click", 1.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.runningUserStats(stream)
+    spark.streams.active.filter(_.name == "subms_tws").foreach(_.stop())
+    val q = EventStreams.withRocksDbState(spark) {
+      out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("subms_tws").start()
+    }
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("subms_tws")
+        .select("event_id", "seq", "cum_cents")
+        .as[(Long, Long, Long)].collect().toSet
+      // an (ms, id) sort would fold id 5 first → (5,1,200),(9,2,300)
+      assert(rows == Set((9L, 1L, 100L), (5L, 2L, 300L)),
+        s"id 9 (.0004) must fold before id 5 (.0007): $rows")
+    } finally q.stop()
+  }
+
+  test("sub-ms collisions: sessionize counts are within-ms order-invariant") {
+    val dir = Files.createTempDirectory("graft_subms_sess").toString
+    writeBatch(dir, "b1", Seq(
+      EventStreams.Event(5L,
+        Timestamp.valueOf("2024-01-01 10:00:00.000700"), 7L, "click", 1.0),
+      EventStreams.Event(9L,
+        Timestamp.valueOf("2024-01-01 10:00:00.000400"), 7L, "click", 1.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[EventStreams.Event]
+    val out = EventStreams.sessionize(stream, gapMs = 30 * 60 * 1000).toDF()
+    spark.streams.active.filter(_.name == "subms_sess").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("subms_sess").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("subms_sess")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((7L, 1L, 2L)),
+        s"same-ms pair is one 2-event session under any fold order: $rows")
+    } finally q.stop()
+  }
+
+  test("sub-ms collisions: CEP seq string stays (ms, id)-ordered like the batch slice") {
+    val dir = Files.createTempDirectory("graft_subms_cep").toString
+    // µs order is purchase(id 9) BEFORE view(id 5); the buffer string
+    // orders by (ms, id) — matching the batch twin's slice — so it
+    // must spell "vp" (id 5 first), not the fold order "pv"
+    writeBatch(dir, "b1", Seq(
+      EventStreams.Event(9L,
+        Timestamp.valueOf("2024-01-01 10:00:00.000400"), 7L, "purchase", 1.0),
+      EventStreams.Event(5L,
+        Timestamp.valueOf("2024-01-01 10:00:00.000700"), 7L, "view", 1.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[EventStreams.Event]
+    val out = EventStreams.cepSessions(stream, "v.*p",
+      gapMs = 30 * 60 * 1000, horizon = "1 hour").toDF()
+    spark.streams.active.filter(_.name == "subms_cep").foreach(_.stop())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("subms_cep").start()
+    try {
+      q.processAllAvailable()
+      // far-future event advances the watermark → session finalizes
+      writeBatch(dir, "b2", Seq(EventStreams.Event(6L,
+        Timestamp.valueOf("2024-01-01 14:00:00"), 8L, "click", 1.0)))
+      q.processAllAvailable()
+      writeBatch(dir, "b3", Seq(EventStreams.Event(7L,
+        Timestamp.valueOf("2024-01-01 18:00:00"), 8L, "click", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("subms_cep")
+        .select("user_id", "n_events", "seq", "matched")
+        .as[(Long, Long, String, Boolean)].collect().toSet
+      assert(rows.contains((7L, 2L, "vp", true)),
+        s"seq must be (ms, id)-ordered 'vp' and match v.*p: $rows")
+    } finally q.stop()
+  }
 }
