@@ -1660,6 +1660,57 @@ SELECT metric, value FROM (
       .limit(30)
   }
 
+  // --- benchmark decontamination (train/test n-gram overlap) ---------
+  /** Benchmark DECONTAMINATION — the train/eval overlap scan every
+    * serious LLM corpus runs (GPT-3 appendix C's 13-gram scrub; here
+    * k = [[SpanK]] to fit the ~54-token docs): hold out the doc_id ≡ 0
+    * (mod 20) slice as the "benchmark", flag every training doc
+    * sharing ANY k-gram with it, with the shared-gram and hit-doc
+    * counts that decide scrub-vs-keep. Set semantics per doc (a gram
+    * repeated inside one doc counts once).
+    *
+    * Scale shape: one distinct-gram groupBy + one gram equi-join. The
+    * benchmark side is the small fraction (eval suites are MBs against
+    * a 100 TB corpus), so Catalyst broadcasts it — the train side
+    * never shuffles its text; at 100 TB the gram key becomes
+    * xxhash64(gram) exactly as [[dupSpans]] documents.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .where(size(col("w")) >= SpanK)
+    val grams = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - (SpanK - 1))).as("p"),
+        col("w"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), col("p"), lit(SpanK))).as("gram"))
+      .distinct()
+    val bench = grams.where(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("gram"), col("doc_id").as("bench_id"))
+    val train = grams.where(pmod(col("doc_id"), lit(20)) =!= 0)
+    train.join(bench, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("n_shared_grams").desc, col("doc_id"))
+  }
+
+  private val decontaminateOracle: String = s"""WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), g0 AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - ${SpanK - 1}),
+    i -> array_to_string(w[i:i+${SpanK - 1}], ' '))) AS gram
+  FROM docs WHERE len(w) >= $SpanK
+), g AS (SELECT DISTINCT doc_id, gram FROM g0),
+b AS (SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 20 = 0),
+t AS (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0)
+SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared_grams,
+  COUNT(DISTINCT b.bench_id) AS n_bench_docs
+FROM t JOIN b USING (gram)
+GROUP BY t.doc_id
+ORDER BY n_shared_grams DESC, doc_id"""
+
   private val dupSpansOracle: String = s"""WITH docs AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
 ), g AS (
@@ -1691,6 +1742,7 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d_dup_spans", dupSpans, Some(dupSpansOracle)),
+    QueryDef("d_decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("t_budget_apportion", budgetApportion, Some(budgetApportionOracle)),
     QueryDef("t_encode_tokens", encodeTokens, Some(encodeTokensOracle)),
