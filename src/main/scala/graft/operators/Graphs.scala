@@ -338,4 +338,94 @@ object Graphs {
       visited.select(col("node"), col("hop").cast("long").as("hops"))
     } finally e.unpersist(blocking = false)
   }
+
+  /** Strongly connected components by mutual-reachability closure:
+    * scc(v) = min{u : u ↝ v ∧ v ↝ u} (v itself included). The closure
+    * is built by path doubling — R ← R ∪ (R ⋈ R) — so fixpoint arrives
+    * in O(log diameter) rounds, each one equi-join + distinct, with
+    * `localCheckpoint` cutting lineage per round.
+    *
+    * Scale contract: reachability closure is O(n · avg-reach) PAIRS,
+    * so this operator targets the bounded-cardinality graphs SCC is
+    * actually asked of in a data platform — event-type/taxonomy
+    * transition graphs, service dependency graphs, state machines
+    * (≤ ~1e5 nodes), where the closure is millions of longs, not the
+    * billion-node social graph (whose SCC needs FW-BW decomposition
+    * and is out of scope; undirected CC at that scale is
+    * [[TextDedup.connectedComponents]]). The closure never carries
+    * payloads — (src, dst) long pairs only.
+    *
+    * @param edges (src, dst) long-castable directed edge list
+    * @return (node, scc_id) — scc_id = min node id of the component
+    */
+  def scc(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct().persist()
+    try {
+      val nodes = e.select(col("src").as("n"))
+        .union(e.select(col("dst"))).distinct()
+      var reach = e.localCheckpoint()
+      var n = reach.count()
+      var stable = false
+      while (!stable) {
+        val doubled = reach
+          .join(reach.select(col("src").as("m"), col("dst").as("d2")),
+            col("dst") === col("m"))
+          .select(col("src"), col("d2").as("dst"))
+          .union(reach).distinct().localCheckpoint()
+        val n2 = doubled.count()
+        stable = n2 == n
+        n = n2
+        reach = doubled
+      }
+      val mutual = reach
+        .join(reach.select(col("dst").as("r_src"), col("src").as("r_dst")),
+          col("src") === col("r_src") && col("dst") === col("r_dst"))
+        .select(col("src").as("node"), col("dst").as("peer"))
+      nodes
+        .join(mutual, col("n") === col("node"), "left")
+        .groupBy(col("n").as("node"))
+        .agg(least(min(col("peer")), min(col("n"))).as("scc_id"))
+        .select(col("node"), col("scc_id"))
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Earliest-arrival temporal reachability: over timestamped edges
+    * (src, dst, dep_ms, arr_ms) — "you may take an edge only if you
+    * are at src no later than its departure" — computes the minimal
+    * arrival time at every node reachable from the seed set within
+    * `rounds` relaxations (= temporal paths of ≤ `rounds` hops).
+    * Bellman-Ford-shaped: each round is one join of the current
+    * arrival vector against the edge list, a departure-time filter,
+    * and a min-aggregation on dst; arrival times are exact longs so
+    * any engine replays the identical trajectory.
+    *
+    * Scale: the arrival vector is one long per node (broadcast-small
+    * vs the edge list); edges persist once across rounds;
+    * `localCheckpoint` per round keeps plans shallow. Rounds is a
+    * fixed bound, giving an unrollable oracle — pass the graph's
+    * temporal diameter when full closure is wanted.
+    *
+    * @param edges (src, dst, dep_ms, arr_ms) — longs
+    * @param seeds (node, t) — earliest presence at each seed node
+    */
+  def temporalEarliestArrival(
+      edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("dep_ms").cast("long"), col("arr_ms").cast("long")).persist()
+    try {
+      var arr = seeds.select(col("node").cast("long"), col("t").cast("long"))
+        .groupBy("node").agg(min(col("t")).as("t")).localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val relaxed = arr.join(e, col("node") === col("src"))
+          .where(col("dep_ms") >= col("t"))
+          .select(col("dst").as("node"), col("arr_ms").as("t"))
+        arr = arr.union(relaxed)
+          .groupBy("node").agg(min(col("t")).as("t"))
+          .localCheckpoint()
+      }
+      arr.select(col("node"), col("t").as("arrival_ms"))
+    } finally e.unpersist(blocking = false)
+  }
 }

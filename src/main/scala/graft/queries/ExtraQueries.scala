@@ -1281,7 +1281,49 @@ SELECT CAST(level AS BIGINT) AS level,
     AS risk_micro
 FROM lv GROUP BY level ORDER BY level"""
 
+  // --- l-diversity audit ----------------------------------------------
+  /** l-diversity — the disclosure audit k-anonymity can't do: a class
+    * of 50 identical-segment customers is 50-anonymous yet leaks the
+    * segment outright. Quasi-identifiers (nation, acctbal kilobucket)
+    * define the classes; the sensitive value is the market segment.
+    * Classes are histogrammed by their distinct-sensitive count l, with
+    * the worst single-value disclosure probability in exact basis
+    * points (max count ×10000 div class size — integer, order-free).
+    * Scale shape: two cascaded groupBys, both map-side-combining; the
+    * output is bounded by the sensitive-value cardinality. Companion
+    * to `q_k_anonymity` ([[kAnonLattice]]).
+    */
+  private def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    val perVal = Tables(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("n"),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long").as("b"),
+        col("c_mktsegment").as("sv"))
+      .groupBy("n", "b", "sv").agg(count(lit(1)).as("c"))
+    val perCls = perVal.groupBy("n", "b")
+      .agg(count(lit(1)).as("l"), sum(col("c")).as("sz"),
+        max(col("c")).as("maxc"))
+    perCls.groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_rows"),
+        max(expr("maxc * 10000 div sz")).as("worst_disclosure_bps"))
+      .orderBy("l")
+  }
+
+  private val lDiversityOracle: String = """WITH pv AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS n,
+    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS b,
+    c_mktsegment AS sv, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2, 3
+), cls AS (
+  SELECT n, b, COUNT(*) AS l, CAST(SUM(c) AS BIGINT) AS sz,
+    CAST(MAX(c) AS BIGINT) AS maxc
+  FROM pv GROUP BY 1, 2
+)
+SELECT l, COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows,
+  CAST(MAX(maxc * 10000 // sz) AS BIGINT) AS worst_disclosure_bps
+FROM cls GROUP BY l ORDER BY l"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_l_diversity", lDiversity, Some(lDiversityOracle)),
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("q_join_card_estimate", joinCardEstimate, Some(joinCardOracle)),
     QueryDef("io_catalog_table", catalogTable, Some(catalogTableOracle)),

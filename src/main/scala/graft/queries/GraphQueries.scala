@@ -745,6 +745,122 @@ FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY ra_micro DESC, c) <= 3
 ORDER BY source, ra_micro DESC, candidate"""
 
+  /** [[Graphs.scc]] over the k-value transition graph — the DIRECTED
+    * component structure `g_label_prop`'s undirected communities can't
+    * see (a → b with no path back is one community but two SCCs).
+    * Nodes are the ~100 `props.k` values, so the mutual-reachability
+    * closure is tiny; per-SCC size and internal (src ≠ dst, distinct)
+    * edge counts, largest first. The oracle builds the identical
+    * closure with a recursive CTE.
+    */
+  private def sccQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
+    val edges = Graphs.transitionEdges(ev, k)
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val labels = Graphs.scc(edges)
+    val internal = edges
+      .join(labels.select(col("node").as("src"), col("scc_id").as("sa")), "src")
+      .join(labels.select(col("node").as("dst"), col("scc_id").as("sb")), "dst")
+      .where(col("sa") === col("sb"))
+      .groupBy(col("sa").as("scc_id"))
+      .agg(count(lit(1)).as("ie"))
+    labels.groupBy("scc_id").agg(count(lit(1)).as("n_nodes"))
+      .join(internal, Seq("scc_id"), "left")
+      .select(col("scc_id"), col("n_nodes"),
+        coalesce(col("ie"), lit(0L)).as("n_internal_edges"))
+      .orderBy(col("n_nodes").desc, col("scc_id"))
+  }
+
+  private val sccOracle: String = """WITH RECURSIVE ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), e AS (
+  SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT DISTINCT k AS n FROM ek
+), reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+), mutual AS (
+  SELECT a.src AS node, a.dst AS peer
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+), lab AS (
+  SELECT n AS node, COALESCE(MIN(peer), n) AS scc_id
+  FROM nodes LEFT JOIN mutual ON mutual.node = nodes.n GROUP BY n
+), cnt AS (
+  SELECT scc_id, COUNT(*) AS n_nodes FROM lab GROUP BY 1
+), ie AS (
+  SELECT la.scc_id, COUNT(*) AS n_internal_edges
+  FROM e JOIN lab la ON la.node = e.src JOIN lab lb ON lb.node = e.dst
+  WHERE la.scc_id = lb.scc_id GROUP BY 1
+)
+SELECT c.scc_id, c.n_nodes,
+  CAST(COALESCE(ie.n_internal_edges, 0) AS BIGINT) AS n_internal_edges
+FROM cnt c LEFT JOIN ie USING (scc_id)
+ORDER BY n_nodes DESC, scc_id"""
+
+  /** [[Graphs.temporalEarliestArrival]] over the timestamped k-value
+    * transition edges (dep = the earlier event's epoch-ms, arr = the
+    * later's): earliest time each k-state is reachable from the
+    * smallest k value by a TIME-RESPECTING path of ≤ 6 hops — reach
+    * `g_bfs_hops` can't express (a static path may never be traversable
+    * in time order). Both engines run exactly 6 min-relaxation rounds
+    * over exact longs; the oracle unrolls them as chained CTEs.
+    */
+  private def temporalReach(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = ev.select(col("user_id"), col("ts"), col("event_id"),
+      regexp_extract(col("props"), kExpr, 1).cast("long").as("k"),
+      unix_millis(col("ts")).as("ms"))
+    val edges = base
+      .withColumn("dst", lead(col("k"), 1).over(w))
+      .withColumn("arr_ms", lead(col("ms"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .select(col("k").as("src"), col("dst"), col("ms").as("dep_ms"),
+        col("arr_ms"))
+    val seed = base.agg(min(col("k")).as("node")).withColumn("t", lit(0L))
+    Graphs.temporalEarliestArrival(edges, seed, 6)
+      .orderBy(col("arrival_ms"), col("node"))
+  }
+
+  private val temporalReachOracle: String = {
+    val iters = (1 to 6).map { i =>
+      s"""r$i AS (
+  SELECT node, MIN(t) AS t FROM (
+    SELECT node, t FROM r${i - 1}
+    UNION ALL
+    SELECT e.dst AS node, e.arr_ms AS t
+    FROM r${i - 1} r JOIN e ON e.src = r.node AND e.dep_ms >= r.t
+  ) GROUP BY node)"""
+    }.mkString(",\n")
+    s"""WITH ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\\s*:\\s*(\\d+)', 1) AS BIGINT) AS k,
+    epoch_ms(ts) AS ms
+  FROM events
+), seq AS (
+  SELECT k AS src, ms AS dep_ms,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS arr_ms
+  FROM ek
+), e AS (
+  SELECT src, dst, dep_ms, arr_ms FROM seq WHERE dst IS NOT NULL
+), r0 AS (
+  SELECT MIN(k) AS node, CAST(0 AS BIGINT) AS t FROM ek
+),
+$iters
+SELECT node, t AS arrival_ms FROM r6 ORDER BY arrival_ms, node"""
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g_hits", hitsQ, Some(hitsOracle)),
     QueryDef("g_local_clustering", localClustering, Some(localClusteringOracle)),
@@ -754,6 +870,8 @@ ORDER BY source, ra_micro DESC, candidate"""
     QueryDef("g_kcore", kcore, Some(kcoreOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
+    QueryDef("g_scc", sccQ, Some(sccOracle)),
+    QueryDef("g_temporal_reach", temporalReach, Some(temporalReachOracle)),
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),
     QueryDef("g_triangles", triangles, Some(trianglesOracle)),
     QueryDef("g_label_prop", labelProp, Some(labelPropOracle)),

@@ -1251,7 +1251,70 @@ SELECT n1, n - n1 AS n2, r1x2, tie,
     AS z
 FROM agg"""
 
+  // --- Kendall's tau-b (rank correlation, pair-concordance form) ------
+  /** Kendall's tau-b between monthly revenue and monthly order count —
+    * completes the rank-statistics suite (Spearman = rank Pearson,
+    * Mann-Whitney = rank sum, this = pair concordance; tau is the one
+    * with an unbiased small-sample interpretation). Scale shape: the
+    * O(n²) pair join runs AFTER the groupBy collapses orders to the
+    * months-cardinality series — the time dimension is bounded (~1.2k
+    * pairs per century of months) no matter how many fact rows feed
+    * it, the same post-agg-pairs contract as `ev_theil_sen`. Signs and
+    * pair counts are exact integers (cents / counts); tau_b is one
+    * final double division over them, so oracle parity is bit-exact.
+    */
+  private def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg(sum(cents(col("o_totalprice"))).as("x"), count(lit(1)).as("y"))
+    val a = m.select(col("mth").as("m1"), col("x").as("x1"), col("y").as("y1"))
+    val b = m.select(col("mth").as("m2"), col("x").as("x2"), col("y").as("y2"))
+    def sgn(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+      when(p < q, -1L).when(p > q, 1L).otherwise(0L)
+    val pairs = a.join(b, col("m1") < col("m2"))
+      .select(sgn(col("x1"), col("x2")).as("sx"),
+        sgn(col("y1"), col("y2")).as("sy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("sx") * col("sy") === 1, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("sx") * col("sy") === -1, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("sx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ties_y"))
+      .select(col("n0"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        (d(col("concordant") - col("discordant"))
+          / sqrt(d(col("n0") - col("ties_x")) * d(col("n0") - col("ties_y"))))
+          .as("tau_b"))
+  }
+
+  private val kendallTauOracle: String = s"""WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mth,
+    CAST(SUM(CAST(FLOOR(o_totalprice * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS x,
+    COUNT(*) AS y
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT
+    CASE WHEN a.x < b.x THEN -1 WHEN a.x > b.x THEN 1 ELSE 0 END AS sx,
+    CASE WHEN a.y < b.y THEN -1 WHEN a.y > b.y THEN 1 ELSE 0 END AS sy
+  FROM m a JOIN m b ON a.mth < b.mth
+), agg AS (
+  SELECT COUNT(*) AS n0,
+    CAST(SUM(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+    CAST(SUM(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+    CAST(SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+    CAST(SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+  FROM p
+)
+SELECT n0, concordant, discordant, ties_x, ties_y,
+  CAST(concordant - discordant AS DOUBLE)
+    / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)) AS tau_b
+FROM agg"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_kendall_tau", kendallTau, Some(kendallTauOracle)),
     QueryDef("q_mann_whitney", mannWhitney, Some(mannWhitneyOracle)),
     QueryDef("q_yoy_growth", yoyGrowth, Some(yoyGrowthOracle)),
     QueryDef("q_listagg", listaggQ, Some(listaggOracle)),

