@@ -7,15 +7,18 @@ import graft.operators.{Joins, Similarity, TextDedup}
 
 /** Volume-axis stress bench (VERDICT-r5 #2): measures the SCALE-PATH
   * operators against their quadratic baselines on synthetic corpora at
-  * 10-40× the sf0.1 volumes, so the repo's 100×-scale claims are
+  * 5-40× the sf0.1 volumes, so the repo's 100×-scale claims are
   * curves, not prose. [[SkewBench]] covers the skew axis (one hot
   * key); this covers growth:
   *
-  *   - `ppjoin` (prefix-filtered exact set-similarity join) vs
-  *     `jaccard_allpairs` (full co-shingle join): with a fixed shingle
-  *     vocabulary, docs-per-shingle grows ∝ corpus, so the all-pairs
-  *     candidate join grows ∝ N²/V while the prefix filter touches
-  *     only each doc's rarest shingles — the curve should CROSS.
+  *   - `ppjoin` (prefix-filtered exact set-similarity join) and
+  *     `minhash_lsh` (banded MinHash candidates) vs
+  *     `jaccard_allpairs` (full co-shingle join): all-pairs cost is
+  *     Σ_shingle df², and every df grows ∝ corpus — dominated by the
+  *     HOT head of the shingle distribution. The prefix filter joins
+  *     only each doc's RAREST shingles (never the head); MinHash
+  *     banding's bucket count tracks real dup structure. Both curves
+  *     should flatten while all-pairs quadruples per doubling.
   *   - `lsh_pairs` (banded hyperplane-LSH candidates) vs
   *     `ann_brute_pairs` (exact all-pairs cosine): quadratic baseline
   *     quadruples per corpus doubling, buckets don't. The brute
@@ -26,19 +29,43 @@ import graft.operators.{Joins, Similarity, TextDedup}
   *     bounded (the chunked form exists for skew, measured in
   *     SkewBench — here it must not cost at scale when keys are fine).
   *
+  * Generator realism rules (learned from a first, misleading run —
+  * kept here so nobody regresses them):
+  *
+  *   1. Shingle draws carry a HOT HEAD (4% of draws over 2k shingles,
+  *      a Zipf-head proxy) atop a 500k-entry cold tail. A uniform-df
+  *      generator is the prefix filter's WORST case (all shingles
+  *      equally rare → the prefix is an arbitrary 20% sample and the
+  *      filter pays its constant factors for nothing) and is also
+  *      unreal: n-gram frequencies are Zipfian, and it is exactly the
+  *      head that makes all-pairs explode (df² on stopword-like
+  *      shingles) while rarest-first prefixes never touch it.
+  *   2. Embedding near-dup structure is planted with cluster COUNT
+  *      ∝ n (n/20 centers of ~20 members, 5% noise), never a fixed
+  *      center count: with k fixed, same-cluster pairs — the true
+  *      output — grow ∝ n²/k, so EVERY correct algorithm measures
+  *      quadratic and the curve says nothing about the index.
+  *   3. Hyperplane-LSH band width must scale with log₂(n): 4-bit
+  *      bands give 16 buckets TOTAL per band, so bucket occupancy is
+  *      ∝ n and the in-bucket join is quadratic for any data. 16-bit
+  *      bands (64 planes, 4 bands) keep cold-bucket occupancy O(1)
+  *      up to ~10⁶ vectors; beyond that, widen rows-per-band — the
+  *      production sizing rule for [[Similarity.lshCandidates]].
+  *
   * All inputs derive from xxhash64(id) — deterministic, no rand() —
   * and are materialized to parquet first so every variant reads the
   * identical bytes. Results → BASELINE.md "scale curves" table.
   * Volumes are multiples of sf0.1 (5k documents / 2k vectors / 100k
-  * events) via `SPARK_GRAFT_SCALE_MULTS` (default "10,20,40").
+  * events) via `SPARK_GRAFT_SCALE_MULTS` (default "5,10,20,40").
   */
 object ScaleBench {
-  private val Vocab = 500000L  // fixed shingle vocabulary → df grows with N
+  private val Vocab = 500000L   // cold-tail vocabulary → df grows with N
+  private val HotVocab = 2000L  // Zipf-head proxy: 4% of draws land here
   private val Dim = 64
-  private val NPlanes = 16
+  private val NPlanes = 64
   private val Bands = 4
-  private val RowsPerBand = 4
-  private val MinCos = 0.25
+  private val RowsPerBand = 16
+  private val MinCos = 0.7
   private val DayMs = 24L * 3600 * 1000
   private val SpanMs = 30 * DayMs
 
@@ -50,9 +77,11 @@ object ScaleBench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  /** Synthetic shingle table: ~30-70 shingles/doc from the fixed
-    * vocabulary; every doc with id ≡ 1 (mod 10) is an exact twin of
-    * id−1 (planted dups so both joins emit real pairs).
+  /** Synthetic shingle table: ~30-70 shingles/doc; 4% of draws come
+    * from the 2k-entry hot head (df grows ~125× faster than the cold
+    * tail's), the rest uniform over the 500k cold vocabulary; every
+    * doc with id ≡ 1 (mod 10) is an exact twin of id−1 (planted dups
+    * so all three join variants emit real pairs).
     */
   private def genShingles(spark: SparkSession, nDocs: Long, path: String): Unit = {
     spark.range(nDocs)
@@ -63,25 +92,28 @@ object ScaleBench {
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n") - 1)).as("k"), col("base"))
       .select(col("doc_id"),
-        concat(lit("s"),
-          pmod(xxhash64(col("base"), col("k"), lit(7)), lit(Vocab)))
+        when(pmod(xxhash64(col("base"), col("k"), lit(3)), lit(25)) === 0,
+          concat(lit("h"),
+            pmod(xxhash64(col("base"), col("k"), lit(5)), lit(HotVocab))))
+          .otherwise(concat(lit("s"),
+            pmod(xxhash64(col("base"), col("k"), lit(7)), lit(Vocab))))
           .as("shingle"))
       .distinct()
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Synthetic embeddings: 200 cluster centers + 10% per-vector noise,
-    * so LSH buckets carry real near-neighbor structure.
+  /** Synthetic embeddings: n/20 cluster centers (+5% per-vector
+    * noise) so the planted near-pair output grows ∝ n, never n².
     */
   private def genEmbeddings(spark: SparkSession, nVec: Long, path: String): Unit = {
     def u(h: Column, span: Int): Column = // hash → [-1, 1] at 1e-3 grid
       (pmod(h, lit(2L * span + 1)) - span).cast("double") / span
     spark.range(nVec)
-      .withColumn("c", pmod(xxhash64(col("id"), lit(1)), lit(200L)))
+      .withColumn("c", pmod(xxhash64(col("id"), lit(1)), lit(math.max(nVec / 20, 1))))
       .select(col("id"),
         transform(sequence(lit(0), lit(Dim - 1)), d =>
           (u(xxhash64(col("c"), d, lit(5)), 1000) +
-            u(xxhash64(col("id"), d, lit(6)), 1000) * 0.1).cast("float"))
+            u(xxhash64(col("id"), d, lit(6)), 1000) * 0.05).cast("float"))
           .as("vec"))
       .write.mode("overwrite").parquet(path)
   }
@@ -115,7 +147,7 @@ object ScaleBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "10,20,40")
+    val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "5,10,20,40")
       .split(",").map(_.trim.toInt).toSeq
     val bruteCap = sys.env.getOrElse("SPARK_GRAFT_SCALE_BRUTE_CAP", "45000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
@@ -160,6 +192,12 @@ object ScaleBench {
 
       record("jaccard_allpairs", nDocs, () => TextDedup.jaccardPairs(sh, 0.8))
       record("ppjoin", nDocs, () => TextDedup.ppjoinPairs(sh, 4, 5))
+      // probabilistic twin: 16-hash signatures, 4 bands × 4 rows —
+      // candidate discovery only (the production d_minhash_lsh shape);
+      // bucket keys are md5 strings, so bucket count tracks dup
+      // structure, not a fixed key space
+      record("minhash_lsh", nDocs, () =>
+        TextDedup.lshCandidates(TextDedup.minHashSignatures(sh, 16), 4, 4))
       record("lsh_pairs", nVec, () =>
         Similarity.lshCandidates(emb, planes, Bands, RowsPerBand, MinCos))
       if (nVec <= bruteCap)

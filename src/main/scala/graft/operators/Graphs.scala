@@ -339,6 +339,55 @@ object Graphs {
     } finally e.unpersist(blocking = false)
   }
 
+  /** All-sources BFS within a hop horizon: (source, node, hops) for
+    * every ordered pair with directed distance ≤ `maxHops` — the
+    * machinery behind truncated closeness/harmonic centrality and
+    * h-bounded eccentricity, which at scale are always computed with
+    * a horizon (a full APSP pass is Θ(n·E) and never what a platform
+    * runs). Level-synchronous like [[bfsHops]], but the frontier is
+    * keyed (source, node), so one round expands EVERY source at once:
+    * round r is a single join of the frontier against the edge list
+    * plus an anti-join against the visited set, both shuffling on
+    * node ids only. Stops early when no source discovers anything
+    * new. State is the visited set — Σ per-source reach rows, the
+    * same pairs the caller asked for, never payloads.
+    *
+    * @param edges (src, dst) long-castable directed edge list
+    * @return (source, node, hops), hops = 0 for the source itself
+    */
+  def multiSourceBfs(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist()
+    try {
+      val nodes = e.select(col("src").as("n"))
+        .union(e.select(col("dst"))).distinct()
+      var visited = nodes
+        .select(col("n").as("source"), col("n").as("node"), lit(0).as("hop"))
+        .localCheckpoint()
+      var frontier = visited
+      var hop = 0
+      var done = frontier.isEmpty
+      while (!done && hop < maxHops) {
+        hop += 1
+        val next = frontier.join(e, col("node") === col("src"))
+          .select(col("source"), col("dst").as("node"), lit(hop).as("hop"))
+          .distinct()
+          .join(visited.select(col("source").as("vs"), col("node").as("vn")),
+            col("source") === col("vs") && col("node") === col("vn"),
+            "left_anti")
+          .localCheckpoint()
+        done = next.isEmpty
+        if (!done) {
+          frontier = next
+          visited = visited.unionByName(next).localCheckpoint()
+        }
+      }
+      visited.select(col("source"), col("node"), col("hop").cast("long").as("hops"))
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Strongly connected components by mutual-reachability closure:
     * scc(v) = min{u : u ↝ v ∧ v ↝ u} (v itself included). The closure
     * is built by path doubling — R ← R ∪ (R ⋈ R) — so fixpoint arrives

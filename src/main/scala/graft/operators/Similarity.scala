@@ -27,9 +27,15 @@ object Similarity {
 
   val Scale = 10000
 
-  /** float vector → exact integer units (1e-4). */
+  /** float vector → exact integer units (1e-4). Native codegen'd
+    * expression ([[graft.plans.FloatArrayQuantize]]): the HOF
+    * formulation `transform(vec, x -> floor(x·1e4 + 0.5))` runs
+    * interpreted AND is re-evaluated per consuming expression (no CSE
+    * outside codegen) — measured as the dominant scan cost of the
+    * banded-LSH signature path.
+    */
   def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * Scale + 0.5).cast("long"))
+    graft.plans.VectorQuantize.quantize(vec, Scale)
 
   /** Exact integer dot product (order-independent). Backed by the
     * native codegen'd [[graft.plans.LongArrayDot]] — the equivalent
@@ -450,14 +456,16 @@ object Similarity {
     }
   }
 
-  /** 1-char-per-plane bucket signature ('1' = positive side). Pure
-    * per-row array math — stays in codegen, no shuffle.
+  /** 1-char-per-plane bucket signature ('1' = positive side). One
+    * native pass over the quantized vector for ALL planes
+    * ([[graft.plans.HyperplaneSignature]]): the per-plane
+    * `when(dotQ > 0, "1")` concat evaluated its (interpreted, HOF)
+    * input once PER PLANE — 64 planes made the signature stage alone
+    * ~0.35 ms/row.
     */
   def bucketSignature(qvec: Column, planes: Seq[Seq[Int]]): Column =
-    concat(planes.map { plane =>
-      val dot = dotQ(qvec, typedLit(plane.map(_.toLong)))
-      when(dot > 0, "1").otherwise("0")
-    }: _*)
+    graft.plans.VectorQuantize.hyperplaneSignature(
+      qvec, planes.map(_.map(_.toLong)))
 
   /** LSH candidate pairs: vectors sharing any of `bands` contiguous
     * `rowsPerBand`-bit slices of the bucket signature, scored with the

@@ -861,7 +861,61 @@ $iters
 SELECT node, t AS arrival_ms FROM r6 ORDER BY arrival_ms, node"""
   }
 
+  /** [[Graphs.multiSourceBfs]] over the w ≥ 4 k-transition graph (the
+    * `g_bfs_hops` edge set): per-node TRUNCATED harmonic centrality
+    * Σ 1/d(v,u) over the 8-hop horizon plus reach count and h-bounded
+    * eccentricity — the centrality family that stays computable at
+    * scale because the horizon bounds every frontier. Reciprocals are
+    * summed as exact micro-units (`1000000 div h`), so the ranking is
+    * integer-stable in any engine. The oracle replays the same
+    * horizon with a bounded recursive CTE + MIN(hop).
+    */
+  private def closeness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
+    val edges = Graphs.transitionEdges(ev, k)
+      .where(col("src") =!= col("dst") && col("w") >= 4)
+      .select("src", "dst")
+    Graphs.multiSourceBfs(edges, 8)
+      .where(col("hops") > 0)
+      .groupBy(col("source").as("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div hops")).as("harmonic_micro"),
+        max(col("hops")).as("ecc_8"))
+      .orderBy(col("harmonic_micro").desc, col("node"))
+  }
+
+  private val closenessOracle = """WITH RECURSIVE ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), we AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq
+  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM we WHERE w >= 4
+), nodes AS (
+  SELECT DISTINCT src AS n FROM edges UNION SELECT DISTINCT dst FROM edges
+), reach(s, node, hop) AS (
+  SELECT n, n, 0 FROM nodes
+  UNION
+  SELECT r.s, e.dst, r.hop + 1
+  FROM reach r JOIN edges e ON e.src = r.node WHERE r.hop < 8
+), d AS (
+  SELECT s, node, MIN(hop) AS h FROM reach GROUP BY 1, 2
+)
+SELECT s AS node, COUNT(*) AS n_reached,
+  CAST(SUM(1000000 // h) AS BIGINT) AS harmonic_micro,
+  CAST(MAX(h) AS BIGINT) AS ecc_8
+FROM d WHERE h > 0 GROUP BY s
+ORDER BY harmonic_micro DESC, node"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_closeness", closeness, Some(closenessOracle)),
     QueryDef("g_hits", hitsQ, Some(hitsOracle)),
     QueryDef("g_local_clustering", localClustering, Some(localClusteringOracle)),
     QueryDef("g_link_pred_ra", linkPredRa, Some(linkPredRaOracle)),

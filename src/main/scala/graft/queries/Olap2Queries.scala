@@ -1251,6 +1251,123 @@ SELECT n1, n - n1 AS n2, r1x2, tie,
     AS z
 FROM agg"""
 
+  // --- Poisson-bootstrap CI for the A/B mean difference ---------------
+  /** Percentile-bootstrap confidence interval for the A/B
+    * mean-difference `q_ab_welch` reads out — the nonparametric
+    * companion when the normality behind Welch's t is in doubt. The
+    * resampling is the POISSON BOOTSTRAP (each row enters replicate b
+    * with multiplicity ~Poisson(1)), the published way to bootstrap a
+    * dataset whose size n is unknown to any one task — multinomial
+    * resampling needs n up front, Poisson(1) is row-local, which is
+    * why it is the standard at data-platform scale.
+    *
+    * Engine parity is exact end-to-end: the multiplicity comes from a
+    * 32-bit md5 slice of (event_id, b) compared against FROZEN integer
+    * thresholds `floor(CDF_Poisson(1)(k)·2³²)` (so no float compare
+    * can drift), per-replicate sums are exact longs in cents, and each
+    * replicate's mean difference is two IEEE divisions of those longs
+    * — bit-identical in any engine. CI bounds are nearest-rank order
+    * statistics (ranks ⌈0.025B⌉ / ⌈0.975B⌉) of the B=200 replicate
+    * diffs.
+    *
+    * Scale shape: the explode multiplies SCAN-side CPU by B, but the
+    * shuffle carries only 4 longs per (replicate, partition) after the
+    * map-side combine — state is B×4 longs, corpus-size-independent.
+    * B is the accuracy/CPU knob; 200 is the textbook percentile-CI
+    * floor.
+    */
+  private def abBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val B = 200
+    // u < floor(cdf(k)·2^32)  ⇒  w = k   (Poisson(1), capped at 7)
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L)
+    val armA = conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+      .cast("int") < 8
+    val rows = Tables.events(s, dir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), armA.as("is_a"), cents(col("value")).as("c"))
+    val u = conv(substring(md5(concat(col("event_id").cast("string"),
+      lit(":"), col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = thresholds.zipWithIndex
+      .foldLeft(when(lit(false), 0L)) { case (acc, (t, k)) =>
+        if (k == 0) when(col("u") < t, 0L) else acc.when(col("u") < t, k.toLong)
+      }.otherwise(7L)
+    val rep = rows
+      .select(col("event_id"), col("is_a"), col("c"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", u).withColumn("w", w)
+      .groupBy("b").agg(
+        sum(when(col("is_a"), col("w") * col("c")).otherwise(0L)).as("s_a"),
+        sum(when(col("is_a"), col("w")).otherwise(0L)).as("w_a"),
+        sum(when(!col("is_a"), col("w") * col("c")).otherwise(0L)).as("s_b"),
+        sum(when(!col("is_a"), col("w")).otherwise(0L)).as("w_b"))
+    val diffs = rep.select(col("b"),
+      ((col("s_a").cast("double") / col("w_a").cast("double")
+        - col("s_b").cast("double") / col("w_b").cast("double")) / 100.0).as("d"))
+    val rw = Window.orderBy(col("d"), col("b")) // B rows — one tiny sort
+    val ranked = diffs.withColumn("rk", row_number().over(rw))
+    val lo = ranked.where(col("rk") === 5).select(col("d").as("ci_lo"))
+    val hi = ranked.where(col("rk") === 195).select(col("d").as("ci_hi"))
+    val point = rows.agg(
+        sum(when(col("is_a"), col("c")).otherwise(0L)).as("s_a"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), col("c")).otherwise(0L)).as("s_b"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      .select(((col("s_a").cast("double") / col("n_a").cast("double")
+        - col("s_b").cast("double") / col("n_b").cast("double")) / 100.0)
+        .as("diff_mean"))
+    point.crossJoin(lo).crossJoin(hi)
+      .select(col("diff_mean"), col("ci_lo"), col("ci_hi"),
+        lit(B.toLong).as("b_reps"))
+  }
+
+  private val abBootstrapOracle: String = {
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L)
+    val wCase = "CASE " + ts.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString(" ") + " ELSE 7 END"
+    s"""WITH src AS (
+  SELECT event_id,
+    (strpos('0123456789abcdef',
+      substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 8 AS is_a,
+    CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), ex AS (
+  SELECT is_a, c,
+    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' ||
+      CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS u, b
+  FROM src, (SELECT UNNEST(range(0, 200)) AS b)
+), wt AS (
+  SELECT is_a, c, b, $wCase AS w FROM ex
+), rep AS (
+  SELECT b,
+    CAST(SUM(CASE WHEN is_a THEN w * c ELSE 0 END) AS BIGINT) AS s_a,
+    CAST(SUM(CASE WHEN is_a THEN w ELSE 0 END) AS BIGINT) AS w_a,
+    CAST(SUM(CASE WHEN NOT is_a THEN w * c ELSE 0 END) AS BIGINT) AS s_b,
+    CAST(SUM(CASE WHEN NOT is_a THEN w ELSE 0 END) AS BIGINT) AS w_b
+  FROM wt GROUP BY b
+), diffs AS (
+  SELECT b, (CAST(s_a AS DOUBLE) / CAST(w_a AS DOUBLE)
+    - CAST(s_b AS DOUBLE) / CAST(w_b AS DOUBLE)) / ${D("100")} AS d
+  FROM rep
+), ranked AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, b) AS rk FROM diffs
+), point AS (
+  SELECT (CAST(SUM(CASE WHEN is_a THEN c ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS DOUBLE)
+    - CAST(SUM(CASE WHEN NOT is_a THEN c ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS DOUBLE))
+    / ${D("100")} AS diff_mean
+  FROM src
+)
+SELECT point.diff_mean,
+  (SELECT d FROM ranked WHERE rk = 5) AS ci_lo,
+  (SELECT d FROM ranked WHERE rk = 195) AS ci_hi,
+  CAST(200 AS BIGINT) AS b_reps
+FROM point"""
+  }
+
   // --- Kendall's tau-b (rank correlation, pair-concordance form) ------
   /** Kendall's tau-b between monthly revenue and monthly order count —
     * completes the rank-statistics suite (Spearman = rank Pearson,
@@ -1314,6 +1431,7 @@ SELECT n0, concordant, discordant, ties_x, ties_y,
 FROM agg"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ab_bootstrap", abBootstrap, Some(abBootstrapOracle)),
     QueryDef("q_kendall_tau", kendallTau, Some(kendallTauOracle)),
     QueryDef("q_mann_whitney", mannWhitney, Some(mannWhitneyOracle)),
     QueryDef("q_yoy_growth", yoyGrowth, Some(yoyGrowthOracle)),

@@ -194,4 +194,33 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r3 == Map(1L -> 0L, 2L -> 4L, 3L -> 5L, 4L -> 6L))
   }
+
+  test("multiSourceBfs: every source gets min-hop distances; horizon cuts") {
+    // path 1->2->3->4 plus shortcut 1->3: d(1,3)=1 (shortcut wins),
+    // d(1,4)=2; node 4 is a sink (reaches nothing)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = Graphs.multiSourceBfs(edges, 8)
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, h) => (s, n) -> h }.toMap
+    assert(got == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 1L, (1L, 4L) -> 2L,
+      (2L, 2L) -> 0L, (2L, 3L) -> 1L, (2L, 4L) -> 2L,
+      (3L, 3L) -> 0L, (3L, 4L) -> 1L,
+      (4L, 4L) -> 0L))
+    // horizon 1: the 2-hop pairs disappear, nothing else changes
+    val h1 = Graphs.multiSourceBfs(edges, 1)
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, h) => (s, n) -> h }.toMap
+    assert(h1 == got.filter(_._2 <= 1L))
+  }
+
+  test("multiSourceBfs: cycles terminate via the visited anti-join") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graphs.multiSourceBfs(ring, 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 9) // 3 sources × 3 reachable, none repeated
+    assert(got.filter(r => r._1 == r._2).forall(_._3 == 0L))
+    assert(got.map(_._3).max == 2L) // ring diameter, not the horizon
+  }
 }
