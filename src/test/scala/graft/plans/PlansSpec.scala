@@ -239,4 +239,48 @@ class PlansSpec extends SparkSpec {
     val recall = exactTight.count(sim.contains).toDouble / exactTight.size
     assert(recall >= 0.15, s"simhash recall $recall on ${exactTight.size} true pairs")
   }
+
+  test("FloatArrayQuantize: native == HOF floor(x*scale+0.5), incl. negatives") {
+    // values straddling the rounding boundary both ways, plus exact
+    // halves where floor(+0.5) and round() differ for negatives:
+    // floor(-0.00005·1e4 + 0.5) = floor(0.0) = 0, NOT -1
+    val vecs = Seq(
+      Seq(0.1f, -0.1f, 0.00004f, -0.00005f, 0.99999f, -1.5f),
+      Seq(0.0f, 123.456f, -123.456f))
+    val df = vecs.toDF("vec")
+    val got = df.select(
+        VectorQuantize.quantize(col("vec"), 10000).as("nq"),
+        transform(col("vec"),
+          x => floor(x.cast("double") * 10000 + 0.5).cast("long")).as("hq"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    got.foreach { case (n, h) => assert(n == h) }
+    // null row → null out
+    val nr = Seq((null: Seq[Float], 1)).toDF("vec", "x")
+      .select(VectorQuantize.quantize(col("vec"), 10000)).head()
+    assert(nr.isNullAt(0))
+  }
+
+  test("HyperplaneSignature: native == per-plane when(dot>0) concat") {
+    val planes: Seq[Seq[Int]] = graft.operators.Similarity.planes(16, 8)
+    val df = spark.range(200)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(7)), d =>
+          ((pmod(xxhash64(col("id"), d), lit(2001)) - 1000)
+            .cast("double") / 1000).cast("float")).as("vec"))
+      .select(col("id"), graft.operators.Similarity.quantize(col("vec")).as("qv"))
+    val legacy = concat(planes.map { plane =>
+      val dot = graft.plans.LongArrayMath.dot(col("qv"), typedLit(plane.map(_.toLong)))
+      when(dot > 0, "1").otherwise("0")
+    }: _*)
+    val mism = df.select(
+        VectorQuantize.hyperplaneSignature(col("qv"), planes.map(_.map(_.toLong))).as("n"),
+        legacy.as("l"))
+      .where(col("n") =!= col("l")).count()
+    assert(mism == 0L)
+    // wrong-length vector → null (caller bug surfaced, not a silent '0' row)
+    val bad = Seq(Seq(1L, 2L)).toDF("qv")
+      .select(VectorQuantize.hyperplaneSignature(col("qv"),
+        planes.map(_.map(_.toLong)))).head()
+    assert(bad.isNullAt(0))
+  }
 }
