@@ -225,8 +225,8 @@ object CorpusQuality {
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("s"))
       .where(length(col("s")) >= 2)
-    val bi = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("bg"))
+    val bi = docs.select(col("doc_id"),
+      explode(graft.plans.CharNGrams.of(col("s"), 2)).as("bg"))
     // per-(doc, bigram) counts FIRST: the model derivation and the
     // scoring pass both consume this identical aggregate subtree, so
     // ReuseExchange runs the gram explode + its shuffle ONCE for the
@@ -272,8 +272,8 @@ object CorpusQuality {
   def kneserNeyScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), lower(col(textCol)).as("s"))
       .where(length(col("s")) >= 2)
-    val bi = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))")).as("bg"))
+    val bi = docs.select(col("doc_id"),
+      explode(graft.plans.CharNGrams.of(col("s"), 2)).as("bg"))
     val dbg = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
     val c2 = dbg.groupBy(col("bg")).agg(sum(col("cnt")).as("n2"))
     val c1 = c2.groupBy(substring(col("bg"), 1, 1).as("a"))

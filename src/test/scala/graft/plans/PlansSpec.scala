@@ -283,4 +283,26 @@ class PlansSpec extends SparkSpec {
         planes.map(_.map(_.toLong)))).head()
     assert(bad.isNullAt(0))
   }
+
+  test("CharNGrams: native == HOF transform/substring, incl. multibyte") {
+    val base = Seq("abcdef", "ab", "héllo wörld", "日本語のテスト", "x", "")
+      .toDF("s")
+    for (n <- Seq(2, 3)) {
+      val df = base.where(length(col("s")) >= n) // the call sites' guard
+      val mism = df
+        .select(CharNGrams.of(col("s"), n).as("nat"),
+          expr(s"transform(sequence(1, length(s) - ${n - 1}), " +
+            s"i -> substring(s, i, $n))").as("hof"))
+        .where(not(col("nat") === col("hof"))).count()
+      assert(mism == 0L, s"n=$n")
+    }
+    // below-n input → EMPTY (not the HOF's descending-sequence artifact)
+    val short = Seq("a").toDF("s")
+      .select(CharNGrams.of(col("s"), 2)).as[Seq[String]].head()
+    assert(short.isEmpty)
+    // null → null
+    val nr = Seq((null: String, 1)).toDF("s", "x")
+      .select(CharNGrams.of(col("s"), 2)).head()
+    assert(nr.isNullAt(0))
+  }
 }
