@@ -393,21 +393,21 @@ GROUP BY e.src ORDER BY e.src"""
     stats.result().toDF("round", "n_nodes", "n_halfedges").orderBy("round")
   }
 
-  private val kcoreOracle = """WITH li AS (
+  private val kcoreOracle = """WITH li AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-), p AS (
+), p AS MATERIALIZED (
   SELECT DISTINCT a.pk AS a, b.pk AS b
   FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-), e0 AS (
+), e0 AS MATERIALIZED (
   SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p
 ), kk AS (
   SELECT (COUNT(*) * 8) // (COUNT(DISTINCT u) * 10) AS k FROM e0
 ), d1 AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY 1),
 keep1 AS (SELECT u FROM d1, kk WHERE d >= kk.k),
-e1 AS (SELECT e.u, e.v FROM e0 e JOIN keep1 a ON e.u = a.u JOIN keep1 b ON e.v = b.u),
+e1 AS MATERIALIZED (SELECT e.u, e.v FROM e0 e JOIN keep1 a ON e.u = a.u JOIN keep1 b ON e.v = b.u),
 d2 AS (SELECT u, COUNT(*) AS d FROM e1 GROUP BY 1),
 keep2 AS (SELECT u FROM d2, kk WHERE d >= kk.k),
-e2 AS (SELECT e.u, e.v FROM e1 e JOIN keep2 a ON e.u = a.u JOIN keep2 b ON e.v = b.u),
+e2 AS MATERIALIZED (SELECT e.u, e.v FROM e1 e JOIN keep2 a ON e.u = a.u JOIN keep2 b ON e.v = b.u),
 d3 AS (SELECT u, COUNT(*) AS d FROM e2 GROUP BY 1),
 keep3 AS (SELECT u FROM d3, kk WHERE d >= kk.k),
 e3 AS (SELECT e.u, e.v FROM e2 e JOIN keep3 a ON e.u = a.u JOIN keep3 b ON e.v = b.u)
