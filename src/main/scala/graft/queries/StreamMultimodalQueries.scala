@@ -365,6 +365,40 @@ ORDER BY purchase_id, view_id NULLS FIRST"""
 
   private val streamClampedOracle = EventQueries.clampedRunningOracle
 
+  /** [[EventStreams.streamingTopK]] end-to-end: continuous top-5
+    * values per event type as bounded `transformWithState` state.
+    * n_seen is strictly increasing per key, so each key's max-n_seen
+    * row is the final leaderboard; graded against the batch
+    * ROW_NUMBER top-5. Top-k merge-insertion is permutation-invariant
+    * over distinct event ids, so unlike the fold twins this query has
+    * NO cross-batch ordering assumption.
+    */
+  private def streamTopK(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.streamingTopK(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"), 5)
+      EventStreams.runToMemory(s, out, "graft_stream_topk", OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_seen"), col("top_cents"), col("top_ids"))).as("m"))
+        .select(col("event_type"),
+          posexplode(arrays_zip(col("m.top_cents"), col("m.top_ids")))
+            .as(Seq("p", "x")))
+        .select(col("event_type"), (col("p") + 1).as("rk"),
+          col("x.top_cents").as("cents"), col("x.top_ids").as("event_id"))
+        .orderBy(col("event_type"), col("rk"))
+    }
+
+  private val streamTopKOracle = s"""SELECT event_type, rk, cents, event_id
+FROM (
+  SELECT event_type, event_id,
+    CAST(FLOOR(value * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER (PARTITION BY event_type
+      ORDER BY CAST(FLOOR(value * ${Sql.D("100")} + ${Sql.D("0.5")}) AS BIGINT) DESC,
+        event_id) AS rk
+  FROM events WHERE value IS NOT NULL
+)
+WHERE rk <= 5 ORDER BY event_type, rk"""
+
   private def streamEwma(s: SparkSession, dir: String): DataFrame =
     EventStreams.withRocksDbState(s) {
       val out = EventStreams.streamingEwma(
@@ -598,6 +632,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("stream_join_outer", streamJoinOuter, Some(streamJoinOuterOracle)),
     QueryDef("stream_clamped", streamClamped, Some(streamClampedOracle)),
+    QueryDef("stream_topk", streamTopK, Some(streamTopKOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
     QueryDef("stream_session_window", streamSessionWindow, Some(streamSessionWindowOracle)),

@@ -445,6 +445,70 @@ object EventStreams {
       .toDF()
   }
 
+  final case class TopKState(n_seen: Long, cents: Seq[Long], ids: Seq[Long])
+  final case class TopKOut(event_type: String, n_seen: Long,
+      top_cents: Seq[Long], top_ids: Seq[Long])
+
+  /** Continuous bounded top-k per key: one `ValueState` carries the k
+    * best (cents DESC, event_id ASC) pairs per event type; each batch
+    * merge-inserts its rows and re-truncates to k. State is k pairs of
+    * longs per key — the streaming-rank shape (leaderboards, worst-n
+    * alerts, largest-payload watchlists) with state bounded by k, not
+    * by traffic.
+    *
+    * Unlike the sequential folds ([[ClampedBalanceProcessor]],
+    * [[EwmaProcessor]]), top-k insertion over distinct event ids is
+    * PERMUTATION-INVARIANT — any arrival order across batches yields
+    * the same state — so this processor carries NO cross-batch
+    * ordering caveat: late data converges to the batch answer by
+    * construction.
+    */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, TopKOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[TopKState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TopKState]("top",
+        Encoders.product[TopKState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[TopKOut] = {
+      val prev = if (st.exists()) st.get() else TopKState(0L, Nil, Nil)
+      var n = prev.n_seen
+      val fresh = rows.map { e =>
+        n += 1
+        (math.floor(e.value * 100 + 0.5).toLong, e.event_id)
+      }.toSeq
+      val top = ((prev.cents zip prev.ids) ++ fresh)
+        .sortBy { case (c, id) => (-c, id) }
+        .take(k)
+      st.update(TopKState(n, top.map(_._1), top.map(_._2)))
+      if (fresh.isEmpty) Iterator.empty
+      else Iterator(TopKOut(key, n, top.map(_._1), top.map(_._2)))
+    }
+  }
+
+  /** [[TopKProcessor]] wired to a stream (RocksDB required — run under
+    * [[withRocksDbState]]): top `k` values per event type.
+    */
+  def streamingTopK(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   final case class EwmaOut(user_id: Long, ewma: Double, n_events: Long)
 
   /** Streaming per-user EWMA (α = 1/2) — the incremental twin of the

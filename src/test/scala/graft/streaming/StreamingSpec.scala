@@ -720,6 +720,60 @@ class StreamingSpec extends SparkSpec {
       s"state API v2 must recover across restart: $got")
   }
 
+  test("topK state: checkpointed restart recovers; batch split order is irrelevant") {
+    val ckpt = Files.createTempDirectory("graft_topk_ck").toString
+    val outDir = Files.createTempDirectory("graft_topk_out").toString
+    val dir = Files.createTempDirectory("graft_topk_in").toString
+    def ev(id: Long, value: Double): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf("2024-01-01 10:00:00"),
+        1L, "purchase", value)
+
+    // batch 1 holds the eventual #2 and #4; batch 2 (post-restart)
+    // delivers the #1 and #3 — the leaderboard must merge, not reset,
+    // and (5.0, id 4) must evict nothing while (9.0, id 3) displaces
+    writeBatch(dir, "b1", Seq(ev(1, 7.0), ev(2, 3.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def start() = EventStreams.withRocksDbState(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      EventStreams.streamingTopK(stream, 3).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    writeBatch(dir, "b2", Seq(ev(3, 9.0), ev(4, 5.0)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val fin = spark.read.parquet(outDir)
+      .orderBy(col("n_seen").desc).limit(1)
+      .select("n_seen", "top_cents", "top_ids")
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    assert(fin == ((4L, Seq(900L, 700L, 500L), Seq(3L, 1L, 4L))),
+      s"restart must merge into the carried leaderboard: $fin")
+
+    // permutation-invariance: the same four events in one batch,
+    // reversed order, land on the identical state (no ordering caveat)
+    val dir2 = Files.createTempDirectory("graft_topk_in2").toString
+    writeBatch(dir2, "all", Seq(ev(4, 5.0), ev(3, 9.0), ev(2, 3.0), ev(1, 7.0)))
+    val q3 = EventStreams.withRocksDbState(spark) {
+      val stream = spark.readStream.schema(schema).parquet(dir2)
+      EventStreams.streamingTopK(stream, 3).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName("graft_topk_one").start()
+    }
+    try {
+      q3.processAllAvailable()
+      val one = spark.table("graft_topk_one")
+        .select("top_cents", "top_ids").as[(Seq[Long], Seq[Long])].head()
+      assert(one == ((fin._2, fin._3)),
+        s"one-shot reversed-order run must equal the split run: $one")
+    } finally q3.stop()
+  }
+
   test("observability: observe() metrics and state-operator progress surface") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
