@@ -1281,6 +1281,104 @@ SELECT CAST(level AS BIGINT) AS level,
     AS risk_micro
 FROM lv GROUP BY level ORDER BY level"""
 
+  // --- Fellegi-Sunter record-linkage readout --------------------------
+  /** Fellegi-Sunter probabilistic record linkage (JASA 1969 — the
+    * canonical match/non-match log-likelihood framework): blocked
+    * candidate pairs are scored by Σ_field w, where agreement on field
+    * f earns `ln(m_f/u_f)` and disagreement `ln((1−m_f)/(1−u_f))`;
+    * u_f (chance agreement of a RANDOM pair) is estimated from the
+    * full-table value frequencies as Σ n_v²/N², m_f is the fixed 9/10
+    * prior. Because the score depends only on the agreement PATTERN,
+    * the readout is the complete pattern table: 2³ rows of (pattern,
+    * n_pairs, score_micro) — the decision surface a linkage pipeline
+    * thresholds.
+    *
+    * Parity: u ratios are exact longs; each weight is
+    * `floor(ln(·)·1e6)` micro-nats (the repo's log-quantization
+    * convention), so pattern scores are exact integer sums. Scale
+    * shape: blocking ((nation, segment), ~N/125 per block) bounds the
+    * pair join; u-estimation is two map-side-combining groupBys per
+    * field; the pattern rollup is 8 rows.
+    */
+  private def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"),
+        col("c_nationkey").cast("long").as("blk_n"), col("c_mktsegment").as("blk_s"),
+        floor(col("c_acctbal").cast("double") / 1000).cast("long").as("f1"),
+        (floor(col("c_acctbal").cast("double") * 100 + 0.5).cast("long") % 10).as("f2"),
+        (floor(col("c_acctbal").cast("double") / 100).cast("long") % 10).as("f3"))
+    val n = cust.agg(count(lit(1)).as("nn"))
+    def uWeights(f: String): DataFrame =
+      cust.groupBy(col(f)).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("num"))
+        .crossJoin(n)
+        .select(
+          floor(log((lit(9.0) * col("nn") * col("nn")) /
+            (lit(10.0) * col("num"))) * 1000000).cast("long").as(s"wa_$f"),
+          floor(log((lit(1.0) * col("nn") * col("nn") - lit(10.0) * col("num")) /
+            (lit(10.0) * (col("nn") * col("nn") - col("num")))) * 1000000)
+            .cast("long").as(s"wd_$f"))
+    val w = uWeights("f1").crossJoin(uWeights("f2")).crossJoin(uWeights("f3"))
+    val a = cust.select(col("id").as("a_id"), col("blk_n"), col("blk_s"),
+      col("f1").as("a1"), col("f2").as("a2"), col("f3").as("a3"))
+    val b = cust.select(col("id").as("b_id"), col("blk_n"), col("blk_s"),
+      col("f1").as("b1"), col("f2").as("b2"), col("f3").as("b3"))
+    a.join(b, Seq("blk_n", "blk_s")).where(col("a_id") < col("b_id"))
+      .select(
+        concat((col("a1") === col("b1")).cast("int"),
+          (col("a2") === col("b2")).cast("int"),
+          (col("a3") === col("b3")).cast("int")).as("pattern"))
+      .groupBy(col("pattern")).agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(w))
+      .select(col("pattern"), col("n_pairs"),
+        (when(substring(col("pattern"), 1, 1) === "1", col("wa_f1"))
+          .otherwise(col("wd_f1")) +
+         when(substring(col("pattern"), 2, 1) === "1", col("wa_f2"))
+          .otherwise(col("wd_f2")) +
+         when(substring(col("pattern"), 3, 1) === "1", col("wa_f3"))
+          .otherwise(col("wd_f3"))).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("pattern"))
+  }
+
+  private val recordLinkageOracle: String = """WITH cust AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+    CAST(c_nationkey AS BIGINT) AS blk_n, c_mktsegment AS blk_s,
+    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS f1,
+    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) % 10 AS f2,
+    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 100) AS BIGINT) % 10 AS f3
+  FROM customer
+), n AS (SELECT COUNT(*) AS nn FROM cust),
+u1 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS num FROM (
+  SELECT COUNT(*) AS c FROM cust GROUP BY f1)),
+u2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS num FROM (
+  SELECT COUNT(*) AS c FROM cust GROUP BY f2)),
+u3 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS num FROM (
+  SELECT COUNT(*) AS c FROM cust GROUP BY f3)),
+w AS (
+  SELECT
+    CAST(FLOOR(ln((9.0 * nn * nn) / (10.0 * u1.num)) * 1000000) AS BIGINT) AS wa_f1,
+    CAST(FLOOR(ln((1.0 * nn * nn - 10.0 * u1.num) / (10.0 * (nn * nn - u1.num))) * 1000000) AS BIGINT) AS wd_f1,
+    CAST(FLOOR(ln((9.0 * nn * nn) / (10.0 * u2.num)) * 1000000) AS BIGINT) AS wa_f2,
+    CAST(FLOOR(ln((1.0 * nn * nn - 10.0 * u2.num) / (10.0 * (nn * nn - u2.num))) * 1000000) AS BIGINT) AS wd_f2,
+    CAST(FLOOR(ln((9.0 * nn * nn) / (10.0 * u3.num)) * 1000000) AS BIGINT) AS wa_f3,
+    CAST(FLOOR(ln((1.0 * nn * nn - 10.0 * u3.num) / (10.0 * (nn * nn - u3.num))) * 1000000) AS BIGINT) AS wd_f3
+  FROM n, u1, u2, u3
+), pat AS (
+  SELECT
+    CAST(CAST(a.f1 = b.f1 AS INT) AS VARCHAR)
+      || CAST(CAST(a.f2 = b.f2 AS INT) AS VARCHAR)
+      || CAST(CAST(a.f3 = b.f3 AS INT) AS VARCHAR) AS pattern
+  FROM cust a JOIN cust b
+    ON a.blk_n = b.blk_n AND a.blk_s = b.blk_s AND a.id < b.id
+)
+SELECT pattern, COUNT(*) AS n_pairs,
+  (CASE WHEN substring(pattern, 1, 1) = '1' THEN wa_f1 ELSE wd_f1 END
+   + CASE WHEN substring(pattern, 2, 1) = '1' THEN wa_f2 ELSE wd_f2 END
+   + CASE WHEN substring(pattern, 3, 1) = '1' THEN wa_f3 ELSE wd_f3 END)
+   AS score_micro
+FROM pat, w GROUP BY pattern, wa_f1, wd_f1, wa_f2, wd_f2, wa_f3, wd_f3
+ORDER BY score_micro DESC, pattern"""
+
   // --- l-diversity audit ----------------------------------------------
   /** l-diversity — the disclosure audit k-anonymity can't do: a class
     * of 50 identical-segment customers is 50-anonymous yet leaks the
@@ -1323,6 +1421,7 @@ SELECT l, COUNT(*) AS n_classes, CAST(SUM(sz) AS BIGINT) AS n_rows,
 FROM cls GROUP BY l ORDER BY l"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_record_linkage", recordLinkage, Some(recordLinkageOracle)),
     QueryDef("q_l_diversity", lDiversity, Some(lDiversityOracle)),
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("q_join_card_estimate", joinCardEstimate, Some(joinCardOracle)),
