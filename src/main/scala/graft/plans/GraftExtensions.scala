@@ -70,7 +70,17 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DamerauLevenshtein(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
-      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))),
+    // scale is a literal int: graft_quantize(vec, 10000)
+    (FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[FloatArrayQuantize].getName, "graft_quantize"),
+      (exprs: Seq[Expression]) => FloatArrayQuantize(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())),
+    // n is a literal int: graft_char_ngrams(s, 2)
+    (FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "graft_char_ngrams"),
+      (exprs: Seq[Expression]) => CharNGrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

@@ -305,4 +305,15 @@ class PlansSpec extends SparkSpec {
       .select(CharNGrams.of(col("s"), 2)).head()
     assert(nr.isNullAt(0))
   }
+
+  test("graft_quantize / graft_char_ngrams registered for SQL") {
+    GraftFunctions.register(spark)
+    val q = spark.sql(
+      "SELECT graft_quantize(array(CAST(0.5 AS FLOAT)), 10000) AS q")
+      .as[Seq[Long]].head()
+    assert(q == Seq(5000L))
+    val g = spark.sql("SELECT graft_char_ngrams('abcd', 2) AS g")
+      .as[Seq[String]].head()
+    assert(g == Seq("ab", "bc", "cd"))
+  }
 }
