@@ -599,6 +599,83 @@ ORDER BY e.vec_id"""
         Bm25Queries, Bm25K, Bm25K1, Bm25B)
       .orderBy("q_id", "rank")
 
+  /** Phrase search over a positional inverted index — the exact-match
+    * retrieval mode BM25's bag-of-words can't express: a phrase matches
+    * only where its words are ADJACENT, found by equi-joining each
+    * phrase word's postings on (doc, position+offset). Phrases under
+    * test are the corpus's top-3 word bigrams (count desc, words asc —
+    * fully data-driven, so the query is self-contained at any SF).
+    *
+    * Scale shape: the postings table is (token, doc, pos) — the
+    * inverted-index layout; each phrase lookup BROADCASTS the 3-row
+    * phrase list and semi-filters postings to phrase words BEFORE the
+    * position join, so join input is Σ df(phrase words), never the
+    * corpus. Per-phrase readout: doc hits, total occurrences, top doc
+    * (occurrences desc, id asc — one struct-max, no window).
+    */
+  private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val post = Tables(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p", "token")))
+    val adjacent = post.select(col("doc_id"), col("p"), col("token").as("w1"))
+      .join(post.select(col("doc_id"), (col("p") - 1).as("p"),
+        col("token").as("w2")), Seq("doc_id", "p"))
+    val phrases = adjacent.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(3)
+      .select(col("w1"), col("w2"))
+    // the indexed lookup path: postings filtered to phrase words first
+    val h1 = post.join(broadcast(phrases), post("token") === phrases("w1"))
+      .select(col("w1"), col("w2"), col("doc_id"), col("p"))
+    val h2 = post.select(col("doc_id"), (col("p") - 1).as("p"),
+      col("token").as("t2"))
+    val hits = h1.join(h2, Seq("doc_id", "p"))
+      .where(col("t2") === col("w2"))
+      .groupBy(col("w1"), col("w2"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    hits.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occurrences"),
+        max(struct(col("n_occ").as("o"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("phrase"),
+        col("n_docs"), col("n_occurrences"),
+        (-col("m.nd")).as("top_doc"), col("m.o").as("top_doc_occ"))
+      .orderBy(col("n_occurrences").desc, col("phrase"))
+  }
+
+  private val phraseSearchOracle: String = """WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    string_split_regex(trim(lower(text)), '\s+') AS w
+  FROM documents
+), post AS (
+  SELECT doc_id, unnest(w) AS token,
+    CAST(unnest(range(0, len(w))) AS BIGINT) AS p
+  FROM d
+), adj AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+), ph AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, w2, COUNT(*) AS n FROM adj GROUP BY 1, 2)
+  ORDER BY n DESC, w1, w2 LIMIT 3
+), hits AS (
+  SELECT adj.w1, adj.w2, doc_id, COUNT(*) AS n_occ
+  FROM adj JOIN ph ON adj.w1 = ph.w1 AND adj.w2 = ph.w2
+  GROUP BY 1, 2, 3
+), agg AS (
+  SELECT w1, w2, COUNT(*) AS n_docs,
+    CAST(SUM(n_occ) AS BIGINT) AS n_occurrences
+  FROM hits GROUP BY 1, 2
+), top AS (
+  SELECT w1, w2, doc_id AS top_doc, n_occ AS top_doc_occ FROM hits
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY w1, w2
+    ORDER BY n_occ DESC, doc_id) = 1
+)
+SELECT a.w1 || ' ' || a.w2 AS phrase, n_docs, n_occurrences,
+  top_doc, top_doc_occ
+FROM agg a JOIN top t ON a.w1 = t.w1 AND a.w2 = t.w2
+ORDER BY n_occurrences DESC, phrase"""
+
   /** The oracle restates BM25 with the exact same expression shape and
     * literal spellings (both engines parse "1.2"/"0.75" to the same
     * doubles and apply the same IEEE op order), then ranks on the
@@ -1191,6 +1268,7 @@ ORDER BY f.q_id"""
     QueryDef("s_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
     QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)),
     QueryDef("s_bm25_topk", bm25, Some(bm25Oracle)),
+    QueryDef("s_phrase_search", phraseSearch, Some(phraseSearchOracle)),
     QueryDef("s_rrf_fusion", rrfFusion, Some(rrfOracle)),
     QueryDef("d_embedding_dedup", embDedup, Some(embDedupOracle)))
 }
