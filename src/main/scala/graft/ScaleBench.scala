@@ -209,6 +209,23 @@ object ScaleBench {
       record("asof_chunked", nEv, () =>
         Joins.asofJoin(events, "t", quotes, "qt", Seq("user_id"),
           chunkSpan = Some(DayMs)))
+
+      // connected components (large-star/small-star): the claim is
+      // O(log n) rounds ⇒ near-linear wall time vs edges. Hard input:
+      // 1000-node chains (diameter stress — min-label propagation
+      // would need ~1000 rounds here) + a random-pair Erdős–Rényi-ish
+      // layer hashed over n/2 nodes for merge stress.
+      val nCcEdges = 50000L * m
+      val chain = spark.range(nCcEdges / 2)
+        .select((col("id") + when(pmod(col("id"), lit(1000)) === 999, 1)
+          .otherwise(0)).as("a_id"), // every 1000th link self-loops → dropped
+          (col("id") + 1).as("b_id"))
+      val rand = spark.range(nCcEdges / 2).select(
+        pmod(xxhash64(col("id"), lit(31)), lit(nCcEdges / 4)).as("a_id"),
+        pmod(xxhash64(col("id"), lit(32)), lit(nCcEdges / 4)).as("b_id"))
+      chain.unionByName(rand).write.mode("overwrite").parquet(s"$tmp/cc_$m")
+      val ccEdges = spark.read.parquet(s"$tmp/cc_$m")
+      record("cc_stars", nCcEdges, () => TextDedup.connectedComponentsStars(ccEdges))
     }
 
     val qs = curves.map { case (v, pts) =>
