@@ -1251,6 +1251,78 @@ SELECT n1, n - n1 AS n2, r1x2, tie,
     AS z
 FROM agg"""
 
+  // --- Isotonic regression (monotone calibration fit) -----------------
+  /** Isotonic regression of purchase propensity on a value-derived
+    * score — the monotone calibration fit (PAV) every score-calibration
+    * pipeline runs after the reliability bins `t_calibration` stops at.
+    * Computed by the EXACT minimax identity (equivalent to
+    * pool-adjacent-violators, Robertson et al. 1988):
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} mean(y over bins j..k)
+    *
+    * which needs no data-dependent iteration — the right shape for an
+    * oracle-graded engine (PAV's merge loop is sequential; the minimax
+    * is two nested aggregations). Work is O(B³) on the BIN table, and
+    * B is bounded (≤ 50 value buckets) no matter how many events feed
+    * the bins — the same bounded-lattice contract as the Shapley
+    * query. Interval means are single IEEE divisions of exact integer
+    * prefix sums, so min/max picks are bit-stable in any engine.
+    */
+  private def isotonic(s: SparkSession, dir: String): DataFrame = {
+    val bins = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(cents(col("value")).as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .select(least(lit(49L), expr("c div 200")).as("b"), col("y"))
+      .groupBy(col("b")).agg(count(lit(1)).as("w"), sum(col("y")).as("p"))
+    val win = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(col("b"), col("w"), col("p"),
+      sum(col("w")).over(win).as("cw"), sum(col("p")).over(win).as("cp"))
+    val lo = pre.select(col("b").as("j"), (col("cw") - col("w")).as("w0"),
+      (col("cp") - col("p")).as("p0"))
+    val hi = pre.select(col("b").as("k"), col("cw").as("w1"), col("cp").as("p1"))
+    val spans = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("p1") - col("p0")).cast("double") /
+          (col("w1") - col("w0")).cast("double")).as("r"))
+    val idx = bins.select(col("b").as("i"))
+    val innerMin = idx.join(spans, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("r")).as("mn"))
+    val iso = innerMin.groupBy(col("i")).agg(max(col("mn")).as("iso_rate"))
+    bins.join(iso, col("b") === col("i"))
+      .select(col("b").as("bin"), col("w").as("n_events"), col("p").as("n_pos"),
+        (col("p").cast("double") / col("w").cast("double")).as("raw_rate"),
+        col("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
+  private val isotonicOracle: String = s"""WITH bins AS (
+  SELECT LEAST(49, CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) // 200) AS b,
+    COUNT(*) AS w,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), pre AS (
+  SELECT b, w, p,
+    CAST(SUM(w) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+    CAST(SUM(p) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+  FROM bins
+), spans AS (
+  SELECT lo.b AS j, hi.b AS k,
+    CAST(hi.cp - (lo.cp - lo.p) AS DOUBLE) / CAST(hi.cw - (lo.cw - lo.w) AS DOUBLE) AS r
+  FROM pre lo JOIN pre hi ON lo.b <= hi.b
+), mn AS (
+  SELECT i.b AS i, s.j, MIN(s.r) AS mn
+  FROM bins i JOIN spans s ON s.j <= i.b AND s.k >= i.b
+  GROUP BY 1, 2
+), iso AS (
+  SELECT i, MAX(mn) AS iso_rate FROM mn GROUP BY 1
+)
+SELECT bins.b AS bin, w AS n_events, p AS n_pos,
+  CAST(p AS DOUBLE) / CAST(w AS DOUBLE) AS raw_rate, iso_rate
+FROM bins JOIN iso ON bins.b = iso.i
+ORDER BY bin"""
+
   // --- Poisson-bootstrap CI for the A/B mean difference ---------------
   /** Percentile-bootstrap confidence interval for the A/B
     * mean-difference `q_ab_welch` reads out — the nonparametric
@@ -1431,6 +1503,7 @@ SELECT n0, concordant, discordant, ties_x, ties_y,
 FROM agg"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_isotonic", isotonic, Some(isotonicOracle)),
     QueryDef("q_ab_bootstrap", abBootstrap, Some(abBootstrapOracle)),
     QueryDef("q_kendall_tau", kendallTau, Some(kendallTauOracle)),
     QueryDef("q_mann_whitney", mannWhitney, Some(mannWhitneyOracle)),
