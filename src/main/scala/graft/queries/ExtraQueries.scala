@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextDedup
+import Sql.D
 import graft.sources.{Readers, Writers}
 
 /** SimHash dedup, as-of-join composition, and reader/writer round-trips
@@ -1281,6 +1282,102 @@ SELECT CAST(level AS BIGINT) AS level,
     AS risk_micro
 FROM lv GROUP BY level ORDER BY level"""
 
+  // --- ε-differentially-private histogram -----------------------------
+  /** ε-DP histogram by the (two-sided) GEOMETRIC MECHANISM — the
+    * integer-valued discrete twin of Laplace noise (Ghosh-Roughgarden-
+    * Sundararajan 2009), which is what count queries actually ship:
+    * noise K = G₁ − G₂ with Gᵢ ~ Geometric(1−α), α = e^(−ε), gives
+    * ε-DP for sensitivity-1 counts. Noise is SEEDED (md5 of the bucket
+    * key → two 32-bit uniforms → inverse-CDF `floor(ln(1−u)/ln α)`) so
+    * the release is reproducible across engines and retries — the
+    * property a production DP pipeline needs anyway (noise must be
+    * drawn once per release, not once per reader). α = 1/2 (ε = ln 2);
+    * ln is micro-boundary-trusted per the repo's log convention.
+    * True counts appear alongside the release because this grades the
+    * MECHANISM — a real release would drop them. Completes the privacy
+    * suite (k-anonymity, l-diversity, GDPR erasure, PII redaction).
+    */
+  private def dpHistogram(s: SparkSession, dir: String): DataFrame = {
+    def geom(u: Column): Column = // Geometric(1/2) via inverse CDF, ln α = −ln 2
+      floor(log(lit(1.0) - u) / (-log(lit(2.0)))).cast("long")
+    def u32(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), col("o_orderpriority"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_true"))
+      .select(col("o_orderpriority").as("bucket"), col("n_true"),
+        (geom(u32("a:")) - geom(u32("b:"))).as("k_noise"))
+      .select(col("bucket"), col("n_true"), col("k_noise"),
+        greatest(lit(0L), col("n_true") + col("k_noise")).as("n_noisy"))
+      .orderBy("bucket")
+  }
+
+  private val dpHistogramOracle: String = """WITH h AS (
+  SELECT o_orderpriority AS bucket, COUNT(*) AS n_true FROM orders GROUP BY 1
+), u AS (
+  SELECT bucket, n_true,
+    CAST(('0x' || substring(md5('a:' || bucket), 1, 8)) AS BIGINT) / 4294967296.0 AS ua,
+    CAST(('0x' || substring(md5('b:' || bucket), 1, 8)) AS BIGINT) / 4294967296.0 AS ub
+  FROM h
+), k AS (
+  SELECT bucket, n_true,
+    CAST(FLOOR(ln(1.0 - ua) / (-ln(2.0))) AS BIGINT)
+      - CAST(FLOOR(ln(1.0 - ub) / (-ln(2.0))) AS BIGINT) AS k_noise
+  FROM u
+)
+SELECT bucket, CAST(n_true AS BIGINT) AS n_true, k_noise,
+  GREATEST(CAST(0 AS BIGINT), n_true + k_noise) AS n_noisy
+FROM k ORDER BY bucket"""
+
+  // --- A/B power analysis / sample-size calculator --------------------
+  /** Sample size for the NEXT experiment from THIS data's variance —
+    * the pre-registration readout an experimentation platform serves:
+    * n per arm = 2σ²·(z_{α/2}+z_β)²/δ², at α=5%/power=80% (z constants
+    * frozen as literals) for a minimum detectable effect of 2% of the
+    * current mean. σ² comes from the same six exact integer aggregates
+    * as `q_ab_welch` (count/sum/sum-of-squares in cents), so everything
+    * after the constants is one fixed double tree over exact longs.
+    */
+  private def powerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val zSum = 1.959963984540054 + 0.8416212335729143 // z_0.975 + z_0.80
+    val g = Tables.events(s, dir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    g.select(col("n"),
+        (col("s1").cast("double") / col("n").cast("double") / 100.0).as("mean"),
+        ((col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / col("n").cast("double")) /
+          (col("n") - 1).cast("double") / 10000.0).as("variance"))
+      .select(col("n"), col("mean"), col("variance"),
+        (col("mean") * 0.02).as("mde"),
+        ceil(lit(2.0) * col("variance") * lit(zSum * zSum) /
+          ((col("mean") * 0.02) * (col("mean") * 0.02))).cast("long")
+          .as("n_per_arm"))
+  }
+
+  private val powerAnalysisOracle: String = {
+    val z = "(1.959963984540054 + 0.8416212335729143)"
+    s"""WITH g AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(SUM(CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT)
+      * CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT)) AS BIGINT) AS s2
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), m AS (
+  SELECT n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / ${D("100")} AS mean,
+    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      / CAST(n - 1 AS DOUBLE) / ${D("10000")} AS variance
+  FROM g
+)
+SELECT n, mean, variance, mean * ${D("0.02")} AS mde,
+  CAST(CEIL(${D("2.0")} * variance * ($z * $z)
+    / ((mean * ${D("0.02")}) * (mean * ${D("0.02")}))) AS BIGINT) AS n_per_arm
+FROM m"""
+  }
+
   // --- Fellegi-Sunter record-linkage readout --------------------------
   /** Fellegi-Sunter probabilistic record linkage (JASA 1969 — the
     * canonical match/non-match log-likelihood framework): blocked
@@ -1422,6 +1519,8 @@ FROM cls GROUP BY l ORDER BY l"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_record_linkage", recordLinkage, Some(recordLinkageOracle)),
+    QueryDef("q_dp_histogram", dpHistogram, Some(dpHistogramOracle)),
+    QueryDef("q_power", powerAnalysis, Some(powerAnalysisOracle)),
     QueryDef("q_l_diversity", lDiversity, Some(lDiversityOracle)),
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("q_join_card_estimate", joinCardEstimate, Some(joinCardOracle)),
