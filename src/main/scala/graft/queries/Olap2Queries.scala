@@ -1268,13 +1268,10 @@ FROM agg"""
     * query. Interval means are single IEEE divisions of exact integer
     * prefix sums, so min/max picks are bit-stable in any engine.
     */
-  private def isotonic(s: SparkSession, dir: String): DataFrame = {
-    val bins = Tables.events(s, dir)
-      .where(col("value").isNotNull)
-      .select(cents(col("value")).as("c"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
-      .select(least(lit(49L), expr("c div 200")).as("b"), col("y"))
-      .groupBy(col("b")).agg(count(lit(1)).as("w"), sum(col("y")).as("p"))
+  /** The minimax isotonic fit over a (b, w, p) bin table — factored so
+    * the spec can pin the textbook PAV pooling example directly.
+    */
+  private[queries] def isotonicFit(bins: DataFrame): DataFrame = {
     val win = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = bins.select(col("b"), col("w"), col("p"),
@@ -1296,6 +1293,14 @@ FROM agg"""
         col("iso_rate"))
       .orderBy(col("bin"))
   }
+
+  private def isotonic(s: SparkSession, dir: String): DataFrame =
+    isotonicFit(Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(cents(col("value")).as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .select(least(lit(49L), expr("c div 200")).as("b"), col("y"))
+      .groupBy(col("b")).agg(count(lit(1)).as("w"), sum(col("y")).as("p")))
 
   private val isotonicOracle: String = s"""WITH bins AS (
   SELECT LEAST(49, CAST(FLOOR(value * ${D("100")} + ${D("0.5")}) AS BIGINT) // 200) AS b,
