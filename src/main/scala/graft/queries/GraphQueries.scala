@@ -26,12 +26,7 @@ object GraphQueries {
     * reproduces the exact longs.
     */
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
-    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
-    val edges = Graphs.transitionEdges(ev, k)
-    val nodes = ev.select(regexp_extract(col("props"), kExpr, 1)
-      .cast("long").as("node")).distinct()
-    Graphs.pageRank(edges, nodes, 5)
+    Graphs.pageRank(kEdges(s, dir), kNodes(s, dir), 5)
       .orderBy(col("rank_micro").desc, col("node"))
       .limit(20)
   }
@@ -205,6 +200,25 @@ ORDER BY lift DESC, a, b LIMIT 15"""
         .select("a", "b").distinct()
     }
 
+  /** Weighted k-value transition edges (src, dst, w) — the shared
+    * event-derived graph behind pagerank/hits/markov/bfs/scc/closeness
+    * (materialized once per dir: the 12M-event scan + per-user lead
+    * window collapses to a ~|k|² edge table, so six queries stop each
+    * re-paying the scan). */
+  private def kEdges(s: SparkSession, dir: String): DataFrame =
+    materialize(s, "kgraph_edges", dir) {
+      Graphs.transitionEdges(Tables(s, dir, "events"),
+        regexp_extract(col("props"), kExpr, 1).cast("long"))
+    }
+
+  /** Distinct k values (the node list), materialized beside [[kEdges]]. */
+  private def kNodes(s: SparkSession, dir: String): DataFrame =
+    materialize(s, "kgraph_nodes", dir) {
+      Tables(s, dir, "events")
+        .select(regexp_extract(col("props"), kExpr, 1)
+          .cast("long").as("node")).distinct()
+    }
+
   /** 3-round LPA labels over the symmetrized co-order graph (see
     * [[labelProp]] for the round semantics). Returns (node, lbl).
     */
@@ -280,9 +294,7 @@ FROM l3 GROUP BY 1 ORDER BY community"""
     * computes, so the exact-int rows agree engine-for-engine.
     */
   private def bfsHops(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
-    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
-    val edges = Graphs.transitionEdges(ev, k)
+    val edges = kEdges(s, dir)
       .where(col("src") =!= col("dst") && col("w") >= 4)
       .select("src", "dst")
     Graphs.bfsHops(edges, 0L, 8).orderBy("hops", "node")
@@ -319,9 +331,7 @@ FROM bfs GROUP BY node ORDER BY hops, node"""
     * a |nodes|-sized broadcast join back onto the edge counts.
     */
   private def markovAccuracy(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
-    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
-    val edges = Graphs.transitionEdges(ev, k)
+    val edges = kEdges(s, dir)
     val pred = edges.groupBy(col("src"))
       .agg(max(struct(col("w"), (-col("dst")).as("nd"))).as("m"))
       .select(col("src").as("p_src"), (-col("m.nd")).as("pred_dst"))
@@ -575,12 +585,7 @@ ORDER BY t.a, t.b"""
     * floor arithmetic.
     */
   private def hitsQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
-    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
-    val edges = Graphs.transitionEdges(ev, k)
-    val nodes = ev.select(regexp_extract(col("props"), kExpr, 1)
-      .cast("long").as("node")).distinct()
-    Graphs.hits(edges, nodes, 2)
+    Graphs.hits(kEdges(s, dir), kNodes(s, dir), 2)
       .orderBy(col("auth_micro").desc, col("node"))
       .limit(20)
   }
@@ -754,9 +759,7 @@ ORDER BY source, ra_micro DESC, candidate"""
     * closure with a recursive CTE.
     */
   private def sccQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
-    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
-    val edges = Graphs.transitionEdges(ev, k)
+    val edges = kEdges(s, dir)
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
     val labels = Graphs.scc(edges)
@@ -871,9 +874,7 @@ SELECT node, t AS arrival_ms FROM r6 ORDER BY arrival_ms, node"""
     * horizon with a bounded recursive CTE + MIN(hop).
     */
   private def closeness(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
-    val k = regexp_extract(col("props"), kExpr, 1).cast("long")
-    val edges = Graphs.transitionEdges(ev, k)
+    val edges = kEdges(s, dir)
       .where(col("src") =!= col("dst") && col("w") >= 4)
       .select("src", "dst")
     Graphs.multiSourceBfs(edges, 8)
