@@ -226,6 +226,45 @@ object ScaleBench {
       chain.unionByName(rand).write.mode("overwrite").parquet(s"$tmp/cc_$m")
       val ccEdges = spark.read.parquet(s"$tmp/cc_$m")
       record("cc_stars", nCcEdges, () => TextDedup.connectedComponentsStars(ccEdges))
+
+      // streaming stateful throughput: drain a synthetic event replay
+      // through two state shapes — flatMapGroupsWithState
+      // sessionization (state ∝ active keys) and transformWithState
+      // bounded top-k (state = k pairs per key). The claim: wall time
+      // grows ∝ events, state never does. Timestamps spread over 30
+      // days so sessions keep closing; 10-file replay ⇒ multi-batch
+      // state carry-over is actually exercised.
+      val evDir = s"$tmp/sev_$m"
+      spark.range(nEv).select(
+          col("id").as("event_id"),
+          timestamp_millis(lit(1704067200000L) +
+            pmod(xxhash64(col("id"), lit(41)), lit(SpanMs))).as("ts"),
+          pmod(xxhash64(col("id"), lit(42)), lit(nEv / 100 + 1)).as("user_id"),
+          when(pmod(xxhash64(col("id"), lit(43)), lit(4)) === 0, "purchase")
+            .otherwise("click").as("event_type"),
+          (pmod(xxhash64(col("id"), lit(44)), lit(10000)).cast("double") / 100)
+            .as("value"))
+        .repartition(10).write.mode("overwrite").parquet(evDir)
+      def drainStream(name: String,
+          mode: org.apache.spark.sql.streaming.OutputMode,
+          mk: DataFrame => DataFrame): Unit =
+        record(name, nEv, () =>
+          graft.streaming.EventStreams.withRocksDbState(spark) {
+            graft.streaming.EventStreams.runToMemory(spark,
+              mk(graft.streaming.EventStreams.eventsStream(spark, evDir)),
+              s"scale_$name", mode)
+          })
+      drainStream("stream_sessionize",
+        org.apache.spark.sql.streaming.OutputMode.Update(), { ev =>
+          import spark.implicits._
+          graft.streaming.EventStreams.sessionize(
+            ev.select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+              .as[graft.streaming.EventStreams.Event]).toDF()
+        })
+      drainStream("stream_topk",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        ev => graft.streaming.EventStreams.streamingTopK(ev, 5))
     }
 
     val qs = curves.map { case (v, pts) =>
