@@ -219,15 +219,17 @@ object Graphs {
     }
   }
 
-  /** Per-node exact triangle counts via the same degree-ordered wedge
-    * orientation as [[triangleCensus]] — each triangle materializes
-    * exactly once (at its unique two-out-edge node), then credits all
-    * three corners. The orientation bounds every out-degree at O(√E),
-    * so the wedge join cannot explode on hubs; the closing-edge match
-    * is an equi-join on (x, y). Returns (node, n_tri) for nodes in ≥1
-    * triangle.
+  /** Every triangle exactly once, as its (u, x, y) corner triple —
+    * the degree-ordered wedge enumeration shared by the census, the
+    * per-node counts, and any consumer that wants the triangles
+    * themselves (motif features, closure sampling). Orientation bounds
+    * every out-degree at O(√E) so the wedge join cannot explode on
+    * hubs; the closing-edge match is an equi-join on (x, y) behind the
+    * same scalar-subquery bloom prefilter as [[triangleCensus]].
+    * Eagerly checkpointed: the internal persists are released before
+    * return, so the result must not re-derive from them.
     */
-  def localTriangles(pairs: DataFrame): DataFrame = {
+  def triangleTriples(pairs: DataFrame): DataFrame = {
     val p = pairs.toDF("a", "b").where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -264,16 +266,29 @@ object Graphs {
             bf.scalar(), xxhash64(col("x"), col("y"))))
         } else wedgesAll
       // inner join (not semi): each closed wedge IS one triangle
-      // (u, x, y) — explode its three corners and count per node
-      val triNodes = wedges.join(closing, Seq("x", "y"))
-        .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
-      triNodes.groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      wedges.join(closing, Seq("x", "y"))
+        .select(col("u"), col("x"), col("y"))
         .localCheckpoint(eager = true)
     } finally {
       oriented.unpersist(blocking = false)
       p.unpersist(blocking = false)
     }
   }
+
+  /** Per-node exact triangle counts: [[triangleTriples]] with each
+    * triangle crediting its three corners. Returns (node, n_tri) for
+    * nodes in ≥1 triangle.
+    */
+  def localTriangles(pairs: DataFrame): DataFrame =
+    localTrianglesOf(triangleTriples(pairs))
+
+  /** Per-node counts from an already-enumerated triple table — the
+    * reuse seam when the triples are materialized once and shared.
+    */
+  def localTrianglesOf(triples: DataFrame): DataFrame =
+    triples
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
 
   /** Per-user ordered transition edges from an event log: consecutive
     * (k, next k) within each user, ordered by the raw nanosecond

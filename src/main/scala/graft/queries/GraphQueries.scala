@@ -72,8 +72,23 @@ ORDER BY rank_micro DESC, node LIMIT 20"""
     * Spark side must produce the exact count of the oracle's naive
     * a<b<c 3-way self-join.
     */
-  private def triangles(s: SparkSession, dir: String): DataFrame =
-    Graphs.triangleCensus(coOrderPairs(s, dir))
+  private def triangles(s: SparkSession, dir: String): DataFrame = {
+    // same census readout as Graphs.triangleCensus, with the triangle
+    // count read from the shared materialized triple table — the wedge
+    // join runs once per dir for the whole g_* family
+    val p = coOrderPairs(s, dir)
+    val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val census = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    census.crossJoin(
+        coOrderTriangles(s, dir).agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+  }
 
   private val trianglesOracle = s"""WITH li AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
@@ -217,6 +232,15 @@ ORDER BY lift DESC, a, b LIMIT 15"""
       Tables(s, dir, "events")
         .select(regexp_extract(col("props"), kExpr, 1)
           .cast("long").as("node")).distinct()
+    }
+
+  /** Closed-wedge triangle triples (u, x, y) of the co-order graph —
+    * the shared enumeration behind the census and per-node counts
+    * (materialized once per dir; the wedge join is the expensive part
+    * of both queries and each triangle row serves them all). */
+  private def coOrderTriangles(s: SparkSession, dir: String): DataFrame =
+    materialize(s, "coorder_triangles", dir) {
+      Graphs.triangleTriples(coOrderPairs(s, dir))
     }
 
   /** 3-round LPA labels over the symmetrized co-order graph (see
@@ -639,7 +663,7 @@ ORDER BY auth_micro DESC, a2.node LIMIT 20"""
     */
   private def localClustering(s: SparkSession, dir: String): DataFrame = {
     val pairs = coOrderPairs(s, dir)
-    val tri = Graphs.localTriangles(pairs)
+    val tri = Graphs.localTrianglesOf(coOrderTriangles(s, dir))
     val deg = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
