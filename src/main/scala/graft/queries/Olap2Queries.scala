@@ -1251,6 +1251,139 @@ SELECT n1, n - n1 AS n2, r1x2, tie,
     AS z
 FROM agg"""
 
+  // --- Benjamini-Hochberg FDR control over per-nation z-tests ---------
+  /** Acklam's rational approximation of the inverse normal CDF — used
+    * ONLY at query-construction time to freeze the BH critical values
+    * as literals shared verbatim by the Spark plan and the oracle SQL,
+    * so neither engine ever evaluates an erf/Φ at runtime (erf is not
+    * IEEE-pinned across libms; frozen literals are).
+    */
+  private def invNorm(p: Double): Double = {
+    require(p > 0 && p < 1)
+    val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Seq(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Seq(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Seq(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else -invNorm(1 - p)
+  }
+
+  private val FdrM = 25      // hypotheses: the 25 nations
+  private val FdrAlphaPct = 5
+
+  /** The 25 BH step-up critical values |z| must clear at rank i:
+    * Φ⁻¹(1 − i·α/(2m)), frozen to full double precision.
+    */
+  private val fdrCrit: Seq[Double] =
+    (1 to FdrM).map(i => invNorm(1 - i * (FdrAlphaPct / 100.0) / (2.0 * FdrM)))
+
+  /** Benjamini-Hochberg FDR control (JRSS-B 1995) across 25
+    * simultaneous hypotheses — "which nations' purchase sizes really
+    * differ from the rest?", the multiple-testing discipline an
+    * experimentation platform applies before anyone reads 25 z-tests
+    * off a dashboard. Each nation's Welch z vs the complement comes
+    * from per-nation exact integer moments (one map-side-combining
+    * pass; the complement's moments are global − nation, no second
+    * scan). The step-up rule runs on |z| directly against the FROZEN
+    * critical-value ladder Φ⁻¹(1−iα/2m) (p_(i) ≤ iα/m ⟺ |z|_(i) ≥
+    * crit_i), so no runtime normal CDF exists in either engine; the
+    * rejection frontier is one window max over the in-ladder ranks.
+    */
+  private def fdrBh(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        // whole DOLLARS, not cents: sum of squares must fit int64
+        // (cents² over millions of orders overflows); still exact
+        floor(col("o_totalprice")).cast("long").as("c"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+    val tot = per.agg(sum(col("n")).as("tn"), sum(col("s1")).as("ts1"),
+      sum(col("s2")).as("ts2"))
+    import org.apache.spark.sql.Column
+    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
+    def vr(s2: Column, s1: Column, n: Column) =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double")) /
+        (n - 1).cast("double")
+    val z = per.crossJoin(broadcast(tot))
+      .select(col("nation"), col("n"),
+        ((mean(col("s1"), col("n")) -
+          mean(col("ts1") - col("s1"), col("tn") - col("n"))) /
+          sqrt(vr(col("s2"), col("s1"), col("n")) / col("n").cast("double") +
+            vr(col("ts2") - col("s2"), col("ts1") - col("s1"),
+              col("tn") - col("n")) / (col("tn") - col("n")).cast("double")))
+          .as("z"))
+    val wOrd = Window.orderBy(abs(col("z")).desc, col("nation"))
+    val crit = fdrCrit.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (cv, i)) => when(col("rk") === (i + 1), cv).otherwise(acc)
+    }
+    val ranked = z.withColumn("rk", row_number().over(wOrd))
+      .withColumn("crit", crit)
+      .withColumn("hit", when(abs(col("z")) >= col("crit"), col("rk"))
+        .otherwise(lit(0L)))
+    val frontier = Window.orderBy(lit(1)) // 25 rows — one tiny window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked.withColumn("max_hit", max(col("hit")).over(frontier))
+      .select(col("nation"), col("n"), col("z"),
+        col("rk").cast("long").as("rk"), col("crit"),
+        (col("rk") <= col("max_hit")).as("rejected"))
+      .orderBy("rk")
+  }
+
+  private val fdrBhOracle: String = {
+    val ladder = fdrCrit.zipWithIndex
+      .map { case (cv, i) => s"(${i + 1}, CAST($cv AS DOUBLE))" }.mkString(", ")
+    s"""WITH per AS MATERIALIZED (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, COUNT(*) AS n,
+    CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS s1,
+    CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
+      * CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS s2
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s1) AS BIGINT) AS ts1,
+    CAST(SUM(s2) AS BIGINT) AS ts2 FROM per
+), z AS (
+  SELECT nation, n,
+    (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+      - CAST(ts1 - s1 AS DOUBLE) / CAST(tn - n AS DOUBLE))
+    / sqrt(
+      ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        / CAST(n - 1 AS DOUBLE)) / CAST(n AS DOUBLE)
+      + ((CAST(ts2 - s2 AS DOUBLE) - CAST(ts1 - s1 AS DOUBLE) * CAST(ts1 - s1 AS DOUBLE)
+          / CAST(tn - n AS DOUBLE)) / CAST(tn - n - 1 AS DOUBLE))
+        / CAST(tn - n AS DOUBLE)) AS z
+  FROM per, tot
+), ladder(rk, crit) AS (VALUES $ladder),
+ranked AS (
+  SELECT nation, n, z,
+    ROW_NUMBER() OVER (ORDER BY abs(z) DESC, nation) AS rk
+  FROM z
+), hits AS (
+  SELECT r.nation, r.n, r.z, r.rk, l.crit,
+    CASE WHEN abs(r.z) >= l.crit THEN r.rk ELSE 0 END AS hit
+  FROM ranked r JOIN ladder l ON r.rk = l.rk
+)
+SELECT nation, n, z, rk, crit, rk <= (SELECT MAX(hit) FROM hits) AS rejected
+FROM hits ORDER BY rk"""
+  }
+
   // --- Isotonic regression (monotone calibration fit) -----------------
   /** Isotonic regression of purchase propensity on a value-derived
     * score — the monotone calibration fit (PAV) every score-calibration
@@ -1508,6 +1641,7 @@ SELECT n0, concordant, discordant, ties_x, ties_y,
 FROM agg"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_fdr_bh", fdrBh, Some(fdrBhOracle)),
     QueryDef("q_isotonic", isotonic, Some(isotonicOracle)),
     QueryDef("q_ab_bootstrap", abBootstrap, Some(abBootstrapOracle)),
     QueryDef("q_kendall_tau", kendallTau, Some(kendallTauOracle)),
