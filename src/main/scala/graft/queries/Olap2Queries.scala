@@ -1258,7 +1258,7 @@ FROM agg"""
     * so neither engine ever evaluates an erf/Φ at runtime (erf is not
     * IEEE-pinned across libms; frozen literals are).
     */
-  private def invNorm(p: Double): Double = {
+  private[queries] def invNorm(p: Double): Double = {
     require(p > 0 && p < 1)
     val a = Seq(-3.969683028665376e+01, 2.209460984245205e+02,
       -2.759285104469687e+02, 1.383577518672690e+02,
