@@ -1868,7 +1868,70 @@ JOIN v sc ON sc.cs = (s.cs | c.bit)
 GROUP BY c.channel ORDER BY c.channel"""
   }
 
+  /** Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    * inter-event gaps — the temporal-dynamics readout that separates
+    * bursty human activity (B → 1) from Poisson (B ≈ 0) and periodic
+    * (B → −1) processes. Gaps are exact integer SECONDS (ms diffs div
+    * 1000 — cents-style: seconds² sums stay within int64 where ms²
+    * would not); per-user σ/μ come from the (n, Σdt, Σdt²) moment
+    * triple, so B is one fixed double tree per user. The corpus
+    * readout is the B histogram (10 bins over [−1, 1]) with per-bin
+    * min/max — count/min/max only, never a SUM of doubles, so no
+    * accumulation-order caveat.
+    */
+  private def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"))
+      .withColumn("dt", expr("(ms - lag(ms) over " +
+        "(partition by user_id order by ms, event_id)) div 1000"))
+      .where(col("dt").isNotNull)
+    val per = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("dt")).as("s1"),
+        sum(col("dt") * col("dt")).as("s2"))
+      .where(col("n") >= 3 && col("s1") > 0)
+      .select(col("user_id"),
+        ((sqrt((col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / col("n").cast("double")) /
+          col("n").cast("double")) -
+          col("s1").cast("double") / col("n").cast("double")) /
+         (sqrt((col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / col("n").cast("double")) /
+          col("n").cast("double")) +
+          col("s1").cast("double") / col("n").cast("double"))).as("b"))
+    per.select(least(lit(9L),
+        greatest(lit(0L), floor((col("b") + 1) * 5).cast("long"))).as("bin"),
+        col("b"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_users"), min(col("b")).as("min_b"),
+        max(col("b")).as("max_b"))
+      .orderBy("bin")
+  }
+
+  private val burstinessOracle: String = s"""WITH g AS (
+  SELECT user_id,
+    (epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
+      (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)) // 1000 AS dt
+  FROM events
+), m AS (
+  SELECT user_id, COUNT(*) AS n, CAST(SUM(dt) AS BIGINT) AS s1,
+    CAST(SUM(dt * dt) AS BIGINT) AS s2
+  FROM g WHERE dt IS NOT NULL GROUP BY 1
+), b AS (
+  SELECT user_id,
+    (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+      - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+    / (sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+      + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS b
+  FROM m WHERE n >= 3 AND s1 > 0
+)
+SELECT LEAST(9, GREATEST(0, CAST(FLOOR((b + 1) * 5) AS BIGINT))) AS bin,
+  COUNT(*) AS n_users, MIN(b) AS min_b, MAX(b) AS max_b
+FROM b GROUP BY 1 ORDER BY bin"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_burstiness", burstiness, Some(burstinessOracle)),
     QueryDef("ev_shapley_attrib", shapleyAttrib, Some(shapleyAttribOracle)),
     QueryDef("ev_theil_sen", theilSen, Some(theilSenOracle)),
     QueryDef("ev_clamped_running", clampedRunning, Some(clampedRunningOracle)),

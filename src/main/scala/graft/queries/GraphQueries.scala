@@ -939,7 +939,68 @@ SELECT s AS node, COUNT(*) AS n_reached,
 FROM d WHERE h > 0 GROUP BY s
 ORDER BY harmonic_micro DESC, node"""
 
+  /** Directed 3-node motif census over the w ≥ 4 transition backbone —
+    * the Milo-et-al readout that separates hierarchy from recurrence:
+    * feed-forward loops (a→b, b→c, a→c) vs 3-cycles (a→b→c→a).
+    * Each FFL is counted once at its unique (a, c) shortcut; each
+    * cycle is canonicalized to its minimum-id rotation (a < b, a < c)
+    * so it counts once. Three equi-joins on the tiny materialized edge
+    * table; the oracle restates them verbatim.
+    */
+  private def motifs(s: SparkSession, dir: String): DataFrame = {
+    val e = kEdges(s, dir)
+      .where(col("src") =!= col("dst") && col("w") >= 4)
+      .select(col("src"), col("dst"))
+    val ffl = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+      .where(col("a") =!= col("c"))
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"),
+        "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("feed_forward").as("motif"), col("n"))
+    val cyc = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+      .where(col("a") =!= col("c"))
+      .join(e.select(col("src").as("c"), col("dst").as("a")), Seq("a", "c"),
+        "left_semi")
+      .where(col("a") < col("b") && col("a") < col("c"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("cycle").as("motif"), col("n"))
+    ffl.unionByName(cyc).orderBy("motif")
+  }
+
+  private val motifsOracle: String = """WITH ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), we AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq
+  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), e AS MATERIALIZED (
+  SELECT src, dst FROM we WHERE w >= 4
+), ffl AS (
+  SELECT COUNT(*) AS n
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+  WHERE EXISTS (SELECT 1 FROM e e3
+    WHERE e3.src = e1.src AND e3.dst = e2.dst)
+), cyc AS (
+  SELECT COUNT(*) AS n
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src <> e2.dst
+  WHERE EXISTS (SELECT 1 FROM e e3
+    WHERE e3.src = e2.dst AND e3.dst = e1.src)
+    AND e1.src < e1.dst AND e1.src < e2.dst
+)
+SELECT 'cycle' AS motif, CAST(n AS BIGINT) AS n FROM cyc
+UNION ALL
+SELECT 'feed_forward', CAST(n AS BIGINT) FROM ffl
+ORDER BY motif"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_motifs", motifs, Some(motifsOracle)),
     QueryDef("g_closeness", closeness, Some(closenessOracle)),
     QueryDef("g_hits", hitsQ, Some(hitsOracle)),
     QueryDef("g_local_clustering", localClustering, Some(localClusteringOracle)),
