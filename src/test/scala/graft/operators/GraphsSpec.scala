@@ -215,6 +215,22 @@ class GraphsSpec extends SparkSpec {
     assert(h1 == got.filter(_._2 <= 1L))
   }
 
+  test("multiSourceBfs == per-source bfsHops on a seeded random digraph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = edges.toDF("src", "dst")
+    val ms = Graphs.multiSourceBfs(df, 6)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.foreach { s =>
+      val single = Graphs.bfsHops(df, s, 6)
+        .as[(Long, Long)].collect().toMap
+      assert(ms(s) == single, s"source $s")
+    }
+  }
+
   test("multiSourceBfs: cycles terminate via the visited anti-join") {
     val ring = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val got = Graphs.multiSourceBfs(ring, 10)

@@ -306,6 +306,30 @@ class PlansSpec extends SparkSpec {
     assert(nr.isNullAt(0))
   }
 
+  test("CharNGrams: 200 seeded random unicode strings (incl. astral) == HOF") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abz09 .é漢🎉𝔘" // 1-, 2-, 3-, and 4-byte code points
+    val strs = Seq.fill(200)(
+      (0 until (2 + rnd.nextInt(30)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      // mkString over chars splits surrogate pairs; rebuild validly:
+      .map(s => new String(s.codePoints().toArray, 0,
+        s.codePoints().toArray.length))
+    val df = strs.toDF("s").where(length(col("s")) >= 3)
+    val mism = df.select(CharNGrams.of(col("s"), 3).as("nat"),
+        expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")
+          .as("hof"))
+      .where(not(col("nat") === col("hof"))).count()
+    assert(mism == 0L)
+  }
+
+  test("FloatArrayQuantize: nullable-element path propagates per-element nulls") {
+    val df = Seq(Seq[java.lang.Float](1.5f, null, -0.25f)).toDF("vec")
+    val got = df.select(VectorQuantize.quantize(col("vec"), 10000))
+      .collect().head.getSeq[Any](0)
+    assert(got == Seq(15000L, null, -2500L))
+  }
+
   test("graft_quantize / graft_char_ngrams registered for SQL") {
     GraftFunctions.register(spark)
     val q = spark.sql(
