@@ -625,4 +625,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window") || plan.contains("row_number"),
       s"expected the decorrelated ranked-window shape:\n${plan.take(2000)}")
   }
+
+  test("round-6 additions: pushdown-first retrieval, one-scan stats, bounded lattices") {
+    // s_phrase_search: the phrase list broadcasts and the postings are
+    // filtered BEFORE the position join — never a cartesian over
+    // postings; the adjacency joins are all equi-joins
+    val ph = planOf(SparkEntry.queries("s_phrase_search")(spark, Sf))
+    assert(ph.contains("BroadcastHashJoin"), ph.take(2000))
+    assert(!ph.contains("CartesianProduct") &&
+      !ph.contains("BroadcastNestedLoopJoin"), ph.take(2000))
+    // q_fdr_bh: the complement moments come from global − nation, so
+    // the orders⋈customer join is scanned ONCE (one orders scan in the
+    // whole plan) and the 25-row z table joins the frozen ladder
+    val fdr = SparkEntry.queries("q_fdr_bh")(spark, Sf)
+    val fdrScan = planOf(fdr)
+    // ≤4: the moments pass reads (orders, customer) once for the
+    // per-nation table and once for its totals — NEVER the 25
+    // per-hypothesis rescans a naive "nation vs rest" formulation runs
+    assert(fdrScan.split("Scan parquet").length - 1 <= 4,
+      s"no per-hypothesis rescans:\n${fdrScan.take(2000)}")
+    // q_ab_bootstrap: per-replicate sums must partial-aggregate
+    // (map-side combine) — the shuffle carries B×4 longs, not rows
+    val boot = planOf(SparkEntry.queries("q_ab_bootstrap")(spark, Sf))
+    assert(boot.contains("partial_"),
+      s"replicate sums must map-side combine:\n${boot.take(2000)}")
+    // q_record_linkage / q_isotonic: bounded-lattice joins only — no
+    // nested loops over the record space
+    for (name <- Seq("q_record_linkage", "q_isotonic")) {
+      val p = planOf(SparkEntry.queries(name)(spark, Sf))
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+  }
 }
