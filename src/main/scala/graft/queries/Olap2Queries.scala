@@ -1314,6 +1314,9 @@ FROM agg"""
       .groupBy(col("nation"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
         sum(col("c") * col("c")).as("s2"))
+      // 25 rows; checkpointed so the totals derivation re-reads the
+      // moment table, not the orders⋈customer join (one scan pair)
+      .localCheckpoint(eager = true)
     val tot = per.agg(sum(col("n")).as("tn"), sum(col("s1")).as("ts1"),
       sum(col("s2")).as("ts2"))
     import org.apache.spark.sql.Column

@@ -639,11 +639,11 @@ class PlanSpec extends SparkSpec {
     // whole plan) and the 25-row z table joins the frozen ladder
     val fdr = SparkEntry.queries("q_fdr_bh")(spark, Sf)
     val fdrScan = planOf(fdr)
-    // ≤4: the moments pass reads (orders, customer) once for the
-    // per-nation table and once for its totals — NEVER the 25
-    // per-hypothesis rescans a naive "nation vs rest" formulation runs
-    assert(fdrScan.split("Scan parquet").length - 1 <= 4,
-      s"no per-hypothesis rescans:\n${fdrScan.take(2000)}")
+    // ≤2: the checkpointed 25-row moments table feeds both the totals
+    // and the z's, so (orders, customer) are each scanned ONCE — never
+    // the 25 per-hypothesis rescans a naive "nation vs rest" runs
+    assert(fdrScan.split("Scan parquet").length - 1 <= 2,
+      s"one scan pair only:\n${fdrScan.take(2000)}")
     // q_ab_bootstrap: per-replicate sums must partial-aggregate
     // (map-side combine) — the shuffle carries B×4 longs, not rows
     val boot = planOf(SparkEntry.queries("q_ab_bootstrap")(spark, Sf))
