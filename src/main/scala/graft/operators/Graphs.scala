@@ -82,6 +82,57 @@ object Graphs {
     }
   }
 
+  /** Personalized PageRank (random walk with restart) in the same
+    * fixed-point micro-units as [[pageRank]], with the teleport mass
+    * restricted to a seed set instead of spread uniformly:
+    *
+    * r₀(v) = 1e6·[v ∈ S]; rₜ₊₁(v) = 150000·[v ∈ S] + (85·inflow(v)) div 100.
+    *
+    * Every division is an integer floor division, so the trajectory is
+    * bit-reproducible in any engine (an oracle unrolls the identical
+    * CTE chain). Non-seed nodes only accumulate walk mass — rank 0
+    * means "unreachable from the seed set", the property PPR is used
+    * for (topic-sensitive ranking, recommendation neighborhoods).
+    *
+    * Scale shape is identical to [[pageRank]]: one shuffle per
+    * iteration on src plus one on dst, a rank vector of one long per
+    * node, edges persisted once across iterations. The seed predicate
+    * is a Column over `node`, evaluated inside the plan — no
+    * driver-side seed list to collect or broadcast by hand.
+    *
+    * @param seedPred boolean Column over the canonical `node` column
+    */
+  def personalizedPageRank(edges: DataFrame, nodes: DataFrame,
+      iterations: Int, seedPred: Column): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val nodeCol = nodes.columns.head
+    val nds = nodes.select(col(nodeCol).cast("long").as("node")).persist()
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val e = edges.join(outW, "src")
+      .select(col("src"), col("dst"), col("w"), col("w_out"))
+      .persist()
+    e.count()
+    try {
+      val teleport = when(seedPred, lit(1L)).otherwise(lit(0L))
+      var ranks = nds.withColumn("r", teleport * lit(1000000L))
+      for (_ <- 1 to iterations) {
+        val inflow = e.join(ranks, e("src") === ranks("node"))
+          .select(col("dst"), expr("(r * w) div w_out").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        ranks = nds
+          .join(inflow, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (teleport * lit(150000L) +
+              expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+      }
+      ranks.select(col("node"), col("r").as("rank_micro"))
+        .localCheckpoint(eager = true)
+    } finally {
+      e.unpersist(blocking = false)
+      nds.unpersist(blocking = false)
+    }
+  }
+
   /** Exact global triangle / wedge census via degree-ordered wedge
     * join. Input edges are undirected, stored once with `a < b`
     * (dedup'd). Returns one row: n_nodes, n_edges, n_wedges,

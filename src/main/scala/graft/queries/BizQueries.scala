@@ -282,6 +282,142 @@ SELECT COUNT(*) AS n_cells,
   CAST(SUM(t_micro) AS DOUBLE) / ${D("1000000")} AS chi2
 FROM t2 ORDER BY n_cells"""
 
+  // --- decile lift / gains table --------------------------------------
+  /** Gains table: customers are ranked into spend deciles by year-1
+    * revenue, and each decile's lift = (its average year-2 revenue) /
+    * (overall average year-2 revenue) — the "does past spend predict
+    * future spend" readout every targeting model is benchmarked
+    * against (decile 10 ≫ 1 means yes). Cutpoints come from ONE exact
+    * 9-quantile aggregate over year-1 cents (the q_rfm-proven
+    * percentile/quantile_cont parity) broadcast back over the
+    * customers — no global sort, no ntile window. Revenue sums are
+    * exact cents; lift is one double tree over four exact integers.
+    */
+  private val LiftY1 = 1995
+  private val LiftY2 = 1996
+
+  private def decileLift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(col("o_custkey"),
+      year(col("o_orderdate")).as("y"), cents(col("o_totalprice")).as("c"))
+    val per = o.where(col("y").isin(LiftY1, LiftY2))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("y") === LiftY1, col("c")).otherwise(0L)).as("s1"),
+        sum(when(col("y") === LiftY2, col("c")).otherwise(0L)).as("s2"))
+      .where(col("s1") > 0)
+    val qs = (1 to 9).map(i => s"0.${i}D").mkString(", ")
+    val cuts = per.agg(expr(s"percentile(s1, array($qs))").as("qc"))
+    val above = (0 to 8)
+      .map(i => when(col("s1") > col("qc").getItem(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val tot = per.agg(sum(col("s2")).as("t2"), count(lit(1)).as("nc"))
+    per.crossJoin(broadcast(cuts))
+      .withColumn("decile", lit(1L) + above)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("s2")).as("s2_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_cust"),
+        (col("s2_cents").cast("double") / lit(100.0)).as("next_year_revenue"),
+        ((col("s2_cents").cast("double") / col("n_cust").cast("double")) /
+          (col("t2").cast("double") / col("nc").cast("double"))).as("lift"))
+      .orderBy("decile")
+  }
+
+  private val decileLiftOracle: String = {
+    val qcuts = (1 to 9)
+      .map(i => s"quantile_cont(s1, 0.$i) AS q$i").mkString(",\n    ")
+    val above = (1 to 9).map(i => s"(s1 > q$i)::BIGINT").mkString(" + ")
+    s"""WITH o AS (
+  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS y,
+    CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS c
+  FROM orders
+), per AS (
+  SELECT o_custkey,
+    CAST(SUM(CASE WHEN y = $LiftY1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN y = $LiftY2 THEN c ELSE 0 END) AS BIGINT) AS s2
+  FROM o WHERE y IN ($LiftY1, $LiftY2) GROUP BY 1
+  HAVING SUM(CASE WHEN y = $LiftY1 THEN c ELSE 0 END) > 0
+), cuts AS (
+  SELECT $qcuts
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(s2) AS BIGINT) AS t2, COUNT(*) AS nc FROM per
+), scored AS (
+  SELECT 1 + ($above) AS decile, s2 FROM per, cuts
+)
+SELECT decile, COUNT(*) AS n_cust,
+  CAST(SUM(s2) AS DOUBLE) / ${D("100.0")} AS next_year_revenue,
+  (CAST(SUM(s2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+    / (CAST(tot.t2 AS DOUBLE) / CAST(tot.nc AS DOUBLE)) AS lift
+FROM scored, tot GROUP BY decile, tot.t2, tot.nc ORDER BY decile"""
+  }
+
+  // --- Cramér's V effect size -----------------------------------------
+  /** Cramér's V over the (lang × source) contingency table — the
+    * normalized effect size the chi² statistic alone doesn't give
+    * (chi² grows with N; V ∈ [0,1] answers "is the association
+    * actually strong?"). Same exact-integer pipeline as q_chisq_indep:
+    * observed/row/column/total counts are exact longs, each cell's
+    * chi² term is floored to micro-units (so the sum is
+    * order-independent), and V = √(chi² / (N·min(r−1, c−1))) is one
+    * deterministic double tree over those integers. The contingency
+    * table is |langs|×|sources| rows — broadcast-sized at any corpus
+    * scale; only the initial count scans touch the data.
+    */
+  private def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("lang"), col("source"))
+    val obs = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rows = d.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+    val cols = d.groupBy(col("source")).agg(count(lit(1)).as("cc"))
+    val n = d.agg(count(lit(1)).as("nn"))
+    val term = obs.join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        (col("r") * col("cc")).cast("double") / col("nn").cast("double"))
+      .withColumn("t_micro",
+        floor((col("o").cast("double") - col("e"))
+          * (col("o").cast("double") - col("e")) / col("e") * 1e6)
+          .cast("long"))
+    term.agg(
+        max(col("nn")).as("n"),
+        least(countDistinct(col("lang")) - 1,
+          countDistinct(col("source")) - 1).as("dof_min"),
+        sum(col("t_micro")).as("chi2_micro"))
+      .select(col("n"), col("dof_min"), col("chi2_micro"),
+        sqrt(col("chi2_micro").cast("double") / lit(1e6) /
+          (col("n") * col("dof_min")).cast("double")).as("v"))
+  }
+
+  private val cramersVOracle = s"""WITH d AS (
+  SELECT lang, source FROM documents
+), obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM d GROUP BY 1, 2
+), rs AS (SELECT lang, COUNT(*) AS r FROM d GROUP BY 1),
+cs AS (SELECT source, COUNT(*) AS cc FROM d GROUP BY 1),
+nn AS (SELECT COUNT(*) AS nn FROM d),
+term AS (
+  SELECT obs.lang, obs.source, o,
+    CAST(r * cc AS DOUBLE) / CAST(nn AS DOUBLE) AS e
+  FROM obs JOIN rs ON obs.lang = rs.lang
+           JOIN cs ON obs.source = cs.source, nn
+), t2 AS (
+  SELECT lang, source,
+    CAST(FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+      * ${D("1000000")}) AS BIGINT) AS t_micro
+  FROM term
+), agg AS (
+  SELECT (SELECT nn FROM nn) AS n,
+    LEAST((SELECT COUNT(DISTINCT lang) FROM d) - 1,
+          (SELECT COUNT(DISTINCT source) FROM d) - 1) AS dof_min,
+    CAST(SUM(t_micro) AS BIGINT) AS chi2_micro
+  FROM t2
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(dof_min AS BIGINT) AS dof_min,
+  chi2_micro,
+  sqrt(CAST(chi2_micro AS DOUBLE) / ${D("1000000")}
+    / CAST(n * dof_min AS DOUBLE)) AS v
+FROM agg"""
+
   // --- new-customer revenue share per month ---------------------------
   /** Monthly revenue split by customer tenure: the share of each month's
     * revenue coming from customers whose FIRST order falls in that
@@ -398,5 +534,7 @@ ORDER BY brand"""
     QueryDef("q_pareto80", pareto80, Some(pareto80Oracle)),
     QueryDef("q_gini", gini, Some(giniOracle)),
     QueryDef("q_benford", benford, Some(benfordOracle)),
-    QueryDef("q_chisq_indep", chisq, Some(chisqOracle)))
+    QueryDef("q_chisq_indep", chisq, Some(chisqOracle)),
+    QueryDef("q_cramers_v", cramersV, Some(cramersVOracle)),
+    QueryDef("q_decile_lift", decileLift, Some(decileLiftOracle)))
 }

@@ -1149,6 +1149,102 @@ SELECT source, COUNT(*) AS n_types, CAST(SUM(term_nano) AS BIGINT) AS kl_nano,
 FROM terms GROUP BY source ORDER BY source"""
   }
 
+  // --- pairwise Jensen-Shannon divergence between sources -------------
+  /** Symmetric, bounded divergence JS(a,b) = ½KL(p‖m) + ½KL(q‖m),
+    * m = (p+q)/2, for every source PAIR — the corpus-mixture design
+    * readout (KL against the pooled corpus says "how far from average";
+    * JS says which sources are interchangeable and which bring novel
+    * token mass, and it never blows up on disjoint vocabularies: it
+    * tops out at ln 2). Per-pair token alignment is a FULL OUTER
+    * equi-join of the per-source count tables (a token absent on one
+    * side contributes only the other side's ½·q·ln(q/m) term — m > 0
+    * always, so no smoothing constant to tune). Each term is floored to
+    * nano-units before the integer sum (order-independent, the same
+    * DSIR/KL trick); |pairs| = |sources|², so everything after the one
+    * token-count scan is vocabulary-bounded, not corpus-bounded.
+    */
+  private def jsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+    val st = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
+    val pairs = srcTot.select(col("source").as("sa"))
+      .crossJoin(srcTot.select(col("source").as("sb")))
+      .where(col("sa") < col("sb"))
+    val aSide = st.join(broadcast(pairs), col("source") === col("sa"))
+      .select(col("sa"), col("sb"), col("token"), col("n").as("n_a"))
+    val bSide = st.join(broadcast(pairs), col("source") === col("sb"))
+      .select(col("sa").as("sa2"), col("sb").as("sb2"),
+        col("token").as("token2"), col("n").as("n_b"))
+    val aligned = aSide.join(bSide,
+        col("sa") === col("sa2") && col("sb") === col("sb2") &&
+          col("token") === col("token2"), "full_outer")
+      .select(coalesce(col("sa"), col("sa2")).as("sa"),
+        coalesce(col("sb"), col("sb2")).as("sb"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .join(broadcast(srcTot.select(col("source").as("sa"),
+        col("n_s").as("na_tot"))), "sa")
+      .join(broadcast(srcTot.select(col("source").as("sb"),
+        col("n_s").as("nb_tot"))), "sb")
+    val p = col("n_a").cast("double") / col("na_tot").cast("double")
+    val q = col("n_b").cast("double") / col("nb_tot").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term = (when(col("n_a") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      when(col("n_b") > 0, q * log(q / m)).otherwise(lit(0.0))) / lit(2.0)
+    aligned
+      .select(col("sa"), col("sb"),
+        floor(term * lit(1.0e9)).cast("long").as("term_nano"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_types"), sum(col("term_nano")).as("js_nano"))
+      .withColumn("js", col("js_nano").cast("double") / lit(1.0e9))
+      .orderBy("sa", "sb")
+  }
+
+  private val jsDivergenceOracle: String = {
+    val p = "(CAST(n_a AS DOUBLE) / CAST(na_tot AS DOUBLE))"
+    val q = "(CAST(n_b AS DOUBLE) / CAST(nb_tot AS DOUBLE))"
+    val m = s"(($p + $q) / ${D("2.0")})"
+    s"""WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+), t AS (SELECT source, token FROM tok WHERE token <> ''),
+st AS (SELECT source, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+srct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_s FROM st GROUP BY 1),
+pr AS (SELECT a.source AS sa, b.source AS sb
+       FROM srct a JOIN srct b ON a.source < b.source),
+aside AS (
+  SELECT pr.sa, pr.sb, st.token, st.n AS n_a
+  FROM st JOIN pr ON st.source = pr.sa
+), bside AS (
+  SELECT pr.sa, pr.sb, st.token, st.n AS n_b
+  FROM st JOIN pr ON st.source = pr.sb
+), aligned AS (
+  SELECT COALESCE(a.sa, b.sa) AS sa, COALESCE(a.sb, b.sb) AS sb,
+    CAST(COALESCE(a.n_a, 0) AS BIGINT) AS n_a,
+    CAST(COALESCE(b.n_b, 0) AS BIGINT) AS n_b
+  FROM aside a FULL JOIN bside b
+    ON a.sa = b.sa AND a.sb = b.sb AND a.token = b.token
+), wt AS (
+  SELECT aligned.*, ta.n_s AS na_tot, tb.n_s AS nb_tot
+  FROM aligned JOIN srct ta ON aligned.sa = ta.source
+               JOIN srct tb ON aligned.sb = tb.source
+), terms AS (
+  SELECT sa, sb,
+    CAST(FLOOR(((CASE WHEN n_a > 0 THEN $p * ln($p / $m)
+                 ELSE ${D("0.0")} END
+               + CASE WHEN n_b > 0 THEN $q * ln($q / $m)
+                 ELSE ${D("0.0")} END) / ${D("2.0")})
+      * ${D("1000000000")}) AS BIGINT) AS term_nano
+  FROM wt
+)
+SELECT sa, sb, COUNT(*) AS n_types, CAST(SUM(term_nano) AS BIGINT) AS js_nano,
+  CAST(SUM(term_nano) AS DOUBLE) / ${D("1000000000")} AS js
+FROM terms GROUP BY 1, 2 ORDER BY sa, sb"""
+  }
+
   // --- Zipf rank-frequency fit (power-law diagnostics) ----------------
   /** Per-source Zipf exponent: OLS slope of ln(frequency) on ln(rank)
     * over the token vocabulary, published as alpha = −slope (healthy
@@ -1753,6 +1849,7 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     QueryDef("q_source_similarity", sourceSimilarity, Some(sourceSimilarityOracle)),
     QueryDef("t_kl_divergence", klDivergence, Some(klDivergenceOracle)),
+    QueryDef("t_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
     QueryDef("t_robust_scale", robustScale, Some(robustScaleOracle)),
     QueryDef("d_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterOracle)),
     QueryDef("t_winsorize", winsorize, Some(winsorizeOracle)),

@@ -1907,6 +1907,121 @@ GROUP BY c.channel ORDER BY c.channel"""
       .orderBy("bin")
   }
 
+  /** Autocorrelation function of the hourly event-count series at lags
+    * 1..6 — the seasonality/persistence readout behind every traffic
+    * forecast (a 24h-periodic series shows the ACF ringing; white
+    * noise decays immediately). The series is ZERO-FILLED over the full
+    * [min, max] hour spine (a gap hour is a real 0 observation, not a
+    * missing row — skipping it would silently splice non-adjacent
+    * hours together). Each lag-k pair set comes from an equi-join of
+    * the spine with itself shifted by k (no global window; the spine is
+    * time-range-bounded, and the join distributes at any scale). All
+    * five moment sums (Σx, Σy, Σx², Σy², Σxy) are exact int64 over
+    * integer counts, so Pearson r per lag is one fixed double tree —
+    * bit-identical in any engine.
+    */
+  private def acf(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val spine = c.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val sx = spine.join(c, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val lags = s.range(1, 7).select(col("id").as("lag"))
+    val shifted = sx.select(col("h").as("hb"), col("x").as("y"))
+    val pairs = sx.crossJoin(broadcast(lags))
+      .join(shifted, col("hb") === col("h") + col("lag"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s_x"), sum(col("y")).as("s_y"),
+      sum(col("x") * col("x")).as("s_xx"),
+      sum(col("y") * col("y")).as("s_yy"),
+      sum(col("x") * col("y")).as("s_xy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    m.select(col("lag"), col("n"),
+        (d(col("n") * col("s_xy") - col("s_x") * col("s_y")) /
+          (sqrt(d(col("n") * col("s_xx") - col("s_x") * col("s_x"))) *
+           sqrt(d(col("n") * col("s_yy") - col("s_y") * col("s_y")))))
+          .as("r"))
+      .orderBy("lag")
+  }
+
+  private val acfOracle: String = """WITH c AS (
+  SELECT epoch_ms(ts) // 3600000 AS h, COUNT(*) AS x FROM events GROUP BY 1
+), bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+sx AS (
+  SELECT spine.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN c ON spine.h = c.h
+), lags(lag) AS (VALUES (1), (2), (3), (4), (5), (6)),
+pairs AS (
+  SELECT lags.lag, a.x AS x, b.x AS y
+  FROM sx a JOIN lags ON true JOIN sx b ON b.h = a.h + lags.lag
+), m AS (
+  SELECT lag, COUNT(*) AS n,
+    CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+    CAST(SUM(x * x) AS BIGINT) AS s_xx,
+    CAST(SUM(y * y) AS BIGINT) AS s_yy,
+    CAST(SUM(x * y) AS BIGINT) AS s_xy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+  CAST(n * s_xy - s_x * s_y AS DOUBLE)
+    / (sqrt(CAST(n * s_xx - s_x * s_x AS DOUBLE))
+       * sqrt(CAST(n * s_yy - s_y * s_y AS DOUBLE))) AS r
+FROM m ORDER BY lag"""
+
+  /** Robust anomaly detection over the daily event-count series: a
+    * trailing 7-day rolling MEDIAN as the local level (immune to the
+    * spike it's judging, unlike a rolling mean) and a flag where the
+    * deviation exceeds 3·1.4826·MAD — the scaled median absolute
+    * deviation, the robust σ-equivalent. The series is zero-filled over
+    * the full day spine (a silent day is a real 0). Counts are exact
+    * ints; medians are the interpolated exact percentile both engines
+    * define identically (the q_rfm-proven parity), and the threshold is
+    * one fixed double tree, so the boolean flags are bit-identical.
+    * The rolling window is 7 rows over the time-bounded day spine, and
+    * the global median/MAD are single aggregates — nothing here scales
+    * with event volume past the first groupBy.
+    */
+  private def rollingMedianMad(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    val spine = c.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+    val sx = spine.join(c, Seq("d"), "left")
+      .select(col("d"), coalesce(col("x"), lit(0L)).as("x"))
+    val wd = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    val rm = sx.withColumn("roll_med", expr("percentile(x, 0.5D)").over(wd))
+    val g = sx.agg(expr("percentile(x, 0.5D)").as("gm"))
+    val mad = sx.crossJoin(broadcast(g))
+      .agg(expr("percentile(abs(x - gm), 0.5D)").as("mad"))
+    rm.crossJoin(broadcast(mad))
+      .select(col("d"), col("x"), col("roll_med"),
+        (abs(col("x") - col("roll_med")) >
+          lit(3.0) * lit(1.4826) * col("mad")).as("is_anom"))
+      .orderBy("d")
+  }
+
+  private val rollingMedianMadOracle: String = s"""WITH c AS (
+  SELECT epoch_ms(ts) // 86400000 AS d, COUNT(*) AS x FROM events GROUP BY 1
+), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS d FROM bounds),
+sx AS (
+  SELECT spine.d, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN c ON spine.d = c.d
+), rm AS (
+  SELECT d, x, quantile_cont(x, 0.5) OVER
+    (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_med
+  FROM sx
+), g AS (SELECT quantile_cont(x, 0.5) AS gm FROM sx),
+md AS (SELECT quantile_cont(abs(x - gm), 0.5) AS mad FROM sx, g)
+SELECT d, x, roll_med,
+  abs(x - roll_med) > ${D("3.0")} * ${D("1.4826")} * mad AS is_anom
+FROM rm, md ORDER BY d"""
+
   private val burstinessOracle: String = s"""WITH g AS (
   SELECT user_id,
     (epoch_ms(ts) - LAG(epoch_ms(ts)) OVER
@@ -1931,6 +2046,9 @@ SELECT LEAST(9, GREATEST(0, CAST(FLOOR((b + 1) * 5) AS BIGINT))) AS bin,
 FROM b GROUP BY 1 ORDER BY bin"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_acf", acf, Some(acfOracle)),
+    QueryDef("ev_rolling_median_mad", rollingMedianMad,
+      Some(rollingMedianMadOracle)),
     QueryDef("ev_burstiness", burstiness, Some(burstinessOracle)),
     QueryDef("ev_shapley_attrib", shapleyAttrib, Some(shapleyAttribOracle)),
     QueryDef("ev_theil_sen", theilSen, Some(theilSenOracle)),

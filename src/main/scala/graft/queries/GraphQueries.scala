@@ -65,6 +65,63 @@ SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r5
 ORDER BY rank_micro DESC, node LIMIT 20"""
   }
 
+  /** [[Graphs.personalizedPageRank]] over the same k-transition graph:
+    * random walk with restart, teleport mass restricted to the seed set
+    * {k : k ≡ 0 (mod 10)} — "rank every k-value by its proximity to
+    * the round-number ks", the topic-sensitive variant every
+    * recommender runs per user/topic. Same fixed-point micro-unit
+    * trajectory as g_pagerank (every division an integer floor
+    * division), so the oracle's unrolled CTE chain reproduces the
+    * exact longs. Non-seed nodes with rank 0 are unreachable from the
+    * seed set. Top 20 by rank.
+    */
+  private def ppr(s: SparkSession, dir: String): DataFrame = {
+    Graphs.personalizedPageRank(kEdges(s, dir), kNodes(s, dir), 5,
+        col("node") % 10 === 0)
+      .where(col("rank_micro") > 0)
+      .orderBy(col("rank_micro").desc, col("node"))
+      .limit(20)
+  }
+
+  private val pprOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""p$i AS (
+  SELECT n.node,
+    (CASE WHEN n.node % 10 = 0 THEN 150000 ELSE 0 END)
+      + (85 * COALESCE(t.inflow, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM((r.r * e.w) // e.w_out) AS inflow
+    FROM e JOIN p${i - 1} r ON r.node = e.src GROUP BY e.dst) t
+  ON t.dst = n.node)"""
+    }.mkString(",\n")
+    s"""WITH ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\\s*:\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM edges GROUP BY 1
+), e AS (
+  SELECT edges.src, edges.dst, edges.w, outw.w_out
+  FROM edges JOIN outw ON edges.src = outw.src
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ek
+), p0 AS (
+  SELECT node,
+    CAST(CASE WHEN node % 10 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+  FROM nodes
+),
+$iters
+SELECT node, CAST(r AS BIGINT) AS rank_micro FROM p5
+WHERE r > 0
+ORDER BY rank_micro DESC, node LIMIT 20"""
+  }
+
   /** [[Graphs.triangleCensus]] over the market-basket graph: parts are
     * nodes, an (undirected) edge links two parts that appear in the
     * same order at least once. Triangle + wedge census and the global
@@ -323,6 +380,72 @@ FROM l3 GROUP BY 1 ORDER BY community"""
       .select("src", "dst")
     Graphs.bfsHops(edges, 0L, 8).orderBy("hops", "node")
   }
+
+  /** Double-sweep diameter lower bound over the UNDIRECTED k-transition
+    * graph (same w ≥ 4 backbone as g_bfs_hops): BFS from node 0, hop to
+    * the farthest node u (tie → smallest id, so the sweep is
+    * deterministic), BFS again from u — max hop of the second sweep is
+    * the classic 2-sweep diameter estimate (exact on trees, a tight
+    * lower bound in practice; Magnien-Latapy-Habib). Each sweep is the
+    * level-synchronous frontier loop of [[Graphs.bfsHops]] — the only
+    * driver-side transfer between sweeps is the ONE (node, hop) row
+    * that seeds sweep 2, so the pattern holds at any graph scale.
+    */
+  private def diameter2Sweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val de = kEdges(s, dir)
+      .where(col("src") =!= col("dst") && col("w") >= 4)
+      .select("src", "dst")
+    val und = de.unionAll(de.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val h1 = Graphs.bfsHops(und, 0L, 16)
+    val far1 = h1.orderBy(col("hops").desc, col("node")).limit(1)
+      .select(col("node").as("far_node"), col("hops").cast("long").as("ecc_from_0"))
+    val u = far1.select(col("far_node")).as[Long].head()
+    val far2 = Graphs.bfsHops(und, u, 16)
+      .orderBy(col("hops").desc, col("node")).limit(1)
+      .select(col("node").as("far2_node"),
+        col("hops").cast("long").as("diameter_lb"))
+    far1.crossJoin(far2)
+  }
+
+  private val diameter2SweepOracle = """WITH RECURSIVE ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), we AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq
+  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), de AS (
+  SELECT src, dst FROM we WHERE w >= 4
+), ue AS MATERIALIZED (
+  SELECT src, dst FROM de UNION SELECT dst, src FROM de
+), b1(node, hop) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.hop + 1 FROM b1 b JOIN ue e ON e.src = b.node
+  WHERE b.hop < 16
+), h1 AS (
+  SELECT node, MIN(hop) AS hops FROM b1 GROUP BY node
+), far AS MATERIALIZED (
+  SELECT node, hops FROM h1 ORDER BY hops DESC, node LIMIT 1
+), b2(node, hop) AS (
+  SELECT node, 0 FROM far
+  UNION
+  SELECT e.dst, b.hop + 1 FROM b2 b JOIN ue e ON e.src = b.node
+  WHERE b.hop < 16
+), h2 AS (
+  SELECT node, MIN(hop) AS hops FROM b2 GROUP BY node
+), far2 AS (
+  SELECT node, hops FROM h2 ORDER BY hops DESC, node LIMIT 1
+)
+SELECT far.node AS far_node, CAST(far.hops AS BIGINT) AS ecc_from_0,
+  far2.node AS far2_node, CAST(far2.hops AS BIGINT) AS diameter_lb
+FROM far, far2"""
 
   private val bfsHopsOracle = """WITH RECURSIVE ek AS (
   SELECT user_id, ts, event_id,
@@ -1010,9 +1133,11 @@ ORDER BY motif"""
     QueryDef("g_kcore", kcore, Some(kcoreOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
+    QueryDef("g_diameter_2sweep", diameter2Sweep, Some(diameter2SweepOracle)),
     QueryDef("g_scc", sccQ, Some(sccOracle)),
     QueryDef("g_temporal_reach", temporalReach, Some(temporalReachOracle)),
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),
+    QueryDef("g_ppr", ppr, Some(pprOracle)),
     QueryDef("g_triangles", triangles, Some(trianglesOracle)),
     QueryDef("g_label_prop", labelProp, Some(labelPropOracle)),
     QueryDef("g_assoc_rules", assocRules, Some(assocRulesOracle)))

@@ -1643,7 +1643,153 @@ SELECT n0, concordant, discordant, ties_x, ties_y,
     / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)) AS tau_b
 FROM agg"""
 
+  // --- two-sample Kolmogorov–Smirnov test -----------------------------
+  /** Two-sample KS test: does fulfillment latency (ship − order date,
+    * integer days) differ in distribution between urgent/high-priority
+    * orders and the rest? The D statistic is computed
+    * as an EXACT integer: at each distinct latency v,
+    * |F₁(v) − F₂(v)| = |cum₁·n₂ − cum₂·n₁| / (n₁·n₂), and the max of
+    * the integer numerator is found before the single closing
+    * division — no float comparison ever decides the argmax. The
+    * latency domain is a few hundred distinct day-counts, so the
+    * row-level scan collapses to a tiny per-value table BEFORE the
+    * ECDF window runs (the window is over the bounded value domain,
+    * never over rows — the scale-safe ECDF shape). Also emits the
+    * scaled KS statistic √(n₁n₂/(n₁+n₂))·D used for p-value lookup.
+    */
+  private def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("v"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("g"))
+    val perV = li.groupBy(col("v")).agg(
+      sum(col("g")).as("c1"),
+      sum(lit(1L) - col("g")).as("c2"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perV
+      .withColumn("cum1", sum(col("c1")).over(wv))
+      .withColumn("cum2", sum(col("c2")).over(wv))
+    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"))
+      .groupBy(col("n1"), col("n2")).agg(max(col("dn")).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))).as("d"),
+        (col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")) *
+          sqrt(col("n1").cast("double") * col("n2").cast("double") /
+            (col("n1") + col("n2")).cast("double"))).as("ks_stat"))
+  }
+
+  private val ksTestOracle: String = s"""WITH li AS (
+  SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+      CAST(l_shipdate AS DATE)) AS BIGINT) AS v,
+    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS g
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), perv AS (
+  SELECT v, CAST(SUM(g) AS BIGINT) AS c1,
+    CAST(SUM(1 - g) AS BIGINT) AS c2
+  FROM li GROUP BY 1
+), cum AS (
+  SELECT v,
+    CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+    CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+  FROM perv
+), tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM perv
+), agg AS (
+  SELECT n1, n2,
+    CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+  FROM cum, tot GROUP BY 1, 2
+)
+SELECT n1, n2, d_num,
+  CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
+  CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+    * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+           / CAST(n1 + n2 AS DOUBLE)) AS ks_stat
+FROM agg"""
+
+  // --- distributed weighted median ------------------------------------
+  /** Weighted (lower) median of the line price, weighted by quantity,
+    * per return flag: the smallest price p with 2·Σ_{x≤p} w(x) ≥ W.
+    * Exact, in TWO bounded phases — the distributed shape that survives
+    * any scale where a per-group sort cannot:
+    *   1. prices collapse to $1000 buckets (one map-side-combined agg);
+    *      a per-flag window over the ~hundreds of buckets finds the
+    *      bucket where the cumulative weight crosses W/2, carrying the
+    *      exact cumulative weight BELOW it;
+    *   2. only rows inside that one crossing bucket per flag are
+    *      re-aggregated at full price resolution (a broadcast semi-join
+    *      keeps the scan pruned), and the crossing price is read off a
+    *      window over that single bucket's distinct prices.
+    * No window ever sees more than (buckets) or (prices-in-one-bucket)
+    * rows. Prices are exact integer cents and weights exact longs, so
+    * the ≥ comparisons are integer — engine-independent. The oracle
+    * computes the same median in one flat cumulative pass; the
+    * two-phase refinement is the scale path, not a different answer.
+    */
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      cents(col("l_extendedprice")).as("c"),
+      col("l_quantity").cast("long").as("q"))
+    val bw = rows.withColumn("b", expr("c div 100000"))
+      .groupBy(col("flag"), col("b")).agg(sum(col("q")).as("w"))
+    val wTot = bw.groupBy("flag").agg(sum(col("w")).as("wt"))
+    val wb = Window.partitionBy("flag").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bw.join(wTot, "flag")
+      .withColumn("cum", sum(col("w")).over(wb))
+    val crossing = cum.where(col("cum") * 2 >= col("wt"))
+      .groupBy(col("flag"))
+      .agg(min(col("b")).as("b"))
+      .join(cum, Seq("flag", "b"))
+      .select(col("flag"), col("b"), (col("cum") - col("w")).as("below"),
+        col("wt"))
+    val inBucket = rows.withColumn("b", expr("c div 100000"))
+      .join(broadcast(crossing), Seq("flag", "b"))
+    val wc = Window.partitionBy("flag").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inBucket.groupBy(col("flag"), col("c"), col("below"), col("wt"))
+      .agg(sum(col("q")).as("wq"))
+      .withColumn("cumin", sum(col("wq")).over(wc))
+      .where((col("below") + col("cumin")) * 2 >= col("wt"))
+      .groupBy(col("flag"))
+      .agg(max(col("wt")).as("total_weight"), min(col("c")).as("median_cents"))
+      .select(col("flag"), col("total_weight"), col("median_cents"),
+        (col("median_cents").cast("double") / lit(100.0)).as("median"))
+      .orderBy("flag")
+  }
+
+  private val weightedMedianOracle: String = s"""WITH r AS (
+  SELECT l_returnflag AS flag,
+    CAST(FLOOR(l_extendedprice * 100 + ${D("0.5")}) AS BIGINT) AS c,
+    CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+), perc AS (
+  SELECT flag, c, CAST(SUM(q) AS BIGINT) AS wq FROM r GROUP BY 1, 2
+), cum AS (
+  SELECT flag, c, wq,
+    CAST(SUM(wq) OVER (PARTITION BY flag ORDER BY c) AS BIGINT) AS cw,
+    CAST(SUM(wq) OVER (PARTITION BY flag) AS BIGINT) AS wt
+  FROM perc
+)
+SELECT flag, MAX(wt) AS total_weight,
+  CAST(MIN(c) AS BIGINT) AS median_cents,
+  CAST(MIN(c) AS DOUBLE) / ${D("100")} AS median
+FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ks_test", ksTest, Some(ksTestOracle)),
+    QueryDef("q_weighted_median", weightedMedian, Some(weightedMedianOracle)),
     QueryDef("q_fdr_bh", fdrBh, Some(fdrBhOracle)),
     QueryDef("q_isotonic", isotonic, Some(isotonicOracle)),
     QueryDef("q_ab_bootstrap", abBootstrap, Some(abBootstrapOracle)),

@@ -41,6 +41,36 @@ class GraphsSpec extends SparkSpec {
     assert(r1(3L) == 150000L + (85 * sC) / 100)
   }
 
+  test("personalizedPageRank: teleport mass stays on the seed set") {
+    // seed = {1}; A -> B -> C chain. Hand-run floor-division trajectory:
+    // r0 = (1e6, 0, 0)
+    // r1(A) = 150000 (seed teleport, no inflow)
+    // r1(B) = (85 * 1e6) div 100 = 850000; r1(C) = 0
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val r1 = Graphs.personalizedPageRank(edges, nodes, 1, col("node") === 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L))
+    // r2(B) = (85 * 150000) div 100 = 127500
+    // r2(C) = (85 * 850000) div 100 = 722500
+    val r2 = Graphs.personalizedPageRank(edges, nodes, 2, col("node") === 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+  }
+
+  test("personalizedPageRank: node unreachable from seeds ranks 0") {
+    // two components: seed component {1,2}, disconnected {3,4}
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 1L), (4L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val got = Graphs.personalizedPageRank(edges, nodes, 5, col("node") <= 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(3L) == 0L && got(4L) == 0L)
+    assert(got(1L) > 0L && got(2L) > 0L)
+    // both seeds symmetric: identical ranks
+    assert(got(1L) == got(2L))
+  }
+
   test("triangleCensus: K4, C5, and a hub graph") {
     // K4: 4 nodes, 6 edges, deg 3 each -> wedges 4*3=12, triangles 4,
     // clustering 3*4/12 = 1.0

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Independent recomputations of the round-6 statistics queries on
+  * sf0.001 — each test re-derives the answer by a DIFFERENT method
+  * (flat single-pass vs the query's distributed shape, or a driver-side
+  * fold over the collected series) so a bug in the scale-safe
+  * formulation can't hide behind an oracle that shares its structure.
+  */
+class StatQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, Sf)
+
+  test("q_weighted_median: two-phase refinement equals the flat cumulative scan") {
+    val got = run("q_weighted_median")
+      .select("flag", "total_weight", "median_cents")
+      .as[(String, Long, Long)].collect()
+      .map { case (f, w, m) => f -> ((w, m)) }.toMap
+    // flat recomputation: one global cumulative pass per flag
+    val rows = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"),
+        col("l_quantity").cast("long").as("q"))
+      .as[(String, Long, Long)].collect()
+    val byFlag = rows.groupBy(_._1)
+    assert(got.keySet == byFlag.keySet)
+    for ((flag, rs) <- byFlag) {
+      val total = rs.map(_._3).sum
+      val sorted = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val median = sorted.collectFirst {
+        case (c, w) if { cum += w; 2 * cum >= total } => c
+      }.get
+      assert(got(flag) == ((total, median)), s"flag $flag")
+    }
+  }
+
+  test("q_ks_test: integer D numerator equals a driver-side ECDF fold") {
+    val row = run("q_ks_test")
+      .select("n1", "n2", "d_num").as[(Long, Long, Long)].head()
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"),
+        col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    val g1 = li.filter(r => Set("1-URGENT", "2-HIGH")(r._2)).map(_._1)
+    val g2 = li.filterNot(r => Set("1-URGENT", "2-HIGH")(r._2)).map(_._1)
+    val (n1, n2) = (g1.length.toLong, g2.length.toLong)
+    assert((row._1, row._2) == ((n1, n2)))
+    val c1 = g1.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c2 = g2.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var cum1 = 0L; var cum2 = 0L; var dMax = 0L
+    for (v <- (c1.keySet ++ c2.keySet).toSeq.sorted) {
+      cum1 += c1.getOrElse(v, 0L); cum2 += c2.getOrElse(v, 0L)
+      dMax = math.max(dMax, math.abs(cum1 * n2 - cum2 * n1))
+    }
+    assert(row._3 == dMax)
+    assert(row._3 <= n1 * n2)
+  }
+
+  test("ev_acf: lag-1 r equals a driver-side Pearson over the zero-filled series") {
+    val got = run("ev_acf").select("lag", "n", "r")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got.keySet == (1L to 6L).toSet)
+    assert(got.values.forall { case (_, r) => r >= -1.0 && r <= 1.0 })
+    val counts = Tables.events(spark, Sf)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy("h").count().as[(Long, Long)].collect().toMap
+    val lo = counts.keys.min; val hi = counts.keys.max
+    val xs = (lo to hi).map(h => counts.getOrElse(h, 0L)).toArray
+    val k = 1
+    val (a, b) = (xs.dropRight(k), xs.drop(k))
+    val n = a.length.toLong
+    assert(got(1L)._1 == n)
+    val (sx, sy) = (a.sum, b.sum)
+    val sxx = a.map(x => x * x).sum
+    val syy = b.map(x => x * x).sum
+    val sxy = a.zip(b).map { case (x, y) => x * y }.sum
+    val r = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(got(1L)._2 == r)
+  }
+
+  test("q_cramers_v: V is in [0,1] and squares back to chi2/(N*dof_min)") {
+    val row = run("q_cramers_v")
+      .select("n", "dof_min", "chi2_micro", "v")
+      .as[(Long, Long, Long, Double)].head()
+    val (n, dofMin, chi2Micro, v) = row
+    assert(v >= 0.0 && v <= 1.0)
+    assert(v == math.sqrt(chi2Micro / 1e6 / (n * dofMin).toDouble))
+    // dof_min over the documents table: min(|langs|, |sources|) - 1
+    val d = spark.read.parquet(s"$Sf/documents.parquet")
+    val nl = d.select("lang").distinct().count()
+    val ns = d.select("source").distinct().count()
+    assert(dofMin == math.min(nl - 1, ns - 1))
+    assert(n == d.count())
+  }
+
+  test("g_diameter_2sweep: second eccentricity dominates the first") {
+    val row = run("g_diameter_2sweep")
+      .select("ecc_from_0", "diameter_lb").as[(Long, Long)].head()
+    val (ecc0, diam) = row
+    // the far node's eccentricity is >= the start node's by definition
+    // of the 2-sweep (ecc(u) >= dist(0, u) = ecc_from_0)
+    assert(diam >= ecc0)
+    assert(ecc0 >= 0L)
+  }
+
+  test("ev_rolling_median_mad: flags equal a driver-side fold over the day series") {
+    val got = run("ev_rolling_median_mad")
+      .select("d", "x", "roll_med", "is_anom")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val counts = Tables.events(spark, Sf)
+      .select(expr("unix_millis(ts) div 86400000").as("d"))
+      .groupBy("d").count().as[(Long, Long)].collect().toMap
+    val lo = counts.keys.min; val hi = counts.keys.max
+    val xs = (lo to hi).map(h => counts.getOrElse(h, 0L)).toArray
+    assert(got.length == xs.length)
+    def med(a: Seq[Long]): Double = {
+      val s = a.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2).toDouble
+      else s(n / 2 - 1) + (s(n / 2) - s(n / 2 - 1)) * 0.5
+    }
+    def medD(a: Seq[Double]): Double = {
+      val s = a.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2)
+      else s(n / 2 - 1) + (s(n / 2) - s(n / 2 - 1)) * 0.5
+    }
+    val gm = med(xs.toIndexedSeq)
+    val mad = medD(xs.map(x => math.abs(x - gm)).toIndexedSeq)
+    got.zipWithIndex.foreach { case ((d, x, rm, anom), i) =>
+      assert(d == lo + i && x == xs(i))
+      val expRm = med(xs.slice(math.max(0, i - 6), i + 1).toIndexedSeq)
+      assert(rm == expRm, s"day $d rolling median")
+      assert(anom == (math.abs(x - rm) > 3.0 * 1.4826 * mad), s"day $d flag")
+    }
+  }
+
+  test("t_js_divergence: symmetric-bounded in [0, ln 2] over every source pair") {
+    val rows = run("t_js_divergence").select("sa", "sb", "js")
+      .as[(String, String, Double)].collect()
+    assert(rows.nonEmpty)
+    // nano-flooring can undershoot 0 by at most |terms| * 1e-9
+    rows.foreach { case (sa, sb, js) =>
+      assert(sa < sb)
+      assert(js >= -1e-3 && js <= math.log(2.0) + 1e-9, s"$sa/$sb js=$js")
+    }
+    // every unordered pair appears exactly once
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
+  test("q_decile_lift: deciles partition customers and lifts average to 1") {
+    val rows = run("q_decile_lift")
+      .select("decile", "n_cust", "lift").as[(Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet.subsetOf((1L to 10L).toSet))
+    // weighted (by n_cust) mean of lift over deciles is exactly the
+    // overall-average ratio = 1 in real arithmetic
+    val n = rows.map(_._2).sum
+    val wAvg = rows.map { case (_, nc, l) => nc * l }.sum / n
+    assert(math.abs(wAvg - 1.0) < 1e-9)
+  }
+
+  test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
+    val rows = run("g_ppr").select("node", "rank_micro")
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_._2 > 0))
+    // emitted in (rank desc, node) order
+    val ranks = rows.map(_._2)
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    // every seed node (k % 10 == 0) present in the graph must carry
+    // teleport mass >= 150000 after the final iteration
+    rows.filter(_._1 % 10 == 0).foreach { case (_, r) =>
+      assert(r >= 150000L) }
+  }
+}
