@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Graphs
+import Sql.D
 
 /** Graph analytics over graphs DERIVED from the test tables — a user
   * behavior-transition graph (events) and a market-basket co-order
@@ -446,6 +447,111 @@ FROM l3 GROUP BY 1 ORDER BY community"""
 SELECT far.node AS far_node, CAST(far.hops AS BIGINT) AS ecc_from_0,
   far2.node AS far2_node, CAST(far2.hops AS BIGINT) AS diameter_lb
 FROM far, far2"""
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) of the
+    * co-order graph at a fixed ladder of degree thresholds — do
+    * high-degree parts preferentially co-order with each other
+    * (φ → 1) or spread across the long tail? Degrees come from the
+    * shared materialized edge list; each threshold is one conditional
+    * count over the degree-annotated edges (a broadcast of the tiny
+    * threshold ladder, no per-k scan). Counts are exact longs; φ is a
+    * single double division.
+    */
+  private def richClub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = coOrderPairs(s, dir)
+    val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val ks = Seq(4L, 8L, 16L, 32L, 64L).toDF("k")
+    val degK = deg.crossJoin(broadcast(ks)).where(col("deg") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    val withDeg = p
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val edgeK = withDeg.crossJoin(broadcast(ks))
+      .where(col("da") > col("k") && col("db") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("e_k"))
+    degK.join(edgeK, Seq("k"), "left")
+      .select(col("k"), col("n_k"), coalesce(col("e_k"), lit(0L)).as("e_k"))
+      .where(col("n_k") >= 2)
+      .withColumn("phi", lit(2.0) * col("e_k").cast("double") /
+        (col("n_k") * (col("n_k") - 1)).cast("double"))
+      .orderBy("k")
+  }
+
+  private val richClubOracle = """WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p) GROUP BY 1
+), ks(k) AS (VALUES (4), (8), (16), (32), (64)),
+degk AS (
+  SELECT k, COUNT(*) AS n_k FROM deg JOIN ks ON deg > k GROUP BY 1
+), wd AS (
+  SELECT p.a, p.b, da.deg AS da, db.deg AS db
+  FROM p JOIN deg da ON p.a = da.v JOIN deg db ON p.b = db.v
+), edgek AS (
+  SELECT k, COUNT(*) AS e_k FROM wd JOIN ks ON da > k AND db > k GROUP BY 1
+)
+SELECT CAST(degk.k AS BIGINT) AS k, degk.n_k,
+  CAST(COALESCE(edgek.e_k, 0) AS BIGINT) AS e_k,
+  CAST('2' AS DOUBLE) * CAST(COALESCE(edgek.e_k, 0) AS DOUBLE)
+    / CAST(degk.n_k * (degk.n_k - 1) AS DOUBLE) AS phi
+FROM degk LEFT JOIN edgek ON degk.k = edgek.k
+WHERE degk.n_k >= 2 ORDER BY k"""
+
+  /** Entropy rate of the empirical k-transition Markov chain:
+    * H = −Σ_ij (w_ij / W) · ln(w_ij / w_i) — how predictable is the
+    * next k given the current one (0 = deterministic chain; ln of the
+    * mean out-degree = uniform wandering). One pass over the shared
+    * edge list: each edge contributes a single term floored to
+    * nano-units before the integer sum (order-independent), with w_i
+    * joined on and W a 1-row broadcast. Pairs with g_markov_accuracy:
+    * that query scores the argmax predictor, this one measures the
+    * intrinsic noise floor any predictor faces.
+    */
+  private def entropyRate(s: SparkSession, dir: String): DataFrame = {
+    val edges = kEdges(s, dir)
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("w_out"))
+    val grand = edges.agg(sum(col("w")).as("tw"))
+    edges.join(outW, "src").crossJoin(broadcast(grand))
+      .select(floor(col("w").cast("double") / col("tw").cast("double") *
+        log(col("w").cast("double") / col("w_out").cast("double")) *
+        lit(1.0e9)).cast("long").as("term_nano"))
+      .agg(count(lit(1)).as("n_transition_types"),
+        sum(col("term_nano")).as("neg_h_nano"))
+      .select(col("n_transition_types"),
+        (-col("neg_h_nano")).as("h_nano"),
+        (-col("neg_h_nano")).cast("double").divide(lit(1.0e9))
+          .as("entropy_rate"))
+  }
+
+  private val entropyRateOracle = s"""WITH ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\\s*:\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM edges GROUP BY 1
+), grand AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM edges),
+terms AS (
+  SELECT CAST(FLOOR(CAST(e.w AS DOUBLE) / CAST(tw AS DOUBLE)
+    * ln(CAST(e.w AS DOUBLE) / CAST(w_out AS DOUBLE))
+    * ${D("1000000000")}) AS BIGINT) AS term_nano
+  FROM edges e JOIN outw ON e.src = outw.src CROSS JOIN grand
+)
+SELECT COUNT(*) AS n_transition_types,
+  CAST(-SUM(term_nano) AS BIGINT) AS h_nano,
+  CAST(-SUM(term_nano) AS DOUBLE) / ${D("1000000000")} AS entropy_rate
+FROM terms"""
 
   private val bfsHopsOracle = """WITH RECURSIVE ek AS (
   SELECT user_id, ts, event_id,
@@ -1134,6 +1240,8 @@ ORDER BY motif"""
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_diameter_2sweep", diameter2Sweep, Some(diameter2SweepOracle)),
+    QueryDef("g_rich_club", richClub, Some(richClubOracle)),
+    QueryDef("g_entropy_rate", entropyRate, Some(entropyRateOracle)),
     QueryDef("g_scc", sccQ, Some(sccOracle)),
     QueryDef("g_temporal_reach", temporalReach, Some(temporalReachOracle)),
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),

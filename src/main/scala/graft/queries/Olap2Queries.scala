@@ -1643,6 +1643,81 @@ SELECT n0, concordant, discordant, ties_x, ties_y,
     / sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)) AS tau_b
 FROM agg"""
 
+  // --- sequential probability ratio test (SPRT) -----------------------
+  /** Wald's SPRT run per experiment arm (users split by id parity) on
+    * the purchase-conversion stream: after every event the cumulative
+    * log-likelihood ratio between H₁ (p = 0.21) and H₀ (p = 0.19) is
+    * checked against the decision boundaries ±ln 19 (α = β = 0.05);
+    * the query reports WHERE each arm's test first concludes — the
+    * early-stopping readout that lets an A/B test end weeks before a
+    * fixed-horizon test would. Since each observation adds one of two
+    * CONSTANTS to the LLR, the running LLR is an integer combination
+    * cum₊·K₊ + (n − cum₊)·K₋ of nano-floored constants — so the whole
+    * trajectory needs only running counts, which come from
+    * [[graft.operators.Ids.prefixSumByKey]] (range-partition + offset
+    * fold): NO per-arm window partition ever holds the stream, the
+    * property that keeps this exact at 100 TB where a 2-partition
+    * window would serialize. Boundary comparisons are integer,
+    * engine-independent.
+    */
+  private val SprtP0 = 0.19
+  private val SprtP1 = 0.21
+  private val SprtKp = math.floor(math.log(SprtP1 / SprtP0) * 1e9).toLong
+  private val SprtKn =
+    math.floor(math.log((1 - SprtP1) / (1 - SprtP0)) * 1e9).toLong
+  private val SprtA = math.floor(math.log(19.0) * 1e9).toLong
+  private val SprtB = -SprtA
+
+  private def sprt(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      pmod(col("user_id"), lit(2L)).as("arm"),
+      col("ts"), col("event_id"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+      .withColumn("one", lit(1L))
+    val withCum = graft.operators.Ids.prefixSumByKey(
+      e, "arm", Seq("ts", "event_id"), "x", 32, "cumx")
+    val withN = graft.operators.Ids.prefixSumByKey(
+      withCum, "arm", Seq("ts", "event_id"), "one", 32, "n")
+    withN
+      .withColumn("llr_nano",
+        col("cumx") * lit(SprtKp) + (col("n") - col("cumx")) * lit(SprtKn))
+      .where(col("llr_nano") >= SprtA || col("llr_nano") <= SprtB)
+      .select(col("arm"),
+        struct(col("n"), col("cumx"), col("llr_nano")).as("st"))
+      .groupBy(col("arm")).agg(min(col("st")).as("m"))
+      .select(col("arm"), col("m.n").as("n_at_decision"),
+        col("m.cumx").as("conversions"), col("m.llr_nano").as("llr_nano"),
+        when(col("m.llr_nano") >= SprtA, "accept_h1")
+          .otherwise("accept_h0").as("decision"))
+      .orderBy("arm")
+  }
+
+  private val sprtOracle: String = s"""WITH e AS (
+  SELECT user_id % 2 AS arm, ts, event_id,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+), runs AS (
+  SELECT arm,
+    ROW_NUMBER() OVER (PARTITION BY arm ORDER BY ts, event_id) AS n,
+    CAST(SUM(x) OVER (PARTITION BY arm ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumx
+  FROM e
+), llr AS (
+  SELECT arm, n, cumx,
+    cumx * ($SprtKp) + (n - cumx) * ($SprtKn) AS llr_nano
+  FROM runs
+), crossed AS (
+  SELECT arm, n, cumx, llr_nano FROM llr
+  WHERE llr_nano >= $SprtA OR llr_nano <= $SprtB
+), firstc AS (
+  SELECT arm, MIN(n) AS nmin FROM crossed GROUP BY 1
+)
+SELECT c.arm, c.n AS n_at_decision, c.cumx AS conversions, c.llr_nano,
+  CASE WHEN c.llr_nano >= $SprtA THEN 'accept_h1'
+       ELSE 'accept_h0' END AS decision
+FROM crossed c JOIN firstc f ON c.arm = f.arm AND c.n = f.nmin
+ORDER BY c.arm"""
+
   // --- two-sample Kolmogorov–Smirnov test -----------------------------
   /** Two-sample KS test: does fulfillment latency (ship − order date,
     * integer days) differ in distribution between urgent/high-priority
@@ -1788,6 +1863,7 @@ SELECT flag, MAX(wt) AS total_weight,
 FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_sprt", sprt, Some(sprtOracle)),
     QueryDef("q_ks_test", ksTest, Some(ksTestOracle)),
     QueryDef("q_weighted_median", weightedMedian, Some(weightedMedianOracle)),
     QueryDef("q_fdr_bh", fdrBh, Some(fdrBhOracle)),

@@ -167,6 +167,75 @@ class StatQueriesSpec extends SparkSpec {
     assert(math.abs(wAvg - 1.0) < 1e-9)
   }
 
+  test("q_sprt: decision point equals a sequential driver-side fold") {
+    val got = run("q_sprt")
+      .select("arm", "n_at_decision", "conversions", "llr_nano", "decision")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val kp = math.floor(math.log(0.21 / 0.19) * 1e9).toLong
+    val kn = math.floor(math.log(0.79 / 0.81) * 1e9).toLong
+    val a = math.floor(math.log(19.0) * 1e9).toLong
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), (col("event_type") === "purchase").as("p"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    for (arm <- Seq(0L, 1L)) {
+      val stream = ev.filter(_._1 % 2 == arm).sortBy(e => (e._2, e._3))
+      var n = 0L; var cum = 0L
+      val found = stream.iterator.map { e =>
+        n += 1; if (e._4) cum += 1
+        (n, cum, cum * kp + (n - cum) * kn)
+      }.find { case (_, _, llr) => llr >= a || llr <= -a }
+      found match {
+        case Some((fn, fc, fl)) =>
+          val dec = if (fl >= a) "accept_h1" else "accept_h0"
+          assert(got(arm) == ((fn, fc, fl, dec)), s"arm $arm")
+        case None =>
+          // sf0.001's stream is short enough that an arm may never
+          // cross a boundary — then the query must emit NO row for it
+          assert(!got.contains(arm), s"arm $arm concluded without crossing")
+      }
+    }
+  }
+
+  test("g_rich_club: club size and internal edges shrink as k rises; phi in [0,1]") {
+    val rows = run("g_rich_club").select("k", "n_k", "e_k", "phi")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nk, ek, phi) =>
+      assert(phi >= 0.0 && phi <= 1.0)
+      assert(ek <= nk * (nk - 1) / 2)
+    }
+    rows.zip(rows.tail).foreach { case ((_, n1, e1, _), (_, n2, e2, _)) =>
+      assert(n2 <= n1 && e2 <= e1)
+    }
+  }
+
+  test("g_entropy_rate: matches a driver-side recount of the transition chain") {
+    val (nTypes, hNano, h) = run("g_entropy_rate")
+      .select("n_transition_types", "h_nano", "entropy_rate")
+      .as[(Long, Long, Double)].head()
+    assert(h >= 0.0)
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("props"))
+      .as[(Long, Long, Long, String)].collect()
+    val edges = ev.groupBy(_._1).values.flatMap { es =>
+      val ks = es.sortBy(e => (e._2, e._3))
+        .map(e => kRe.findFirstMatchIn(e._4).get.group(1).toLong)
+      ks.zip(ks.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(nTypes == edges.size)
+    val w = edges.values.sum.toDouble
+    val outW = edges.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum.toDouble).toMap
+    val negH = edges.map { case ((s1, _), wij) =>
+      math.floor(wij / w * math.log(wij / outW(s1)) * 1e9).toLong }.sum
+    assert(hNano == -negH)
+    assert(h == -negH / 1e9)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
