@@ -175,6 +175,83 @@ object Similarity {
     perQueryTopK(scored, k)
   }
 
+  /** Recall-vs-nprobe tuning curve for the IVF index, computed in ONE
+    * pass: cell assignment, probe ranking, and candidate scoring run
+    * once at max(probes), each candidate carrying the probe rank `pr`
+    * of the cell it came from — the nprobe=p answer is then just the
+    * candidates with pr ≤ p re-ranked, a filter + bounded top-k, not a
+    * re-scan. Recall is measured against [[bruteForceTopK]] ground
+    * truth (hits / exact top-k pairs, one exact integer division at
+    * the end). This is THE operational readout for sizing an ANN
+    * deployment: where the curve flattens is the cheapest nprobe that
+    * buys no more recall.
+    *
+    * Scale shape: identical to [[ivfTopK]] (broadcast codebook +
+    * probe table, no vector shuffle) plus the brute-force baseline —
+    * which is quadratic in |queries|·|corpus| and is the measurement
+    * harness, not the serving path (run it on a query SAMPLE at
+    * production scale, exactly as evaluated here via the query
+    * stride).
+    */
+  def ivfRecallSweep(emb: DataFrame, queries: DataFrame, centroids: DataFrame,
+      probes: Seq[Int], k: Int): DataFrame = {
+    require(probes.nonEmpty, "ivfRecallSweep needs at least one nprobe")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val maxNp = probes.max
+    val base = emb.select(col("id"), quantize(col("vec")).as("qv"))
+      .withColumn("nn", normSqQ(col("qv")))
+    val cb = centroids.select(col("id").as("c_id"), quantize(col("vec")).as("cqv"))
+      .withColumn("cnn", normSqQ(col("cqv")))
+    val cells = base.crossJoin(broadcast(cb))
+      .select(col("id"),
+        struct(
+          cosineQ(dotQ(col("qv"), col("cqv")), col("nn"), col("cnn")).as("ccos"),
+          (-col("c_id")).as("negc")).as("sc"))
+      .groupBy(col("id")).agg(max(col("sc")).as("m"))
+      .select(col("id"), (-col("m.negc")).cast("long").as("cell"))
+    val celled = base.join(cells, Seq("id"))
+    val qs = queries.select(col("id").as("q_id"), quantize(col("vec")).as("qqv"))
+      .withColumn("qn", normSqQ(col("qqv")))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("c_id"))
+    val probeTbl = qs.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("qqv"), col("qn"), col("c_id"),
+        cosineQ(dotQ(col("qqv"), col("cqv")), col("qn"), col("cnn")).as("ccos"))
+      .withColumn("pr", row_number().over(wq))
+      .where(col("pr") <= maxNp)
+      .select(col("q_id"), col("qqv"), col("qn"), col("c_id").as("cell"),
+        col("pr"))
+    val scoredCand = celled.join(broadcast(probeTbl), Seq("cell"))
+      .where(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"), col("pr"),
+        cosineQ(dotQ(col("qv"), col("qqv")), col("nn"), col("qn")).as("cosine"))
+    val npDf = probes.map(_.toLong).toDF("nprobe")
+    val returned = scoredCand.crossJoin(broadcast(npDf))
+      .where(col("pr") <= col("nprobe"))
+      .groupBy(col("nprobe"), col("q_id"))
+      .agg(graft.functions.TopKPairs.topK(k)(
+        col("cosine"), col("n_id").cast("long")).as("top"))
+      .select(col("nprobe"), col("q_id"), explode(col("top")).as("x"))
+      .select(col("nprobe"), col("q_id"), col("x._2").as("n_id"))
+    val exact = bruteForceTopK(emb, queries, k).select(col("q_id"), col("n_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val perNp = returned.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_returned"))
+    val hits = returned.join(exact, Seq("q_id", "n_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    npDf.join(perNp, Seq("nprobe"), "left")
+      .join(hits, Seq("nprobe"), "left")
+      .crossJoin(broadcast(nExact))
+      .select(col("nprobe"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_exact"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** SemDeDup-style semantic deduplication (cluster, then drop
     * near-duplicates WITHIN each cluster): every embedding is assigned
     * to its max-cosine centroid (ties to the smaller centroid id, as in

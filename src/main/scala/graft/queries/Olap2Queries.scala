@@ -1660,13 +1660,13 @@ FROM agg"""
     * window would serialize. Boundary comparisons are integer,
     * engine-independent.
     */
-  private val SprtP0 = 0.19
-  private val SprtP1 = 0.21
-  private val SprtKp = math.floor(math.log(SprtP1 / SprtP0) * 1e9).toLong
-  private val SprtKn =
+  private[queries] val SprtP0 = 0.19
+  private[queries] val SprtP1 = 0.21
+  private[queries] val SprtKp = math.floor(math.log(SprtP1 / SprtP0) * 1e9).toLong
+  private[queries] val SprtKn =
     math.floor(math.log((1 - SprtP1) / (1 - SprtP0)) * 1e9).toLong
-  private val SprtA = math.floor(math.log(19.0) * 1e9).toLong
-  private val SprtB = -SprtA
+  private[queries] val SprtA = math.floor(math.log(19.0) * 1e9).toLong
+  private[queries] val SprtB = -SprtA
 
   private def sprt(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
@@ -1692,7 +1692,7 @@ FROM agg"""
       .orderBy("arm")
   }
 
-  private val sprtOracle: String = s"""WITH e AS (
+  private[queries] val sprtOracle: String = s"""WITH e AS (
   SELECT user_id % 2 AS arm, ts, event_id,
     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
   FROM events

@@ -282,6 +282,113 @@ SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
       .orderBy("q_id", "rank")
   }
 
+  /** [[Similarity.ivfRecallSweep]] on the same index layout as
+    * `s_ivf_topk`: recall@$K against brute-force ground truth at
+    * nprobe ∈ {1, 2, 4, 8} — the tuning curve that prices recall in
+    * probes. One assignment + one candidate scoring at nprobe = 8;
+    * smaller probe counts are filters over the carried probe rank.
+    */
+  private val SweepProbes = Seq(1, 2, 4, 8)
+
+  private def ivfRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfRecallSweep(
+      e,
+      e.where(pmod(col("id"), lit(QueryStride)) === 0),
+      e.where(pmod(col("id"), lit(CentroidStride)) === 0),
+      SweepProbes, K)
+  }
+
+  private val ivfRecallCurveOracle: String = {
+    val maxNp = SweepProbes.max
+    val npValues = SweepProbes.map(p => s"($p)").mkString(", ")
+    s"""WITH $quantCtes,
+cdots AS (
+  SELECT a.vec_id AS id, c.vec_id AS c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat c ON a.i = c.i
+  WHERE c.vec_id % $CentroidStride = 0
+  GROUP BY 1, 2
+),
+cscored AS (
+  SELECT id, c_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(n1.nn AS DOUBLE) * CAST(n2.nn AS DOUBLE)) AS ccos
+  FROM cdots JOIN norms n1 ON id = n1.vec_id JOIN norms n2 ON c_id = n2.vec_id
+),
+cells AS MATERIALIZED (
+  SELECT id, c_id AS cell FROM (
+    SELECT id, c_id,
+      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT id AS q_id, c_id AS cell, rn AS pr FROM (
+    SELECT id, c_id, ccos,
+      ROW_NUMBER() OVER (PARTITION BY id ORDER BY ccos DESC, c_id) AS rn
+    FROM cscored WHERE id % $QueryStride = 0
+  ) WHERE rn <= $maxNp
+),
+cand AS (
+  SELECT p.q_id, c.id AS n_id, p.pr
+  FROM probes p JOIN cells c ON p.cell = c.cell
+  WHERE c.id <> p.q_id
+),
+cdots2 AS (
+  SELECT cd.q_id, cd.n_id, cd.pr, CAST(SUM(fa.e * fb.e) AS BIGINT) AS dot
+  FROM cand cd
+  JOIN flat fa ON fa.vec_id = cd.q_id
+  JOIN flat fb ON fb.vec_id = cd.n_id AND fb.i = fa.i
+  GROUP BY 1, 2, 3
+),
+cscored2 AS MATERIALIZED (
+  SELECT q_id, n_id, pr,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+  FROM cdots2 JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+),
+nps(nprobe) AS (VALUES $npValues),
+returned AS MATERIALIZED (
+  SELECT nprobe, q_id, n_id FROM (
+    SELECT nps.nprobe, s.q_id, s.n_id,
+      ROW_NUMBER() OVER (PARTITION BY nps.nprobe, s.q_id
+        ORDER BY s.cosine DESC, s.n_id) AS rk
+    FROM cscored2 s JOIN nps ON s.pr <= nps.nprobe
+  ) WHERE rk <= $K
+),
+edots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+),
+exact AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+        CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) DESC,
+        n_id) AS rk
+    FROM edots JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+  ) WHERE rk <= $K
+),
+ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+pernp AS (
+  SELECT nprobe, COUNT(*) AS n_returned FROM returned GROUP BY 1
+),
+hits AS (
+  SELECT r.nprobe, COUNT(*) AS n_hits
+  FROM returned r JOIN exact e ON r.q_id = e.q_id AND r.n_id = e.n_id
+  GROUP BY 1
+)
+SELECT CAST(nps.nprobe AS BIGINT) AS nprobe,
+  CAST(COALESCE(pernp.n_returned, 0) AS BIGINT) AS n_returned,
+  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+  ne.n_exact,
+  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / CAST(ne.n_exact AS DOUBLE) AS recall
+FROM nps LEFT JOIN pernp ON nps.nprobe = pernp.nprobe
+  LEFT JOIN hits ON nps.nprobe = hits.nprobe
+  CROSS JOIN ne
+ORDER BY nprobe"""
+  }
+
   private val ivfOracle: String = s"""WITH $quantCtes,
 cdots AS (
   SELECT a.vec_id AS id, c.vec_id AS c_id, CAST(SUM(a.e * c.e) AS BIGINT) AS dot
@@ -1263,6 +1370,7 @@ ORDER BY f.q_id"""
     QueryDef("s_ann_lsh", lsh, Some(lshOracle)),
     QueryDef("s_lsh_recall", lshRecall, Some(lshRecallOracle)),
     QueryDef("s_ivf_topk", ivf, Some(ivfOracle)),
+    QueryDef("s_ivf_recall_curve", ivfRecallCurve, Some(ivfRecallCurveOracle)),
     QueryDef("s_pq_topk", pq, Some(pqOracle)),
     QueryDef("s_ivfpq_topk", ivfpq, Some(ivfpqOracle)),
     QueryDef("s_label_centroids", labelCentroids, Some(labelCentroidsOracle)),

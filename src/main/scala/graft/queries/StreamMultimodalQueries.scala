@@ -347,6 +347,25 @@ ORDER BY purchase_id, view_id NULLS FIRST"""
     * batch `ev_clamped_running` closed form — sequential fold and
     * Skorokhod reflection must agree exactly.
     */
+  /** [[EventStreams.SprtProcessor]] replaying the events file: the
+    * online sequential test must conclude at EXACTLY the same
+    * (n, conversions, LLR) point as the batch prefix-sum formulation —
+    * graded against the SAME oracle as `q_sprt`. The memory sink holds
+    * at most one decision row per arm (the processor freezes a decided
+    * arm), so the rollup is a plain projection.
+    */
+  private def streamSprt(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.streamingSprt(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"),
+        Olap2Queries.SprtKp, Olap2Queries.SprtKn, Olap2Queries.SprtA)
+      EventStreams.runToMemory(s, out, "graft_stream_sprt",
+          OutputMode.Append())
+        .select(col("arm"), col("n_at_decision"), col("conversions"),
+          col("llr_nano"), col("decision"))
+        .orderBy("arm")
+    }
+
   private def streamClamped(s: SparkSession, dir: String): DataFrame =
     EventStreams.withRocksDbState(s) {
       val out = EventStreams.streamingClampedBalance(
@@ -535,6 +554,75 @@ SELECT kind, CAST((cum_bytes - n_bytes) // $ShardBytes AS BIGINT) AS shard,
   MIN(media_id) AS first_id, MAX(media_id) AS last_id
 FROM c GROUP BY 1, 2 ORDER BY kind, shard"""
 
+  /** Does the shard packing split duplicate groups across shards?
+    * Joins the exact-dup groups (payload md5) against the SAME greedy
+    * shard assignment as `m_shard_manifest` and reports the fraction
+    * of duplicate PAIRS that straddle two shards — the "dedup BEFORE
+    * you shard" readout: a loader that samples shards independently
+    * sees cross-shard duplicates as if they were unique documents.
+    * Pair counts are exact binomials over group sizes (never a pair
+    * enumeration — C(n,2) arithmetic on group counts only), so the
+    * measurement costs two aggregates past the shared prefix-sum
+    * assignment regardless of corpus size.
+    */
+  private def crossShardDupRate(s: SparkSession, dir: String): DataFrame = {
+    val items = media(s, dir).toDF()
+      .select(col("media_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("h"))
+    val sharded = graft.operators.Ids.prefixSumByKey(
+        items, "kind", Seq("media_id"), "n_bytes", 32, "cum_bytes")
+      .select(col("h"), col("kind"),
+        ((col("cum_bytes") - col("n_bytes")) / ShardBytes).cast("long")
+          .as("shard"))
+    val grp = sharded.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+    val total = grp.agg(count(lit(1)).as("n_dup_groups"),
+      sum(expr("n * (n - 1) div 2")).as("total_pairs"))
+    val same = sharded.join(grp.select("h"), "h")
+      .groupBy(col("h"), col("kind"), col("shard"))
+      .agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L))
+        .as("same_shard_pairs"))
+    total.crossJoin(same)
+      .select(col("n_dup_groups"), col("total_pairs"),
+        col("same_shard_pairs"),
+        ((col("total_pairs") - col("same_shard_pairs")).cast("double") /
+          col("total_pairs").cast("double")).as("cross_shard_rate"))
+  }
+
+  private val crossShardDupRateOracle = s"""WITH items AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      ELSE 'video' END AS kind,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    md5(text) AS h
+  FROM documents
+), c AS (
+  SELECT *, SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+  FROM items
+), sh AS (
+  SELECT h, kind, CAST((cum_bytes - n_bytes) // $ShardBytes AS BIGINT) AS shard
+  FROM c
+), grp AS (
+  SELECT h, COUNT(*) AS n FROM sh GROUP BY 1 HAVING COUNT(*) >= 2
+), tot AS (
+  SELECT COUNT(*) AS n_dup_groups,
+    CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS total_pairs
+  FROM grp
+), same AS (
+  SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) AS BIGINT)
+    AS same_shard_pairs
+  FROM (
+    SELECT sh.h, sh.kind, sh.shard, COUNT(*) AS m
+    FROM sh JOIN grp ON sh.h = grp.h GROUP BY 1, 2, 3)
+)
+SELECT n_dup_groups, total_pairs, same_shard_pairs,
+  CAST(total_pairs - same_shard_pairs AS DOUBLE)
+    / CAST(total_pairs AS DOUBLE) AS cross_shard_rate
+FROM tot, same"""
+
   private val nib: Int => String = i =>
     s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
 
@@ -632,6 +720,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_join", streamJoin, Some(streamJoinOracle)),
     QueryDef("stream_join_outer", streamJoinOuter, Some(streamJoinOuterOracle)),
     QueryDef("stream_clamped", streamClamped, Some(streamClampedOracle)),
+    QueryDef("stream_sprt", streamSprt, Some(Olap2Queries.sprtOracle)),
     QueryDef("stream_topk", streamTopK, Some(streamTopKOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
@@ -641,6 +730,8 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_cdc_upsert", streamCdcUpsert, Some(streamCdcUpsertOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_shard_manifest", shardManifest, Some(shardManifestOracle)),
+    QueryDef("d_cross_shard_dup_rate", crossShardDupRate,
+      Some(crossShardDupRateOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),
     QueryDef("m_resize_plan", resizePlan, Some(resizePlanOracle)),
     QueryDef("m_features", features, Some(featuresOracle)))

@@ -445,6 +445,84 @@ object EventStreams {
       .toDF()
   }
 
+  final case class SprtOut(arm: Long, n_at_decision: Long,
+      conversions: Long, llr_nano: Long, decision: String)
+
+  /** ONLINE Wald SPRT per experiment arm — the streaming twin of the
+    * batch `q_sprt`: state is just (n, conversions, decided) per arm,
+    * each batch folds its rows in full-precision (ts, event_id) order,
+    * and the FIRST boundary crossing emits the decision row, after
+    * which the arm's state is frozen (late batches are consumed
+    * without emission — a decided test never re-opens). Because each
+    * observation adds one of two integer nano-constants to the LLR,
+    * the state needs no float at all; the emitted crossing point is
+    * bit-identical to the batch prefix-sum formulation.
+    *
+    * Cross-batch ordering ASSUMPTION (same caveat as
+    * [[ClampedBalanceProcessor]]): the sequential fold is only
+    * order-deterministic if each arm's events arrive in global
+    * (ts, event_id) order across micro-batches — a first-crossing
+    * detection is not permutation-invariant. Single-source file
+    * streams (this harness) and log-ordered sources satisfy it.
+    *
+    * @param kp nano-floored LLR increment for a conversion
+    * @param kn nano-floored LLR increment for a non-conversion
+    * @param a  decision boundary ln((1−β)/α) in nano-units (lower
+    *           boundary is −a, the symmetric α = β design)
+    */
+  class SprtProcessor(kp: Long, kn: Long, a: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SprtOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("sprt",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SprtOut] = {
+      var (n, cum, done) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      if (done == 1L) { rows.foreach(_ => ()); Iterator.empty }
+      else {
+        val it = rows.toSeq.sortBy(eventOrder).iterator
+        var out: Option[SprtOut] = None
+        while (out.isEmpty && it.hasNext) {
+          val e = it.next()
+          n += 1
+          if (e.event_type == "purchase") cum += 1
+          val llr = cum * kp + (n - cum) * kn
+          if (llr >= a || llr <= -a)
+            out = Some(SprtOut(key, n, cum, llr,
+              if (llr >= a) "accept_h1" else "accept_h0"))
+        }
+        st.update((n, cum, if (out.isDefined) 1L else 0L))
+        out.iterator
+      }
+    }
+  }
+
+  /** [[SprtProcessor]] wired to a stream (RocksDB required — run under
+    * [[withRocksDbState]]): arms are user-id parity, conversions are
+    * purchase events. Emits at most ONE row per arm over the stream's
+    * lifetime — the decision record.
+    */
+  def streamingSprt(events: DataFrame, kp: Long, kn: Long, a: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(_.user_id % 2)
+      .transformWithState(new SprtProcessor(kp, kn, a),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   final case class TopKState(n_seen: Long, cents: Seq[Long], ids: Seq[Long])
   final case class TopKOut(event_type: String, n_seen: Long,
       top_cents: Seq[Long], top_ids: Seq[Long])

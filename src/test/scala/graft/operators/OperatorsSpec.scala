@@ -265,6 +265,37 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.15, s"IVF recall $recall collapsed — probe routing is broken")
   }
 
+  test("ivfRecallSweep: curve is monotone and each point equals a standalone ivfTopK") {
+    val emb = graft.queries.Tables(spark, Sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = emb.where(col("id") % 10 === 0)
+    val centroids = emb.where(col("id") % 10 === 3)
+    val probes = Seq(1, 2, 4)
+    val curve = Similarity.ivfRecallSweep(emb, queries, centroids, probes, 5)
+      .select("nprobe", "n_returned", "n_hits", "n_exact", "recall")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == probes.map(_.toLong))
+    // recall and returned-count never decrease with more probes
+    curve.zip(curve.tail).foreach { case (lo, hi) =>
+      assert(hi._5 >= lo._5 && hi._2 >= lo._2, s"curve bent: $lo -> $hi")
+    }
+    curve.foreach { case (_, nRet, nHits, nEx, recall) =>
+      assert(nHits <= nRet && nHits <= nEx)
+      assert(recall == nHits.toDouble / nEx)
+    }
+    // cross-check one sweep point against the standalone operator: the
+    // filtered-by-probe-rank path must return the SAME pair set as an
+    // ivfTopK run at that nprobe
+    val sweepAt2 = Similarity.ivfRecallSweep(emb, queries, centroids, Seq(2), 5)
+      .select("n_returned", "n_hits").as[(Long, Long)].head()
+    val standalone = Similarity.ivfTopK(emb, queries, centroids, 2, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(sweepAt2._1 == standalone.size)
+    assert(sweepAt2._2 == exact.count(standalone.contains))
+  }
+
   test("minhash fast twin: xxhash64 candidates recall >= md5 path on true near-dups") {
     // ground truth: exact n-gram Jaccard >= 0.5 over the planted
     // near-dups in the shared documents table — the same threshold the

@@ -138,6 +138,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sprt: decision fires once at the exact crossing, then the arm freezes") {
+    val dir = Files.createTempDirectory("graft_ssprt").toString
+    def ev(id: Long, user: Long, minute: Int, typ: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        user, typ, 1.0)
+    // controlled constants: conversion +10, miss −3, boundaries ±25
+    val (kp, kn, a) = (10L, -3L, 25L)
+
+    // batch 1, arm 0 (user 4): p,c,p → LLR 10, 7, 17 — no crossing yet;
+    // arm 1 (user 5): 5 clicks → LLR −15 — no crossing yet
+    writeBatch(dir, "b1",
+      Seq(ev(1, 4, 0, "purchase"), ev(2, 4, 1, "click"),
+        ev(3, 4, 2, "purchase")) ++
+        (1 to 5).map(i => ev(10 + i, 5, i, "click")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.streamingSprt(stream, kp, kn, a)
+
+    spark.streams.active.filter(_.name == "ssprt_test").foreach(_.stop())
+    val q = EventStreams.withRocksDbState(spark) {
+      out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("ssprt_test").start()
+    }
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ssprt_test").isEmpty,
+        "no arm has crossed a boundary yet")
+
+      // batch 2: arm 0 converts again → LLR 27 ≥ 25 fires accept_h1 at
+      // n=4, conv=3; arm 1 takes 4 more misses → LLR −27 ≤ −25 fires
+      // accept_h0 at n=9, conv=0
+      writeBatch(dir, "b2",
+        Seq(ev(4, 4, 10, "purchase")) ++
+          (6 to 9).map(i => ev(10 + i, 5, i, "click")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ssprt_test")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(afterB2 == Set(
+        (0L, 4L, 3L, 27L, "accept_h1"),
+        (1L, 9L, 0L, -27L, "accept_h0")), s"got $afterB2")
+
+      // batch 3: both arms keep receiving events — NOTHING re-emits
+      // (a decided test never re-opens)
+      writeBatch(dir, "b3",
+        Seq(ev(5, 4, 20, "purchase"), ev(20, 5, 20, "purchase")))
+      q.processAllAvailable()
+      val afterB3 = spark.table("ssprt_test")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(afterB3 == afterB2, "decided arms must stay frozen")
+    } finally q.stop()
+  }
+
   test("clamped balance: zero floor binds mid-stream and state carries over") {
     val dir = Files.createTempDirectory("graft_sclamp").toString
     def ev(id: Long, minute: Int, typ: String, value: Double): EventStreams.Event =
