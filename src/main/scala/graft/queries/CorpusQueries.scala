@@ -1149,6 +1149,111 @@ SELECT source, COUNT(*) AS n_types, CAST(SUM(term_nano) AS BIGINT) AS kl_nano,
 FROM terms GROUP BY source ORDER BY source"""
   }
 
+  // --- mean segmental type-token ratio (lexical diversity) ------------
+  /** MSTTR-50 per source: documents are cut into consecutive 50-token
+    * segments (by original token position; incomplete tail segments
+    * are DROPPED — the standard fix for TTR's length sensitivity, which
+    * makes raw TTR incomparable across document lengths), each
+    * segment's type count is tallied, and the source readout is
+    * Σtypes / (50·segments). A boilerplate-heavy or template-generated
+    * source shows a depressed MSTTR long before eyeballing catches it.
+    * Type counts are exact integers, so the only division is the final
+    * readout — no per-segment float ever aggregates.
+    */
+  private val MsttrSeg = 50
+
+  private def msttr(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+"))
+          .as(Seq("p", "token")))
+      .where(col("token") =!= "")
+    val seg = tok
+      .groupBy(col("source"), col("doc_id"),
+        (col("p") / MsttrSeg).cast("long").as("seg"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("token")).as("n_types"))
+      .where(col("n_tok") === MsttrSeg)
+    seg.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("n_types")).as("sum_types"))
+      .withColumn("msttr", col("sum_types").cast("double") /
+        (col("n_segments") * MsttrSeg).cast("double"))
+      .orderBy("source")
+  }
+
+  private val msttrOracle: String = s"""WITH docs AS (
+  SELECT source, doc_id,
+    string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents
+), tok AS (
+  SELECT source, doc_id,
+    unnest(generate_series(1, len(w))) - 1 AS p,
+    unnest(w) AS token
+  FROM docs
+), seg AS (
+  SELECT source, doc_id, p // $MsttrSeg AS seg,
+    COUNT(*) AS n_tok, COUNT(DISTINCT token) AS n_types
+  FROM tok WHERE token <> '' GROUP BY 1, 2, 3
+  HAVING COUNT(*) = $MsttrSeg
+)
+SELECT source, COUNT(*) AS n_segments,
+  CAST(SUM(n_types) AS BIGINT) AS sum_types,
+  CAST(SUM(n_types) AS DOUBLE)
+    / CAST(COUNT(*) * $MsttrSeg AS DOUBLE) AS msttr
+FROM seg GROUP BY source ORDER BY source"""
+
+  // --- token dispersion (variance-to-mean over documents) -------------
+  /** Fisher dispersion index VMR = σ²/μ of per-document counts for the
+    * top-20 corpus tokens: function words spread evenly (VMR ≈ 1,
+    * Poisson-like); topical words clump into few documents (VMR ≫ 1) —
+    * the classic burstiness split that frequency alone can't see, and
+    * a direct input to stop-list construction. Zero-count documents
+    * are part of the distribution, handled in closed form:
+    * VMR = (N·Σx² − cf²) / (N·cf) over docs-containing sums only —
+    * exact int64 numerator and denominator, ONE double division, no
+    * N-row zero-fill ever materialized.
+    */
+  private def tokenDispersion(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("x"))
+    val perTok = dt.groupBy(col("token"))
+      .agg(sum(col("x")).as("cf"), count(lit(1)).as("df"),
+        sum(col("x") * col("x")).as("sxx"))
+    val w = Window.orderBy(col("cf").desc, col("token"))
+    perTok.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 20)
+      .crossJoin(broadcast(nDocs))
+      .select(col("rk"), col("token"), col("cf"), col("df"),
+        ((col("n_docs") * col("sxx") - col("cf") * col("cf")).cast("double") /
+          (col("n_docs") * col("cf")).cast("double")).as("vmr"))
+      .orderBy("rk")
+  }
+
+  private val tokenDispersionOracle: String = """WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), dt AS (
+  SELECT doc_id, token, COUNT(*) AS x FROM tok WHERE token <> '' GROUP BY 1, 2
+), pertok AS (
+  SELECT token, CAST(SUM(x) AS BIGINT) AS cf, COUNT(*) AS df,
+    CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM dt GROUP BY 1
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT token, cf, df, sxx,
+    ROW_NUMBER() OVER (ORDER BY cf DESC, token) AS rk
+  FROM pertok
+)
+SELECT CAST(rk AS BIGINT) AS rk, token, cf, df,
+  CAST(n_docs * sxx - cf * cf AS DOUBLE)
+    / CAST(n_docs * cf AS DOUBLE) AS vmr
+FROM ranked, nd WHERE rk <= 20 ORDER BY rk"""
+
   // --- pairwise Jensen-Shannon divergence between sources -------------
   /** Symmetric, bounded divergence JS(a,b) = ½KL(p‖m) + ½KL(q‖m),
     * m = (p+q)/2, for every source PAIR — the corpus-mixture design
@@ -1850,6 +1955,9 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("q_source_similarity", sourceSimilarity, Some(sourceSimilarityOracle)),
     QueryDef("t_kl_divergence", klDivergence, Some(klDivergenceOracle)),
     QueryDef("t_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
+    QueryDef("t_msttr", msttr, Some(msttrOracle)),
+    QueryDef("t_token_dispersion", tokenDispersion,
+      Some(tokenDispersionOracle)),
     QueryDef("t_robust_scale", robustScale, Some(robustScaleOracle)),
     QueryDef("d_bloom_prefilter", bloomPrefilter, Some(bloomPrefilterOracle)),
     QueryDef("t_winsorize", winsorize, Some(winsorizeOracle)),

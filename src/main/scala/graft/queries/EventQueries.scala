@@ -1972,6 +1972,97 @@ SELECT CAST(lag AS BIGINT) AS lag, n,
        * sqrt(CAST(n * s_yy - s_y * s_y AS DOUBLE))) AS r
 FROM m ORDER BY lag"""
 
+  /** Hurst exponent of the hourly event-count series by the
+    * aggregated-variance method: block-sum the series at scales
+    * m ∈ {1,2,4,8,16} hours (complete blocks only), take
+    * Var(block sums) per scale, and fit ln Var against ln m — for a
+    * self-similar process Var(m) ~ m^2H, so H = slope/2. H ≈ 0.5 is
+    * short-memory traffic; H → 1 is long-range dependence, the regime
+    * where naive per-hour capacity planning underprovisions burst
+    * clusters. The spine is zero-filled (shared convention with
+    * ev_acf); block sums and their moment pairs are exact int64, each
+    * scale's point is milli-floored before the 5-point OLS (the
+    * t_zipf_alpha trick), so the slope is engine-exact. Everything
+    * after the hourly groupBy is scale-count-bounded.
+    */
+  private def hurstAvm(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val spine = c.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val sx = spine.join(c, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val ms = s.range(0, 5).select(expr("shiftleft(1L, cast(id as int))")
+      .as("m"))
+    val blocks = sx.crossJoin(broadcast(ms))
+      .groupBy(col("m"), expr("h div m").as("b"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("y"))
+      .where(col("cnt") === col("m"))
+    val perM = blocks.groupBy(col("m"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("s1"),
+        sum(col("y") * col("y")).as("s2"))
+      .withColumn("vr",
+        (col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / col("nb").cast("double")) /
+          col("nb").cast("double"))
+      .where(col("vr") > 0)
+    val pts = perM.select(
+      floor(log(col("m").cast("double")) * lit(1000.0)).cast("long").as("px"),
+      floor(log(col("vr")) * lit(1000.0)).cast("long").as("py"))
+    pts.agg(count(lit(1)).as("n_scales"), sum(col("px")).as("sx_"),
+        sum(col("py")).as("sy_"), sum(col("px") * col("px")).as("sxx_"),
+        sum(col("px") * col("py")).as("sxy_"))
+      .select(col("n_scales"),
+        ((col("n_scales").cast("double") * col("sxy_").cast("double") -
+          col("sx_").cast("double") * col("sy_").cast("double")) /
+          (col("n_scales").cast("double") * col("sxx_").cast("double") -
+            col("sx_").cast("double") * col("sx_").cast("double")))
+          .as("slope"))
+      .withColumn("hurst", col("slope") / lit(2.0))
+  }
+
+  private val hurstAvmOracle: String = s"""WITH c AS (
+  SELECT epoch_ms(ts) // 3600000 AS h, COUNT(*) AS x FROM events GROUP BY 1
+), bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+sx AS (
+  SELECT spine.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN c ON spine.h = c.h
+), ms(m) AS (VALUES (1), (2), (4), (8), (16)),
+blocks AS (
+  SELECT m, h // m AS b, COUNT(*) AS cnt, CAST(SUM(x) AS BIGINT) AS y
+  FROM sx, ms GROUP BY 1, 2 HAVING COUNT(*) = m
+), perm AS (
+  SELECT m, COUNT(*) AS nb, CAST(SUM(y) AS BIGINT) AS s1,
+    CAST(SUM(y * y) AS BIGINT) AS s2
+  FROM blocks GROUP BY 1
+), vm AS (
+  SELECT m, nb,
+    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      / CAST(nb AS DOUBLE)) / CAST(nb AS DOUBLE) AS vr
+  FROM perm
+), pts AS (
+  SELECT CAST(FLOOR(ln(CAST(m AS DOUBLE)) * ${D("1000")}) AS BIGINT) AS px,
+    CAST(FLOOR(ln(vr) * ${D("1000")}) AS BIGINT) AS py
+  FROM vm WHERE vr > 0
+), t AS (
+  SELECT COUNT(*) AS n_scales, CAST(SUM(px) AS BIGINT) AS sx_,
+    CAST(SUM(py) AS BIGINT) AS sy_, CAST(SUM(px * px) AS BIGINT) AS sxx_,
+    CAST(SUM(px * py) AS BIGINT) AS sxy_
+  FROM pts
+)
+SELECT n_scales,
+  (CAST(n_scales AS DOUBLE) * CAST(sxy_ AS DOUBLE)
+    - CAST(sx_ AS DOUBLE) * CAST(sy_ AS DOUBLE))
+  / (CAST(n_scales AS DOUBLE) * CAST(sxx_ AS DOUBLE)
+    - CAST(sx_ AS DOUBLE) * CAST(sx_ AS DOUBLE)) AS slope,
+  ((CAST(n_scales AS DOUBLE) * CAST(sxy_ AS DOUBLE)
+    - CAST(sx_ AS DOUBLE) * CAST(sy_ AS DOUBLE))
+  / (CAST(n_scales AS DOUBLE) * CAST(sxx_ AS DOUBLE)
+    - CAST(sx_ AS DOUBLE) * CAST(sx_ AS DOUBLE))) / ${D("2.0")} AS hurst
+FROM t"""
+
   /** Robust anomaly detection over the daily event-count series: a
     * trailing 7-day rolling MEDIAN as the local level (immune to the
     * spike it's judging, unlike a rolling mean) and a flag where the
@@ -2049,6 +2140,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_acf", acf, Some(acfOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
+    QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),
     QueryDef("ev_burstiness", burstiness, Some(burstinessOracle)),
     QueryDef("ev_shapley_attrib", shapleyAttrib, Some(shapleyAttribOracle)),
     QueryDef("ev_theil_sen", theilSen, Some(theilSenOracle)),

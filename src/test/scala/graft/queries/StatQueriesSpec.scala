@@ -236,6 +236,78 @@ class StatQueriesSpec extends SparkSpec {
     assert(h == -negH / 1e9)
   }
 
+  test("t_msttr: segment accounting matches a driver-side re-tokenization") {
+    val got = run("t_msttr").select("source", "n_segments", "sum_types", "msttr")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.values.forall { case (_, _, m) => m > 0.0 && m <= 1.0 })
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val segs = ds.flatMap { case (_, text) =>
+        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .zipWithIndex.groupBy(_._2 / 50).values
+          .filter(_.length == 50).map(_.map(_._1).distinct.length.toLong)
+      }
+      src -> ((segs.size.toLong, segs.sum))
+    }
+    // sources whose docs are all short yield zero segments → no row
+    for ((src, (nSeg, sumT)) <- exp) {
+      if (nSeg == 0) assert(!got.contains(src))
+      else assert(got(src) == ((nSeg, sumT, sumT.toDouble / (nSeg * 50))),
+        s"source $src")
+    }
+  }
+
+  test("t_token_dispersion: top token's VMR matches the closed-form recount") {
+    val rows = run("t_token_dispersion")
+      .select("rk", "token", "cf", "df", "vmr")
+      .as[(Long, String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length == 20)
+    assert(rows.forall(_._5 > 0.0))
+    // cf is non-increasing down the ranking
+    rows.zip(rows.tail).foreach { case (a, b) => assert(a._3 >= b._3) }
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val n = docs.length.toLong
+    val top = rows.head
+    val perDoc = docs.map { case (_, t) =>
+      t.trim.toLowerCase.split("\\s+").count(_ == top._2).toLong }
+      .filter(_ > 0)
+    val (cf, df, sxx) =
+      (perDoc.sum, perDoc.length.toLong, perDoc.map(x => x * x).sum)
+    assert((top._3, top._4) == ((cf, df)))
+    assert(top._5 == (n * sxx - cf * cf).toDouble / (n * cf).toDouble)
+  }
+
+  test("ev_hurst_avm: slope equals a driver-side aggregated-variance fit") {
+    val (nScales, slope, hurst) = run("ev_hurst_avm")
+      .select("n_scales", "slope", "hurst").as[(Long, Double, Double)].head()
+    assert(hurst == slope / 2.0)
+    val counts = Tables.events(spark, Sf)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy("h").count().as[(Long, Long)].collect().toMap
+    val lo = counts.keys.min; val hi = counts.keys.max
+    val pts = Seq(1L, 2L, 4L, 8L, 16L).flatMap { m =>
+      val blocks = (lo to hi).map(h => (h / m, counts.getOrElse(h, 0L)))
+        .groupBy(_._1).values.filter(_.size == m).map(_.map(_._2).sum).toSeq
+      val nb = blocks.size.toDouble
+      val s1 = blocks.sum.toDouble
+      val s2 = blocks.map(y => y * y).sum.toDouble
+      val vr = (s2 - s1 * s1 / nb) / nb
+      if (vr > 0)
+        Some((math.floor(math.log(m.toDouble) * 1000).toLong,
+          math.floor(math.log(vr) * 1000).toLong))
+      else None
+    }
+    assert(nScales == pts.size)
+    val np = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    assert(slope == (np * sxy - sx * sy) / (np * sxx - sx * sx))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
