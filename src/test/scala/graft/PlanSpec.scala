@@ -656,4 +656,41 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
     }
   }
+
+  test("round-6 statistics queries keep their scale-safe shapes") {
+    // q_ks_test: the ECDF window consumes the per-value AGGREGATE (a
+    // bounded latency domain), never raw lineitem rows — a groupBy on v
+    // must sit in the plan alongside the window
+    val ks = planOf(SparkEntry.queries("q_ks_test")(spark, Sf))
+    assert(ks.contains("Window ") || ks.contains("Window ["), ks.take(2000))
+    assert(ks.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("keys=[v")),
+      s"ECDF must run over the collapsed value domain:\n${ks.take(2000)}")
+    // q_weighted_median: phase-B refinement joins the tiny crossing
+    // table by broadcast — the full-resolution re-aggregation never
+    // sort-merges against the fact
+    val wm = planOf(SparkEntry.queries("q_weighted_median")(spark, Sf))
+    assert(wm.contains("BroadcastHashJoin"), wm.take(2000))
+    // q_sprt: running counts come from the distributed prefix sum —
+    // NO window operator anywhere in the plan (a 2-partition window
+    // would serialize the stream)
+    val sp = planOf(SparkEntry.queries("q_sprt")(spark, Sf))
+    assert(!sp.contains("Window "), s"q_sprt must be window-free:\n${sp.take(2000)}")
+    // q_decile_lift: cutpoints and totals are 1-row broadcasts; the
+    // only sort allowed is the final 10-row display ordering
+    val dl = planOf(SparkEntry.queries("q_decile_lift")(spark, Sf))
+    assert(!dl.contains("SortMergeJoin"), dl.take(2000))
+    assert(dl.contains("percentile"), dl.take(2000))
+    // t_js_divergence: per-source totals join AFTER alignment by
+    // broadcast; no cartesian anywhere
+    val js = planOf(SparkEntry.queries("t_js_divergence")(spark, Sf))
+    assert(js.contains("BroadcastHashJoin"), js.take(2000))
+    assert(!js.contains("CartesianProduct"), js.take(2000))
+    // ev_acf / ev_hurst_avm: the lag/scale ladders join the spine as
+    // equi-joins or tiny broadcasts — never a cartesian over hours
+    for (name <- Seq("ev_acf", "ev_hurst_avm", "g_rich_club")) {
+      val p = planOf(SparkEntry.queries(name)(spark, Sf))
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+  }
 }
