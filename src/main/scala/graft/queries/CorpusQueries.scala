@@ -1149,6 +1149,154 @@ SELECT source, COUNT(*) AS n_types, CAST(SUM(term_nano) AS BIGINT) AS kl_nano,
 FROM terms GROUP BY source ORDER BY source"""
   }
 
+  // --- Heaps' law vocabulary-growth fit -------------------------------
+  /** Heaps-law exponent per source: vocabulary size V(n) against
+    * cumulative token count n, sampled at dyadic document milestones
+    * (docs ordered by doc_id), fitted as ln V = β·ln n + c. Natural
+    * text sits at β ≈ 0.5–0.7; β → 1 means the source never stops
+    * minting new types (OCR noise, ids, mangled encodings) and a
+    * too-low β means template spam — the other axis of the
+    * t_zipf_alpha health probe. V and n at each milestone come from
+    * ONE pass: a token's first-occurrence rank and a doc's token count
+    * are both aggregates, and each milestone is a conditional count
+    * over the broadcast ladder — vocabulary is never re-scanned per
+    * milestone. OLS over milli-floored ln points (exact-integer sums).
+    */
+  private val HeapsMilestones = Seq(4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  private def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wr = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = Tables(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("w"))
+      .withColumn("rank", row_number().over(wr))
+    val tok = ranked.select(col("source"), col("rank"),
+        explode(col("w")).as("token"))
+      .where(col("token") =!= "")
+    val minRank = tok.groupBy(col("source"), col("token"))
+      .agg(min(col("rank")).as("mr"))
+    val perRank = tok.groupBy(col("source"), col("rank"))
+      .agg(count(lit(1)).as("nt"))
+    val ms = HeapsMilestones.toDF("m")
+    val v = minRank.crossJoin(broadcast(ms)).where(col("mr") <= col("m"))
+      .groupBy(col("source"), col("m")).agg(count(lit(1)).as("vocab"))
+    val n = perRank.crossJoin(broadcast(ms)).where(col("rank") <= col("m"))
+      .groupBy(col("source"), col("m")).agg(sum(col("nt")).as("tokens"))
+    val maxR = ranked.groupBy(col("source")).agg(max(col("rank")).as("mx"))
+    val pts = v.join(n, Seq("source", "m"))
+      .join(broadcast(maxR), "source")
+      .where(col("m") <= col("mx"))
+      .select(col("source"),
+        floor(log(col("tokens").cast("double")) * lit(1000.0)).cast("long")
+          .as("x"),
+        floor(log(col("vocab").cast("double")) * lit(1000.0)).cast("long")
+          .as("y"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .where(col("n_points") >= 3)
+      .select(col("source"), col("n_points"),
+        ((d(col("n_points")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n_points")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+          .as("beta"))
+      .orderBy("source")
+  }
+
+  private val heapsLawOracle: String = {
+    val mvals = HeapsMilestones.map(m => s"($m)").mkString(", ")
+    s"""WITH ranked AS (
+  SELECT source, doc_id,
+    string_split_regex(trim(lower(text)), '\\s+') AS w,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+  FROM documents
+), tok AS (
+  SELECT source, rank, unnest(w) AS token FROM ranked
+), t AS (SELECT source, rank, token FROM tok WHERE token <> ''),
+minrank AS (
+  SELECT source, token, MIN(rank) AS mr FROM t GROUP BY 1, 2
+), perrank AS (
+  SELECT source, rank, COUNT(*) AS nt FROM t GROUP BY 1, 2
+), ms(m) AS (VALUES $mvals),
+v AS (
+  SELECT source, m, COUNT(*) AS vocab
+  FROM minrank JOIN ms ON mr <= m GROUP BY 1, 2
+), n AS (
+  SELECT source, m, CAST(SUM(nt) AS BIGINT) AS tokens
+  FROM perrank JOIN ms ON rank <= m GROUP BY 1, 2
+), maxr AS (
+  SELECT source, MAX(rank) AS mx FROM ranked GROUP BY 1
+), pts AS (
+  SELECT v.source,
+    CAST(FLOOR(ln(CAST(tokens AS DOUBLE)) * ${D("1000")}) AS BIGINT) AS x,
+    CAST(FLOOR(ln(CAST(vocab AS DOUBLE)) * ${D("1000")}) AS BIGINT) AS y
+  FROM v JOIN n ON v.source = n.source AND v.m = n.m
+       JOIN maxr ON v.source = maxr.source
+  WHERE v.m <= maxr.mx
+), t2 AS (
+  SELECT source, COUNT(*) AS n_points, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT source, n_points,
+  (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta
+FROM t2 WHERE n_points >= 3 ORDER BY source"""
+  }
+
+  // --- Neyman allocation for stratified sampling ----------------------
+  /** Optimal (Neyman) sample allocation across sources for a fixed
+    * label/audit budget: n_h ∝ N_h·σ_h, where σ_h is the per-source
+    * std-dev of document length — the allocation that minimizes the
+    * variance of the stratified mean, and the difference between
+    * auditing 1000 docs WELL and auditing 1000 docs proportionally.
+    * N_h·σ_h collapses to √(N_h·Σx² − (Σx)²), computed from exact
+    * integer moments, then micro-floored so the weight TOTAL is an
+    * exact integer sum (never a float accumulation); each allocation
+    * is one integer (B·w_h) div W — bit-stable in any engine.
+    */
+  private val NeymanBudget = 1000L
+
+  private def neymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val w = m.withColumn("w_micro",
+      floor(sqrt(d(col("n_docs") * col("s2") - col("s1") * col("s1"))) *
+        lit(1.0e6)).cast("long"))
+    val tot = w.agg(sum(col("w_micro")).as("tw"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("w_micro").cast("double") / lit(1.0e6) /
+          col("n_docs").cast("double")).as("sigma_chars"),
+        expr(s"($NeymanBudget * w_micro) div tw").as("alloc"))
+      .orderBy("source")
+  }
+
+  private val neymanAllocOracle: String = s"""WITH m AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS s1,
+    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY 1
+), w AS (
+  SELECT source, n_docs,
+    CAST(FLOOR(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE))
+      * ${D("1000000")}) AS BIGINT) AS w_micro
+  FROM m
+), tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w)
+SELECT source, n_docs,
+  CAST(w_micro AS DOUBLE) / ${D("1000000")} / CAST(n_docs AS DOUBLE)
+    AS sigma_chars,
+  ($NeymanBudget * w_micro) // tw AS alloc
+FROM w, tot ORDER BY source"""
+
   // --- mean segmental type-token ratio (lexical diversity) ------------
   /** MSTTR-50 per source: documents are cut into consecutive 50-token
     * segments (by original token position; incomplete tail segments
@@ -1956,6 +2104,8 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_kl_divergence", klDivergence, Some(klDivergenceOracle)),
     QueryDef("t_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
     QueryDef("t_msttr", msttr, Some(msttrOracle)),
+    QueryDef("t_heaps_law", heapsLaw, Some(heapsLawOracle)),
+    QueryDef("t_neyman_alloc", neymanAlloc, Some(neymanAllocOracle)),
     QueryDef("t_token_dispersion", tokenDispersion,
       Some(tokenDispersionOracle)),
     QueryDef("t_robust_scale", robustScale, Some(robustScaleOracle)),

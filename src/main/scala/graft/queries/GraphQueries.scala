@@ -503,6 +503,69 @@ SELECT CAST(degk.k AS BIGINT) AS k, degk.n_k,
 FROM degk LEFT JOIN edgek ON degk.k = edgek.k
 WHERE degk.n_k >= 2 ORDER BY k"""
 
+  /** Degree assortativity coefficient of the co-order graph — the
+    * Pearson correlation of endpoint degrees over edges (each
+    * undirected edge counted in both directions, the standard Newman
+    * convention): do high-degree parts co-order with other hubs
+    * (r > 0, social-network-like) or with leaves (r < 0,
+    * technological/dependency-like)? All five moment sums are exact
+    * int64 over integer degrees (Σd, Σd², Σd·d' stay < 2⁶³ at any
+    * plausible degree ladder); the final r is one double tree over
+    * them — the t_zipf_alpha overflow discipline. One degree join per
+    * edge side onto the shared materialized edge list.
+    */
+  private def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val p = coOrderPairs(s, dir)
+    val deg = p.select(col("a").as("v")).unionAll(p.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val both = p.unionAll(p.select(col("b").as("a"), col("a").as("b")))
+    val withDeg = both
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val m = withDeg.agg(
+      count(lit(1)).as("m2"),
+      sum(col("da")).as("sa"), sum(col("db")).as("sb"),
+      sum(col("da") * col("da")).as("saa"),
+      sum(col("db") * col("db")).as("sbb"),
+      sum(col("da") * col("db")).as("sab"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    m.select(expr("m2 div 2").as("n_edges"),
+      ((d(col("m2")) * d(col("sab")) - d(col("sa")) * d(col("sb"))) /
+        (sqrt(d(col("m2")) * d(col("saa")) - d(col("sa")) * d(col("sa"))) *
+          sqrt(d(col("m2")) * d(col("sbb")) - d(col("sb")) * d(col("sb")))))
+        .as("assortativity"))
+  }
+
+  private val assortativityOracle = """WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), deg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p) GROUP BY 1
+), both_e AS (
+  SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p
+), wd AS (
+  SELECT da.deg AS da, db.deg AS db
+  FROM both_e JOIN deg da ON both_e.a = da.v JOIN deg db ON both_e.b = db.v
+), m AS (
+  SELECT COUNT(*) AS m2,
+    CAST(SUM(da) AS BIGINT) AS sa, CAST(SUM(db) AS BIGINT) AS sb,
+    CAST(SUM(da * da) AS BIGINT) AS saa,
+    CAST(SUM(db * db) AS BIGINT) AS sbb,
+    CAST(SUM(da * db) AS BIGINT) AS sab
+  FROM wd
+)
+SELECT m2 // 2 AS n_edges,
+  (CAST(m2 AS DOUBLE) * CAST(sab AS DOUBLE)
+    - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+  / (sqrt(CAST(m2 AS DOUBLE) * CAST(saa AS DOUBLE)
+      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+    * sqrt(CAST(m2 AS DOUBLE) * CAST(sbb AS DOUBLE)
+      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS assortativity
+FROM m"""
+
   /** Entropy rate of the empirical k-transition Markov chain:
     * H = −Σ_ij (w_ij / W) · ln(w_ij / w_i) — how predictable is the
     * next k given the current one (0 = deterministic chain; ln of the
@@ -1241,6 +1304,7 @@ ORDER BY motif"""
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_diameter_2sweep", diameter2Sweep, Some(diameter2SweepOracle)),
     QueryDef("g_rich_club", richClub, Some(richClubOracle)),
+    QueryDef("g_assortativity", assortativity, Some(assortativityOracle)),
     QueryDef("g_entropy_rate", entropyRate, Some(entropyRateOracle)),
     QueryDef("g_scc", sccQ, Some(sccOracle)),
     QueryDef("g_temporal_reach", temporalReach, Some(temporalReachOracle)),

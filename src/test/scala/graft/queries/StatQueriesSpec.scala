@@ -308,6 +308,81 @@ class StatQueriesSpec extends SparkSpec {
     assert(slope == (np * sxy - sx * sy) / (np * sxx - sx * sx))
   }
 
+  test("g_assortativity: matches a driver-side Pearson over endpoint degrees") {
+    val (nEdges, r) = run("g_assortativity")
+      .select("n_edges", "assortativity").as[(Long, Double)].head()
+    assert(r >= -1.0 && r <= 1.0)
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val pairs = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(nEdges == pairs.size)
+    val deg = pairs.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ends = pairs.toSeq.flatMap(p =>
+      Seq((deg(p._1), deg(p._2)), (deg(p._2), deg(p._1))))
+    val m2 = ends.size.toDouble
+    val sa = ends.map(_._1).sum.toDouble
+    val sb = ends.map(_._2).sum.toDouble
+    val saa = ends.map(e => e._1 * e._1).sum.toDouble
+    val sbb = ends.map(e => e._2 * e._2).sum.toDouble
+    val sab = ends.map(e => e._1 * e._2).sum.toDouble
+    val exp = (m2 * sab - sa * sb) /
+      (math.sqrt(m2 * saa - sa * sa) * math.sqrt(m2 * sbb - sb * sb))
+    assert(r == exp)
+  }
+
+  test("t_heaps_law: milestone accounting matches a driver-side cumulative scan") {
+    val got = run("t_heaps_law").select("source", "n_points", "beta")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.nonEmpty)
+    // natural-ish text: beta within [0, 1.2] (a saturated vocabulary on
+    // the sf0.001 mini-corpus legitimately fits flat)
+    got.values.foreach { case (np, b) =>
+      assert(np >= 3)
+      assert(b >= 0.0 && b < 1.2, s"implausible Heaps beta $b")
+    }
+    // recompute one source end-to-end
+    val src = got.keySet.min
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .where(col("source") === src)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val toks = docs.map(_._2.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).toSeq)
+    val pts = Seq(4, 8, 16, 32, 64, 128, 256, 512, 1024)
+      .filter(_ <= docs.length).map { m =>
+        val pre = toks.take(m)
+        (math.floor(math.log(pre.map(_.size).sum.toDouble) * 1000).toLong,
+          math.floor(math.log(pre.flatten.distinct.size.toDouble) * 1000).toLong)
+      }
+    assert(got(src)._1 == pts.size)
+    val np = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    assert(got(src)._2 == (np * sxy - sx * sy) / (np * sxx - sx * sx))
+  }
+
+  test("t_neyman_alloc: allocations respect the budget and rank by N*sigma") {
+    val rows = run("t_neyman_alloc")
+      .select("source", "n_docs", "sigma_chars", "alloc")
+      .as[(String, Long, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    // floor-division allocations never exceed the budget in total
+    assert(rows.map(_._4).sum <= 1000L)
+    assert(rows.forall(_._4 >= 0))
+    // allocation order follows the N_h * sigma_h weight order
+    val byWeight = rows.sortBy(r => (-r._2 * r._3, r._1))
+    byWeight.zip(byWeight.tail).foreach { case (hi, lo) =>
+      assert(hi._4 >= lo._4,
+        s"allocation must be monotone in weight: $hi vs $lo")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
