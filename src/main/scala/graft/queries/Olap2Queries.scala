@@ -1718,6 +1718,154 @@ SELECT c.arm, c.n AS n_at_decision, c.cumx AS conversions, c.llr_nano,
 FROM crossed c JOIN firstc f ON c.arm = f.arm AND c.n = f.nmin
 ORDER BY c.arm"""
 
+  // --- Kruskal–Wallis k-group rank test -------------------------------
+  /** Kruskal–Wallis H over the FIVE order priorities: does fulfillment
+    * latency differ in location across priority classes — the k-group
+    * generalization of q_mann_whitney, on ranks so outliers can't buy
+    * significance. The latency domain is bounded (a few hundred day
+    * counts), so ranks come from per-value COUNTS, never a row sort:
+    * the midrank of value v in DOUBLED units is the exact integer
+    * 2·cum₍<v₎ + cnt(v) + 1, and each group's rank sum is a conditional
+    * aggregate over the value table. The five per-group H terms are
+    * summed in FIXED order (one row, five pinned columns — never a
+    * float aggregation whose order the engine picks), and the tie
+    * correction Σ(t³−t) is an exact integer. */
+  private val KwGroups =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("v"),
+        col("o_orderpriority").as("g"))
+    val perVAggs = KwGroups.zipWithIndex.map { case (p, i) =>
+      sum(when(col("g") === p, 1L).otherwise(0L)).as(s"c$i")
+    } :+ count(lit(1)).as("cnt")
+    val perV = li.groupBy(col("v")).agg(perVAggs.head, perVAggs.tail: _*)
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cumb") + col("cnt") + 1L)
+    val aggs = KwGroups.indices.flatMap { i =>
+      Seq(sum(col(s"c$i") * col("rank2")).as(s"r2_$i"),
+        sum(col(s"c$i")).as(s"n_$i"))
+    } ++ Seq(sum(col("cnt")).as("n"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_sum"))
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val terms = KwGroups.indices.map { i =>
+      (d(col(s"r2_$i")) / lit(2.0)) * (d(col(s"r2_$i")) / lit(2.0)) /
+        d(col(s"n_$i"))
+    }.reduce(_ + _) // fixed left-to-right order over the pinned columns
+    one.select(col("n"), col("tie_sum"),
+        (lit(12.0) / (d(col("n")) * (d(col("n")) + 1.0)) * terms -
+          lit(3.0) * (d(col("n")) + 1.0)).as("h"))
+      .withColumn("c_ties",
+        lit(1.0) - d(col("tie_sum")) /
+          (d(col("n")) * d(col("n")) * d(col("n")) - d(col("n"))))
+      .withColumn("h_corrected", col("h") / col("c_ties"))
+      .select(col("n"), col("tie_sum"), col("h"), col("h_corrected"))
+  }
+
+  private val kruskalWallisOracle: String = {
+    val cSums = KwGroups.zipWithIndex.map { case (p, i) =>
+      s"CAST(SUM(CASE WHEN g = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(",\n    ")
+    val gAggs = KwGroups.indices.map { i =>
+      s"CAST(SUM(c$i * rank2) AS BIGINT) AS r2_$i, CAST(SUM(c$i) AS BIGINT) AS n_$i"
+    }.mkString(",\n    ")
+    val terms = KwGroups.indices.map { i =>
+      s"(CAST(r2_$i AS DOUBLE) / ${D("2.0")}) * (CAST(r2_$i AS DOUBLE) / ${D("2.0")}) / CAST(n_$i AS DOUBLE)"
+    }.mkString("\n      + ")
+    s"""WITH li AS (
+  SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+      CAST(l_shipdate AS DATE)) AS BIGINT) AS v,
+    o_orderpriority AS g
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), perv AS (
+  SELECT v,
+    $cSums,
+    COUNT(*) AS cnt
+  FROM li GROUP BY 1
+), ranked AS (
+  SELECT *,
+    2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      + cnt + 1 AS rank2
+  FROM perv
+), agg AS (
+  SELECT
+    $gAggs,
+    CAST(SUM(cnt) AS BIGINT) AS n,
+    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+  FROM ranked
+), h0 AS (
+  SELECT n, tie_sum,
+    ${D("12.0")} / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + ${D("1.0")}))
+      * ($terms)
+      - ${D("3.0")} * (CAST(n AS DOUBLE) + ${D("1.0")}) AS h
+  FROM agg
+)
+SELECT n, tie_sum, h,
+  h / (${D("1.0")} - CAST(tie_sum AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      - CAST(n AS DOUBLE))) AS h_corrected
+FROM h0"""
+  }
+
+  // --- two-proportion z-test ------------------------------------------
+  /** Two-proportion z-test on conversion: do odd- and even-id users
+    * purchase at different rates? The pooled-variance z
+    * (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) — the textbook conversion A/B
+    * readout that q_ab_welch (means) and q_sprt (sequential) bracket.
+    * Counts are 4 exact integers from one conditional aggregate; z is
+    * one double tree over them. */
+  private def twoPropZ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      pmod(col("user_id"), lit(2L)).as("arm"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+    val m = e.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("x1"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("x2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    m.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      (d(col("x1")) / d(col("n1")) - d(col("x2")) / d(col("n2"))).as("diff"),
+      ((d(col("x1")) / d(col("n1")) - d(col("x2")) / d(col("n2"))) /
+        sqrt((d(col("x1") + col("x2")) / d(col("n1") + col("n2"))) *
+          (lit(1.0) - d(col("x1") + col("x2")) / d(col("n1") + col("n2"))) *
+          (lit(1.0) / d(col("n1")) + lit(1.0) / d(col("n2"))))).as("z"))
+  }
+
+  private val twoPropZOracle: String = {
+    val p1 = "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    val p2 = "(CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    val pp = "(CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    s"""WITH e AS (
+  SELECT user_id % 2 AS arm,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+), m AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS x1,
+    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS x2
+  FROM e
+)
+SELECT n1, x1, n2, x2,
+  $p1 - $p2 AS diff,
+  ($p1 - $p2) / sqrt($pp * (${D("1.0")} - $pp)
+    * (${D("1.0")} / CAST(n1 AS DOUBLE) + ${D("1.0")} / CAST(n2 AS DOUBLE)))
+    AS z
+FROM m"""
+  }
+
   // --- two-sample Kolmogorov–Smirnov test -----------------------------
   /** Two-sample KS test: does fulfillment latency (ship − order date,
     * integer days) differ in distribution between urgent/high-priority
@@ -1864,6 +2012,8 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sprt", sprt, Some(sprtOracle)),
+    QueryDef("q_kruskal_wallis", kruskalWallis, Some(kruskalWallisOracle)),
+    QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),
     QueryDef("q_ks_test", ksTest, Some(ksTestOracle)),
     QueryDef("q_weighted_median", weightedMedian, Some(weightedMedianOracle)),
     QueryDef("q_fdr_bh", fdrBh, Some(fdrBhOracle)),

@@ -383,6 +383,54 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_kruskal_wallis: H equals a driver-side midrank computation") {
+    val (n, tieSum, h, hCorr) = run("q_kruskal_wallis")
+      .select("n", "tie_sum", "h", "h_corrected")
+      .as[(Long, Long, Double, Double)].head()
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"),
+        col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    assert(n == li.length)
+    // midranks from pooled value counts
+    val cnt = li.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(tieSum == cnt.values.map(t => t * t * t - t).sum)
+    var cum = 0L
+    val rank2 = cnt.toSeq.sortBy(_._1).map { case (v, c) =>
+      val r = 2 * cum + c + 1; cum += c; v -> r }.toMap
+    val groups = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val terms = groups.map { g =>
+      val vs = li.filter(_._2 == g).map(_._1)
+      val r2 = vs.map(rank2).sum
+      (r2 / 2.0) * (r2 / 2.0) / vs.length
+    }.reduce(_ + _)
+    val nd = n.toDouble
+    val expH = 12.0 / (nd * (nd + 1.0)) * terms - 3.0 * (nd + 1.0)
+    assert(h == expH)
+    assert(hCorr == h / (1.0 - tieSum.toDouble / (nd * nd * nd - nd)))
+    assert(h >= 0.0 || math.abs(h) < 1e-9)
+  }
+
+  test("q_two_proportion_z: z equals the pooled-variance closed form") {
+    val (n1, x1, n2, x2, diff, z) = run("q_two_proportion_z")
+      .select("n1", "x1", "n2", "x2", "diff", "z")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), col("event_type")).as[(Long, String)].collect()
+    val a0 = ev.filter(_._1 % 2 == 0); val a1 = ev.filter(_._1 % 2 == 1)
+    assert((n1, n2) == ((a0.length.toLong, a1.length.toLong)))
+    assert((x1, x2) == ((a0.count(_._2 == "purchase").toLong,
+      a1.count(_._2 == "purchase").toLong)))
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    assert(diff == p1 - p2)
+    assert(z == (p1 - p2) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
