@@ -2063,6 +2063,65 @@ SELECT n_scales,
     - CAST(sx_ AS DOUBLE) * CAST(sx_ AS DOUBLE))) / ${D("2.0")} AS hurst
 FROM t"""
 
+  /** Hill estimator of the purchase-value tail index over the top-200
+    * order statistics: H = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎), α = 1/H — the
+    * heavy-tail diagnostic that says whether revenue concentration has
+    * a finite variance (α > 2) or whale-dominated tails (α < 2), which
+    * changes every downstream sampling and capping decision. The
+    * top-(k+1) slice is a TakeOrdered over (cents DESC, event_id) —
+    * a per-partition top-k combine, never a global sort — and every
+    * ln-ratio term is micro-floored before the integer sum, so the
+    * estimate is engine-exact. k is fixed; nothing downstream of the
+    * take scales with event volume.
+    */
+  private val HillK = 200
+
+  private def hillTail(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.events(s, dir)
+      .where(col("event_type") === "purchase" && col("value") > 0)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        col("event_id"))
+      .orderBy(col("cents").desc, col("event_id"))
+      .limit(HillK + 1)
+    val wr = Window.orderBy(col("cents").desc, col("event_id"))
+    val ranked = vals.withColumn("rn", row_number().over(wr))
+    val xk1 = ranked.where(col("rn") === HillK + 1)
+      .select(col("cents").as("xk1"))
+    val terms = ranked.where(col("rn") <= HillK)
+      .crossJoin(broadcast(xk1))
+      .select(floor(log(col("cents").cast("double") /
+        col("xk1").cast("double")) * lit(1.0e6)).cast("long").as("t_micro"),
+        col("xk1"))
+    terms.groupBy(col("xk1"))
+      .agg(count(lit(1)).as("k"), sum(col("t_micro")).as("sum_micro"))
+      .select(col("k"), col("xk1").as("threshold_cents"),
+        (col("sum_micro").cast("double") / lit(1.0e6) /
+          col("k").cast("double")).as("hill"))
+      .withColumn("alpha", lit(1.0) / col("hill"))
+  }
+
+  private val hillTailOracle: String = s"""WITH vals AS (
+  SELECT CAST(FLOOR(value * 100 + ${D("0.5")}) AS BIGINT) AS cents, event_id
+  FROM events WHERE event_type = 'purchase' AND value > 0
+  ORDER BY cents DESC, event_id LIMIT ${HillK + 1}
+), ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents DESC, event_id) AS rn
+  FROM vals
+), xk1 AS (
+  SELECT cents AS xk1 FROM ranked WHERE rn = ${HillK + 1}
+), terms AS (
+  SELECT xk1,
+    CAST(FLOOR(ln(CAST(cents AS DOUBLE) / CAST(xk1 AS DOUBLE))
+      * ${D("1000000")}) AS BIGINT) AS t_micro
+  FROM ranked, xk1 WHERE rn <= $HillK
+)
+SELECT COUNT(*) AS k, xk1 AS threshold_cents,
+  CAST(SUM(t_micro) AS DOUBLE) / ${D("1000000")}
+    / CAST(COUNT(*) AS DOUBLE) AS hill,
+  ${D("1.0")} / (CAST(SUM(t_micro) AS DOUBLE) / ${D("1000000")}
+    / CAST(COUNT(*) AS DOUBLE)) AS alpha
+FROM terms GROUP BY xk1"""
+
   /** Robust anomaly detection over the daily event-count series: a
     * trailing 7-day rolling MEDIAN as the local level (immune to the
     * spike it's judging, unlike a rolling mean) and a flag where the
@@ -2141,6 +2200,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),
+    QueryDef("ev_hill_tail", hillTail, Some(hillTailOracle)),
     QueryDef("ev_burstiness", burstiness, Some(burstinessOracle)),
     QueryDef("ev_shapley_attrib", shapleyAttrib, Some(shapleyAttribOracle)),
     QueryDef("ev_theil_sen", theilSen, Some(theilSenOracle)),

@@ -566,6 +566,47 @@ SELECT m2 // 2 AS n_edges,
       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS assortativity
 FROM m"""
 
+  /** Reciprocity of the directed k-transition graph: the fraction of
+    * directed edges whose reverse edge also exists — do users who move
+    * k→k' also move k'→k, the difference between a flow-like state
+    * machine (low reciprocity: funnels, escalation ladders) and an
+    * oscillating one (high: toggles, retries). One self-join of the
+    * distinct edge list on the swapped key; exact counts, one double
+    * division. Dyads = reciprocated edges / 2.
+    */
+  private def reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val e = kEdges(s, dir).where(col("src") =!= col("dst"))
+      .select("src", "dst")
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.intersect(rev)
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+      .select(col("n_edges"), col("n_recip"),
+        expr("n_recip div 2").as("n_dyads"),
+        (col("n_recip").cast("double") / col("n_edges").cast("double"))
+          .as("reciprocity"))
+  }
+
+  private val reciprocityOracle = """WITH ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), e AS (
+  SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL AND dst <> src
+), r AS (
+  SELECT COUNT(*) AS n_recip FROM (
+    SELECT src, dst FROM e
+    INTERSECT
+    SELECT dst AS src, src AS dst FROM e)
+), n AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT n_edges, n_recip, n_recip // 2 AS n_dyads,
+  CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocity
+FROM n, r"""
+
   /** Entropy rate of the empirical k-transition Markov chain:
     * H = −Σ_ij (w_ij / W) · ln(w_ij / w_i) — how predictable is the
     * next k given the current one (0 = deterministic chain; ln of the
@@ -1306,6 +1347,7 @@ ORDER BY motif"""
     QueryDef("g_rich_club", richClub, Some(richClubOracle)),
     QueryDef("g_assortativity", assortativity, Some(assortativityOracle)),
     QueryDef("g_entropy_rate", entropyRate, Some(entropyRateOracle)),
+    QueryDef("g_reciprocity", reciprocity, Some(reciprocityOracle)),
     QueryDef("g_scc", sccQ, Some(sccOracle)),
     QueryDef("g_temporal_reach", temporalReach, Some(temporalReachOracle)),
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),

@@ -431,6 +431,43 @@ class StatQueriesSpec extends SparkSpec {
       math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)))
   }
 
+  test("ev_hill_tail: estimate equals a driver-side order-statistics fold") {
+    val (k, thr, hill, alpha) = run("ev_hill_tail")
+      .select("k", "threshold_cents", "hill", "alpha")
+      .as[(Long, Long, Double, Double)].head()
+    assert(alpha == 1.0 / hill && hill > 0.0)
+    val cents = Tables.events(spark, Sf)
+      .where(col("event_type") === "purchase" && col("value") > 0)
+      .select(floor(col("value") * 100 + 0.5).cast("long"), col("event_id"))
+      .as[(Long, Long)].collect()
+      .sortBy(t => (-t._1, t._2)).map(_._1)
+    val xk1 = cents(200)
+    assert((k, thr) == ((200L, xk1)))
+    val sumMicro = cents.take(200)
+      .map(x => math.floor(math.log(x.toDouble / xk1) * 1e6).toLong).sum
+    assert(hill == sumMicro / 1e6 / 200.0)
+  }
+
+  test("g_reciprocity: counts equal a driver-side edge-set intersection") {
+    val (nE, nR, nD, r) = run("g_reciprocity")
+      .select("n_edges", "n_recip", "n_dyads", "reciprocity")
+      .as[(Long, Long, Long, Double)].head()
+    assert(nD == nR / 2 && r == nR.toDouble / nE)
+    assert(r >= 0.0 && r <= 1.0)
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("props"))
+      .as[(Long, Long, Long, String)].collect()
+    val edges = ev.groupBy(_._1).values.flatMap { es =>
+      val ks = es.sortBy(e => (e._2, e._3))
+        .map(e => kRe.findFirstMatchIn(e._4).get.group(1).toLong)
+      ks.zip(ks.tail)
+    }.filter(e => e._1 != e._2).toSet
+    assert(nE == edges.size)
+    assert(nR == edges.count(e => edges((e._2, e._1))))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
