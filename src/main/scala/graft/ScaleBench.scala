@@ -164,9 +164,18 @@ object ScaleBench {
     val planes = Similarity.planes(NPlanes, Dim)
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
+    // SPARK_GRAFT_SCALE_ONLY=prefix1,prefix2 — measure only matching
+    // variant families (dev loop / incremental curve additions without
+    // re-paying the whole matrix)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(variant: String): Boolean =
+      only.forall(_.exists(variant.startsWith))
+
     val curves = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Long, Double]]
     def record(variant: String, size: Long, mk: () => DataFrame): Unit = {
+      if (!want(variant)) return
       drive(mk()) // warm-up (JIT + codegen cache)
       val med = median((1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -182,13 +191,15 @@ object ScaleBench {
       val nDocs = 5000L * m
       val nVec = 2000L * m
       val nEv = 100000L * m
-      genShingles(spark, nDocs, s"$tmp/sh_$m")
-      genEmbeddings(spark, nVec, s"$tmp/emb_$m")
-      genEvents(spark, nEv, s"$tmp/ev_$m")
-      val sh = spark.read.parquet(s"$tmp/sh_$m")
-      val emb = spark.read.parquet(s"$tmp/emb_$m")
-      val events = spark.read.parquet(s"$tmp/ev_$m/events")
-      val quotes = spark.read.parquet(s"$tmp/ev_$m/quotes")
+      if (want("jaccard") || want("ppjoin") || want("minhash"))
+        genShingles(spark, nDocs, s"$tmp/sh_$m")
+      if (want("lsh_pairs") || want("ann_brute"))
+        genEmbeddings(spark, nVec, s"$tmp/emb_$m")
+      if (want("asof")) genEvents(spark, nEv, s"$tmp/ev_$m")
+      def sh = spark.read.parquet(s"$tmp/sh_$m")
+      def emb = spark.read.parquet(s"$tmp/emb_$m")
+      def events = spark.read.parquet(s"$tmp/ev_$m/events")
+      def quotes = spark.read.parquet(s"$tmp/ev_$m/quotes")
 
       record("jaccard_allpairs", nDocs, () => TextDedup.jaccardPairs(sh, 0.8))
       record("ppjoin", nDocs, () => TextDedup.ppjoinPairs(sh, 4, 5))
@@ -216,6 +227,7 @@ object ScaleBench {
       // would need ~1000 rounds here) + a random-pair Erdős–Rényi-ish
       // layer hashed over n/2 nodes for merge stress.
       val nCcEdges = 50000L * m
+      if (want("cc_stars")) {
       val chain = spark.range(nCcEdges / 2)
         .select((col("id") + when(pmod(col("id"), lit(1000)) === 999, 1)
           .otherwise(0)).as("a_id"), // every 1000th link self-loops → dropped
@@ -226,6 +238,7 @@ object ScaleBench {
       chain.unionByName(rand).write.mode("overwrite").parquet(s"$tmp/cc_$m")
       val ccEdges = spark.read.parquet(s"$tmp/cc_$m")
       record("cc_stars", nCcEdges, () => TextDedup.connectedComponentsStars(ccEdges))
+      }
 
       // streaming stateful throughput: drain a synthetic event replay
       // through two state shapes — flatMapGroupsWithState
@@ -235,7 +248,7 @@ object ScaleBench {
       // days so sessions keep closing; 10-file replay ⇒ multi-batch
       // state carry-over is actually exercised.
       val evDir = s"$tmp/sev_$m"
-      spark.range(nEv).select(
+      if (want("stream") || want("running")) spark.range(nEv).select(
           col("id").as("event_id"),
           timestamp_millis(lit(1704067200000L) +
             pmod(xxhash64(col("id"), lit(41)), lit(SpanMs))).as("ts"),
@@ -265,6 +278,30 @@ object ScaleBench {
       drainStream("stream_topk",
         org.apache.spark.sql.streaming.OutputMode.Append(),
         ev => graft.streaming.EventStreams.streamingTopK(ev, 5))
+
+      // running sums over FEW keys (2 arms): the global-window
+      // formulation puts ALL rows into 2 window partitions — wall time
+      // is bound by the slowest single task however many cores exist —
+      // while Ids.prefixSumByKey range-partitions the same total order
+      // across the cluster (the q_sprt / m_shard_manifest design).
+      // The claim this curve pins: window time grows ∝ n with a
+      // 1-task constant, prefix-sum stays ∝ n/cores.
+      val sev = spark.read.parquet(evDir)
+      record("running_window2k", nEv, () => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("user_id"), lit(2)))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Long.MinValue, 0)
+        sev.withColumn("cum",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+      })
+      record("running_prefixsum", nEv, () => {
+        val e = sev.select(pmod(col("user_id"), lit(2)).as("arm"),
+          col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+        graft.operators.Ids.prefixSumByKey(
+          e, "arm", Seq("ts", "event_id"), "x", 32, "cum")
+      })
     }
 
     val qs = curves.map { case (v, pts) =>
