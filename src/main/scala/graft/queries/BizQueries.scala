@@ -351,6 +351,87 @@ SELECT decile, COUNT(*) AS n_cust,
 FROM scored, tot GROUP BY decile, tot.t2, tot.nc ORDER BY decile"""
   }
 
+  // --- Theil index with within/between decomposition ------------------
+  /** Theil T inequality index of customer spend, decomposed into
+    * within-nation and between-nation components — the property Gini
+    * (q_gini) famously lacks: T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ)
+    * splits EXACTLY, so "how much revenue inequality is geography?"
+    * has a number. Per-customer terms (x/μ)·ln(x/μ) are nano-floored
+    * before the integer sum (the unbounded set); the 25 nation terms
+    * are likewise nano-floored (bounded set, same rule — no
+    * engine-ordered float sum anywhere); the within component is the
+    * exact difference of the two. One aggregate over customers, one
+    * over nations, one 1-row broadcast of the global moments.
+    */
+  private def theilIndex(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(sum(cents(col("o_totalprice"))).as("x"))
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"), col("x"))
+    val g = spend.agg(count(lit(1)).as("n"), sum(col("x")).as("xt"))
+    def d(c: Column) = c.cast("double")
+    val withG = spend.crossJoin(broadcast(g))
+    val mu = d(col("xt")) / d(col("n"))
+    val tTot = withG
+      .select(floor(d(col("x")) / mu * log(d(col("x")) / mu) * lit(1.0e9))
+        .cast("long").as("t_nano"), col("n"))
+      .groupBy(col("n")).agg(sum(col("t_nano")).as("sum_nano"))
+      .select(col("n"),
+        (col("sum_nano").cast("double") / lit(1.0e9) / d(col("n")))
+          .as("theil_total"))
+    val between = spend.groupBy(col("nation"))
+      .agg(count(lit(1)).as("ng"), sum(col("x")).as("xg"))
+      .crossJoin(broadcast(g))
+      .select(floor(d(col("xg")) / d(col("xt")) *
+        log((d(col("xg")) / d(col("ng"))) / mu) * lit(1.0e9))
+        .cast("long").as("b_nano"))
+      .agg(count(lit(1)).as("n_nations"), sum(col("b_nano")).as("b_sum"))
+      .select(col("n_nations"),
+        (col("b_sum").cast("double") / lit(1.0e9)).as("theil_between"))
+    tTot.crossJoin(between)
+      .select(col("n").as("n_customers"), col("n_nations"),
+        col("theil_total"), col("theil_between"),
+        (col("theil_total") - col("theil_between")).as("theil_within"))
+  }
+
+  private val theilIndexOracle: String = {
+    val mu = "(CAST(xt AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH spend AS (
+  SELECT c_nationkey AS nation,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT))
+      AS BIGINT) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_nationkey
+), g AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS xt FROM spend
+), tt AS (
+  SELECT n,
+    CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) / $mu
+      * ln(CAST(x AS DOUBLE) / $mu) * ${D("1000000000")}) AS BIGINT))
+      AS BIGINT) AS sum_nano
+  FROM spend, g GROUP BY n
+), tb AS (
+  SELECT COUNT(*) AS n_nations,
+    CAST(SUM(b_nano) AS BIGINT) AS b_sum
+  FROM (
+    SELECT CAST(FLOOR(CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE)
+      * ln((CAST(xg AS DOUBLE) / CAST(ng AS DOUBLE)) / $mu)
+      * ${D("1000000000")}) AS BIGINT) AS b_nano
+    FROM (
+      SELECT nation, COUNT(*) AS ng, CAST(SUM(x) AS BIGINT) AS xg
+      FROM spend GROUP BY 1) sg, g)
+)
+SELECT tt.n AS n_customers, tb.n_nations,
+  CAST(sum_nano AS DOUBLE) / ${D("1000000000")} / CAST(tt.n AS DOUBLE)
+    AS theil_total,
+  CAST(b_sum AS DOUBLE) / ${D("1000000000")} AS theil_between,
+  CAST(sum_nano AS DOUBLE) / ${D("1000000000")} / CAST(tt.n AS DOUBLE)
+    - CAST(b_sum AS DOUBLE) / ${D("1000000000")} AS theil_within
+FROM tt, tb"""
+  }
+
   // --- Cramér's V effect size -----------------------------------------
   /** Cramér's V over the (lang × source) contingency table — the
     * normalized effect size the chi² statistic alone doesn't give
@@ -536,5 +617,6 @@ ORDER BY brand"""
     QueryDef("q_benford", benford, Some(benfordOracle)),
     QueryDef("q_chisq_indep", chisq, Some(chisqOracle)),
     QueryDef("q_cramers_v", cramersV, Some(cramersVOracle)),
-    QueryDef("q_decile_lift", decileLift, Some(decileLiftOracle)))
+    QueryDef("q_decile_lift", decileLift, Some(decileLiftOracle)),
+    QueryDef("q_theil_index", theilIndex, Some(theilIndexOracle)))
 }

@@ -468,6 +468,35 @@ class StatQueriesSpec extends SparkSpec {
     assert(nR == edges.count(e => edges((e._2, e._1))))
   }
 
+  test("q_theil_index: decomposition reconciles and matches a driver-side fold") {
+    val (nC, nN, tTot, tBetween, tWithin) = run("q_theil_index")
+      .select("n_customers", "n_nations", "theil_total", "theil_between",
+        "theil_within")
+      .as[(Long, Long, Double, Double, Double)].head()
+    // exact reconciliation by construction
+    assert(tWithin == tTot - tBetween)
+    assert(tTot >= 0.0 && tBetween >= -1e-6)
+    val spend = spark.read.parquet(s"$Sf/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("x"))
+      .join(spark.read.parquet(s"$Sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("x")).as[(Long, Long)].collect()
+    assert(nC == spend.length)
+    assert(nN == spend.map(_._1).distinct.length)
+    val n = spend.length.toDouble
+    val xt = spend.map(_._2).sum.toDouble
+    val mu = xt / n
+    val sumNano = spend.map { case (_, x) =>
+      math.floor(x / mu * math.log(x / mu) * 1e9).toLong }.sum
+    assert(tTot == sumNano / 1e9 / n)
+    val bSum = spend.groupBy(_._1).values.map { g =>
+      val xg = g.map(_._2).sum.toDouble; val ng = g.length.toDouble
+      math.floor(xg / xt * math.log(xg / ng / mu) * 1e9).toLong
+    }.sum
+    assert(tBetween == bSum / 1e9)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()

@@ -191,6 +191,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sprt: checkpointed restart resumes mid-test, decided state survives") {
+    val dir = Files.createTempDirectory("graft_sprtr_in").toString
+    val ckpt = Files.createTempDirectory("graft_sprtr_ck").toString
+    val outDir = Files.createTempDirectory("graft_sprtr_out").toString
+    def ev(id: Long, user: Long, minute: Int, typ: String): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        user, typ, 1.0)
+    val (kp, kn, a) = (10L, -3L, 25L)
+
+    // pre-restart: arm 0 at LLR 17 (undecided)
+    writeBatch(dir, "b1",
+      Seq(ev(1, 4, 0, "purchase"), ev(2, 4, 1, "click"),
+        ev(3, 4, 2, "purchase")))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def start() = EventStreams.withRocksDbState(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      EventStreams.streamingSprt(stream, kp, kn, a).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outDir).isEmpty)
+
+    // restart: one more conversion crosses at n=4 — the (n, cum) state
+    // must have survived the restart, not recount from zero
+    writeBatch(dir, "b2", Seq(ev(4, 4, 10, "purchase")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val afterB2 = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(afterB2 == Set((0L, 4L, 3L, 27L, "accept_h1")), s"got $afterB2")
+
+    // second restart: the DECIDED flag must also survive — more
+    // conversions emit nothing
+    writeBatch(dir, "b3", Seq(ev(5, 4, 20, "purchase")))
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    val afterB3 = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(afterB3 == afterB2, "decided state must survive restart")
+  }
+
   test("clamped balance: zero floor binds mid-stream and state carries over") {
     val dir = Files.createTempDirectory("graft_sclamp").toString
     def ev(id: Long, minute: Int, typ: String, value: Double): EventStreams.Event =
