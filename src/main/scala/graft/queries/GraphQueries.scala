@@ -1230,11 +1230,21 @@ SELECT node, t AS arrival_ms FROM r6 ORDER BY arrival_ms, node"""
     * integer-stable in any engine. The oracle replays the same
     * horizon with a bounded recursive CTE + MIN(hop).
     */
+  /** 8-hop multi-source BFS distances over the w ≥ 4 backbone —
+    * materialized once per dir and shared by g_closeness and
+    * g_path_lengths (both are rollups of the same (source, node, hops)
+    * table; without this each pays the full frontier loop per rep). */
+  private def kMsBfs(s: SparkSession, dir: String): DataFrame =
+    materialize(s, "kgraph_msbfs", dir) {
+      Graphs.multiSourceBfs(
+        kEdges(s, dir)
+          .where(col("src") =!= col("dst") && col("w") >= 4)
+          .select("src", "dst"),
+        8)
+    }
+
   private def closeness(s: SparkSession, dir: String): DataFrame = {
-    val edges = kEdges(s, dir)
-      .where(col("src") =!= col("dst") && col("w") >= 4)
-      .select("src", "dst")
-    Graphs.multiSourceBfs(edges, 8)
+    kMsBfs(s, dir)
       .where(col("hops") > 0)
       .groupBy(col("source").as("node"))
       .agg(count(lit(1)).as("n_reached"),
@@ -1271,6 +1281,66 @@ SELECT s AS node, COUNT(*) AS n_reached,
   CAST(MAX(h) AS BIGINT) AS ecc_8
 FROM d WHERE h > 0 GROUP BY s
 ORDER BY harmonic_micro DESC, node"""
+
+  /** Shortest-path length distribution of the w ≥ 4 transition graph
+    * over the 8-hop horizon: pairs reached per hop count, cumulative
+    * share, and (readable off the cum_share column) the effective
+    * diameter — the small-world diagnostic that says how many
+    * traversal rounds any reachability-bounded computation actually
+    * needs. Shares the one multi-source BFS with g_closeness; the
+    * per-hop rollup is 8 rows, so the trailing window is trivially
+    * bounded. Pair counts exact; shares are single divisions.
+    */
+  private def pathLengths(s: SparkSession, dir: String): DataFrame = {
+    val perHop = kMsBfs(s, dir)
+      .where(col("hops") > 0)
+      .groupBy(col("hops").cast("long").as("hop"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = perHop.agg(sum(col("n_pairs")).as("np"))
+    val wc = Window.orderBy("hop")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perHop.crossJoin(broadcast(tot))
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(wc))
+      .select(col("hop"), col("n_pairs"), col("cum_pairs"),
+        (col("cum_pairs").cast("double") / col("np").cast("double"))
+          .as("cum_share"))
+      .orderBy("hop")
+  }
+
+  private val pathLengthsOracle = """WITH RECURSIVE ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), we AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq
+  WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM we WHERE w >= 4
+), nodes AS (
+  SELECT DISTINCT src AS n FROM edges UNION SELECT DISTINCT dst FROM edges
+), reach(s, node, hop) AS (
+  SELECT n, n, 0 FROM nodes
+  UNION
+  SELECT r.s, e.dst, r.hop + 1
+  FROM reach r JOIN edges e ON e.src = r.node WHERE r.hop < 8
+), d AS (
+  SELECT s, node, MIN(hop) AS h FROM reach GROUP BY 1, 2
+), perhop AS (
+  SELECT CAST(h AS BIGINT) AS hop, COUNT(*) AS n_pairs
+  FROM d WHERE h > 0 GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS np FROM perhop)
+SELECT hop, n_pairs,
+  CAST(SUM(n_pairs) OVER (ORDER BY hop
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_pairs,
+  CAST(SUM(n_pairs) OVER (ORDER BY hop
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / CAST(np AS DOUBLE) AS cum_share
+FROM perhop, tot ORDER BY hop"""
 
   /** Directed 3-node motif census over the w ≥ 4 transition backbone —
     * the Milo-et-al readout that separates hierarchy from recurrence:
@@ -1348,6 +1418,7 @@ ORDER BY motif"""
     QueryDef("g_assortativity", assortativity, Some(assortativityOracle)),
     QueryDef("g_entropy_rate", entropyRate, Some(entropyRateOracle)),
     QueryDef("g_reciprocity", reciprocity, Some(reciprocityOracle)),
+    QueryDef("g_path_lengths", pathLengths, Some(pathLengthsOracle)),
     QueryDef("g_scc", sccQ, Some(sccOracle)),
     QueryDef("g_temporal_reach", temporalReach, Some(temporalReachOracle)),
     QueryDef("g_pagerank", pagerank, Some(pagerankOracle)),

@@ -497,6 +497,21 @@ class StatQueriesSpec extends SparkSpec {
     assert(tBetween == bSum / 1e9)
   }
 
+  test("g_path_lengths: histogram closes at 1.0 and reconciles with g_closeness") {
+    val rows = run("g_path_lengths")
+      .select("hop", "n_pairs", "cum_pairs", "cum_share")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // cumulative column is an exact prefix sum and closes at share 1.0
+    var cum = 0L
+    rows.foreach { case (_, np, cp, _) => cum += np; assert(cp == cum) }
+    rows.lastOption.foreach { last => assert(last._4 == 1.0) }
+    // total reachable pairs must equal the sibling centrality query's
+    // per-source reach counts (both ride the same multi-source BFS);
+    // at sf0.001 the w >= 4 backbone is empty and BOTH must agree on 0
+    val reach = run("g_closeness").select("n_reached").as[Long].collect().sum
+    assert(cum == reach)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
