@@ -2122,6 +2122,89 @@ SELECT COUNT(*) AS k, xk1 AS threshold_cents,
     / CAST(COUNT(*) AS DOUBLE)) AS alpha
 FROM terms GROUP BY xk1"""
 
+  /** Weibull fit of user activity lifetimes (last−first event,
+    * integer minutes, users with span ≥ 1) by median-rank regression:
+    * plotting ln(−ln(1−F)) against ln(t) linearizes the Weibull CDF,
+    * so the OLS slope IS the shape k (k < 1: churn hazard falls with
+    * tenure — survive the first days and you stay; k > 1: wear-out)
+    * and scale λ = exp(−intercept/k) is the characteristic lifetime.
+    * F uses Bernard's median-rank (i−0.3)/(n+0.4), which never
+    * reaches 0 or 1, so both logs stay finite by construction. The
+    * ECDF runs over per-minute value counts (time-range-bounded
+    * domain, the q_ks_test shape), each point is milli-floored before
+    * the exact-integer OLS sums — engine-exact shape and scale.
+    */
+  private def weibullFit(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(unix_millis(col("ts"))).as("mn"),
+        max(unix_millis(col("ts"))).as("mx"))
+      .select(expr("(mx - mn) div 60000").as("v"))
+      .where(col("v") >= 1)
+    val perV = life.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val tot = perV.agg(sum(col("c")).as("n"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perV.withColumn("cum", sum(col("c")).over(wv))
+      .crossJoin(broadcast(tot))
+      .select(
+        floor(log(col("v").cast("double")) * lit(1000.0)).cast("long").as("x"),
+        floor(log(-log(lit(1.0) -
+          (col("cum").cast("double") - lit(0.3)) /
+            (col("n").cast("double") + lit(0.4)))) * lit(1000.0))
+          .cast("long").as("y"),
+        col("n"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    pts.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_users"), col("n_points"),
+        ((d(col("n_points")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n_points")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
+          .as("shape"),
+        (d(col("sy")) / d(col("n_points"))).as("my"),
+        (d(col("sx")) / d(col("n_points"))).as("mx"))
+      .select(col("n_users"), col("n_points"), col("shape"),
+        exp(-(col("my") - col("shape") * col("mx")) / lit(1000.0) /
+          col("shape")).as("scale_minutes"))
+  }
+
+  private val weibullFitOracle: String = s"""WITH life AS (
+  SELECT (MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) // 60000 AS v
+  FROM events GROUP BY user_id
+), lf AS (SELECT v FROM life WHERE v >= 1),
+perv AS (SELECT v, COUNT(*) AS c FROM lf GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM perv),
+pts AS (
+  SELECT
+    CAST(FLOOR(ln(CAST(v AS DOUBLE)) * ${D("1000")}) AS BIGINT) AS x,
+    CAST(FLOOR(ln(-ln(${D("1.0")} -
+      (CAST(SUM(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        - ${D("0.3")}) / (CAST(n AS DOUBLE) + ${D("0.4")})))
+      * ${D("1000")}) AS BIGINT) AS y,
+    n
+  FROM perv, tot
+), agg AS (
+  SELECT n AS n_users, COUNT(*) AS n_points,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY n
+), fit AS (
+  SELECT n_users, n_points,
+    (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS shape,
+    CAST(sy AS DOUBLE) / CAST(n_points AS DOUBLE) AS my,
+    CAST(sx AS DOUBLE) / CAST(n_points AS DOUBLE) AS mx
+  FROM agg
+)
+SELECT n_users, n_points, shape,
+  exp(-(my - shape * mx) / ${D("1000.0")} / shape) AS scale_minutes
+FROM fit"""
+
   /** Robust anomaly detection over the daily event-count series: a
     * trailing 7-day rolling MEDIAN as the local level (immune to the
     * spike it's judging, unlike a rolling mean) and a flag where the
@@ -2201,6 +2284,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),
     QueryDef("ev_hill_tail", hillTail, Some(hillTailOracle)),
+    QueryDef("ev_weibull_fit", weibullFit, Some(weibullFitOracle)),
     QueryDef("ev_burstiness", burstiness, Some(burstinessOracle)),
     QueryDef("ev_shapley_attrib", shapleyAttrib, Some(shapleyAttribOracle)),
     QueryDef("ev_theil_sen", theilSen, Some(theilSenOracle)),

@@ -480,6 +480,91 @@ JOIN sz za ON e.a_id = za.doc_id JOIN sz zb ON e.b_id = zb.doc_id
 ORDER BY e.a_id, e.b_id"""
   }
 
+  // --- LSH banding-configuration sweep --------------------------------
+  /** Recall/candidate-volume curve across the three (bands, rows)
+    * factorizations of the K=9 signature — (1,9) high-precision,
+    * (3,3) the production config, (9,1) high-recall — against exact
+    * Jaccard ≥ 0.5 ground truth: the dedup-side tuning readout that
+    * pairs with s_ivf_recall_curve on the ANN side (the S-curve
+    * P(cand) = 1−(1−j^r)^b is theory; this measures it on THIS
+    * corpus). The K signatures are computed once per plan; each config
+    * is one re-banding group-join; hit counts are pair-set joins —
+    * bounded by the banding, never all-pairs. The truth side is the
+    * same shared-shingle equi-join d_ngram_jaccard grades.
+    */
+  private val SweepConfigs = Seq((1, 9), (3, 3), (9, 1))
+
+  private def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.wordShingles(
+      Tables(s, dir, "documents"), "doc_id", "text", 3)
+    val sigs = TextDedup.minHashSignatures(sh, K)
+    val truth = TextDedup.jaccardPairs(sh, 0.5).select(col("a_id"), col("b_id"))
+    val tCount = truth.agg(count(lit(1)).as("n_true"))
+    val per = SweepConfigs.map { case (b, r) =>
+      val cand = TextDedup.lshCandidates(sigs, b, r)
+        .select(col("a_id"), col("b_id"))
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(cand.join(truth, Seq("a_id", "b_id"))
+          .agg(count(lit(1)).as("n_hits")))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_cand"), col("n_hits"))
+    }.reduce(_ unionAll _)
+    per.crossJoin(broadcast(tCount))
+      .select(col("bands"), col("rows_per_band"), col("n_cand"),
+        col("n_hits"), col("n_true"),
+        (col("n_hits").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+      .orderBy("bands")
+  }
+
+  private val lshBandSweepOracle: String = {
+    def candCte(tag: String, bands: Int, rows: Int): String = {
+      val sel = (0 until bands).map { b =>
+        val key =
+          s"md5(${(0 until rows).map(r => s"h${b * rows + r}").mkString(" || ")})"
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""bands_$tag AS ($sel),
+cand_$tag AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands_$tag a JOIN bands_$tag b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+    }
+    val cands = SweepConfigs
+      .map { case (b, r) => candCte(s"b$b", b, r) }.mkString(",\n")
+    val stats = SweepConfigs.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+    (SELECT COUNT(*) FROM cand_b$b) AS n_cand,
+    (SELECT COUNT(*) FROM
+      (SELECT a_id, b_id FROM cand_b$b
+       INTERSECT SELECT a_id, b_id FROM tr)) AS n_hits"""
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingleCtes,
+sigs AS MATERIALIZED (SELECT doc_id, $minhashMins FROM sh GROUP BY doc_id),
+$cands,
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+tr AS MATERIALIZED (
+  SELECT a_id, b_id FROM (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) p
+  JOIN sz sa ON p.a_id = sa.doc_id JOIN sz sb ON p.b_id = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE)
+    / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= ${D("0.5")}
+),
+tcount AS (SELECT COUNT(*) AS n_true FROM tr),
+stats AS (
+  $stats
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+  CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hits AS BIGINT) AS n_hits,
+  CAST(n_true AS BIGINT) AS n_true,
+  CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+FROM stats, tcount ORDER BY bands"""
+  }
+
   // --- winnowing (rolling k-gram) fingerprints ----------------------
   private val WinK = 5
   private val WinW = 4
@@ -734,6 +819,7 @@ FROM documents ORDER BY doc_id"""
     QueryDef("d_containment", containment, Some(containmentOracle)),
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
     QueryDef("d_minhash_accuracy", minhashAccuracy, Some(minhashAccuracyOracle)),
+    QueryDef("d_lsh_band_sweep", lshBandSweep, Some(lshBandSweepOracle)),
     QueryDef("d_minhash_lsh_fast", minhashLshFast, Some(goldenOracle(minhashFastGolden))),
     QueryDef("d_dedup_clusters", dedupClusters, Some(dedupClustersOracle)),
     QueryDef("d_dedup_clusters_stars", dedupClustersStars, Some(dedupClustersOracle)),

@@ -512,6 +512,57 @@ class StatQueriesSpec extends SparkSpec {
     assert(cum == reach)
   }
 
+  test("d_lsh_band_sweep: recall and candidate volume rise with band count") {
+    val rows = run("d_lsh_band_sweep")
+      .select("bands", "rows_per_band", "n_cand", "n_hits", "n_true", "recall")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 9L), (3L, 3L), (9L, 1L)))
+    // more bands = more permissive banding: candidates and recall are
+    // monotone non-decreasing (the 1-(1-j^r)^b S-curve)
+    rows.zip(rows.tail).foreach { case (lo, hi) =>
+      assert(hi._3 >= lo._3 && hi._6 >= lo._6, s"$lo -> $hi")
+    }
+    rows.foreach { case (_, _, nc, nh, nt, rec) =>
+      assert(nh <= nc && nh <= nt)
+      assert(rec == nh.toDouble / nt)
+    }
+    // single-row bands match on ANY shared lane: recall must be high
+    assert(rows.last._6 >= 0.9, s"9x1 recall ${rows.last._6}")
+  }
+
+  test("ev_weibull_fit: fit equals a driver-side median-rank regression") {
+    val (nU, nP, shape, scale) = run("ev_weibull_fit")
+      .select("n_users", "n_points", "shape", "scale_minutes")
+      .as[(Long, Long, Double, Double)].head()
+    assert(shape > 0.0 && scale > 0.0)
+    val life = Tables.events(spark, Sf)
+      .groupBy("user_id")
+      .agg(expr("(max(unix_millis(ts)) - min(unix_millis(ts))) div 60000")
+        .as("v"))
+      .where(col("v") >= 1).select("v").as[Long].collect()
+    assert(nU == life.length)
+    val n = life.length.toDouble
+    val perV = life.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    assert(nP == perV.length)
+    var cum = 0L
+    val pts = perV.map { case (v, c) =>
+      cum += c
+      (math.floor(math.log(v.toDouble) * 1000).toLong,
+        math.floor(math.log(-math.log(1.0 - (cum - 0.3) / (n + 0.4)))
+          * 1000).toLong)
+    }
+    val np = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val expShape = (np * sxy - sx * sy) / (np * sxx - sx * sx)
+    assert(shape == expShape)
+    assert(scale ==
+      math.exp(-(sy / np - expShape * sx / np) / 1000.0 / expShape))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
