@@ -1149,6 +1149,57 @@ SELECT source, COUNT(*) AS n_types, CAST(SUM(term_nano) AS BIGINT) AS kl_nano,
 FROM terms GROUP BY source ORDER BY source"""
   }
 
+  // --- pairwise vocabulary Jaccard between sources --------------------
+  /** Set-overlap complement to t_js_divergence: |V_a ∩ V_b| / |V_a ∪ V_b|
+    * over source VOCABULARIES (types, not token mass) for every source
+    * pair — JS weighs shared tokens by usage, vocab Jaccard asks
+    * whether the sources even speak the same word list (two sources
+    * can share 95% of token mass through stopwords while sharing
+    * little content vocabulary). One distinct (source, token) table;
+    * intersections via one token-equi-join over pairs; unions by
+    * inclusion-exclusion on exact counts — no per-pair rescans.
+    */
+  private def vocabJaccard(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+    val vsz = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = st.select(col("source").as("sa"), col("token"))
+      .join(st.select(col("source").as("sb"), col("token")), "token")
+      .where(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(vsz.select(col("source").as("sa"), col("v").as("va"))),
+        "sa")
+      .join(broadcast(vsz.select(col("source").as("sb"), col("v").as("vb"))),
+        "sb")
+      .select(col("sa"), col("sb"), col("va"), col("vb"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("va") + col("vb") - col("n_inter")).cast("double"))
+          .as("vocab_jaccard"))
+      .orderBy("sa", "sb")
+  }
+
+  private val vocabJaccardOracle: String = """WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), st AS (
+  SELECT DISTINCT source, token FROM tok WHERE token <> ''
+), vsz AS (
+  SELECT source, COUNT(*) AS v FROM st GROUP BY 1
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, za.v AS va, zb.v AS vb, n_inter,
+  CAST(n_inter AS DOUBLE) / CAST(za.v + zb.v - n_inter AS DOUBLE)
+    AS vocab_jaccard
+FROM inter JOIN vsz za ON sa = za.source JOIN vsz zb ON sb = zb.source
+ORDER BY sa, sb"""
+
   // --- Heaps' law vocabulary-growth fit -------------------------------
   /** Heaps-law exponent per source: vocabulary size V(n) against
     * cumulative token count n, sampled at dyadic document milestones
@@ -2105,6 +2156,7 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
     QueryDef("t_msttr", msttr, Some(msttrOracle)),
     QueryDef("t_heaps_law", heapsLaw, Some(heapsLawOracle)),
+    QueryDef("t_vocab_jaccard", vocabJaccard, Some(vocabJaccardOracle)),
     QueryDef("t_neyman_alloc", neymanAlloc, Some(neymanAllocOracle)),
     QueryDef("t_token_dispersion", tokenDispersion,
       Some(tokenDispersionOracle)),

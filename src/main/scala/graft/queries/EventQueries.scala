@@ -2205,6 +2205,55 @@ SELECT n_users, n_points, shape,
   exp(-(my - shape * mx) / ${D("1000.0")} / shape) AS scale_minutes
 FROM fit"""
 
+  /** Poisson overdispersion test on the zero-filled hourly count
+    * series: the dispersion statistic D = Σ(x−x̄)²/x̄ = (n−1)·VMR,
+    * which is ~χ²(n−1) under a homogeneous Poisson arrival model — so
+    * D/(n−1) ≫ 1 quantifies how far real traffic is from the Poisson
+    * assumption capacity models default to (the time-axis sibling of
+    * t_token_dispersion, complementing ev_burstiness' inter-arrival
+    * view). Closed form over exact integer moments:
+    * D = (n·Σx² − (Σx)²)/Σx — one double division of two exact longs.
+    */
+  private def overdispersion(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val spine = c.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val sx = spine.join(c, Seq("h"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    sx.agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .select(col("n"),
+        (d(col("s1")) / d(col("n"))).as("mean_per_hour"),
+        ((d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1"))) /
+          d(col("s1"))).as("dispersion"),
+        ((d(col("n")) * d(col("s2")) - d(col("s1")) * d(col("s1"))) /
+          d(col("s1")) / (d(col("n")) - lit(1.0))).as("vmr"))
+  }
+
+  private val overdispersionOracle: String = s"""WITH c AS (
+  SELECT epoch_ms(ts) // 3600000 AS h, COUNT(*) AS x FROM events GROUP BY 1
+), bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+sx AS (
+  SELECT CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN c ON spine.h = c.h
+), m AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s1,
+    CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM sx
+)
+SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_per_hour,
+  (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(s1 AS DOUBLE)
+    AS dispersion,
+  (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(s1 AS DOUBLE)
+    / (CAST(n AS DOUBLE) - ${D("1.0")}) AS vmr
+FROM m"""
+
   /** Robust anomaly detection over the daily event-count series: a
     * trailing 7-day rolling MEDIAN as the local level (immune to the
     * spike it's judging, unlike a rolling mean) and a flag where the
@@ -2285,6 +2334,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),
     QueryDef("ev_hill_tail", hillTail, Some(hillTailOracle)),
     QueryDef("ev_weibull_fit", weibullFit, Some(weibullFitOracle)),
+    QueryDef("ev_overdispersion", overdispersion, Some(overdispersionOracle)),
     QueryDef("ev_burstiness", burstiness, Some(burstinessOracle)),
     QueryDef("ev_shapley_attrib", shapleyAttrib, Some(shapleyAttribOracle)),
     QueryDef("ev_theil_sen", theilSen, Some(theilSenOracle)),

@@ -563,6 +563,43 @@ class StatQueriesSpec extends SparkSpec {
       math.exp(-(sy / np - expShape * sx / np) / 1000.0 / expShape))
   }
 
+  test("ev_overdispersion: closed form equals the definitional sum of squares") {
+    val (n, mean, disp, vmr) = run("ev_overdispersion")
+      .select("n", "mean_per_hour", "dispersion", "vmr")
+      .as[(Long, Double, Double, Double)].head()
+    assert(vmr == disp / (n - 1.0))
+    val counts = Tables.events(spark, Sf)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy("h").count().as[(Long, Long)].collect().toMap
+    val xs = (counts.keys.min to counts.keys.max)
+      .map(h => counts.getOrElse(h, 0L))
+    assert(n == xs.length)
+    val s1 = xs.sum.toDouble; val s2 = xs.map(x => x * x).sum.toDouble
+    assert(mean == s1 / n)
+    assert(disp == (n * s2 - s1 * s1) / s1)
+    // definitional check in exact rational form:
+    // D·s1 = n·Σx² − (Σx)² = n·Σ(x−x̄)² — identical up to the one division
+    assert(disp * s1 == n * s2 - s1 * s1)
+  }
+
+  test("t_vocab_jaccard: pairs agree with driver-side vocabulary sets") {
+    val rows = run("t_vocab_jaccard")
+      .select("sa", "sb", "va", "vb", "n_inter", "vocab_jaccard")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val vocab = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2.trim.toLowerCase
+        .split("\\s+").filter(_.nonEmpty)).toSet).toMap
+    // every unordered pair appears once
+    assert(rows.length == vocab.size * (vocab.size - 1) / 2)
+    rows.foreach { case (sa, sb, va, vb, ni, j) =>
+      assert(va == vocab(sa).size && vb == vocab(sb).size)
+      assert(ni == (vocab(sa) intersect vocab(sb)).size)
+      assert(j == ni.toDouble / (va + vb - ni))
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
