@@ -1817,6 +1817,207 @@ SELECT n, tie_sum, h,
 FROM h0"""
   }
 
+  // --- one-way ANOVA F (fixed effects, location) ----------------------
+  /** One-way ANOVA F over the five order priorities: does line-item
+    * QUANTITY differ in mean across priority classes — the parametric
+    * location test bracketing q_kruskal_wallis (same 5 groups, ranks)
+    * from the normal-theory side. Quantity is a bounded integer
+    * (1..50), so every moment is an exact long: per-group n_g and
+    * S_g = Σv from pinned conditional aggregates, the global Σv² from
+    * one more. SSB = Σ S_g²/n_g − S²/N and SSW = Σv² − Σ S_g²/n_g are
+    * then short fixed-order double trees over those longs (the
+    * q_kruskal_wallis pinned-column pattern — never a float sum whose
+    * order the engine picks), and F = (SSB/(k−1))/(SSW/(N−k)).
+    *
+    * Scale shape: one shuffle-free map-side-combining aggregate over
+    * the fact join; state is 11 longs however large lineitem grows.
+    */
+  private def anovaF(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_quantity").cast("long").as("v"),
+        col("o_orderpriority").as("g"))
+    val aggs = KwGroups.zipWithIndex.flatMap { case (p, i) =>
+      Seq(sum(when(col("g") === p, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(when(col("g") === p, col("v")).otherwise(0L)).as(s"s_$i"))
+    } ++ Seq(count(lit(1)).as("n"), sum(col("v")).as("s"),
+      sum(col("v") * col("v")).as("ss"))
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val between = KwGroups.indices.map { i =>
+      d(col(s"s_$i")) * d(col(s"s_$i")) / d(col(s"n_$i"))
+    }.reduce(_ + _) // fixed left-to-right order over pinned columns
+    val k = KwGroups.size
+    one.select(col("n"), lit(k.toLong).as("k"),
+        (between - d(col("s")) * d(col("s")) / d(col("n"))).as("ss_between"),
+        (d(col("ss")) - between).as("ss_within"))
+      .select(col("n"), col("k"), col("ss_between"), col("ss_within"),
+        ((col("ss_between") / lit((k - 1).toDouble)) /
+          (col("ss_within") / (col("n").cast("double") - lit(k.toDouble))))
+          .as("f_stat"))
+  }
+
+  private val anovaFOracle: String = {
+    val gAggs = KwGroups.zipWithIndex.map { case (p, i) =>
+      s"CAST(SUM(CASE WHEN g = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n_$i,\n    CAST(SUM(CASE WHEN g = '$p' THEN v ELSE 0 END) AS BIGINT) AS s_$i"
+    }.mkString(",\n    ")
+    val between = KwGroups.indices.map { i =>
+      s"CAST(s_$i AS DOUBLE) * CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)"
+    }.mkString("\n      + ")
+    val k = KwGroups.size
+    s"""WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, o_orderpriority AS g
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), agg AS (
+  SELECT
+    $gAggs,
+    COUNT(*) AS n,
+    CAST(SUM(v) AS BIGINT) AS s,
+    CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM li
+), parts AS (
+  SELECT n, CAST($k AS BIGINT) AS k,
+    ($between)
+      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      AS ss_between,
+    CAST(ss AS DOUBLE) - ($between) AS ss_within
+  FROM agg
+)
+SELECT n, k, ss_between, ss_within,
+  (ss_between / ${D((k - 1).toDouble)})
+    / (ss_within / (CAST(n AS DOUBLE) - ${D(k.toDouble)})) AS f_stat
+FROM parts"""
+  }
+
+  // --- Brown–Forsythe / Levene variance-homogeneity test --------------
+  /** Brown–Forsythe test over the same five priority groups: do the
+    * quantity VARIANCES differ across classes — the spread companion
+    * to q_anova_f's location F (ANOVA's own validity rests on
+    * homogeneous variances; this is the published robust check, Levene
+    * with the group MEDIAN as center). Quantity is a bounded integer,
+    * so the whole test runs off the ≤50-row per-value count table:
+    * each group's exact median in DOUBLED units comes from cumulative
+    * counts (lo = first v with cum ≥ (n+1)÷2, hi = first v with
+    * cum ≥ n÷2+1, med2 = lo+hi — midpoint without a fraction), the
+    * absolute deviations z = |2v − med2_g| stay integers, and W is the
+    * one-way F applied to z via the same pinned fixed-order double
+    * tree as q_anova_f. Nothing after the first aggregate touches
+    * more than 50 rows.
+    */
+  private def levene(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_quantity").cast("long").as("v"),
+        col("o_orderpriority").as("g"))
+    val perVAggs = KwGroups.zipWithIndex.map { case (p, i) =>
+      sum(when(col("g") === p, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val perV = li.groupBy(col("v")).agg(perVAggs.head, perVAggs.tail: _*)
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = KwGroups.indices.foldLeft(perV) { (d0, i) =>
+      d0.withColumn(s"cum$i", sum(col(s"c$i")).over(wv))
+    }
+    // per-group totals (1 tiny row) broadcast back onto the value table
+    val totAggs = KwGroups.indices.map(i => max(col(s"cum$i")).as(s"t$i"))
+    val tot = cum.agg(totAggs.head, totAggs.tail: _*)
+    val withTot = cum.crossJoin(broadcast(tot))
+    val medAggs = KwGroups.indices.flatMap { i =>
+      Seq(
+        min(when(col(s"cum$i") * 2 >= col(s"t$i"), col("v"))).as(s"lo$i"),
+        min(when(col(s"cum$i") * 2 >= col(s"t$i") + 1, col("v"))).as(s"hi$i"))
+    }
+    val med = withTot.agg(medAggs.head, medAggs.tail: _*)
+    val med2 = KwGroups.indices.foldLeft(med) { (d0, i) =>
+      d0.withColumn(s"med2_$i", col(s"lo$i") + col(s"hi$i"))
+    }.select(KwGroups.indices.map(i => col(s"med2_$i")): _*)
+    // z-moments per group, still off the count table
+    val zBase = perV.crossJoin(broadcast(med2))
+    val zAggs = KwGroups.indices.flatMap { i =>
+      val z = abs(lit(2L) * col("v") - col(s"med2_$i"))
+      Seq(sum(col(s"c$i")).as(s"n_$i"),
+        sum(col(s"c$i") * z).as(s"z_$i"),
+        sum(col(s"c$i") * z * z).as(s"q_$i"))
+    }
+    val one = zBase.agg(zAggs.head, zAggs.tail: _*)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val k = KwGroups.size
+    val between = KwGroups.indices.map { i =>
+      d(col(s"z_$i")) * d(col(s"z_$i")) / d(col(s"n_$i"))
+    }.reduce(_ + _)
+    val nTot = KwGroups.indices.map(i => col(s"n_$i")).reduce(_ + _)
+    val zTot = KwGroups.indices.map(i => col(s"z_$i")).reduce(_ + _)
+    val qTot = KwGroups.indices.map(i => col(s"q_$i")).reduce(_ + _)
+    one.select(nTot.as("n"), lit(k.toLong).as("k"),
+        (between - d(zTot) * d(zTot) / d(nTot)).as("ssb_z"),
+        (d(qTot) - between).as("ssw_z"))
+      .select(col("n"), col("k"), col("ssb_z"), col("ssw_z"),
+        ((col("ssb_z") / lit((k - 1).toDouble)) /
+          (col("ssw_z") / (col("n").cast("double") - lit(k.toDouble))))
+          .as("w_stat"))
+  }
+
+  private val leveneOracle: String = {
+    val cSums = KwGroups.zipWithIndex.map { case (p, i) =>
+      s"CAST(SUM(CASE WHEN g = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(",\n    ")
+    val cums = KwGroups.indices.map { i =>
+      s"CAST(SUM(c$i) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum$i"
+    }.mkString(",\n    ")
+    val tots = KwGroups.indices.map(i => s"MAX(cum$i) AS t$i").mkString(", ")
+    val meds = KwGroups.indices.map { i =>
+      s"MIN(CASE WHEN cum$i * 2 >= t$i THEN v END)\n      + MIN(CASE WHEN cum$i * 2 >= t$i + 1 THEN v END) AS med2_$i"
+    }.mkString(",\n    ")
+    val zAggs = KwGroups.indices.map { i =>
+      s"CAST(SUM(c$i) AS BIGINT) AS n_$i,\n    CAST(SUM(c$i * ABS(2 * v - med2_$i)) AS BIGINT) AS z_$i,\n    CAST(SUM(c$i * ABS(2 * v - med2_$i) * ABS(2 * v - med2_$i)) AS BIGINT) AS q_$i"
+    }.mkString(",\n    ")
+    val between = KwGroups.indices.map { i =>
+      s"CAST(z_$i AS DOUBLE) * CAST(z_$i AS DOUBLE) / CAST(n_$i AS DOUBLE)"
+    }.mkString("\n      + ")
+    val nTot = KwGroups.indices.map(i => s"n_$i").mkString(" + ")
+    val zTot = KwGroups.indices.map(i => s"z_$i").mkString(" + ")
+    val qTot = KwGroups.indices.map(i => s"q_$i").mkString(" + ")
+    val k = KwGroups.size
+    s"""WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, o_orderpriority AS g
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), perv AS (
+  SELECT v,
+    $cSums
+  FROM li GROUP BY 1
+), cum AS (
+  SELECT v,
+    ${KwGroups.indices.map(i => s"c$i").mkString(", ")},
+    $cums
+  FROM perv
+), tot AS (
+  SELECT $tots FROM cum
+), med AS (
+  SELECT
+    $meds
+  FROM cum CROSS JOIN tot
+), agg AS (
+  SELECT
+    $zAggs
+  FROM perv CROSS JOIN med
+), parts AS (
+  SELECT CAST($nTot AS BIGINT) AS n, CAST($k AS BIGINT) AS k,
+    ($between)
+      - CAST($zTot AS DOUBLE) * CAST($zTot AS DOUBLE)
+        / CAST($nTot AS DOUBLE) AS ssb_z,
+    CAST($qTot AS DOUBLE) - ($between) AS ssw_z
+  FROM agg
+)
+SELECT n, k, ssb_z, ssw_z,
+  (ssb_z / ${D((k - 1).toDouble)})
+    / (ssw_z / (CAST(n AS DOUBLE) - ${D(k.toDouble)})) AS w_stat
+FROM parts"""
+  }
+
   // --- two-proportion z-test ------------------------------------------
   /** Two-proportion z-test on conversion: do odd- and even-id users
     * purchase at different rates? The pooled-variance z
@@ -2013,6 +2214,8 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_sprt", sprt, Some(sprtOracle)),
     QueryDef("q_kruskal_wallis", kruskalWallis, Some(kruskalWallisOracle)),
+    QueryDef("q_anova_f", anovaF, Some(anovaFOracle)),
+    QueryDef("q_levene_bf", levene, Some(leveneOracle)),
     QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),
     QueryDef("q_ks_test", ksTest, Some(ksTestOracle)),
     QueryDef("q_weighted_median", weightedMedian, Some(weightedMedianOracle)),

@@ -600,6 +600,68 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_anova_f: pinned-column F equals a driver-side group fold") {
+    val row = run("q_anova_f")
+      .select("n", "k", "ss_between", "ss_within", "f_stat")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_quantity").cast("long"), col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    val groups = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val by = li.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val n = li.length.toLong
+    assert(row._1 == n && row._2 == 5L)
+    // same fixed group order, same IEEE op tree as the query
+    val between = groups.map { g =>
+      val s = by(g).sum.toDouble; s * s / by(g).length.toDouble
+    }.reduce(_ + _)
+    val s = li.map(_._1).sum.toDouble
+    val ss = li.map(v => v._1 * v._1).sum.toDouble
+    val ssb = between - s * s / n.toDouble
+    val ssw = ss - between
+    assert(row._3 == ssb && row._4 == ssw)
+    assert(row._5 == (ssb / 4.0) / (ssw / (n.toDouble - 5.0)))
+    // and the test statistic is a sane non-negative number
+    assert(row._5 >= 0.0 && !row._5.isNaN)
+  }
+
+  test("q_levene_bf: count-table medians and W equal a flat per-row fold") {
+    val row = run("q_levene_bf")
+      .select("n", "k", "ssb_z", "ssw_z", "w_stat")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_quantity").cast("long"), col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    val groups = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val by = li.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    // exact median in doubled units from the sorted values directly
+    // (the query derives it from cumulative counts — different route)
+    def med2(vs: Seq[Long]): Long = {
+      val n = vs.length
+      vs((n + 1) / 2 - 1) + vs(n / 2 + 1 - 1)
+    }
+    val zBy = groups.map { g =>
+      val m2 = med2(by(g)); g -> by(g).map(v => math.abs(2 * v - m2))
+    }.toMap
+    val n = li.length.toLong
+    assert(row._1 == n && row._2 == 5L)
+    val between = groups.map { g =>
+      val z = zBy(g).sum.toDouble; z * z / zBy(g).length.toDouble
+    }.reduce(_ + _)
+    val zTot = groups.map(g => zBy(g).sum).sum.toDouble
+    val qTot = groups.map(g => zBy(g).map(z => z * z).sum).sum.toDouble
+    val ssb = between - zTot * zTot / n.toDouble
+    val ssw = qTot - between
+    assert(row._3 == ssb && row._4 == ssw)
+    assert(row._5 == (ssb / 4.0) / (ssw / (n.toDouble - 5.0)))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
