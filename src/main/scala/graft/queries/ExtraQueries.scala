@@ -1282,6 +1282,161 @@ SELECT CAST(level AS BIGINT) AS level,
     AS risk_micro
 FROM lv GROUP BY level ORDER BY level"""
 
+  // --- t-closeness (ordered-EMD distribution distance) ----------------
+  /** t-closeness over the published generalization level of the
+    * k-anonymity lattice: for each (nation, segment) equivalence class,
+    * the Earth-Mover's Distance between the class's distribution of the
+    * ORDERED sensitive attribute (account-balance k$ bucket) and the
+    * global distribution — Li et al. ICDE'07, the attribute-disclosure
+    * check k-anonymity and l-diversity both miss (a class can be
+    * k-large and l-diverse yet still reveal "everyone here is rich").
+    * Ordered EMD is the mean |cumulative difference|:
+    * t = (1/(m−1))·Σᵢ|Σ_{j≤i}(p_j − q_j)|.
+    *
+    * Exactness: the cumulative difference is kept on the common
+    * denominator n_g·N — cum_i = Σ_{j≤i}(c_{gj}·N − C_j·n_g), an exact
+    * long — and t divides once at the end (at population scale the
+    * products outgrow longs; the same plan holds with DECIMAL(38)
+    * sums). The dense class×bucket grid comes from a broadcast
+    * crossJoin with the ≤12-row global bucket list — classes stream,
+    * buckets broadcast, one window per class over a bounded-m frame.
+    */
+  private val TClose = 0.15
+
+  private def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("n"),
+        col("c_mktsegment").as("m"),
+        floor(col("c_acctbal") / 1000).cast("long").as("b"))
+    val cls = rows.groupBy(col("n"), col("m"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val glob = rows.groupBy(col("b")).agg(count(lit(1)).as("cg"))
+    val tot = rows.agg(count(lit(1)).as("nn"),
+      countDistinct(col("b")).as("m_vals"))
+    val classes = cls.groupBy(col("n"), col("m"))
+      .agg(sum(col("c")).as("n_g"))
+    val grid = classes
+      .crossJoin(broadcast(glob.crossJoin(tot)))
+      .join(cls, Seq("n", "m", "b"), "left")
+      .na.fill(0L, Seq("c"))
+    val wc = Window.partitionBy(col("n"), col("m")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum",
+      sum(col("c") * col("nn") - col("cg") * col("n_g")).over(wc))
+    cum.groupBy(col("n"), col("m"))
+      .agg(max(col("n_g")).as("n_g"),
+        sum(abs(col("cum"))).as("emd_num"),
+        max(col("m_vals")).as("m_vals"), max(col("nn")).as("nn"))
+      .select(col("n"), col("m"), col("n_g"),
+        (col("emd_num").cast("double") /
+          ((col("m_vals") - 1).cast("double") *
+            (col("n_g").cast("double") * col("nn").cast("double"))))
+          .as("t_close"))
+      .withColumn("violates_t", col("t_close") > lit(TClose))
+      .orderBy("n", "m")
+  }
+
+  private val tClosenessOracle: String = s"""WITH rows_ AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS n, c_mktsegment AS m,
+    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT) AS b
+  FROM customer
+), cls AS (
+  SELECT n, m, b, COUNT(*) AS c FROM rows_ GROUP BY 1, 2, 3
+), gb AS (
+  SELECT b, COUNT(*) AS cg FROM rows_ GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS nn, COUNT(DISTINCT b) AS m_vals FROM rows_
+), classes AS (
+  SELECT n, m, CAST(SUM(c) AS BIGINT) AS n_g FROM cls GROUP BY 1, 2
+), grid AS (
+  SELECT cl.n, cl.m, cl.n_g, g.b, g.cg, t.nn, t.m_vals,
+    COALESCE(c.c, 0) AS c
+  FROM classes cl CROSS JOIN gb g CROSS JOIN tot t
+  LEFT JOIN cls c ON c.n = cl.n AND c.m = cl.m AND c.b = g.b
+), cum AS (
+  SELECT n, m, n_g, m_vals, nn,
+    CAST(SUM(c * nn - cg * n_g) OVER (PARTITION BY n, m ORDER BY b
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM grid
+)
+SELECT n, m, MAX(n_g) AS n_g,
+  CAST(SUM(ABS(cum)) AS DOUBLE)
+    / (CAST(MAX(m_vals) - 1 AS DOUBLE)
+      * (CAST(MAX(n_g) AS DOUBLE) * CAST(MAX(nn) AS DOUBLE))) AS t_close,
+  CAST(SUM(ABS(cum)) AS DOUBLE)
+    / (CAST(MAX(m_vals) - 1 AS DOUBLE)
+      * (CAST(MAX(n_g) AS DOUBLE) * CAST(MAX(nn) AS DOUBLE)))
+    > ${D(TClose)} AS violates_t
+FROM cum GROUP BY n, m ORDER BY n, m"""
+
+  // --- PSI population-drift monitor ------------------------------------
+  /** Population Stability Index between the pre-1998 baseline and the
+    * 1998+ current order-value mix — the standard production drift
+    * monitor (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); <0.1 stable, >0.25 action).
+    * Bins are FIXED $50k price bands (never quantiles of the current
+    * batch — a drifting monitor must not move its own goalposts), and
+    * counts get +1 Laplace smoothing so an empty band contributes a
+    * finite term. Per-bin terms are floored to nano units and
+    * integer-summed (the repo's unbounded-float-sum convention), so
+    * the total is order-independent; ln runs on a double ratio of
+    * exact smoothed longs. One scan, one 10-row grid, no shuffle
+    * beyond the map-side-combined bin counts.
+    */
+  private def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(least(floor(col("o_totalprice") / 50000), lit(9)).cast("long")
+          .as("bin"),
+        (col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .as("cur"))
+    val bins = o.groupBy(col("bin")).agg(
+      sum(when(!col("cur"), 1L).otherwise(0L)).as("c_base"),
+      sum(when(col("cur"), 1L).otherwise(0L)).as("c_cur"))
+    val tot = bins.agg(sum(col("c_base")).as("t_base"),
+      sum(col("c_cur")).as("t_cur"), count(lit(1)).as("nb"))
+    val t = bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("c_base"), col("c_cur"),
+        ((col("c_base") + 1).cast("double") /
+          (col("t_base") + col("nb")).cast("double")).as("p"),
+        ((col("c_cur") + 1).cast("double") /
+          (col("t_cur") + col("nb")).cast("double")).as("q"))
+      .withColumn("term_nano",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e9)
+          .cast("long"))
+    t.select(col("bin"), col("c_base"), col("c_cur"), col("term_nano"),
+        sum(col("term_nano")).over(Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("psi_nano"))
+      .orderBy("bin")
+  }
+
+  private val psiDriftOracle: String = s"""WITH o AS (
+  SELECT LEAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 50000) AS BIGINT), 9)
+      AS bin,
+    o_orderdate >= TIMESTAMP '1998-01-01' AS cur
+  FROM orders
+), bins AS (
+  SELECT bin,
+    CAST(SUM(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+  FROM o GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c_base) AS BIGINT) AS t_base,
+    CAST(SUM(c_cur) AS BIGINT) AS t_cur, COUNT(*) AS nb
+  FROM bins
+), t AS (
+  SELECT bin, c_base, c_cur,
+    CAST(c_base + 1 AS DOUBLE) / CAST(t_base + nb AS DOUBLE) AS p,
+    CAST(c_cur + 1 AS DOUBLE) / CAST(t_cur + nb AS DOUBLE) AS q
+  FROM bins CROSS JOIN tot
+), terms AS (
+  SELECT bin, c_base, c_cur,
+    CAST(FLOOR((p - q) * ln(p / q) * ${D("1e9")}) AS BIGINT) AS term_nano
+  FROM t
+)
+SELECT bin, c_base, c_cur, term_nano,
+  CAST(SUM(term_nano) OVER () AS BIGINT) AS psi_nano
+FROM terms ORDER BY bin"""
+
   // --- ε-differentially-private histogram -----------------------------
   /** ε-DP histogram by the (two-sided) GEOMETRIC MECHANISM — the
     * integer-valued discrete twin of Laplace noise (Ghosh-Roughgarden-
@@ -1522,6 +1677,8 @@ FROM cls GROUP BY l ORDER BY l"""
     QueryDef("q_dp_histogram", dpHistogram, Some(dpHistogramOracle)),
     QueryDef("q_power", powerAnalysis, Some(powerAnalysisOracle)),
     QueryDef("q_l_diversity", lDiversity, Some(lDiversityOracle)),
+    QueryDef("q_t_closeness", tCloseness, Some(tClosenessOracle)),
+    QueryDef("q_psi_drift", psiDrift, Some(psiDriftOracle)),
     QueryDef("q_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("q_join_card_estimate", joinCardEstimate, Some(joinCardOracle)),
     QueryDef("io_catalog_table", catalogTable, Some(catalogTableOracle)),

@@ -662,6 +662,50 @@ class StatQueriesSpec extends SparkSpec {
     assert(row._5 == (ssb / 4.0) / (ssw / (n.toDouble - 5.0)))
   }
 
+  test("q_t_closeness: common-denominator EMD equals a probability-space fold") {
+    val got = run("q_t_closeness")
+      .select("n", "m", "n_g", "t_close")
+      .as[(Long, String, Long, Double)].collect()
+      .map { case (n, m, ng, t) => (n, m) -> ((ng, t)) }.toMap
+    val rows = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val buckets = rows.map(_._3).distinct.sorted
+    val nn = rows.length.toDouble
+    val globP = buckets.map(b => rows.count(_._3 == b) / nn)
+    val byClass = rows.groupBy(r => (r._1, r._2))
+    assert(got.keySet == byClass.keySet)
+    for (((n, m), rs) <- byClass) {
+      val ng = rs.length
+      assert(got((n, m))._1 == ng.toLong)
+      // independent route: double probability space, not integer
+      // common-denominator — agreement to float tolerance
+      val p = buckets.map(b => rs.count(_._3 == b).toDouble / ng)
+      var cum = 0.0; var s = 0.0
+      for (i <- buckets.indices) { cum += p(i) - globP(i); s += math.abs(cum) }
+      val t = s / (buckets.length - 1)
+      assert(math.abs(got((n, m))._2 - t) < 1e-9, s"class ($n,$m)")
+      assert(got((n, m))._2 >= 0.0 && got((n, m))._2 <= 1.0 + 1e-12)
+    }
+  }
+
+  test("q_psi_drift: nano-summed PSI equals a double fold and is symmetric-ish") {
+    val rows = run("q_psi_drift")
+      .select("bin", "c_base", "c_cur", "term_nano", "psi_nano")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._4).sum == rows.head._5) // total is the exact sum
+    val nb = rows.length
+    val tBase = rows.map(_._2).sum.toDouble + nb
+    val tCur = rows.map(_._3).sum.toDouble + nb
+    val psi = rows.map { case (_, cb, cc, _, _) =>
+      val p = (cb + 1) / tBase; val q = (cc + 1) / tCur
+      (p - q) * math.log(p / q)
+    }.sum
+    assert(psi >= 0.0) // PSI is a sum of (p-q)ln(p/q) >= 0 terms
+    assert(math.abs(rows.head._5 / 1e9 - psi) < nb * 1e-9 + 1e-9)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
