@@ -1348,6 +1348,88 @@ SELECT source, n_docs,
   ($NeymanBudget * w_micro) // tw AS alloc
 FROM w, tot ORDER BY source"""
 
+  // --- Flesch–Kincaid readability -------------------------------------
+  /** Flesch–Kincaid grade level and Flesch reading ease per source —
+    * the readability pair classic quality filters gate on (wire-service
+    * prose sits near grade 8–10; word salad and boilerplate drift to
+    * the extremes). Syllables use the deterministic vowel-group rule:
+    * count of [aeiouy]+ runs, minus one for a silent trailing 'e' when
+    * more than one run, floored at 1 — no dictionary, so both engines
+    * agree exactly. Sentences are [.!?]+ runs floored at 1. Per-doc
+    * scores are double trees over the three exact counts, floored to
+    * micro units before the per-source integer sum (the repo's
+    * unbounded-float-sum convention); one explode-aggregate pass, no
+    * joins.
+    */
+  private def readability(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    val g = size(expr("regexp_extract_all(w, '[aeiouy]+', 0)"))
+    val syl = greatest(lit(1),
+      g - when(endswith(col("w"), lit("e")) && g > 1, 1).otherwise(0))
+    val perDoc = tok
+      .withColumn("syl", syl.cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nw"), sum(col("syl")).as("nsyl"),
+        greatest(lit(1),
+          max(size(expr("regexp_extract_all(text, '[.!?]+', 0)"))))
+          .cast("long").as("ns"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val scored = perDoc.select(col("source"),
+      floor((lit(0.39) * (d(col("nw")) / d(col("ns")))
+        + lit(11.8) * (d(col("nsyl")) / d(col("nw"))) - lit(15.59)) * 1e6)
+        .cast("long").as("fk_micro"),
+      floor((lit(206.835) - lit(1.015) * (d(col("nw")) / d(col("ns")))
+        - lit(84.6) * (d(col("nsyl")) / d(col("nw")))) * 1e6)
+        .cast("long").as("ease_micro"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("fk_micro")).as("fk_sum"),
+        sum(col("ease_micro")).as("ease_sum"))
+      .select(col("source"), col("n_docs"),
+        (d(col("fk_sum")) / lit(1e6) / d(col("n_docs")))
+          .as("mean_fk_grade"),
+        (d(col("ease_sum")) / lit(1e6) / d(col("n_docs")))
+          .as("mean_reading_ease"))
+      .orderBy("source")
+  }
+
+  private val readabilityOracle: String = s"""WITH tok AS (
+  SELECT doc_id, source, text,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), syl AS (
+  SELECT doc_id, source, text,
+    GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+'))
+      - CASE WHEN w LIKE '%e'
+          AND len(regexp_extract_all(w, '[aeiouy]+')) > 1
+        THEN 1 ELSE 0 END) AS s
+  FROM tok WHERE w <> ''
+), perdoc AS (
+  SELECT doc_id, source, COUNT(*) AS nw, CAST(SUM(s) AS BIGINT) AS nsyl,
+    GREATEST(1, CAST(MAX(len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT))
+      AS ns
+  FROM syl GROUP BY 1, 2
+), scored AS (
+  SELECT source,
+    CAST(FLOOR((${D("0.39")} * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+      + ${D("11.8")} * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE))
+      - ${D("15.59")}) * ${D("1e6")}) AS BIGINT) AS fk_micro,
+    CAST(FLOOR((${D("206.835")}
+      - ${D("1.015")} * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+      - ${D("84.6")} * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE)))
+      * ${D("1e6")}) AS BIGINT) AS ease_micro
+  FROM perdoc
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(fk_micro) AS DOUBLE) / ${D("1e6")} / CAST(COUNT(*) AS DOUBLE)
+    AS mean_fk_grade,
+  CAST(SUM(ease_micro) AS DOUBLE) / ${D("1e6")} / CAST(COUNT(*) AS DOUBLE)
+    AS mean_reading_ease
+FROM scored GROUP BY 1 ORDER BY source"""
+
   // --- mean segmental type-token ratio (lexical diversity) ------------
   /** MSTTR-50 per source: documents are cut into consecutive 50-token
     * segments (by original token position; incomplete tail segments
@@ -2155,6 +2237,7 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_kl_divergence", klDivergence, Some(klDivergenceOracle)),
     QueryDef("t_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
     QueryDef("t_msttr", msttr, Some(msttrOracle)),
+    QueryDef("t_readability", readability, Some(readabilityOracle)),
     QueryDef("t_heaps_law", heapsLaw, Some(heapsLawOracle)),
     QueryDef("t_vocab_jaccard", vocabJaccard, Some(vocabJaccardOracle)),
     QueryDef("t_neyman_alloc", neymanAlloc, Some(neymanAllocOracle)),

@@ -1817,6 +1817,102 @@ SELECT n, tie_sum, h,
 FROM h0"""
   }
 
+  // --- KMV (theta) sketch set intersection ----------------------------
+  /** Pairwise audience-overlap estimates between the five event types
+    * from K-Minimum-Values sketches: |A∩B| without an exact distinct —
+    * the sketch algebra HLL can't do (HLL unions; KMV/theta also
+    * INTERSECTS, Beyer et al. SIGMOD'07, the Apache DataSketches theta
+    * design). Build: [[graft.plans.KMinValuesAgg]] keeps the K smallest
+    * distinct 32-bit hashes per type under map-side partial
+    * aggregation — each task ships ≤K longs regardless of scan size.
+    * Estimate: for each pair, the union sketch is the K smallest of
+    * the merged values with θ = h₍K₎/2³², est|A∪B| = (K−1)/θ, and
+    * est|A∩B| = (ρ/K)·est|A∪B| where ρ counts union-sketch members
+    * present in both sides. When the merged set fits inside K the
+    * sketch IS the union and both estimates are exact counts. All
+    * estimator arithmetic is double trees over exact longs, shared
+    * with the oracle; everything after the sketch build touches
+    * ≤ 5·K rows.
+    */
+  private val KmvK = 256
+
+  private def kmvIntersect(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val sk = Tables.events(s, dir)
+      .select(col("event_type").as("t"), h.as("h"))
+      .groupBy(col("t"))
+      .agg(graft.plans.KMinValuesAgg.kmin(col("h"), KmvK).as("ks"))
+      .select(col("t"), explode(col("ks")).as("h"))
+    val types = sk.select(col("t")).distinct()
+    val pairs = types.select(col("t").as("ta"))
+      .crossJoin(types.select(col("t").as("tb")))
+      .where(col("ta") < col("tb"))
+    val m = broadcast(pairs)
+      .join(sk, col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("h")).agg(count(lit(1)).as("cnt"))
+    val wr = Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val r = m.withColumn("rk", row_number().over(wr))
+    val agg = r.groupBy(col("ta"), col("tb")).agg(
+      count(lit(1)).as("n_merged"),
+      max(when(col("rk") <= KmvK, col("rk"))).as("ku"),
+      max(when(col("rk") <= KmvK, col("h"))).as("kth"),
+      sum(when(col("rk") <= KmvK && col("cnt") === 2, 1L).otherwise(0L))
+        .as("rho"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg
+      .withColumn("est_union",
+        when(col("n_merged") <= KmvK, d(col("n_merged")))
+          .otherwise(lit((KmvK - 1).toLong * 4294967296L).cast("double")
+            / d(col("kth"))))
+      .select(col("ta"), col("tb"), col("n_merged"), col("ku"), col("kth"),
+        col("rho"), col("est_union"),
+        (d(col("rho")) / d(col("ku")) * col("est_union")).as("est_inter"))
+      .orderBy("ta", "tb")
+  }
+
+  private val kmvIntersectOracle: String = s"""WITH ev AS (
+  SELECT event_type AS t,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      AS h
+  FROM events
+), dh AS (
+  SELECT DISTINCT t, h FROM ev
+), sk AS (
+  SELECT t, h FROM (
+    SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) AS srk
+    FROM dh
+  ) WHERE srk <= $KmvK
+), ty AS (
+  SELECT DISTINCT t FROM sk
+), pairs AS (
+  SELECT a.t AS ta, b.t AS tb FROM ty a JOIN ty b ON a.t < b.t
+), m AS (
+  SELECT p.ta, p.tb, s.h, COUNT(*) AS cnt
+  FROM pairs p JOIN sk s ON s.t = p.ta OR s.t = p.tb
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT ta, tb, h, cnt,
+    ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+  FROM m
+), agg AS (
+  SELECT ta, tb, COUNT(*) AS n_merged,
+    CAST(MAX(CASE WHEN rk <= $KmvK THEN rk END) AS BIGINT) AS ku,
+    CAST(MAX(CASE WHEN rk <= $KmvK THEN h END) AS BIGINT) AS kth,
+    CAST(SUM(CASE WHEN rk <= $KmvK AND cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS rho
+  FROM r GROUP BY 1, 2
+), est AS (
+  SELECT ta, tb, n_merged, ku, kth, rho,
+    CASE WHEN n_merged <= $KmvK THEN CAST(n_merged AS DOUBLE)
+         ELSE CAST(${(KmvK - 1).toLong * 4294967296L} AS DOUBLE)
+           / CAST(kth AS DOUBLE) END AS est_union
+  FROM agg
+)
+SELECT ta, tb, n_merged, ku, kth, rho, est_union,
+  CAST(rho AS DOUBLE) / CAST(ku AS DOUBLE) * est_union AS est_inter
+FROM est ORDER BY ta, tb"""
+
   // --- one-way ANOVA F (fixed effects, location) ----------------------
   /** One-way ANOVA F over the five order priorities: does line-item
     * QUANTITY differ in mean across priority classes — the parametric
@@ -2215,6 +2311,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_sprt", sprt, Some(sprtOracle)),
     QueryDef("q_kruskal_wallis", kruskalWallis, Some(kruskalWallisOracle)),
     QueryDef("q_anova_f", anovaF, Some(anovaFOracle)),
+    QueryDef("q_kmv_intersect", kmvIntersect, Some(kmvIntersectOracle)),
     QueryDef("q_levene_bf", levene, Some(leveneOracle)),
     QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),
     QueryDef("q_ks_test", ksTest, Some(ksTestOracle)),

@@ -330,6 +330,36 @@ class PlansSpec extends SparkSpec {
     assert(got == Seq(15000L, null, -2500L))
   }
 
+  test("KMinValuesAgg: k smallest distinct values under any partitioning") {
+    val rnd = new scala.util.Random(7)
+    // duplicates on purpose: KMV is set-semantics
+    val vals = Seq.fill(5000)(rnd.nextInt(2000).toLong)
+    val expect = vals.distinct.sorted.take(64)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(KMinValuesAgg.kmin(col("h"), 64).as("ks"))
+        .as[Seq[Long]].head()
+      assert(got == expect, s"parts=$parts")
+    }
+    // fewer distinct values than k: buffer returns all of them
+    val small = Seq(5L, 1L, 5L, 3L).toDF("h")
+      .agg(KMinValuesAgg.kmin(col("h"), 64).as("ks"))
+      .as[Seq[Long]].head()
+    assert(small == Seq(1L, 3L, 5L))
+  }
+
+  test("KMV estimator: (k-1)/theta is within 20% of the true distinct count") {
+    val n = 20000
+    val df = spark.range(n)
+      .select(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val ks = df.agg(KMinValuesAgg.kmin(col("h"), 256).as("ks"))
+      .as[Seq[Long]].head()
+    assert(ks.length == 256)
+    val est = 255.0 * 4294967296.0 / ks.last
+    assert(math.abs(est - n) / n < 0.2, s"est=$est")
+  }
+
   test("graft_quantize / graft_char_ngrams registered for SQL") {
     GraftFunctions.register(spark)
     val q = spark.sql(

@@ -706,6 +706,62 @@ class StatQueriesSpec extends SparkSpec {
     assert(math.abs(rows.head._5 / 1e9 - psi) < nb * 1e-9 + 1e-9)
   }
 
+  test("t_readability: micro-summed scores equal a per-word driver fold") {
+    val got = run("t_readability")
+      .select("source", "n_docs", "mean_fk_grade", "mean_reading_ease")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    def sylOf(w: String): Long = {
+      val runs = "[aeiouy]+".r.findAllIn(w).length
+      math.max(1L, runs - (if (w.endsWith("e") && runs > 1) 1 else 0))
+    }
+    val bySource = docs.groupBy(_._1)
+    assert(got.keySet == bySource.keySet)
+    for ((src, ds) <- bySource) {
+      val scored = ds.map { case (_, text) =>
+        val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val nw = ws.length.toDouble
+        val nsyl = ws.map(sylOf).sum.toDouble
+        val ns = math.max(1, "[.!?]+".r.findAllIn(text).length).toDouble
+        (math.floor((0.39 * (nw / ns) + 11.8 * (nsyl / nw) - 15.59) * 1e6),
+          math.floor((206.835 - 1.015 * (nw / ns) - 84.6 * (nsyl / nw)) * 1e6))
+      }
+      val n = scored.length
+      val (fk, ease) = (scored.map(_._1).sum, scored.map(_._2).sum)
+      assert(got(src)._2 == n.toLong)
+      assert(got(src)._3 == fk / 1e6 / n, s"source $src fk")
+      assert(got(src)._4 == ease / 1e6 / n, s"source $src ease")
+    }
+  }
+
+  test("q_kmv_intersect: sketch estimates reconcile with exact overlaps") {
+    val rows = run("q_kmv_intersect")
+      .select("ta", "tb", "n_merged", "ku", "rho", "est_union", "est_inter")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.length == 10) // C(5,2) event-type pairs
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_type"), col("user_id").cast("long"))
+      .as[(String, Long)].collect()
+    val sets = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((ta, tb, nm, ku, rho, estU, estI) <- rows) {
+      val exactU = (sets(ta) union sets(tb)).size
+      val exactI = (sets(ta) intersect sets(tb)).size
+      assert(rho <= ku && ku <= nm)
+      // sf0.001 audiences are far smaller than K=256, so the sketch IS
+      // the union (up to 32-bit md5-slice collisions, none here) and
+      // the estimates must be exact counts
+      if (nm <= 256) {
+        assert(estU == exactU.toDouble, s"($ta,$tb) union")
+        assert(math.abs(estI - exactI.toDouble) <= 1e-9, s"($ta,$tb) inter")
+      } else {
+        assert(math.abs(estU - exactU) / exactU < 0.25)
+        assert(math.abs(estI - exactI) <= 0.25 * exactU)
+      }
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
