@@ -405,7 +405,13 @@ object TextDedup {
     // checkpoint would run a second job per round just to persist
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(eager = false)
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head.getLong(0)
+    // coalesce: an EMPTY edge list (legitimate — e.g. a density
+    // clustering round with no core-core pairs) sums to NULL, and a
+    // bare getLong would throw ROW_VALUE_IS_NULL
+    def compSum(df: DataFrame): Long =
+      df.agg(coalesce(org.apache.spark.sql.functions.sum("comp"), lit(0L)))
+        .head.getLong(0)
+    var sum = compSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -416,7 +422,7 @@ object TextDedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(eager = false)
-      val newSum = next.agg(org.apache.spark.sql.functions.sum("comp")).head.getLong(0)
+      val newSum = compSum(next)
       freeCheckpoint(labels) // next is materialized by the agg — previous round's blocks can go
       labels = next
       converged = newSum == sum

@@ -785,6 +785,106 @@ UNION ALL SELECT CAST(2 AS BIGINT), (SELECT COUNT(DISTINCT u) FROM e2), (SELECT 
 UNION ALL SELECT CAST(3 AS BIGINT), (SELECT COUNT(DISTINCT u) FROM e3), (SELECT COUNT(*) FROM e3)
 ORDER BY round"""
 
+  /** Bounded 4-truss peel over the co-order graph: 3 synchronous
+    * rounds of dropping edges supported by fewer than k−2 = 2 alive
+    * triangles — the edge-cohesion refinement of k-core (a k-truss
+    * edge needs k−2 mutual neighbors, not just k neighbors; Cohen '08,
+    * and the standard distributed formulation recounts support from a
+    * once-enumerated triangle table instead of re-running the wedge
+    * join per round). Each round: 3 hash joins mark triangles whose
+    * edges all survive, one explode-aggregate recounts per-edge
+    * support, lineage cut per round. The triple table is the SHARED
+    * materialized enumeration behind g_triangles/g_local_clustering —
+    * this query adds no wedge join of its own. Output: the peel
+    * cascade (round, surviving edges, alive triangles feeding that
+    * round's support).
+    */
+  private def ktruss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // DELTA peel: round 1's support basis is the FULL triple table (every
+    // edge is still present, so every enumerated triangle is alive — no
+    // aliveness join at all), and each later round subtracts only the
+    // triangles touching a DROPPED edge. The dropped set is orders of
+    // magnitude smaller than the survivors (62k/22k/1.7k vs 1.1M edges
+    // at sf0.1), so the subtraction is three broadcast anti-joins
+    // instead of three shuffle joins against the surviving edge set —
+    // the peel's cost tracks the CHANGE, not the graph.
+    // (u,x),(u,y) are degree-oriented — canonicalize to a<b edge keys.
+    var alive = coOrderTriangles(s, dir)
+      .select(least(col("u"), col("x")).as("e1a"),
+        greatest(col("u"), col("x")).as("e1b"),
+        least(col("u"), col("y")).as("e2a"),
+        greatest(col("u"), col("y")).as("e2b"),
+        col("x").as("e3a"), col("y").as("e3b"))
+      .localCheckpoint(eager = true)
+    var e = coOrderPairs(s, dir)
+    val stats = Seq.newBuilder[(Long, Long, Long)]
+    stats += ((0L, e.count(), alive.count()))
+    for (round <- 1 to 3) {
+      val nTri = alive.count()
+      val sup = alive.select(col("e1a").as("a"), col("e1b").as("b"))
+        .union(alive.select(col("e2a").as("a"), col("e2b").as("b")))
+        .union(alive.select(col("e3a").as("a"), col("e3b").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      val eNext = sup.where(col("sup") >= 2).select(col("a"), col("b"))
+        .localCheckpoint(eager = true)
+      if (round < 3) { // the final round's alive set has no consumer
+        val dropped = e
+          .join(eNext.select(col("a").as("da"), col("b").as("db")),
+            col("a") === col("da") && col("b") === col("db"), "left_anti")
+          .select(col("a").as("da"), col("b").as("db"))
+          .localCheckpoint(eager = true)
+        alive = alive
+          .join(broadcast(dropped),
+            col("e1a") === col("da") && col("e1b") === col("db"), "left_anti")
+          .join(broadcast(dropped),
+            col("e2a") === col("da") && col("e2b") === col("db"), "left_anti")
+          .join(broadcast(dropped),
+            col("e3a") === col("da") && col("e3b") === col("db"), "left_anti")
+          .localCheckpoint(eager = true)
+      }
+      e = eNext
+      stats += ((round.toLong, e.count(), nTri))
+    }
+    stats.result().toDF("round", "n_edges", "n_tri_alive").orderBy("round")
+  }
+
+  private val ktrussOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""t$i AS MATERIALIZED (
+  SELECT t.u, t.x, t.y FROM tri t
+  JOIN e${i - 1} e1 ON LEAST(t.u, t.x) = e1.a AND GREATEST(t.u, t.x) = e1.b
+  JOIN e${i - 1} e2 ON LEAST(t.u, t.y) = e2.a AND GREATEST(t.u, t.y) = e2.b
+  JOIN e${i - 1} e3 ON t.x = e3.a AND t.y = e3.b
+), e$i AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b, COUNT(*) AS sup FROM (
+      SELECT LEAST(u, x) AS a, GREATEST(u, x) AS b FROM t$i
+      UNION ALL SELECT LEAST(u, y), GREATEST(u, y) FROM t$i
+      UNION ALL SELECT x, y FROM t$i
+    ) GROUP BY 1, 2
+  ) WHERE sup >= 2
+)"""
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), tri AS MATERIALIZED (
+  SELECT e1.a AS u, e1.b AS x, e2.b AS y
+  FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+$rounds
+SELECT CAST(0 AS BIGINT) AS round, (SELECT COUNT(*) FROM e0) AS n_edges,
+  (SELECT COUNT(*) FROM tri) AS n_tri_alive
+UNION ALL SELECT CAST(1 AS BIGINT), (SELECT COUNT(*) FROM e1), (SELECT COUNT(*) FROM t1)
+UNION ALL SELECT CAST(2 AS BIGINT), (SELECT COUNT(*) FROM e2), (SELECT COUNT(*) FROM t2)
+UNION ALL SELECT CAST(3 AS BIGINT), (SELECT COUNT(*) FROM e3), (SELECT COUNT(*) FROM t3)
+ORDER BY round"""
+  }
+
   /** Modularity of the LPA communities — the quality score that says
     * whether the detected partition beats random wiring: Q = Σ_c
     * (m_c/m − (d_c/2m)²) from three INTEGER sufficient statistics per
@@ -1411,6 +1511,7 @@ ORDER BY motif"""
     QueryDef("g_neighbor_jaccard", neighborJaccard, Some(neighborJaccardOracle)),
     QueryDef("g_modularity", modularity, Some(modularityOracle)),
     QueryDef("g_kcore", kcore, Some(kcoreOracle)),
+    QueryDef("g_ktruss", ktruss, Some(ktrussOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_diameter_2sweep", diameter2Sweep, Some(diameter2SweepOracle)),

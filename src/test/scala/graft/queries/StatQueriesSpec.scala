@@ -762,6 +762,77 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("g_ktruss: cascade equals a driver-side set-based peel") {
+    val got = run("g_ktruss")
+      .select("round", "n_edges", "n_tri_alive")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // rebuild the co-order graph and peel with plain Scala sets
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .as[(Long, Long)].collect().distinct
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    var edges = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    def tris(e: Set[(Long, Long)]): Seq[(Long, Long, Long)] = {
+      val adj = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      e.toSeq.flatMap { case (a, b) =>
+        (adj.getOrElse(a, Set.empty) intersect adj.getOrElse(b, Set.empty))
+          .map(c => (a, b, c)) // a<b, b<c and c>a by construction order
+      }
+    }
+    val t0 = tris(edges)
+    assert(got(0) == ((0L, edges.size.toLong, t0.size.toLong)))
+    for (r <- 1 to 3) {
+      val alive = tris(edges)
+      val sup = alive.flatMap { case (a, b, c) =>
+        Seq((a, b), (a, c), (b, c)) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      edges = edges.filter(e => sup.getOrElse(e, 0) >= 2)
+      assert(got(r)._2 == edges.size.toLong, s"round $r edges")
+      assert(got(r)._3 == alive.size.toLong, s"round $r tris")
+    }
+    // peel is monotone
+    assert(got.map(_._2).zip(got.map(_._2).tail).forall { case (a, b) => b <= a })
+  }
+
+  test("s_dbscan: roles satisfy the DBSCAN axioms on the LSH neighbor graph") {
+    import graft.operators.Similarity
+    val got = run("s_dbscan").select("id", "role", "cluster")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1.toInt -> ((r._2, r._3))).toMap
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val planes = Similarity.planes(16, 64)
+    val nbrs = Similarity.lshCandidates(e, planes, 4, 4, 0.3)
+      .select(col("a_id").cast("int"), col("b_id").cast("int"))
+      .as[(Int, Int)].collect()
+    val adj = (nbrs ++ nbrs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val core = adj.filter(_._2.size >= 4).keySet
+    for ((id, (role, cluster)) <- got) {
+      val n = adj.getOrElse(id, Set.empty)
+      role match {
+        case "core"   => assert(core(id) && cluster >= 0)
+        case "border" => assert(!core(id) && (n intersect core).nonEmpty)
+        case "noise"  => assert(!core(id) && (n intersect core).isEmpty
+          && cluster == -1L)
+      }
+    }
+    // cluster label of a core point is the min id reachable through
+    // core-core edges (driver-side BFS over the core subgraph)
+    for (c <- core) {
+      var seen = Set(c); var frontier = Set(c)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(x =>
+          adj(x) intersect core).diff(seen)
+        seen ++= frontier
+      }
+      assert(got(c)._2 == seen.min.toLong, s"core $c")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
