@@ -1972,6 +1972,194 @@ SELECT CAST(lag AS BIGINT) AS lag, n,
        * sqrt(CAST(n * s_yy - s_y * s_y AS DOUBLE))) AS r
 FROM m ORDER BY lag"""
 
+  // --- partial autocorrelation (Durbin–Levinson) ----------------------
+  /** PACF of the hourly count series at lags 1..5 via the
+    * Durbin–Levinson recursion over the sample ACF — the readout that
+    * separates direct lag-k structure from what shorter lags already
+    * explain (the AR-order pick: ACF tails off, PACF cuts off). The
+    * per-lag correlations reuse ev_acf's exact integer moment stats;
+    * the DL recursion φ_{k,k} = (ρ_k − Σφ_{k−1,j}ρ_{k−j}) /
+    * (1 − Σφ_{k−1,j}ρ_j), φ_{k,j} = φ_{k−1,j} − φ_{k,k}φ_{k−1,k−j}
+    * is a fixed scalar DAG over five doubles, emitted as the SAME
+    * generated expression text to both engines ([[dlFormulas]]) so the
+    * IEEE op tree is structurally identical by construction. Nothing
+    * after the moment aggregate touches more than one row.
+    */
+  private val PacfLags = 5
+
+  /** Durbin–Levinson formula strings over named columns `r1..rK` /
+    * `pK_J`, in dependency order — ONE generator, parsed by Spark's
+    * `expr` and DuckDB alike.
+    */
+  private def dlFormulas(kMax: Int): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    out += (("p1_1", "r1"))
+    for (k <- 2 to kMax) {
+      val num = (1 until k).map(j => s"p${k - 1}_$j * r${k - j}")
+        .foldLeft(s"r$k")((acc, t) => s"$acc - $t")
+      val den = (1 until k).map(j => s"p${k - 1}_$j * r$j")
+        .foldLeft("CAST(1 AS DOUBLE)")((acc, t) => s"$acc - $t")
+      out += ((s"p${k}_$k", s"($num) / ($den)"))
+      for (j <- 1 until k)
+        out += ((s"p${k}_$j", s"p${k - 1}_$j - p${k}_$k * p${k - 1}_${k - j}"))
+    }
+    out.result()
+  }
+
+  private def pacf(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val spine = c.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val sx = spine.join(c, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val lags = s.range(1, PacfLags + 1).select(col("id").as("lag"))
+    val shifted = sx.select(col("h").as("hb"), col("x").as("y"))
+    val pairs = sx.crossJoin(broadcast(lags))
+      .join(shifted, col("hb") === col("h") + col("lag"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s_x"), sum(col("y")).as("s_y"),
+      sum(col("x") * col("x")).as("s_xx"),
+      sum(col("y") * col("y")).as("s_yy"),
+      sum(col("x") * col("y")).as("s_xy"))
+    def d(c0: org.apache.spark.sql.Column) = c0.cast("double")
+    val rtab = m.select(col("lag"),
+      (d(col("n") * col("s_xy") - col("s_x") * col("s_y")) /
+        (sqrt(d(col("n") * col("s_xx") - col("s_x") * col("s_x"))) *
+         sqrt(d(col("n") * col("s_yy") - col("s_y") * col("s_y")))))
+        .as("r"))
+    val rrowAggs = (1 to PacfLags).map(k =>
+      max(when(col("lag") === k, col("r"))).as(s"r$k"))
+    val rrow = rtab.agg(rrowAggs.head, rrowAggs.tail: _*)
+    val solved = dlFormulas(PacfLags).foldLeft(rrow) {
+      case (df, (alias, formula)) => df.withColumn(alias, expr(formula))
+    }
+    (1 to PacfLags).map { k =>
+      solved.select(lit(k.toLong).as("lag"), col(s"r$k").as("acf_r"),
+        col(s"p${k}_$k").as("pacf"))
+    }.reduce(_ union _).orderBy("lag")
+  }
+
+  private val pacfOracle: String = {
+    val rCases = (1 to PacfLags).map(k =>
+      s"MAX(CASE WHEN lag = $k THEN r END) AS r$k").mkString(",\n    ")
+    val dlChain = dlFormulas(PacfLags).zipWithIndex.map {
+      case ((alias, formula), i) =>
+        val from = if (i == 0) "rrow" else s"d$i"
+        s"d${i + 1} AS (SELECT *, $formula AS $alias FROM $from)"
+    }.mkString(",\n")
+    val last = s"d${dlFormulas(PacfLags).size}"
+    val outs = (1 to PacfLags).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, r$k AS acf_r, p${k}_$k AS pacf FROM $last")
+      .mkString("\nUNION ALL ")
+    s"""WITH c AS (
+  SELECT epoch_ms(ts) // 3600000 AS h, COUNT(*) AS x FROM events GROUP BY 1
+), bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+sx AS (
+  SELECT spine.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN c ON spine.h = c.h
+), lags(lag) AS (VALUES ${(1 to PacfLags).map(k => s"($k)").mkString(", ")}),
+pairs AS (
+  SELECT lags.lag, a.x AS x, b.x AS y
+  FROM sx a JOIN lags ON true JOIN sx b ON b.h = a.h + lags.lag
+), m AS (
+  SELECT lag, COUNT(*) AS n,
+    CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+    CAST(SUM(x * x) AS BIGINT) AS s_xx,
+    CAST(SUM(y * y) AS BIGINT) AS s_yy,
+    CAST(SUM(x * y) AS BIGINT) AS s_xy
+  FROM pairs GROUP BY 1
+), rtab AS (
+  SELECT lag,
+    CAST(n * s_xy - s_x * s_y AS DOUBLE)
+      / (sqrt(CAST(n * s_xx - s_x * s_x AS DOUBLE))
+         * sqrt(CAST(n * s_yy - s_y * s_y AS DOUBLE))) AS r
+  FROM m
+), rrow AS (
+  SELECT
+    $rCases
+  FROM rtab
+),
+$dlChain
+$outs
+ORDER BY lag"""
+  }
+
+  // --- Croston's method (intermittent demand) --------------------------
+  /** Croston's method per user over daily PURCHASE demand — the
+    * forecaster for series that are mostly zeros, where SES smears and
+    * per-day means undershoot (Croston '72, the standard in spare-parts
+    * and long-tail demand planning). The fold touches only DEMAND days
+    * (zero days enter through the inter-demand interval, never as
+    * rows): z' = (x + z)/2 smooths the demand size, p' = (Δdays + p)/2
+    * the interval, forecast = z'/p' — α = 1/2 keeps every step two
+    * exact IEEE halvings, the ev_holt convention. Distribution shape:
+    * repartition by user + sortWithinPartitions + one mapPartitions
+    * fold (the secondary-sort pattern); state is 3 doubles per user.
+    */
+  private def croston(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("x"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "day")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Double, Double)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Double, Double) = {
+            val (u, d0, x0) = buf.next()
+            var z = x0.toDouble
+            var p = 1.0 // first interval convention: one day
+            var last = d0
+            var n = 1L
+            while (buf.hasNext && buf.head._1 == u) {
+              val (_, d, x) = buf.next()
+              z = (x.toDouble + z) / 2
+              p = ((d - last).toDouble + p) / 2
+              last = d
+              n += 1
+            }
+            (u, n, z, p)
+          }
+        }
+      }
+      .toDF("user_id", "n_demand_days", "z_hat", "p_hat")
+      .select(col("user_id"), col("n_demand_days"), col("z_hat"),
+        col("p_hat"), (col("z_hat") / col("p_hat")).as("croston_forecast"))
+      .orderBy("user_id")
+  }
+
+  private val crostonOracle = """WITH RECURSIVE dd AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day, COUNT(*) AS x
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), e AS (
+  SELECT user_id, day, x,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM dd
+), h(user_id, rn, day, z, p) AS (
+  SELECT user_id, CAST(1 AS BIGINT), day, CAST(x AS DOUBLE),
+    CAST(1 AS DOUBLE)
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, h.rn + 1, e.day,
+    (CAST(e.x AS DOUBLE) + h.z) / CAST(2 AS DOUBLE),
+    (CAST(e.day - h.day AS DOUBLE) + h.p) / CAST(2 AS DOUBLE)
+  FROM h JOIN e ON e.user_id = h.user_id AND e.rn = h.rn + 1
+)
+SELECT user_id, rn AS n_demand_days, z AS z_hat, p AS p_hat,
+  z / p AS croston_forecast
+FROM h
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+ORDER BY user_id"""
+
   /** Hurst exponent of the hourly event-count series by the
     * aggregated-variance method: block-sum the series at scales
     * m ∈ {1,2,4,8,16} hours (complete blocks only), take
@@ -2329,6 +2517,8 @@ FROM b GROUP BY 1 ORDER BY bin"""
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ev_acf", acf, Some(acfOracle)),
+    QueryDef("ev_pacf", pacf, Some(pacfOracle)),
+    QueryDef("ev_croston", croston, Some(crostonOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),

@@ -833,6 +833,56 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_pacf: Durbin-Levinson output equals a driver-side recursion") {
+    val rows = run("ev_pacf").select("lag", "acf_r", "pacf")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    val r = rows.map(_._2) // the query's own ACF inputs — recursion is
+    // re-derived INDEPENDENTLY with plain Scala doubles below
+    val phi = Array.ofDim[Double](6, 6)
+    phi(1)(1) = r(0)
+    for (k <- 2 to 5) {
+      var num = r(k - 1); var den = 1.0
+      for (j <- 1 until k) {
+        num -= phi(k - 1)(j) * r(k - j - 1)
+        den -= phi(k - 1)(j) * r(j - 1)
+      }
+      phi(k)(k) = num / den
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+    }
+    for (k <- 1 to 5)
+      assert(rows(k - 1)._3 == phi(k)(k), s"lag $k")
+    // lag-1 PACF must equal lag-1 ACF by definition
+    assert(rows(0)._3 == rows(0)._2)
+  }
+
+  test("ev_croston: fold equals a driver-side per-user recomputation") {
+    val got = run("ev_croston")
+      .select("user_id", "n_demand_days", "z_hat", "p_hat",
+        "croston_forecast")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val demands = Tables.events(spark, Sf)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("x"))
+      .as[(Long, Long, Long)].collect()
+    val byUser = demands.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    for ((u, ds) <- byUser) {
+      val seq0 = ds.sortBy(_._2)
+      var z = seq0.head._3.toDouble; var p = 1.0; var last = seq0.head._2
+      for ((_, d, x) <- seq0.tail) {
+        z = (x.toDouble + z) / 2; p = ((d - last).toDouble + p) / 2
+        last = d
+      }
+      val (_, n, zh, ph, f) = got(u)
+      assert(n == seq0.length.toLong && zh == z && ph == p && f == z / p,
+        s"user $u")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
