@@ -1430,6 +1430,197 @@ SELECT source, COUNT(*) AS n_docs,
     AS mean_reading_ease
 FROM scored GROUP BY 1 ORDER BY source"""
 
+  // --- TextRank keyword extraction ------------------------------------
+  /** TextRank (Mihalcea & Tarau '04) over the corpus word
+    * co-occurrence graph: words within ±2 positions in a document are
+    * linked, edge weight = co-occurrence count, and keywords are the
+    * top-20 by weighted PageRank — the unsupervised keyword extractor
+    * that beats raw frequency by crediting words that CONNECT the
+    * vocabulary, not just appear. Reuses [[graft.operators.Graphs
+    * .pageRank]] verbatim (integer micro-unit trajectory, 5
+    * iterations, damping 0.85 as `(85·inflow) div 100` — exact longs,
+    * so the unrolled oracle reproduces every bit). Word ids are 32-bit
+    * md5 slices (portable to SQL; a collision would merge two words
+    * identically in both engines). The ±2 window keeps the pair
+    * explode linear in corpus size — never quadratic in doc length.
+    */
+  private def textrank(s: SparkSession, dir: String): DataFrame = {
+    def wid(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val tok = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+"))
+          .as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+    val a = tok.select(col("doc_id"), col("pos"), col("w").as("wa"))
+    val b = tok.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("w").as("wb"))
+    // offset equi-join (the ev_acf lag trick), NOT a per-doc band join:
+    // each token pairs with exactly the +1/+2 positions, so the
+    // intermediate is 2·tokens rows — linear however long docs get
+    val offs = s.range(1, 3).select(col("id").as("off"))
+    val co = a.crossJoin(broadcast(offs))
+      .join(b, col("doc_b") === col("doc_id") &&
+        col("pos_b") === col("pos") + col("off"))
+      .where(col("wa") =!= col("wb"))
+      .select(least(col("wa"), col("wb")).as("x"),
+        greatest(col("wa"), col("wb")).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+    val edges = co.select(wid(col("x")).as("src"), wid(col("y")).as("dst"),
+        col("w"))
+      .union(co.select(wid(col("y")).as("src"), wid(col("x")).as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val words = tok.select(col("w")).distinct()
+    val nodes = words.select(wid(col("w")).as("node")).distinct()
+    val ranks = graft.operators.Graphs.pageRank(edges, nodes, 5)
+    ranks.join(words.select(wid(col("w")).as("node"), col("w").as("word")),
+        Seq("node"))
+      .select(col("word"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word")).limit(20)
+  }
+
+  private val textrankOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+  SELECT n.node, 150000 + (85 * COALESCE(t.inflow, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM((r.r * e.w) // e.w_out) AS inflow
+    FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) t
+  ON t.dst = n.node)"""
+    }.mkString(",\n")
+    s"""WITH tok AS (
+  SELECT doc_id, w, CAST(pos AS BIGINT) AS pos FROM (
+    SELECT doc_id,
+      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+      unnest(generate_series(1,
+        len(string_split_regex(trim(lower(text)), '\\s+')))) AS pos
+    FROM documents
+  ) WHERE w <> ''
+), offs(off) AS (VALUES (1), (2)),
+co AS (
+  SELECT LEAST(a.w, b.w) AS x, GREATEST(a.w, b.w) AS y, COUNT(*) AS w
+  FROM tok a JOIN offs ON true
+  JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + offs.off
+  WHERE a.w <> b.w
+  GROUP BY 1, 2
+), widco AS (
+  SELECT CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) AS xid,
+    CAST(('0x' || substring(md5(y), 1, 8)) AS BIGINT) AS yid, w
+  FROM co
+), edges AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT xid AS src, yid AS dst, w FROM widco
+    UNION ALL SELECT yid, xid, w FROM widco
+  ) GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM edges GROUP BY 1
+), e AS (
+  SELECT edges.src, edges.dst, edges.w, outw.w_out
+  FROM edges JOIN outw ON edges.src = outw.src
+), words AS (SELECT DISTINCT w FROM tok),
+nodes AS (
+  SELECT DISTINCT CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS node
+  FROM words
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+),
+$iters
+SELECT words.w AS word, CAST(r5.r AS BIGINT) AS rank_micro
+FROM r5 JOIN words
+  ON CAST(('0x' || substring(md5(words.w), 1, 8)) AS BIGINT) = r5.node
+ORDER BY rank_micro DESC, word LIMIT 20"""
+  }
+
+  // --- Burrows' Delta stylometry --------------------------------------
+  /** Burrows' Delta between every source pair: z-score each source's
+    * relative frequency of the top-30 corpus words (the
+    * most-frequent-word profile that carries authorial/template
+    * signal), then Delta = mean city-block distance between z-profiles
+    * — the standard attribution distance (Burrows '02). Exactness:
+    * frequencies are ppm integers (cnt·1e6 div n_s, safe from overflow
+    * where ppb is not at S·f² scale), deviations S·f − Σf and their
+    * squares stay exact longs, z = dev/√(var/S) is one double tree,
+    * and per-pair word terms are floored to nano units before the
+    * integer sum (the unbounded-float-sum convention). Dense
+    * source×word grid via broadcast crossJoin of two bounded lists.
+    */
+  private val DeltaWords = 30
+
+  private def burrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    val cnt = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val nS = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val top = cnt.groupBy(col("w")).agg(sum(col("c")).as("tc"))
+      .orderBy(col("tc").desc, col("w")).limit(DeltaWords)
+      .select(col("w"))
+    val grid = nS.crossJoin(broadcast(top))
+      .join(cnt, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        expr("(coalesce(c, CAST(0 AS BIGINT)) * 1000000) div n").as("f"))
+    val stats = grid.groupBy(col("w")).agg(
+      count(lit(1)).as("ns"), sum(col("f")).as("sf"),
+      sum(col("f") * col("f")).as("sff"))
+    // zero-variance words (identical ppm in every source) would z to
+    // 0/0 = NaN, which the engines then CAST differently — exclude on
+    // both sides
+    val z = grid.join(broadcast(stats), Seq("w"))
+      .where(col("ns") * col("sff") - col("sf") * col("sf") > 0)
+      .select(col("source"), col("w"),
+        ((col("ns") * col("f") - col("sf")).cast("double") /
+          sqrt(((col("ns") * col("sff") - col("sf") * col("sf"))
+            .cast("double")) / col("ns").cast("double"))).as("z"))
+    val za = z.select(col("w"), col("source").as("sa"), col("z").as("za"))
+    val zb = z.select(col("w"), col("source").as("sb"), col("z").as("zb"))
+    za.join(zb, Seq("w")).where(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        floor(abs(col("za") - col("zb")) * 1e9).cast("long").as("t"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_words"), sum(col("t")).as("delta_nano"))
+      .select(col("sa"), col("sb"), col("n_words"),
+        (col("delta_nano").cast("double") / lit(1e9) /
+          col("n_words").cast("double")).as("delta"))
+      .orderBy("sa", "sb")
+  }
+
+  private val burrowsDeltaOracle: String = s"""WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), tk AS (SELECT source, w FROM tok WHERE w <> ''),
+cnt AS (SELECT source, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+top AS (
+  SELECT w FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS tc FROM cnt GROUP BY 1)
+  ORDER BY tc DESC, w LIMIT $DeltaWords
+), grid AS (
+  SELECT ns.source, top.w,
+    CAST(COALESCE(cnt.c, 0) * 1000000 // ns.n AS BIGINT) AS f
+  FROM ns CROSS JOIN top
+  LEFT JOIN cnt ON cnt.source = ns.source AND cnt.w = top.w
+), stats AS (
+  SELECT w, COUNT(*) AS ns, CAST(SUM(f) AS BIGINT) AS sf,
+    CAST(SUM(f * f) AS BIGINT) AS sff
+  FROM grid GROUP BY 1
+), z AS (
+  SELECT g.source, g.w,
+    CAST(s.ns * g.f - s.sf AS DOUBLE)
+      / sqrt(CAST(s.ns * s.sff - s.sf * s.sf AS DOUBLE)
+        / CAST(s.ns AS DOUBLE)) AS z
+  FROM grid g JOIN stats s ON g.w = s.w
+  WHERE s.ns * s.sff - s.sf * s.sf > 0
+), terms AS (
+  SELECT a.source AS sa, b.source AS sb,
+    CAST(FLOOR(ABS(a.z - b.z) * ${D("1e9")}) AS BIGINT) AS t
+  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+)
+SELECT sa, sb, COUNT(*) AS n_words,
+  CAST(SUM(t) AS DOUBLE) / ${D("1e9")} / CAST(COUNT(*) AS DOUBLE) AS delta
+FROM terms GROUP BY 1, 2 ORDER BY sa, sb"""
+
   // --- mean segmental type-token ratio (lexical diversity) ------------
   /** MSTTR-50 per source: documents are cut into consecutive 50-token
     * segments (by original token position; incomplete tail segments
@@ -2238,6 +2429,8 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_js_divergence", jsDivergence, Some(jsDivergenceOracle)),
     QueryDef("t_msttr", msttr, Some(msttrOracle)),
     QueryDef("t_readability", readability, Some(readabilityOracle)),
+    QueryDef("t_textrank", textrank, Some(textrankOracle)),
+    QueryDef("t_burrows_delta", burrowsDelta, Some(burrowsDeltaOracle)),
     QueryDef("t_heaps_law", heapsLaw, Some(heapsLawOracle)),
     QueryDef("t_vocab_jaccard", vocabJaccard, Some(vocabJaccardOracle)),
     QueryDef("t_neyman_alloc", neymanAlloc, Some(neymanAllocOracle)),

@@ -883,6 +883,68 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t_textrank: top keyword ranks match a driver-side pagerank") {
+    val got = run("t_textrank").select("word", "rank_micro")
+      .as[(String, Long)].collect()
+    assert(got.length == 20)
+    // driver recomputation: build the co-occurrence graph and run the
+    // same integer trajectory with plain Scala maps
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("text").as[String].collect()
+    val co = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (text <- docs) {
+      val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      for (i <- ws.indices; off <- 1 to 2 if i + off < ws.length
+           if ws(i) != ws(i + off)) {
+        val (lo, hi) =
+          if (ws(i) < ws(i + off)) (ws(i), ws(i + off))
+          else (ws(i + off), ws(i))
+        val k = (lo, hi)
+        co(k) = co.getOrElse(k, 0L) + 1
+      }
+    }
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (((x, y), w) <- co) {
+      edges((x, y)) = edges.getOrElse((x, y), 0L) + w
+      edges((y, x)) = edges.getOrElse((y, x), 0L) + w
+    }
+    val nodes = docs.flatMap(_.trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty).distinct
+    val wOut = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.Map.empty[String, Long]
+      for (((s0, d), w) <- edges) {
+        inflow(d) = inflow.getOrElse(d, 0L) + rank(s0) * w / wOut(s0)
+      }
+      rank = nodes.map(n =>
+        n -> (150000L + 85L * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val expect = rank.toSeq.sortBy { case (w, r) => (-r, w) }.take(20)
+    assert(got.toSeq == expect)
+  }
+
+  test("t_burrows_delta: self-distance is zero-ish, symmetry and triangle hold") {
+    val rows = run("t_burrows_delta").select("sa", "sb", "n_words", "delta")
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val d = rows.map { case (a, b, _, v) => (a, b) -> v }.toMap
+    val sources = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    assert(rows.length == sources.length * (sources.length - 1) / 2)
+    for ((_, _, n, v) <- rows) {
+      assert(n >= 1 && n <= 30 && v >= 0.0 && !v.isNaN)
+    }
+    // z-scores across sources sum to ~0 per word, so the delta between
+    // two maximally-different sources is bounded by the z range: check
+    // the triangle inequality on the metric (city-block mean of fixed
+    // word set is a true metric up to the nano floor)
+    for (a <- sources; b <- sources if a < b; c <- sources
+         if b < c) {
+      val eps = 2e-9 // two nano-floor truncations
+      assert(d((a, c)) <= d((a, b)) + d((b, c)) + eps, s"($a,$b,$c)")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
