@@ -2114,6 +2114,172 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- split-conformal prediction interval ----------------------------
+  /** Split-conformal interval for order value predicted from the
+    * customer's market segment (Vovk's inductive conformal recipe, the
+    * distribution-free coverage guarantee ML-ops now ships around any
+    * point model): hash-split orders into train/calibration/test
+    * (8/4/4 of 16 md5 nibbles — the same deterministic splitter as
+    * t_train_val_split), fit the model on train (per-segment mean in
+    * integer cents, `sum div n`), take q̂ = the ⌈(n_cal+1)(1−α)⌉-th
+    * smallest absolute calibration residual (exact integer order
+    * statistic — ceil in integer math), and report the guaranteed
+    * ≥ 1−α empirical coverage on test. α = 0.1. Residual selection is
+    * a cumulative count over the residual-value table (the
+    * q_weighted_median shape), never a global row sort.
+    */
+  private def conformal(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), cents(col("o_totalprice")).as("c"),
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
+          .cast("int").as("nib"))
+    val train = o.where(col("nib") < 8)
+    val cal = o.where(col("nib") >= 8 && col("nib") < 12)
+    val test = o.where(col("nib") >= 12)
+    val model = train.groupBy(col("seg"))
+      .agg(expr("sum(c) div count(1)").as("pred"))
+    val calRes = cal.join(broadcast(model), Seq("seg"))
+      .select(abs(col("c") - col("pred")).as("r"))
+    val perR = calRes.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+    val wv = Window.orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perR.withColumn("cum", sum(col("cnt")).over(wv))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // k = ceil((n_cal + 1) * 0.9) in integer math
+    val qhat = cum.crossJoin(broadcast(nCal))
+      .where(col("cum") >= expr("((n_cal + 1) * 9 + 9) div 10"))
+      .agg(min(col("r")).as("q_hat"))
+    val cov = test.join(broadcast(model), Seq("seg"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("c") - col("pred")) <= col("q_hat"), 1L)
+          .otherwise(0L)).as("n_covered"),
+        max(col("q_hat")).as("q_hat_cents"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    cov.crossJoin(broadcast(nTrain)).crossJoin(broadcast(nCal))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        col("q_hat_cents"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+
+  private val conformalOracle: String = s"""WITH o AS (
+  SELECT c_mktsegment AS seg,
+    CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS c,
+    (strpos('0123456789abcdef',
+      substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) AS nib
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), train AS (SELECT * FROM o WHERE nib < 8),
+cal AS (SELECT * FROM o WHERE nib >= 8 AND nib < 12),
+test AS (SELECT * FROM o WHERE nib >= 12),
+model AS (
+  SELECT seg, CAST(SUM(c) // COUNT(*) AS BIGINT) AS pred
+  FROM train GROUP BY 1
+), calres AS (
+  SELECT ABS(cal.c - model.pred) AS r FROM cal JOIN model USING (seg)
+), perr AS (SELECT r, COUNT(*) AS cnt FROM calres GROUP BY 1),
+cum AS (
+  SELECT r, CAST(SUM(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+    AS BIGINT) AS cum
+  FROM perr
+), ncal AS (SELECT COUNT(*) AS n_cal FROM cal),
+qhat AS (
+  SELECT CAST(MIN(r) AS BIGINT) AS q_hat FROM cum, ncal
+  WHERE cum >= ((n_cal + 1) * 9 + 9) // 10
+), cov AS (
+  SELECT COUNT(*) AS n_test,
+    CAST(SUM(CASE WHEN ABS(test.c - model.pred) <= qhat.q_hat
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+    CAST(MAX(qhat.q_hat) AS BIGINT) AS q_hat_cents
+  FROM test JOIN model USING (seg) CROSS JOIN qhat
+)
+SELECT (SELECT COUNT(*) FROM train) AS n_train,
+  (SELECT n_cal FROM ncal) AS n_cal,
+  n_test, q_hat_cents,
+  CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
+FROM cov"""
+
+  // --- Wilcoxon signed-rank (paired) ----------------------------------
+  /** Wilcoxon signed-rank on the 25 per-nation PAIRED revenue
+    * differences between the pre-1998 and 1998+ halves of the order
+    * history — the paired companion to q_mann_whitney (same customers'
+    * nations, before vs after; signs and ranks of |d|, so one outlier
+    * nation can't buy significance). Midranks in DOUBLED units from
+    * the |d| count table (the q_kruskal_wallis tie trick, exact
+    * integers even under ties); W⁺/W⁻ are exact; the normal
+    * approximation z = (W⁺−n(n+1)/4)/√(n(n+1)(2n+1)/24) is one double
+    * tree. Zero differences are dropped (the standard treatment).
+    */
+  private def wilcoxonSigned(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nk")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("nk"), cents(col("o_totalprice")).as("c"),
+        (col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .as("post"))
+    val d = o.groupBy(col("nk")).agg(
+        (sum(when(col("post"), col("c")).otherwise(0L)) -
+          sum(when(!col("post"), col("c")).otherwise(0L))).as("d"))
+      .where(col("d") =!= 0)
+      .select(col("nk"), col("d"), abs(col("d")).as("ad"))
+    val perV = d.groupBy(col("ad")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+    val wv = Window.orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cumb") + col("cnt") + 1L)
+    val agg = ranked.agg(
+      sum(col("cnt")).as("n"),
+      sum(col("pos") * col("rank2")).as("wp2"),
+      sum((col("cnt") - col("pos")) * col("rank2")).as("wm2"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg.select(col("n"), col("wp2"), col("wm2"),
+      ((dd(col("wp2")) / lit(2.0) -
+        dd(col("n")) * (dd(col("n")) + 1.0) / lit(4.0)) /
+        sqrt(dd(col("n")) * (dd(col("n")) + 1.0) *
+          (lit(2.0) * dd(col("n")) + 1.0) / lit(24.0))).as("z"))
+  }
+
+  private val wilcoxonSignedOracle: String = s"""WITH o AS (
+  SELECT c_nationkey AS nk,
+    CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS c,
+    o_orderdate >= TIMESTAMP '1998-01-01' AS post
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), d AS (
+  SELECT nk,
+    CAST(SUM(CASE WHEN post THEN c ELSE 0 END)
+      - SUM(CASE WHEN NOT post THEN c ELSE 0 END) AS BIGINT) AS d
+  FROM o GROUP BY 1
+), dd AS (SELECT nk, d, ABS(d) AS ad FROM d WHERE d <> 0),
+perv AS (
+  SELECT ad, COUNT(*) AS cnt,
+    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM dd GROUP BY 1
+), ranked AS (
+  SELECT ad, cnt, pos,
+    2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY ad
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      + cnt + 1 AS rank2
+  FROM perv
+), agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+    CAST(SUM(pos * rank2) AS BIGINT) AS wp2,
+    CAST(SUM((cnt - pos) * rank2) AS BIGINT) AS wm2
+  FROM ranked
+)
+SELECT n, wp2, wm2,
+  (CAST(wp2 AS DOUBLE) / ${D("2.0")}
+    - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + ${D("1.0")}) / ${D("4.0")})
+  / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + ${D("1.0")})
+    * (${D("2.0")} * CAST(n AS DOUBLE) + ${D("1.0")}) / ${D("24.0")}) AS z
+FROM agg"""
+
   // --- two-proportion z-test ------------------------------------------
   /** Two-proportion z-test on conversion: do odd- and even-id users
     * purchase at different rates? The pooled-variance z
@@ -2313,6 +2479,8 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_anova_f", anovaF, Some(anovaFOracle)),
     QueryDef("q_kmv_intersect", kmvIntersect, Some(kmvIntersectOracle)),
     QueryDef("q_levene_bf", levene, Some(leveneOracle)),
+    QueryDef("q_conformal", conformal, Some(conformalOracle)),
+    QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),
     QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),
     QueryDef("q_ks_test", ksTest, Some(ksTestOracle)),
     QueryDef("q_weighted_median", weightedMedian, Some(weightedMedianOracle)),

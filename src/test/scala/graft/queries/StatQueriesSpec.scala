@@ -945,6 +945,70 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_conformal: split, model, and quantile equal a driver-side fold") {
+    val row = run("q_conformal")
+      .select("n_train", "n_cal", "n_test", "q_hat_cents", "coverage")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .join(spark.read.parquet(s"$Sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"),
+        col("o_orderkey").cast("string"))
+      .as[(String, Double, String)].collect()
+      .map { case (seg, p, k) =>
+        val nib = Integer.parseInt(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(k.getBytes("UTF-8")).take(1).map("%02x".format(_))
+            .mkString.take(1), 16)
+        (seg, math.floor(p * 100 + 0.5).toLong, nib)
+      }
+    val train = o.filter(_._3 < 8)
+    val cal = o.filter(r => r._3 >= 8 && r._3 < 12)
+    val test = o.filter(_._3 >= 12)
+    assert((row._1, row._2, row._3) ==
+      ((train.length.toLong, cal.length.toLong, test.length.toLong)))
+    val model = train.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._2).sum / rs.length).toMap
+    val res = cal.map(r => math.abs(r._2 - model(r._1))).sorted
+    val k = ((cal.length + 1) * 9 + 9) / 10
+    val qhat = res(k - 1)
+    assert(row._4 == qhat)
+    val covered = test.count(r => math.abs(r._2 - model(r._1)) <= qhat)
+    assert(row._5 == covered.toDouble / test.length)
+    assert(row._5 >= 0.85) // the 1-alpha guarantee, with finite slack
+  }
+
+  test("q_wilcoxon_signed: rank sums reconcile and identities hold") {
+    val row = run("q_wilcoxon_signed").select("n", "wp2", "wm2", "z")
+      .as[(Long, Long, Long, Double)].head()
+    val (n, wp2, wm2, z) = row
+    // doubled rank sums over all signed pairs total n(n+1)
+    assert(wp2 + wm2 == n * (n + 1))
+    // z reproduces from the sums
+    val zx = (wp2 / 2.0 - n * (n + 1.0) / 4.0) /
+      math.sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0)
+    assert(z == zx)
+    // driver recount of the paired differences
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .join(spark.read.parquet(s"$Sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+        (col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
+      .as[(Long, Long, Boolean)].collect()
+    val d = o.groupBy(_._1).view.mapValues { rs =>
+      rs.filter(_._3).map(_._2).sum - rs.filterNot(_._3).map(_._2).sum
+    }.toMap.filter(_._2 != 0L)
+    assert(n == d.size.toLong)
+    val pos = d.values.count(_ > 0)
+    // with no |d| ties (cents), wp2/2 is the plain rank sum of positives
+    val ranks = d.values.map(math.abs).toSeq.sorted.zipWithIndex
+      .map { case (v, i) => v -> (i + 1) }.toMap
+    val wplus = d.values.filter(_ > 0).map(v => ranks(math.abs(v))).sum
+    if (ranks.size == d.size) // no ties
+      assert(wp2 == 2L * wplus, s"pos=$pos")
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
