@@ -2088,6 +2088,71 @@ $outs
 ORDER BY lag"""
   }
 
+  // --- Kalman filter (local level) -------------------------------------
+  /** Per-user 1-D Kalman filter (local-level model, q = 1, r = 4) over
+    * the event-value sequence — the adaptive smoother that ev_ewma's
+    * fixed α can't be: the gain K = P'/(P'+r) starts high (trust the
+    * data while uncertain) and settles to the steady-state ratio, so
+    * level estimates converge faster after gaps and jumps. The fold is
+    * the textbook predict/update pair P' = P+q; K = P'/(P'+r);
+    * x += K(z−x); P = (1−K)P' — plain IEEE ops replayed in the SAME
+    * order by the recursive-CTE oracle, so the trajectory is
+    * bit-identical. Same distribution shape as ev_holt: repartition by
+    * user, secondary sort, one mapPartitions fold, 2 doubles of state.
+    */
+  private def kalman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Double, Double)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Double, Double) = {
+            val (u, _, _, v0) = buf.next()
+            var x = v0
+            var p = 1.0
+            var n = 1L
+            while (buf.hasNext && buf.head._1 == u) {
+              val z = buf.next()._4
+              val pp = p + 1.0
+              val k = pp / (pp + 4.0)
+              x = x + k * (z - x)
+              p = (1.0 - k) * pp
+              n += 1
+            }
+            (u, n, x, p)
+          }
+        }
+      }
+      .toDF("user_id", "n_events", "level", "p_var")
+      .orderBy("user_id")
+  }
+
+  private val kalmanOracle = """WITH RECURSIVE e AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS z,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), h(user_id, rn, x, p) AS (
+  SELECT user_id, CAST(1 AS BIGINT), z, CAST(1 AS DOUBLE)
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, h.rn + 1,
+    h.x + ((h.p + CAST(1 AS DOUBLE)) / ((h.p + CAST(1 AS DOUBLE))
+      + CAST(4 AS DOUBLE))) * (e.z - h.x),
+    (CAST(1 AS DOUBLE) - (h.p + CAST(1 AS DOUBLE))
+      / ((h.p + CAST(1 AS DOUBLE)) + CAST(4 AS DOUBLE)))
+      * (h.p + CAST(1 AS DOUBLE))
+  FROM h JOIN e ON e.user_id = h.user_id AND e.rn = h.rn + 1
+)
+SELECT user_id, rn AS n_events, x AS level, p AS p_var FROM h
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+ORDER BY user_id"""
+
   // --- Croston's method (intermittent demand) --------------------------
   /** Croston's method per user over daily PURCHASE demand — the
     * forecaster for series that are mostly zeros, where SES smears and
@@ -2519,6 +2584,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_acf", acf, Some(acfOracle)),
     QueryDef("ev_pacf", pacf, Some(pacfOracle)),
     QueryDef("ev_croston", croston, Some(crostonOracle)),
+    QueryDef("ev_kalman", kalman, Some(kalmanOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),

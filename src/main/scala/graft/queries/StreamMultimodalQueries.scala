@@ -407,6 +407,57 @@ ORDER BY purchase_id, view_id NULLS FIRST"""
         .orderBy(col("event_type"), col("rk"))
     }
 
+  /** [[EventStreams.streamingKmv]] end-to-end: the bounded-state
+    * streaming distinct sketch. The sketch is a SET of the K smallest
+    * hashes — permutation-invariant across micro-batches — so the
+    * final state must equal the batch K-smallest-distinct computation
+    * exactly; n_seen is strictly increasing per key, so each key's
+    * max-n row is the final sketch. The estimator readout ((K−1)/θ,
+    * exact below K) is the same double tree as `q_kmv_intersect`.
+    */
+  private def streamKmv(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.streamingKmv(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"), 256)
+      EventStreams.runToMemory(s, out, "graft_stream_kmv",
+          OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("n_seen"), col("ks"))).as("m"))
+        .select(col("event_type"), col("m.n_seen").as("n_seen"),
+          size(col("m.ks")).cast("long").as("ku"),
+          element_at(col("m.ks"), -1).as("kth"))
+        .select(col("event_type"), col("n_seen"), col("ku"), col("kth"),
+          when(col("ku") < 256, col("ku").cast("double"))
+            .otherwise(lit(255L * 4294967296L).cast("double")
+              / col("kth").cast("double")).as("est_distinct"))
+        .orderBy("event_type")
+    }
+
+  private val streamKmvOracle = s"""WITH ev AS (
+  SELECT event_type,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      AS h
+  FROM events
+), n AS (
+  SELECT event_type, COUNT(*) AS n_seen FROM ev GROUP BY 1
+), dh AS (SELECT DISTINCT event_type, h FROM ev),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM dh
+  ) WHERE rk <= 256
+), agg AS (
+  SELECT event_type, COUNT(*) AS ku, CAST(MAX(h) AS BIGINT) AS kth
+  FROM sk GROUP BY 1
+)
+SELECT agg.event_type, n.n_seen, agg.ku, agg.kth,
+  CASE WHEN agg.ku < 256 THEN CAST(agg.ku AS DOUBLE)
+       ELSE CAST(${255L * 4294967296L} AS DOUBLE) / CAST(agg.kth AS DOUBLE)
+  END AS est_distinct
+FROM agg JOIN n ON agg.event_type = n.event_type
+ORDER BY agg.event_type"""
+
   private val streamTopKOracle = s"""SELECT event_type, rk, cents, event_id
 FROM (
   SELECT event_type, event_id,
@@ -722,6 +773,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_clamped", streamClamped, Some(streamClampedOracle)),
     QueryDef("stream_sprt", streamSprt, Some(Olap2Queries.sprtOracle)),
     QueryDef("stream_topk", streamTopK, Some(streamTopKOracle)),
+    QueryDef("stream_kmv", streamKmv, Some(streamKmvOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
     QueryDef("stream_session_window", streamSessionWindow, Some(streamSessionWindowOracle)),

@@ -597,6 +597,77 @@ object EventStreams {
       .toDF()
   }
 
+  final case class KmvState(n_seen: Long, ks: Seq[Long])
+  final case class KmvOut(event_type: String, n_seen: Long, ks: Seq[Long])
+
+  /** Streaming K-Minimum-Values distinct sketch per event type — the
+    * continuous twin of the batch `KMinValuesAgg` build (`q_kmv_*`):
+    * one `ValueState` carries the K smallest distinct 32-bit md5
+    * slices of user ids, inserts are O(log K) against a TreeSet, and
+    * state is bounded at K longs per key FOREVER — the streaming
+    * cardinality shape (an exact streaming distinct would grow state
+    * without bound). Set semantics make the sketch PERMUTATION-
+    * INVARIANT across micro-batches: no cross-batch ordering
+    * assumption, a full replay equals the batch sketch exactly.
+    */
+  class KmvProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, KmvOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[KmvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[KmvState]("kmv",
+        Encoders.product[KmvState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[KmvOut] = {
+      val prev = if (st.exists()) st.get() else KmvState(0L, Nil)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      prev.ks.foreach(set.add(_))
+      var n = prev.n_seen
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.foreach { e =>
+        n += 1
+        md.reset()
+        val hex = md.digest(e.user_id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        if (set.size < k) { set.add(h); () }
+        else if (h < set.last()) {
+          if (set.add(h)) { set.pollLast(); () }
+        }
+      }
+      if (n == prev.n_seen) Iterator.empty
+      else {
+        val ks = {
+          val out = Seq.newBuilder[Long]
+          val it = set.iterator()
+          while (it.hasNext) out += it.next()
+          out.result()
+        }
+        st.update(KmvState(n, ks))
+        Iterator(KmvOut(key, n, ks))
+      }
+    }
+  }
+
+  /** [[KmvProcessor]] wired to a stream (RocksDB required). */
+  def streamingKmv(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value")) // sketch ignores value
+      .as[Event]
+      .groupByKey(_.event_type)
+      .transformWithState(new KmvProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   final case class EwmaOut(user_id: Long, ewma: Double, n_events: Long)
 
   /** Streaming per-user EWMA (α = 1/2) — the incremental twin of the

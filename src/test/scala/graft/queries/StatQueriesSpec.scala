@@ -1009,6 +1009,32 @@ class StatQueriesSpec extends SparkSpec {
       assert(wp2 == 2L * wplus, s"pos=$pos")
   }
 
+  test("ev_kalman: fold equals a driver recomputation; gain settles to steady state") {
+    val got = run("ev_kalman")
+      .select("user_id", "n_events", "level", "p_var")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val ev = Tables.events(spark, Sf)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2.toInstant.getEpochSecond, r._2.getNanos, r._3))
+    val byUser = ev.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    // steady-state posterior variance for q=1, r=4:
+    // P* solves P = (P+q)r/(P+q+r) => P* = (-1+sqrt(17))/2
+    val pStar = (-1.0 + math.sqrt(17.0)) / 2.0
+    for ((u, rs) <- byUser) {
+      var x = rs.head._4; var p = 1.0; var n = 1L
+      for ((_, _, _, z) <- rs.tail) {
+        val pp = p + 1.0; val k = pp / (pp + 4.0)
+        x = x + k * (z - x); p = (1.0 - k) * pp; n += 1
+      }
+      val (_, gn, gx, gp) = got(u)
+      assert(gn == n && gx == x && gp == p, s"user $u")
+      if (n >= 10) assert(math.abs(gp - pStar) < 1e-6, s"user $u steady state")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()

@@ -870,6 +870,42 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("kmv state: restart merges the sketch; split equals one-shot equals batch") {
+    val ckpt = Files.createTempDirectory("graft_kmv_ck").toString
+    val outDir = Files.createTempDirectory("graft_kmv_out").toString
+    val dir = Files.createTempDirectory("graft_kmv_in").toString
+    def ev(id: Long, user: Long): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf("2024-01-01 10:00:00"),
+        user, "view", 0.0)
+    def h(user: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(user.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    }
+    // users 1..10 split across a restart, with repeats (set semantics)
+    writeBatch(dir, "b1", (1L to 6L).map(u => ev(u, u)) :+ ev(100L, 3L))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def start(k: Int) = EventStreams.withRocksDbState(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      EventStreams.streamingKmv(stream, k).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start(4); q1.processAllAvailable(); q1.stop()
+    writeBatch(dir, "b2", (7L to 10L).map(u => ev(u + 200L, u)))
+    val q2 = start(4); q2.processAllAvailable(); q2.stop()
+    val fin = spark.read.parquet(outDir)
+      .orderBy(col("n_seen").desc).limit(1)
+      .select("n_seen", "ks").as[(Long, Seq[Long])].head()
+    val expect = (1L to 10L).map(h).distinct.sorted.take(4)
+    assert(fin._1 == 11L, s"n_seen counts rows, repeats included: $fin")
+    assert(fin._2 == expect,
+      s"sketch must merge across the restart into the batch k-min: $fin")
+  }
+
   test("observability: observe() metrics and state-operator progress surface") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
