@@ -1430,6 +1430,98 @@ SELECT source, COUNT(*) AS n_docs,
     AS mean_reading_ease
 FROM scored GROUP BY 1 ORDER BY source"""
 
+  // --- content-defined chunking (AE / asymmetric extremum) ------------
+  /** Content-defined chunking by the ASYMMETRIC-EXTREMUM rule (Zhang et
+    * al., AE chunking — the FastCDC ancestor built for exactly this
+    * one-pass-free setting): a cut lands at position i when that
+    * character's 32-bit hash strictly exceeds every hash in the
+    * preceding w=31 positions. Unlike Rabin/gear rolling hashes, the
+    * extremum test needs NO sequential carry — it is a bounded window
+    * MAX, so chunking distributes as one windowed aggregate over
+    * (doc, pos) keys and boundaries stay shift-resistant (insert a
+    * byte and only the chunks around the edit move, the property that
+    * makes CDC dedup robust where fixed-size blocks break). Per-source
+    * readout: chunk count, distinct chunks, dup ratio, mean length —
+    * the dedup-planning numbers a binary/layout store needs. Heavy
+    * strings are dropped before the window (only (doc, pos, hash)
+    * shuffles); text is re-joined at the ~boundaries-per-doc rows only.
+    */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val chars = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")))).as("i"),
+        expr("substring(text, i, 1)").as("ch"))
+      .select(col("doc_id"), col("i"),
+        conv(substring(md5(col("ch")), 1, 8), 16, 10).cast("long").as("g"))
+    val wv = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-31, -1)
+    val bounds = chars
+      .withColumn("pmax", max(col("g")).over(wv))
+      .where(col("i") >= 32 && col("g") > coalesce(col("pmax"), lit(-1L)))
+      .select(col("doc_id"), col("i"))
+    val ends = bounds
+      .union(docs.select(col("doc_id"), length(col("text")).cast("int")
+        .as("i")))
+      .distinct()
+    val wl = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val chunks = ends
+      .withColumn("start", coalesce(lag(col("i"), 1).over(wl), lit(0)) + 1)
+      .where(col("i") >= col("start")) // doc-length row may equal a bound
+      .join(docs, Seq("doc_id"))
+      .select(col("source"),
+        (col("i") - col("start") + 1).cast("long").as("len"),
+        md5(expr("substring(text, start, i - start + 1)")).as("h"))
+    chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("len")).as("total_len"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double")
+          / col("n_chunks").cast("double")).as("dup_ratio"),
+        (col("total_len").cast("double") / col("n_chunks").cast("double"))
+          .as("mean_len"))
+      .orderBy("source")
+  }
+
+  private val cdcChunksOracle: String = """WITH docs AS (
+  SELECT doc_id, source, text FROM documents
+), chars AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+    CAST(('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 1)), 1, 8))
+      AS BIGINT) AS g
+  FROM docs, unnest(generate_series(1, len(text))) AS t(i)
+), b0 AS (
+  SELECT doc_id, i,
+    MAX(g) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN 31 PRECEDING AND 1 PRECEDING) AS pmax,
+    g
+  FROM chars
+), bounds AS (
+  SELECT doc_id, i FROM b0 WHERE i >= 32 AND g > COALESCE(pmax, -1)
+), ends AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT doc_id, i FROM bounds
+    UNION ALL SELECT doc_id, CAST(len(text) AS INTEGER) FROM docs
+  )
+), spans AS (
+  SELECT doc_id, i,
+    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS start
+  FROM ends
+), chunks AS (
+  SELECT d.source, CAST(s.i - s.start + 1 AS BIGINT) AS len,
+    md5(substring(d.text, s.start, s.i - s.start + 1)) AS h
+  FROM spans s JOIN docs d ON s.doc_id = d.doc_id
+  WHERE s.i >= s.start
+)
+SELECT source, COUNT(*) AS n_chunks,
+  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+  CAST(1 AS DOUBLE) - CAST(COUNT(DISTINCT h) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_ratio,
+  CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_len
+FROM chunks GROUP BY 1 ORDER BY source"""
+
   // --- TextRank keyword extraction ------------------------------------
   /** TextRank (Mihalcea & Tarau '04) over the corpus word
     * co-occurrence graph: words within ±2 positions in a document are
@@ -2430,6 +2522,7 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_msttr", msttr, Some(msttrOracle)),
     QueryDef("t_readability", readability, Some(readabilityOracle)),
     QueryDef("t_textrank", textrank, Some(textrankOracle)),
+    QueryDef("d_cdc_chunks", cdcChunks, Some(cdcChunksOracle)),
     QueryDef("t_burrows_delta", burrowsDelta, Some(burrowsDeltaOracle)),
     QueryDef("t_heaps_law", heapsLaw, Some(heapsLawOracle)),
     QueryDef("t_vocab_jaccard", vocabJaccard, Some(vocabJaccardOracle)),

@@ -1035,6 +1035,47 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d_cdc_chunks: driver AE chunker reproduces the stats; cuts are shift-resistant") {
+    val got = run("d_cdc_chunks")
+      .select("source", "n_chunks", "n_distinct", "mean_len")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def g(ch: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(ch.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def chunksOf(text: String): Seq[String] = {
+      val gs = text.map(c => g(c.toString))
+      val bounds = (32 to text.length).filter { i =>
+        val lo = math.max(1, i - 31)
+        gs(i - 1) > (lo until i).map(j => gs(j - 1)).max
+      }
+      val ends = (bounds :+ text.length).distinct.sorted
+      ends.zip(0 +: ends.init).collect {
+        case (e, s) if e > s => text.substring(s, e)
+      }
+    }
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    val bySource = docs.groupBy(_._1)
+    assert(got.keySet == bySource.keySet)
+    for ((src, ds) <- bySource) {
+      val all = ds.flatMap(d => chunksOf(d._2))
+      val (n, nd, ml) = (all.length.toLong, all.distinct.length.toLong,
+        all.map(_.length.toLong).sum.toDouble / all.length)
+      assert(got(src)._2 == n && got(src)._3 == nd, s"source $src")
+      assert(math.abs(got(src)._4 - ml) < 1e-9, s"source $src mean")
+    }
+    // shift-resistance: inserting one char at the front of a long doc
+    // leaves the chunk SET after the first window mostly intact, where
+    // fixed-width blocks would shift every boundary
+    val text = docs.maxBy(_._2.length)._2
+    val a = chunksOf(text).toSet
+    val b = chunksOf("Q" + text).toSet
+    assert((a intersect b).size.toDouble / a.size > 0.5,
+      s"CDC must keep most chunks across a 1-char shift: ${(a intersect b).size}/${a.size}")
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
