@@ -1449,6 +1449,9 @@ FROM scored GROUP BY 1 ORDER BY source"""
   private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
+    // gear hash inline per position: a broadcast alphabet lookup was
+    // measured SLOWER (the distinct-alphabet build re-pays the explode,
+    // 8.6 s vs 4.2 s) — md5-per-char stays inside whole-stage codegen
     val chars = docs
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")))).as("i"),
