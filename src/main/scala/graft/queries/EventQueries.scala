@@ -2088,6 +2088,88 @@ $outs
 ORDER BY lag"""
   }
 
+  // --- Page–Hinkley drift detector --------------------------------------
+  /** Page–Hinkley test over the zero-filled hourly count series — the
+    * classic sequential mean-shift detector (Page '54, Hinkley '71;
+    * what stream-ML monitors run where ev_cusum assumes a KNOWN
+    * baseline: PH tracks deviations from the RUNNING mean, so it needs
+    * no calibration window). m_t = Σ(xᵢ − x̄ᵢ − δ) with δ = 0.5,
+    * PH_t = m_t − min m_t, alarm when PH crosses an adaptive λ = 20·x̄_N.
+    * Per-step terms are nano-floored (the running mean is a rational of
+    * two exact longs), cumulative sum and running min are exact integer
+    * window folds, and the alarm test cross-multiplies to integers
+    * (PH·N > 20·S_N·1e9) so no float compare can flip a row. One
+    * ordered pass over a ~thousands-row series.
+    */
+  private def pageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+    val spine = c.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val sx = spine.join(c, Seq("h"), "left")
+      .select(col("h"), coalesce(col("x"), lit(0L)).as("x"))
+    val wo = Window.orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c0: org.apache.spark.sql.Column) = c0.cast("double")
+    val terms = sx
+      .withColumn("t", row_number().over(Window.orderBy("h")).cast("long"))
+      .withColumn("s", sum(col("x")).over(wo))
+      .withColumn("term_nano",
+        floor((d(col("x")) - d(col("s")) / d(col("t")) - lit(0.5)) * 1e9)
+          .cast("long"))
+    val ph = terms
+      .withColumn("m", sum(col("term_nano")).over(wo))
+      .withColumn("mmin", min(col("m")).over(wo))
+      .withColumn("ph", col("m") - col("mmin"))
+    val tot = ph.agg(max(col("t")).as("n_hours"), max(col("s")).as("s_n"))
+    ph.crossJoin(broadcast(tot))
+      .agg(max(col("n_hours")).as("n_hours"),
+        sum(when(col("ph") * col("n_hours") >
+          lit(20L) * col("s_n") * lit(1000000000L), 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when(col("ph") * col("n_hours") >
+          lit(20L) * col("s_n") * lit(1000000000L), col("h")))
+          .as("first_alarm_h"),
+        max(col("ph")).as("max_ph_nano"))
+  }
+
+  private val pageHinkleyOracle: String = s"""WITH c AS (
+  SELECT epoch_ms(ts) // 3600000 AS h, COUNT(*) AS x FROM events GROUP BY 1
+), bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM c),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds),
+sx AS (
+  SELECT spine.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN c ON spine.h = c.h
+), terms AS (
+  SELECT h, x,
+    CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS t,
+    CAST(SUM(x) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM sx
+), tn AS (
+  SELECT h, x, t, s,
+    CAST(FLOOR((CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+      - ${D("0.5")}) * ${D("1e9")}) AS BIGINT) AS term_nano
+  FROM terms
+), m0 AS (
+  SELECT h, t, s,
+    CAST(SUM(term_nano) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS m
+  FROM tn
+), ph AS (
+  SELECT h, t, s,
+    m - CAST(MIN(m) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS ph
+  FROM m0
+), tot AS (SELECT MAX(t) AS n_hours, MAX(s) AS s_n FROM ph)
+SELECT tot.n_hours,
+  CAST(SUM(CASE WHEN ph.ph * tot.n_hours > 20 * tot.s_n * 1000000000
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+  CAST(MIN(CASE WHEN ph.ph * tot.n_hours > 20 * tot.s_n * 1000000000
+    THEN ph.h END) AS BIGINT) AS first_alarm_h,
+  CAST(MAX(ph.ph) AS BIGINT) AS max_ph_nano
+FROM ph CROSS JOIN tot GROUP BY tot.n_hours"""
+
   // --- Kalman filter (local level) -------------------------------------
   /** Per-user 1-D Kalman filter (local-level model, q = 1, r = 4) over
     * the event-value sequence — the adaptive smoother that ev_ewma's
@@ -2585,6 +2667,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_pacf", pacf, Some(pacfOracle)),
     QueryDef("ev_croston", croston, Some(crostonOracle)),
     QueryDef("ev_kalman", kalman, Some(kalmanOracle)),
+    QueryDef("ev_page_hinkley", pageHinkley, Some(pageHinkleyOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),

@@ -2114,6 +2114,99 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- Durbin–Watson residual autocorrelation --------------------------
+  /** Durbin–Watson statistic on q_ols_trend's monthly-revenue
+    * residuals, per return flag — the diagnostic that says whether the
+    * OLS slope's standard errors can be believed (DW ≈ 2 independent
+    * residuals; → 0 positive serial correlation, the usual failure of
+    * trend fits on autocorrelated revenue). Residuals are one
+    * deterministic double tree per month over the EXACT moment longs
+    * (ŷ's common denominator n·den is shared within a flag, but the
+    * integer numerator overflows at cents scale, so the division
+    * happens per-row in doubles — same tree both engines); the two
+    * quadratic forms are floored to integer UNITS before summing
+    * (cents² at 1e18 leaves no nano headroom), and DW is one final
+    * division. Scale-invariant up to that floor.
+    */
+  private def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(cents(col("l_extendedprice"))).as("y"))
+    val fit = monthly.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("n"), col("sx"), col("sy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val resid = monthly.join(fit, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("x"),
+        (d(col("y"))
+          - (d(col("sy")) - d(col("num")) / d(col("den")) * d(col("sx")))
+            / d(col("n"))
+          - d(col("num")) / d(col("den")) * d(col("x"))).as("e"))
+    val wl = Window.partitionBy(col("l_returnflag")).orderBy(col("x"))
+    val terms = resid
+      // quadratic forms in DOLLARS: cents-squared overflows the
+      // integer floor at sf0.1 (e ~ 1e9.5 cents, e² past 2^63)
+      .withColumn("ed", col("e") / lit(100.0))
+      .withColumn("ep", lag(col("ed"), 1).over(wl))
+      .select(col("l_returnflag"),
+        floor(col("ed") * col("ed")).cast("long").as("e2"),
+        when(col("ep").isNotNull,
+          floor((col("ed") - col("ep")) * (col("ed") - col("ep"))))
+          .otherwise(lit(0L)).cast("long").as("de2"))
+    terms.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("de2")).as("dw_num"), sum(col("e2")).as("dw_den"))
+      .select(col("l_returnflag"), col("n_months"),
+        (d(col("dw_num")) / d(col("dw_den"))).as("dw"))
+      .orderBy("l_returnflag")
+  }
+
+  private val durbinWatsonOracle: String = s"""WITH monthly AS (
+  SELECT l_returnflag,
+    CAST((EXTRACT(year FROM l_shipdate) - 1992) * 12
+      + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS x,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + ${D("0.5")}) AS BIGINT))
+      AS BIGINT) AS y
+  FROM lineitem GROUP BY 1, 2
+), fit AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM monthly GROUP BY 1
+), f2 AS (
+  SELECT l_returnflag, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+    n, sx, sy
+  FROM fit
+), resid AS (
+  SELECT m.l_returnflag, m.x,
+    CAST(m.y AS DOUBLE)
+      - (CAST(f.sy AS DOUBLE) - CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE)
+          * CAST(f.sx AS DOUBLE)) / CAST(f.n AS DOUBLE)
+      - CAST(f.num AS DOUBLE) / CAST(f.den AS DOUBLE) * CAST(m.x AS DOUBLE)
+      AS e
+  FROM monthly m JOIN f2 f ON m.l_returnflag = f.l_returnflag
+), rd AS (
+  SELECT l_returnflag, x, e / CAST(100 AS DOUBLE) AS ed FROM resid
+), terms AS (
+  SELECT l_returnflag,
+    CAST(FLOOR(ed * ed) AS BIGINT) AS e2,
+    CAST(COALESCE(FLOOR((ed - LAG(ed) OVER (PARTITION BY l_returnflag
+      ORDER BY x)) * (ed - LAG(ed) OVER (PARTITION BY l_returnflag
+      ORDER BY x))), 0) AS BIGINT) AS de2
+  FROM rd
+)
+SELECT l_returnflag, COUNT(*) AS n_months,
+  CAST(SUM(de2) AS DOUBLE) / CAST(SUM(e2) AS DOUBLE) AS dw
+FROM terms GROUP BY 1 ORDER BY l_returnflag"""
+
   // --- split-conformal prediction interval ----------------------------
   /** Split-conformal interval for order value predicted from the
     * customer's market segment (Vovk's inductive conformal recipe, the
@@ -2480,6 +2573,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_kmv_intersect", kmvIntersect, Some(kmvIntersectOracle)),
     QueryDef("q_levene_bf", levene, Some(leveneOracle)),
     QueryDef("q_conformal", conformal, Some(conformalOracle)),
+    QueryDef("q_durbin_watson", durbinWatson, Some(durbinWatsonOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),
     QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),
     QueryDef("q_ks_test", ksTest, Some(ksTestOracle)),

@@ -1076,6 +1076,64 @@ class StatQueriesSpec extends SparkSpec {
       s"CDC must keep most chunks across a 1-char shift: ${(a intersect b).size}/${a.size}")
   }
 
+  test("ev_page_hinkley: window folds equal a driver-side sequential PH") {
+    val row = run("ev_page_hinkley")
+      .select("n_hours", "n_alarms", "max_ph_nano")
+      .as[(Long, Long, Long)].head()
+    val counts = Tables.events(spark, Sf)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("x"))
+      .as[(Long, Long)].collect().toMap
+    val hours = counts.keys.min to counts.keys.max
+    assert(row._1 == hours.length.toLong)
+    var s = 0L; var m = 0L; var mmin = 0L; var maxPh = 0L; var alarms = 0L
+    var t = 0L
+    val sN = hours.map(h => counts.getOrElse(h, 0L)).sum
+    // pass 1 computes s_n implicitly; the alarm test is retrospective
+    // with the adaptive lambda, exactly as the query defines it
+    for (h <- hours) {
+      t += 1; val x = counts.getOrElse(h, 0L); s += x
+      m += math.floor((x.toDouble - s.toDouble / t - 0.5) * 1e9).toLong
+      mmin = math.min(mmin, m)
+      val ph = m - mmin
+      maxPh = math.max(maxPh, ph)
+      if (ph * hours.length > 20L * sN * 1000000000L) alarms += 1
+    }
+    assert(row._3 == maxPh && row._2 == alarms)
+  }
+
+  test("q_durbin_watson: DW reproduces from residuals and sits in [0,4]") {
+    val rows = run("q_durbin_watson").select("l_returnflag", "n_months", "dw")
+      .as[(String, Long, Double)].collect()
+    assert(rows.length == 3)
+    for ((flag, n, dw) <- rows) {
+      assert(n > 12, s"flag $flag")
+      assert(dw >= 0.0 && dw <= 4.0, s"flag $flag dw=$dw")
+    }
+    // driver recomputation for one flag, dollars-floored as the query
+    val monthly = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .where(col("l_returnflag") === "A")
+      .groupBy(((year(col("l_shipdate")) - 1992) * 12 +
+        month(col("l_shipdate")) - 1).cast("long").as("x"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+        .as("y"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = monthly.length.toLong
+    val sx = monthly.map(_._1).sum; val sy = monthly.map(_._2).sum
+    val sxx = monthly.map(r => r._1 * r._1).sum
+    val sxy = monthly.map(r => r._1 * r._2).sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    val e = monthly.map { case (x, y) =>
+      (y.toDouble - (sy.toDouble - num.toDouble / den.toDouble * sx.toDouble)
+        / n.toDouble - num.toDouble / den.toDouble * x.toDouble) / 100.0
+    }
+    val e2 = e.map(v => math.floor(v * v).toLong).sum
+    val de2 = e.zip(e.tail).map { case (a, b) =>
+      math.floor((b - a) * (b - a)).toLong }.sum
+    val dwA = rows.find(_._1 == "A").get._3
+    assert(dwA == de2.toDouble / e2.toDouble)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
