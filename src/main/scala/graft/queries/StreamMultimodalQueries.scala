@@ -561,6 +561,85 @@ FROM s GROUP BY user_id ORDER BY user_id"""
   private def payloadMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeStub(media(s, dir)).toDF().orderBy("media_id")
 
+  /** STFT-style audio windowing plan for the `audio`-kind payloads:
+    * 25 ms frames on a 10 ms hop (the Whisper/Kaldi front-end
+    * geometry) over a duration derived deterministically from payload
+    * size (8 ms/byte at the stub codec seam — swap for the real
+    * header parse and the plan below is unchanged). Emits the window
+    * COUNT per clip plus the first 3 window spans (what you'd hand a
+    * feature extractor to smoke-test alignment) — pure column math,
+    * one explode bounded at 3 rows per clip, no decode touch.
+    */
+  private def audioWindows(s: SparkSession, dir: String): DataFrame = {
+    val FrameMs = 25L
+    val HopMs = 10L
+    val a = media(s, dir).toDF().where(col("kind") === "audio")
+      .select(col("media_id"),
+        (length(col("payload")).cast("long") * 8L).as("dur_ms"))
+      .withColumn("n_windows",
+        greatest(lit(0L), expr(s"(dur_ms - $FrameMs) div $HopMs + 1")))
+    a.select(col("media_id"), col("dur_ms"), col("n_windows"),
+        explode(sequence(lit(0L),
+          least(col("n_windows") - 1, lit(2L)))).as("win_idx"))
+      .select(col("media_id"), col("dur_ms"), col("n_windows"),
+        col("win_idx"), (col("win_idx") * HopMs).as("start_ms"),
+        (col("win_idx") * HopMs + FrameMs).as("end_ms"))
+      .orderBy("media_id", "win_idx")
+  }
+
+  private val audioWindowsOracle: String = """WITH a AS (
+  SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) * 8 AS BIGINT) AS dur_ms
+  FROM documents WHERE doc_id % 3 = 1
+), w AS (
+  SELECT media_id, dur_ms,
+    GREATEST(CAST(0 AS BIGINT), (dur_ms - 25) // 10 + 1) AS n_windows
+  FROM a
+)
+SELECT media_id, dur_ms, n_windows, CAST(win_idx AS BIGINT) AS win_idx,
+  CAST(win_idx * 10 AS BIGINT) AS start_ms,
+  CAST(win_idx * 10 + 25 AS BIGINT) AS end_ms
+FROM w, unnest(generate_series(0, CAST(LEAST(n_windows - 1, 2) AS BIGINT)))
+  AS t(win_idx)
+ORDER BY media_id, win_idx"""
+
+  /** Binary-payload dedup planning per kind: group by the decode
+    * checksum and report duplicate copies and RECLAIMABLE bytes
+    * (every copy beyond the first) — the content-addressed-store
+    * sizing readout, the binary sibling of `d_dedup_exact` (docs) and
+    * `d_cdc_chunks` (sub-object spans). Raw payloads never shuffle:
+    * only (kind, checksum, bytes) rows aggregate.
+    */
+  private def payloadDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(media(s, dir)).toDF()
+      .groupBy(col("kind"), col("checksum"))
+      .agg(count(lit(1)).as("copies"), max(col("n_bytes")).as("n_bytes"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("copies")).as("n_payloads"),
+        sum((col("copies") - 1) * col("n_bytes")).as("reclaimable_bytes"))
+      .select(col("kind"), col("n_payloads"), col("n_distinct"),
+        col("reclaimable_bytes"),
+        (lit(1.0) - col("n_distinct").cast("double")
+          / col("n_payloads").cast("double")).as("dup_ratio"))
+      .orderBy("kind")
+
+  private val payloadDedupOracle: String = """WITH m AS (
+  SELECT doc_id AS media_id,
+    ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+    md5(text) AS checksum, octet_length(CAST(text AS BLOB)) AS n_bytes
+  FROM documents
+), per AS (
+  SELECT kind, checksum, COUNT(*) AS copies,
+    CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
+  FROM m GROUP BY 1, 2
+)
+SELECT kind, CAST(SUM(copies) AS BIGINT) AS n_payloads,
+  COUNT(*) AS n_distinct,
+  CAST(SUM((copies - 1) * n_bytes) AS BIGINT) AS reclaimable_bytes,
+  CAST(1 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)
+    / CAST(SUM(copies) AS DOUBLE) AS dup_ratio
+FROM per GROUP BY 1 ORDER BY kind"""
+
   private val ShardBytes = 16384L
 
   /** WebDataset-style shard packing plan: per media kind, items in
@@ -782,6 +861,8 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_cdc_upsert", streamCdcUpsert, Some(streamCdcUpsertOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_shard_manifest", shardManifest, Some(shardManifestOracle)),
+    QueryDef("m_audio_windows", audioWindows, Some(audioWindowsOracle)),
+    QueryDef("m_payload_dedup", payloadDedup, Some(payloadDedupOracle)),
     QueryDef("d_cross_shard_dup_rate", crossShardDupRate,
       Some(crossShardDupRateOracle)),
     QueryDef("m_frame_sample", frameSample, Some(frameSampleOracle)),

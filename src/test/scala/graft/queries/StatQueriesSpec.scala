@@ -1134,6 +1134,50 @@ class StatQueriesSpec extends SparkSpec {
     assert(dwA == de2.toDouble / e2.toDouble)
   }
 
+  test("m_audio_windows: frame geometry reproduces from payload sizes") {
+    val rows = run("m_audio_windows")
+      .select("media_id", "dur_ms", "n_windows", "win_idx", "start_ms",
+        "end_ms")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .filter(_._1 % 3 == 1).map { case (id, t) =>
+        id -> t.getBytes("UTF-8").length.toLong * 8 }.toMap
+    val byMedia = rows.groupBy(_._1)
+    assert(byMedia.keySet == docs.keySet)
+    for ((id, rs) <- byMedia) {
+      val dur = docs(id)
+      val nw = math.max(0L, (dur - 25) / 10 + 1)
+      assert(rs.forall(r => r._2 == dur && r._3 == nw), s"media $id")
+      assert(rs.length.toLong == math.min(nw, 3L), s"media $id rows")
+      for (r <- rs) {
+        assert(r._5 == r._4 * 10 && r._6 == r._5 + 25)
+        assert(r._6 <= dur || nw == 0, s"media $id window overruns clip")
+      }
+    }
+  }
+
+  test("m_payload_dedup: reclaimable bytes reconcile with raw duplicates") {
+    val rows = run("m_payload_dedup")
+      .select("kind", "n_payloads", "n_distinct", "reclaimable_bytes",
+        "dup_ratio")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("audio", "image", "video"))
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val kinds = Seq("image", "audio", "video")
+    for ((kind, np, nd, rb, ratio) <- rows) {
+      val ds = docs.filter(d => kinds((d._1 % 3).toInt) == kind)
+      val groups = ds.groupBy(_._2)
+      assert(np == ds.length.toLong && nd == groups.size.toLong)
+      val expectRb = groups.values
+        .map(g => (g.length - 1).toLong * g.head._2.getBytes("UTF-8").length)
+        .sum
+      assert(rb == expectRb, s"kind $kind")
+      assert(ratio == 1.0 - nd.toDouble / np)
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
