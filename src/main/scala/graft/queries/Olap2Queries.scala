@@ -2114,6 +2114,116 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- Cochran's Q (k paired binary treatments) ------------------------
+  /** Cochran's Q across three paired binary "treatments": did each
+    * customer order in 1995, 1997, and 1999 — the k-sample
+    * generalization of McNemar over the SAME subjects (panel retention:
+    * is activity propensity stable across years, judged within
+    * customer so cohort mix can't confound). Q = k(k−1)·Σ(C_j − T/k)²
+    * / (k·T − ΣR_i²) with C_j the per-year totals, R_i the per-customer
+    * row sums, T the grand total. Every statistic is an exact long from
+    * one conditional aggregate pass (R_i² sums via Σ over the bounded
+    * 0..3 row-sum domain), and Q is one fixed double tree over pinned
+    * per-year columns — the q_kruskal_wallis convention.
+    */
+  private val CochranYears = Seq(1995, 1997, 1999)
+
+  private def cochranQ(s: SparkSession, dir: String): DataFrame = {
+    val k = CochranYears.size
+    val flagAggs = CochranYears.zipWithIndex.map { case (y, i) =>
+      max(when(year(col("o_orderdate")) === y, 1L).otherwise(0L)).as(s"x$i")
+    }
+    val perCust = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(flagAggs.head, flagAggs.tail: _*)
+    val rowSum = CochranYears.indices.map(i => col(s"x$i")).reduce(_ + _)
+    val aggs = CochranYears.indices.map { i =>
+      sum(col(s"x$i")).as(s"c$i")
+    } ++ Seq(count(lit(1)).as("n"), sum(rowSum * rowSum).as("r2"))
+    val one = perCust.agg(aggs.head, aggs.tail: _*)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val t = CochranYears.indices.map(i => col(s"c$i")).reduce(_ + _)
+    val dev = CochranYears.indices.map { i =>
+      (d(col(s"c$i")) - d(t) / lit(k.toDouble)) *
+        (d(col(s"c$i")) - d(t) / lit(k.toDouble))
+    }.reduce(_ + _) // fixed order over pinned year columns
+    one.select(col("n"), t.as("t_total"), col("r2"),
+        (lit((k * (k - 1)).toDouble) * dev /
+          (lit(k.toDouble) * d(t) - d(col("r2")))).as("q_stat"))
+  }
+
+  private val cochranQOracle: String = {
+    val k = CochranYears.size
+    val flags = CochranYears.zipWithIndex.map { case (y, i) =>
+      s"CAST(MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = $y THEN 1 ELSE 0 END) AS BIGINT) AS x$i"
+    }.mkString(",\n    ")
+    val cs = CochranYears.indices.map(i =>
+      s"CAST(SUM(x$i) AS BIGINT) AS c$i").mkString(", ")
+    val rowSum = CochranYears.indices.map(i => s"x$i").mkString(" + ")
+    val t = CochranYears.indices.map(i => s"c$i").mkString(" + ")
+    val dev = CochranYears.indices.map { i =>
+      s"(CAST(c$i AS DOUBLE) - CAST($t AS DOUBLE) / ${D(k.toDouble)})\n      * (CAST(c$i AS DOUBLE) - CAST($t AS DOUBLE) / ${D(k.toDouble)})"
+    }.mkString("\n      + ")
+    s"""WITH perc AS (
+  SELECT o_custkey,
+    $flags
+  FROM orders GROUP BY 1
+), agg AS (
+  SELECT $cs, COUNT(*) AS n,
+    CAST(SUM(($rowSum) * ($rowSum)) AS BIGINT) AS r2
+  FROM perc
+)
+SELECT n, CAST($t AS BIGINT) AS t_total, r2,
+  ${D((k * (k - 1)).toDouble)} * ($dev)
+    / (${D(k.toDouble)} * CAST($t AS DOUBLE) - CAST(r2 AS DOUBLE)) AS q_stat
+FROM agg"""
+  }
+
+  // --- McNemar (2 paired binary periods) -------------------------------
+  /** McNemar's test on the same panel, two periods: customers active in
+    * 1996 vs 2000. Only the DISCORDANT pairs carry information —
+    * b = active-then-quiet, c = quiet-then-active — and the
+    * continuity-corrected statistic is (|b−c|−1)²/(b+c). Exact longs
+    * from one aggregate; one double tree.
+    */
+  private def mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(
+        max(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L))
+          .as("p1"),
+        max(when(year(col("o_orderdate")) === 2000, 1L).otherwise(0L))
+          .as("p2"))
+    val one = perCust.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("p1") === 1 && col("p2") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("p1") === 0 && col("p2") === 1, 1L).otherwise(0L))
+        .as("c"))
+    def d(c0: org.apache.spark.sql.Column) = c0.cast("double")
+    one.select(col("n"), col("b"), col("c"),
+      ((abs(d(col("b")) - d(col("c"))) - lit(1.0)) *
+        (abs(d(col("b")) - d(col("c"))) - lit(1.0)) /
+        (d(col("b")) + d(col("c")))).as("chi2"))
+  }
+
+  private val mcnemarOracle: String = s"""WITH perc AS (
+  SELECT o_custkey,
+    CAST(MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+      THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+    CAST(MAX(CASE WHEN EXTRACT(year FROM o_orderdate) = 2000
+      THEN 1 ELSE 0 END) AS BIGINT) AS p2
+  FROM orders GROUP BY 1
+), agg AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM perc
+)
+SELECT n, b, c,
+  (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - ${D("1.0")})
+    * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - ${D("1.0")})
+    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) AS chi2
+FROM agg"""
+
   // --- Durbin–Watson residual autocorrelation --------------------------
   /** Durbin–Watson statistic on q_ols_trend's monthly-revenue
     * residuals, per return flag — the diagnostic that says whether the
@@ -2574,6 +2684,8 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_levene_bf", levene, Some(leveneOracle)),
     QueryDef("q_conformal", conformal, Some(conformalOracle)),
     QueryDef("q_durbin_watson", durbinWatson, Some(durbinWatsonOracle)),
+    QueryDef("q_cochran_q", cochranQ, Some(cochranQOracle)),
+    QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),
     QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),
     QueryDef("q_ks_test", ksTest, Some(ksTestOracle)),

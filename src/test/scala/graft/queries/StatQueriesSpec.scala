@@ -1178,6 +1178,33 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_cochran_q and q_mcnemar: panel folds equal driver recomputations") {
+    val q = run("q_cochran_q").select("n", "t_total", "r2", "q_stat")
+      .as[(Long, Long, Long, Double)].head()
+    val m = run("q_mcnemar").select("n", "b", "c", "chi2")
+      .as[(Long, Long, Long, Double)].head()
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey").cast("long"), year(col("o_orderdate")))
+      .as[(Long, Int)].collect()
+    val byCust = orders.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // Cochran: per-customer binary triple over 1995/1997/1999
+    val years = Seq(1995, 1997, 1999)
+    val flags = byCust.values.map(ys => years.map(y => if (ys(y)) 1L else 0L))
+    val cs = years.indices.map(i => flags.map(_(i)).sum)
+    val t = cs.sum
+    val r2 = flags.map(f => { val r = f.sum; r * r }).sum
+    assert((q._1, q._2, q._3) == ((byCust.size.toLong, t, r2)))
+    val dev = cs.map(c => (c.toDouble - t.toDouble / 3.0) *
+      (c.toDouble - t.toDouble / 3.0)).reduce(_ + _)
+    assert(q._4 == 6.0 * dev / (3.0 * t - r2.toDouble))
+    // McNemar: discordant 1996/2000 pairs
+    val b = byCust.values.count(ys => ys(1996) && !ys(2000)).toLong
+    val c = byCust.values.count(ys => !ys(1996) && ys(2000)).toLong
+    assert((m._2, m._3) == ((b, c)))
+    assert(m._4 == (math.abs(b.toDouble - c) - 1.0) *
+      (math.abs(b.toDouble - c) - 1.0) / (b + c).toDouble)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
