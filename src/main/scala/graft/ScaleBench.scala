@@ -279,6 +279,23 @@ object ScaleBench {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         ev => graft.streaming.EventStreams.streamingTopK(ev, 5))
 
+      // content-defined chunking (AE): the claim is wall time ∝ total
+      // characters — the extremum rule is a bounded (doc, pos) window,
+      // never a per-doc sequential carry, so doubling the corpus must
+      // ~double the time. ~280-char synthetic docs from hashed tokens.
+      val nCdcDocs = 5000L * m
+      if (want("cdc_chunks")) {
+        spark.range(nCdcDocs).select(col("id").as("doc_id"),
+            expr("concat_ws(' ', transform(sequence(1, 40), " +
+              "i -> substring(md5(concat(CAST(id AS STRING), '-', " +
+              "CAST(i AS STRING))), 1, 6)))").as("text"))
+          .write.mode("overwrite").parquet(s"$tmp/cdc_$m")
+        val cdcDocs = spark.read.parquet(s"$tmp/cdc_$m")
+        record("cdc_chunks", nCdcDocs, () =>
+          TextDedup.aeChunks(cdcDocs)
+            .groupBy().agg(count(lit(1)), countDistinct(col("h"))))
+      }
+
       // running sums over FEW keys (2 arms): the global-window
       // formulation puts ALL rows into 2 window partitions — wall time
       // is bound by the slowest single task however many cores exist —
@@ -286,7 +303,10 @@ object ScaleBench {
       // across the cluster (the q_sprt / m_shard_manifest design).
       // The claim this curve pins: window time grows ∝ n with a
       // 1-task constant, prefix-sum stays ∝ n/cores.
-      val sev = spark.read.parquet(evDir)
+      // lazy: evDir only exists when the stream/running generators ran
+      // (a filtered SPARK_GRAFT_SCALE_ONLY run would otherwise crash on
+      // the eager schema read)
+      lazy val sev = spark.read.parquet(evDir)
       record("running_window2k", nEv, () => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(pmod(col("user_id"), lit(2)))

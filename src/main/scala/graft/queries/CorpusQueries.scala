@@ -1449,33 +1449,9 @@ FROM scored GROUP BY 1 ORDER BY source"""
   private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
-    // gear hash inline per position: a broadcast alphabet lookup was
-    // measured SLOWER (the distinct-alphabet build re-pays the explode,
-    // 8.6 s vs 4.2 s) — md5-per-char stays inside whole-stage codegen
-    val chars = docs
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")))).as("i"),
-        expr("substring(text, i, 1)").as("ch"))
-      .select(col("doc_id"), col("i"),
-        conv(substring(md5(col("ch")), 1, 8), 16, 10).cast("long").as("g"))
-    val wv = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(-31, -1)
-    val bounds = chars
-      .withColumn("pmax", max(col("g")).over(wv))
-      .where(col("i") >= 32 && col("g") > coalesce(col("pmax"), lit(-1L)))
-      .select(col("doc_id"), col("i"))
-    val ends = bounds
-      .union(docs.select(col("doc_id"), length(col("text")).cast("int")
-        .as("i")))
-      .distinct()
-    val wl = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val chunks = ends
-      .withColumn("start", coalesce(lag(col("i"), 1).over(wl), lit(0)) + 1)
-      .where(col("i") >= col("start")) // doc-length row may equal a bound
-      .join(docs, Seq("doc_id"))
-      .select(col("source"),
-        (col("i") - col("start") + 1).cast("long").as("len"),
-        md5(expr("substring(text, start, i - start + 1)")).as("h"))
+    val chunks = graft.operators.TextDedup.aeChunks(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("len"), col("h"))
     chunks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("h")).as("n_distinct"),

@@ -1149,6 +1149,78 @@ ORDER BY coeff DESC, d.node LIMIT 25"""
     */
   private val LinkPredSources = 20
 
+  /** Adamic–Adar link prediction beside [[linkPredRa]] — the same
+    * two-hop non-adjacent candidate machinery with 1/ln(deg) weights
+    * instead of RA's 1/deg: AA discounts hub intermediaries
+    * LOGARITHMICALLY, so a shared niche neighbor still dominates but
+    * hubs aren't zeroed out (the empirically stronger predictor on
+    * co-purchase graphs, Adamic & Adar '03). Per-neighbor terms are
+    * nano-floored before the integer sum (ln is micro-boundary-trusted
+    * per the repo's log convention); every common neighbor has
+    * deg ≥ 2 so ln never hits zero.
+    */
+  private def linkPredAa(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir).localCheckpoint()
+    val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val sources = deg.orderBy(col("deg").desc, col("u"))
+      .limit(LinkPredSources).select(col("u").as("s"))
+    val hop1 = broadcast(sources)
+      .join(sym.select(col("u").as("s"), col("v").as("w")), Seq("s"))
+    val hop2 = hop1
+      .join(sym.select(col("u").as("w"), col("v").as("c")), Seq("w"))
+      .where(col("c") =!= col("s"))
+    val nonAdj = hop2.join(
+      sym.select(col("u").as("s"), col("v").as("c")), Seq("s", "c"),
+      "left_anti")
+    val scored = nonAdj
+      .join(deg.select(col("u").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .groupBy(col("s"), col("c"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(floor(lit(1e9) / log(col("deg_w").cast("double"))).cast("long"))
+          .as("aa_nano"))
+    val win = Window.partitionBy(col("s"))
+      .orderBy(col("aa_nano").desc, col("c"))
+    scored.withColumn("rk", row_number().over(win)).where(col("rk") <= 3)
+      .select(col("s").as("source"), col("c").as("candidate"),
+        col("n_common"), col("aa_nano"))
+      .orderBy(col("source"), col("aa_nano").desc, col("candidate"))
+  }
+
+  private val linkPredAaOracle = s"""WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), sym AS (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1
+), src AS (
+  SELECT u AS s FROM deg
+  QUALIFY ROW_NUMBER() OVER (ORDER BY deg DESC, u) <= $LinkPredSources
+), hop2 AS (
+  SELECT src.s, s1.v AS w, s2.v AS c
+  FROM src JOIN sym s1 ON s1.u = src.s JOIN sym s2 ON s2.u = s1.v
+  WHERE s2.v <> src.s
+), nonadj AS (
+  SELECT h.s, h.w, h.c FROM hop2 h
+  WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.u = h.s AND e.v = h.c)
+), scored AS (
+  SELECT s, c, COUNT(*) AS n_common,
+    CAST(SUM(CAST(FLOOR(${D("1e9")} / ln(CAST(d.deg AS DOUBLE)))
+      AS BIGINT)) AS BIGINT) AS aa_nano
+  FROM nonadj JOIN deg d ON d.u = nonadj.w
+  GROUP BY 1, 2
+)
+SELECT s AS source, c AS candidate, n_common, aa_nano FROM (
+  SELECT s, c, n_common, aa_nano,
+    ROW_NUMBER() OVER (PARTITION BY s ORDER BY aa_nano DESC, c) AS rk
+  FROM scored
+) WHERE rk <= 3
+ORDER BY source, aa_nano DESC, candidate"""
+
   private def linkPredRa(s: SparkSession, dir: String): DataFrame = {
     val pairs = coOrderPairs(s, dir).localCheckpoint()
     val sym = pairs.select(col("a").as("u"), col("b").as("v"))
@@ -1512,6 +1584,7 @@ ORDER BY motif"""
     QueryDef("g_modularity", modularity, Some(modularityOracle)),
     QueryDef("g_kcore", kcore, Some(kcoreOracle)),
     QueryDef("g_ktruss", ktruss, Some(ktrussOracle)),
+    QueryDef("g_link_pred_aa", linkPredAa, Some(linkPredAaOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_diameter_2sweep", diameter2Sweep, Some(diameter2SweepOracle)),

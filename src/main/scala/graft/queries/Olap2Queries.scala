@@ -2114,6 +2114,46 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- sample-ratio mismatch (SRM) guard --------------------------------
+  /** Sample-ratio-mismatch check for the experiment split every A/B
+    * query in this repo hashes on (user_id parity): χ² of the observed
+    * arm sizes against the designed 50/50 — the FIRST gate a trustworthy
+    * experimentation platform runs, because a biased splitter silently
+    * invalidates every downstream p-value (Fabijan et al., "Diagnosing
+    * SRM", KDD'19: ~6% of real experiments fail it). χ² = (n₁−n₂)²/N
+    * for equal design weights; flag at the 3.84 (α=0.05, df=1) cut,
+    * cross-multiplied to exact integers so the verdict can't float-flip:
+    * (n₁−n₂)²·100 > 384·N.
+    */
+  private def srm(s: SparkSession, dir: String): DataFrame = {
+    val one = Tables.events(s, dir)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"), col("user_id"))
+      .groupBy(col("arm")).agg(countDistinct(col("user_id")).as("n"))
+      .agg(sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    one.select(col("n1"), col("n2"),
+      ((d(col("n1")) - d(col("n2"))) * (d(col("n1")) - d(col("n2"))) /
+        (d(col("n1")) + d(col("n2")))).as("chi2"),
+      ((col("n1") - col("n2")) * (col("n1") - col("n2")) * lit(100L) >
+        lit(384L) * (col("n1") + col("n2"))).as("srm_flag"))
+  }
+
+  private val srmOracle: String = """WITH arms AS (
+  SELECT user_id % 2 AS arm, COUNT(DISTINCT user_id) AS n
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n2
+  FROM arms
+)
+SELECT n1, n2,
+  (CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+    * (CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS chi2,
+  (n1 - n2) * (n1 - n2) * 100 > 384 * (n1 + n2) AS srm_flag
+FROM agg"""
+
   // --- Cochran's Q (k paired binary treatments) ------------------------
   /** Cochran's Q across three paired binary "treatments": did each
     * customer order in 1995, 1997, and 1999 — the k-sample
@@ -2685,6 +2725,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_conformal", conformal, Some(conformalOracle)),
     QueryDef("q_durbin_watson", durbinWatson, Some(durbinWatsonOracle)),
     QueryDef("q_cochran_q", cochranQ, Some(cochranQOracle)),
+    QueryDef("q_srm", srm, Some(srmOracle)),
     QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),
     QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),

@@ -1205,6 +1205,50 @@ class StatQueriesSpec extends SparkSpec {
       (math.abs(b.toDouble - c) - 1.0) / (b + c).toDouble)
   }
 
+  test("g_link_pred_aa: scores equal a driver-side two-hop recomputation") {
+    val got = run("g_link_pred_aa")
+      .select("source", "candidate", "n_common", "aa_nano")
+      .as[(Long, Long, Long, Long)].collect()
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .as[(Long, Long)].collect().distinct
+    val pairs = li.groupBy(_._1).values.flatMap { ps =>
+      val sorted = ps.map(_._2).sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.toSet
+    val adj = (pairs.toSeq ++ pairs.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val sources = deg.toSeq.sortBy { case (u, d) => (-d, u) }.take(20)
+      .map(_._1) // LinkPredSources = 20 in GraphQueries
+    val expect = sources.flatMap { s0 =>
+      val cands = adj(s0).flatMap(adj(_)) - s0 -- adj(s0)
+      val scored = cands.toSeq.map { c =>
+        val common = adj(s0) intersect adj(c)
+        val aa = common.toSeq
+          .map(w => math.floor(1e9 / math.log(deg(w).toDouble)).toLong).sum
+        (s0, c, common.size.toLong, aa)
+      }
+      scored.sortBy(r => (-r._4, r._2)).take(3)
+    }
+    assert(got.toSet == expect.toSet)
+    for ((_, _, nc, aa) <- got) assert(nc >= 1 && aa > 0)
+  }
+
+  test("q_srm: arm counts equal distinct-user parity counts") {
+    val row = run("q_srm").select("n1", "n2", "chi2", "srm_flag")
+      .as[(Long, Long, Double, Boolean)].head()
+    val users = Tables.events(spark, Sf)
+      .select(col("user_id")).distinct().as[Long].collect()
+    val n1 = users.count(_ % 2 == 0).toLong
+    val n2 = users.count(_ % 2 == 1).toLong
+    assert((row._1, row._2) == ((n1, n2)))
+    val chi2 = (n1 - n2).toDouble * (n1 - n2) / (n1 + n2)
+    assert(row._3 == chi2)
+    assert(row._4 == ((n1 - n2) * (n1 - n2) * 100 > 384 * (n1 + n2)))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
