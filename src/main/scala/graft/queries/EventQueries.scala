@@ -2088,6 +2088,83 @@ $outs
 ORDER BY lag"""
   }
 
+  // --- discounted lifetime value by cohort ------------------------------
+  /** Discounted LTV per signup cohort: purchase revenue at month-age k
+    * weighted by 0.95^k — the finance-grade readout (money later is
+    * worth less) that raw cohort revenue (`ev_cohort_revenue`)
+    * deliberately omits. The discount curve is PRE-TABULATED in Scala
+    * (`floor(1e6·0.95^k)` for k ≤ 83) and embedded as the same literal
+    * table in both engines — the shared-constants pattern, because
+    * POWER() is the one arithmetic whose last ulp differs between
+    * libm builds. Revenue stays exact cents; cents × micro-discount
+    * products are exact longs; the only double is the final
+    * per-cohort division to dollars.
+    */
+  private val LtvDiscountMicro: IndexedSeq[Long] =
+    (0 to 83).map(k => math.floor(1e6 * math.pow(0.95, k)).toLong)
+
+  private def ltvDiscounted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // WEEKLY cohorts: the replay horizon is ~30 days, so month-grain
+    // cohorts would collapse to one row and the discount would never
+    // engage
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(expr("unix_millis(ts) div 604800000")).as("cohort_m"))
+    val purchases = ev
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("m"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+    val rev = purchases.join(cohorts, Seq("user_id"))
+      .select(col("cohort_m"), (col("m") - col("cohort_m")).as("age"),
+        col("c"))
+      .withColumn("disc",
+        element_at(typedLit(LtvDiscountMicro), (col("age") + 1).cast("int")))
+      .groupBy(col("cohort_m"))
+      .agg(sum(col("c")).as("raw_cents"),
+        sum(col("c") * col("disc")).as("disc_cents_micro"))
+    val sizes = cohorts.groupBy(col("cohort_m"))
+      .agg(count(lit(1)).as("n_users"))
+    sizes.join(rev, Seq("cohort_m"), "left")
+      .select(col("cohort_m"), col("n_users"),
+        coalesce(col("raw_cents"), lit(0L)).as("raw_cents"),
+        coalesce(col("disc_cents_micro"), lit(0L)).as("disc_cents_micro"),
+        (coalesce(col("disc_cents_micro"), lit(0L)).cast("double")
+          / lit(1e8) / col("n_users").cast("double"))
+          .as("ltv_per_user_dollars"))
+      .orderBy("cohort_m")
+  }
+
+  private val ltvDiscountedOracle: String = {
+    val discCase = LtvDiscountMicro.zipWithIndex
+      .map { case (d, k) => s"WHEN $k THEN $d" }.mkString(" ")
+    s"""WITH cohorts AS (
+  SELECT user_id,
+    MIN(epoch_ms(ts) // 604800000) AS cohort_m
+  FROM events GROUP BY 1
+), purchases AS (
+  SELECT user_id,
+    epoch_ms(ts) // 604800000 AS m,
+    CAST(FLOOR(value * 100 + ${D("0.5")}) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), rev AS (
+  SELECT c2.cohort_m,
+    CAST(SUM(p.c) AS BIGINT) AS raw_cents,
+    CAST(SUM(p.c * (CASE p.m - c2.cohort_m $discCase END)) AS BIGINT)
+      AS disc_cents_micro
+  FROM purchases p JOIN cohorts c2 ON p.user_id = c2.user_id
+  GROUP BY 1
+), sizes AS (
+  SELECT cohort_m, COUNT(*) AS n_users FROM cohorts GROUP BY 1
+)
+SELECT CAST(s.cohort_m AS BIGINT) AS cohort_m, s.n_users,
+  COALESCE(r.raw_cents, 0) AS raw_cents,
+  COALESCE(r.disc_cents_micro, 0) AS disc_cents_micro,
+  CAST(COALESCE(r.disc_cents_micro, 0) AS DOUBLE) / ${D("1e8")}
+    / CAST(s.n_users AS DOUBLE) AS ltv_per_user_dollars
+FROM sizes s LEFT JOIN rev r ON s.cohort_m = r.cohort_m
+ORDER BY cohort_m"""
+  }
+
   // --- Page–Hinkley drift detector --------------------------------------
   /** Page–Hinkley test over the zero-filled hourly count series — the
     * classic sequential mean-shift detector (Page '54, Hinkley '71;
@@ -2668,6 +2745,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_croston", croston, Some(crostonOracle)),
     QueryDef("ev_kalman", kalman, Some(kalmanOracle)),
     QueryDef("ev_page_hinkley", pageHinkley, Some(pageHinkleyOracle)),
+    QueryDef("ev_ltv_discounted", ltvDiscounted, Some(ltvDiscountedOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),

@@ -1249,6 +1249,37 @@ class StatQueriesSpec extends SparkSpec {
     assert(row._4 == ((n1 - n2) * (n1 - n2) * 100 > 384 * (n1 + n2)))
   }
 
+  test("ev_ltv_discounted: discounted sums equal a driver fold; discount engages") {
+    val got = run("ev_ltv_discounted")
+      .select("cohort_m", "n_users", "raw_cents", "disc_cents_micro",
+        "ltv_per_user_dollars")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), expr("unix_millis(ts) div 604800000"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, String, Option[Double])].collect()
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val disc = (0 to 83).map(k => math.floor(1e6 * math.pow(0.95, k)).toLong)
+    val agg = scala.collection.mutable.Map
+      .empty[Long, (Long, Long)] // cohort -> (raw, discMicro)
+    for ((u, w, t, v) <- ev if t == "purchase" && v.isDefined) {
+      val c = math.floor(v.get * 100 + 0.5).toLong
+      val k = (w - cohort(u)).toInt
+      val (r0, d0) = agg.getOrElse(cohort(u), (0L, 0L))
+      agg(cohort(u)) = (r0 + c, d0 + c * disc(k))
+    }
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(got.keySet == sizes.keySet)
+    for ((cm, n) <- sizes) {
+      val (raw, dm) = agg.getOrElse(cm, (0L, 0L))
+      val (_, gn, gr, gd, gl) = got(cm)
+      assert(gn == n.toLong && gr == raw && gd == dm, s"cohort $cm")
+      assert(gl == dm.toDouble / 1e8 / n)
+      // the discount actually engages: later-age purchases weigh less
+      if (raw > 0) assert(dm <= raw * 1000000L, s"cohort $cm")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
