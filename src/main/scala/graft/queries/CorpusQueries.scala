@@ -2249,6 +2249,44 @@ SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos, ids.token_id
 FROM toks t JOIN ids ON t.token = ids.token
 WHERE t.pos <= 8 ORDER BY doc_id, pos"""
 
+  /** Tokenizer FERTILITY per language: subword tokens emitted per
+    * whitespace word (and chars per subword token) — the
+    * tokenizer-equity metric multilingual pipelines budget with (a
+    * language at fertility 2.5 pays 2.5× the context window of one at
+    * 1.1 for the same prose; cf. the SentencePiece/MegatronLM
+    * compression reports). Uses the repo's deterministic BPE-ish
+    * segmentation ([[graft.functions.TextFunctions.bpeishTokenCount]]);
+    * all counts are exact longs from one scan, the two ratios are
+    * final double divisions.
+    */
+  private def fertility(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long")).as("n_words"),
+        sum(graft.functions.TextFunctions.bpeishTokenCount(col("text"))
+          .cast("long")).as("n_subwords"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+
+  private val fertilityOracle: String = """SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_words,
+  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+    AS BIGINT) AS n_subwords,
+  CAST(SUM(len(regexp_extract_all(lower(text),
+      '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+    / CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS DOUBLE) AS fertility,
+  CAST(SUM(len(text)) AS DOUBLE)
+    / CAST(SUM(len(regexp_extract_all(lower(text),
+        '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE) AS chars_per_token
+FROM documents GROUP BY 1 ORDER BY lang"""
+
   /** Exact token-budget apportionment (largest-remainder / Hamilton
     * method): split a 1M-token training budget across sources in
     * proportion to their token counts such that the allocations are
@@ -2490,6 +2528,7 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)),
     QueryDef("t_budget_apportion", budgetApportion, Some(budgetApportionOracle)),
     QueryDef("t_encode_tokens", encodeTokens, Some(encodeTokensOracle)),
+    QueryDef("t_fertility", fertility, Some(fertilityOracle)),
     QueryDef("t_gram_novelty", gramNovelty, Some(gramNoveltyOracle)),
     QueryDef("t_idf_keywords", tfidfKeywords, Some(tfidfKeywordsOracle)),
     QueryDef("t_zipf_alpha", zipfAlpha, Some(zipfAlphaOracle)),

