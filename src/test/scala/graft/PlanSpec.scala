@@ -693,4 +693,36 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
     }
   }
+
+  test("round-6 second-widening queries keep their scale-safe shapes") {
+    // t_textrank: the +-2 co-occurrence pairing is the offset
+    // EQUI-join (pos_b = pos + off), never a per-doc band/nested-loop
+    // join — the intermediate stays linear in tokens
+    // (the 2-row offs table may legitimately broadcast-nested-loop;
+    // what must never appear is a cartesian over token rows)
+    val tr = planOf(SparkEntry.queries("t_textrank")(spark, Sf))
+    assert(!tr.contains("CartesianProduct"), tr.take(2000))
+    // d_cdc_chunks: the char-level window shuffles ONLY skinny
+    // (doc, pos, hash) rows — the text column must not appear in the
+    // window operator's schema (it re-joins at boundary rows)
+    val cdc = SparkEntry.queries("d_cdc_chunks")(spark, Sf)
+    val cdcPlan = planOf(cdc)
+    val winLine = cdcPlan.linesIterator.find(_.contains("Window "))
+    assert(winLine.isDefined && !winLine.get.contains("text"),
+      s"CDC window must not carry text:\n${winLine.getOrElse("")}")
+    // q_kmv_intersect: the sketch build partially aggregates map-side
+    // (ObjectHashAggregate partial_kmin), so each task ships <= K longs
+    val kmv = planOf(SparkEntry.queries("q_kmv_intersect")(spark, Sf))
+    assert(kmv.contains("ObjectHashAggregate") &&
+      kmv.contains("partial_kminvaluesagg"),
+      s"KMV must partial-aggregate:\n${kmv.take(3000)}")
+    // s_dbscan: every candidate join is an equi-join; no cartesian
+    val db = planOf(SparkEntry.queries("s_dbscan")(spark, Sf))
+    assert(!db.contains("CartesianProduct"), db.take(2000))
+    // g_ktruss runs actions internally; pin its delta anti-joins by
+    // shape instead: the conformal and Levene single-row statistics
+    // must keep their one-pass aggregate shape (no join back to facts)
+    val lv = planOf(SparkEntry.queries("q_levene_bf")(spark, Sf))
+    assert(!lv.contains("SortMergeJoin"), lv.take(2000))
+  }
 }
