@@ -2088,6 +2088,77 @@ $outs
 ORDER BY lag"""
   }
 
+  // --- retention half-life (exponential-decay fit) ----------------------
+  /** Retention half-life: fit ln r_k = a + b·k over blended day-age
+    * retention (distinct users active at age k over the user universe,
+    * ages 1..25) and report t½ = −ln2/b — the single number product
+    * teams quote where the full curve (`ev_retention`) is the input.
+    * Parity: per-age ln(r_k) is floored to MICRO units (the repo's log
+    * convention) so the OLS moment sums are exact integers; the slope
+    * is one double division of two exact longs and t½ two more double
+    * ops with ln 2 embedded as a shared full-precision constant — no
+    * engine evaluates ln(2) itself.
+    */
+  private def retentionHalflife(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("d"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val ages = ev.join(first, Seq("user_id"))
+      .select(col("user_id"), (col("d") - col("d0")).as("k"))
+      .where(col("k").between(1, 25))
+      .distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_k"))
+    val tot = first.agg(count(lit(1)).as("n_users"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pts = ages.crossJoin(broadcast(tot))
+      .where(col("n_k") > 0)
+      .select(col("k"),
+        floor(log(d(col("n_k")) / d(col("n_users"))) * 1e6).cast("long")
+          .as("y_micro"))
+    val m = pts.agg(count(lit(1)).as("n"), sum(col("k")).as("sx"),
+      sum(col("y_micro")).as("sy"), sum(col("k") * col("k")).as("sxx"),
+      sum(col("k") * col("y_micro")).as("sxy"))
+    val ln2Micro = 693147.1805599453 // ln(2)·1e6, shared constant
+    m.select(col("n"),
+        ((d(col("n") * col("sxy") - col("sx") * col("sy"))) /
+          (d(col("n") * col("sxx") - col("sx") * col("sx"))))
+          .as("slope_micro_per_day"))
+      .select(col("n").as("n_ages"), col("slope_micro_per_day"),
+        (-lit(ln2Micro) / col("slope_micro_per_day"))
+          .as("halflife_days"))
+  }
+
+  private val retentionHalflifeOracle: String = s"""WITH ev AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS d FROM events
+), first_ AS (
+  SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY 1
+), ages AS (
+  SELECT k, COUNT(*) AS n_k FROM (
+    SELECT DISTINCT ev.user_id, ev.d - f.d0 AS k
+    FROM ev JOIN first_ f ON ev.user_id = f.user_id
+    WHERE ev.d - f.d0 BETWEEN 1 AND 25
+  ) GROUP BY 1
+), tot AS (SELECT COUNT(*) AS n_users FROM first_),
+pts AS (
+  SELECT k,
+    CAST(FLOOR(ln(CAST(n_k AS DOUBLE) / CAST(n_users AS DOUBLE))
+      * ${D("1e6")}) AS BIGINT) AS y_micro
+  FROM ages CROSS JOIN tot WHERE n_k > 0
+), m AS (
+  SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sx,
+    CAST(SUM(y_micro) AS BIGINT) AS sy,
+    CAST(SUM(k * k) AS BIGINT) AS sxx,
+    CAST(SUM(k * y_micro) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n AS n_ages,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_micro_per_day,
+  -${Sql.Dlit(693147.1805599453)}
+    / (CAST(n * sxy - sx * sy AS DOUBLE)
+      / CAST(n * sxx - sx * sx AS DOUBLE)) AS halflife_days
+FROM m"""
+
   // --- discounted lifetime value by cohort ------------------------------
   /** Discounted LTV per signup cohort: purchase revenue at month-age k
     * weighted by 0.95^k — the finance-grade readout (money later is
@@ -2746,6 +2817,8 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_kalman", kalman, Some(kalmanOracle)),
     QueryDef("ev_page_hinkley", pageHinkley, Some(pageHinkleyOracle)),
     QueryDef("ev_ltv_discounted", ltvDiscounted, Some(ltvDiscountedOracle)),
+    QueryDef("ev_retention_halflife", retentionHalflife,
+      Some(retentionHalflifeOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),

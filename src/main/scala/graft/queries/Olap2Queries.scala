@@ -2114,6 +2114,51 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- log-log discount elasticity --------------------------------------
+  /** Price (discount) elasticity of demand: OLS of ln(quantity) on
+    * ln(1−discount) over line items — the log-log regression whose
+    * slope IS the elasticity (a 1% effective-price cut moves quantity
+    * by slope %; the standard revenue-management readout). Both
+    * regressors are floored to MICRO units per row (the repo's log
+    * convention — MILLI units here, not micro: the n·Σxy cross moment
+    * of micro-scaled logs overflows int64 past ~50k rows; milli keeps
+    * exactness to sf1 volumes, and DECIMAL(38) sums are the documented
+    * upgrade past that), so every OLS moment is an exact long and the
+    * slope is one double division; rows at zero discount contribute
+    * x = 0 exactly. Elasticity is unitless, so the scales cancel.
+    */
+  private def elasticity(s: SparkSession, dir: String): DataFrame = {
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pts = Tables(s, dir, "lineitem")
+      .select(
+        floor(log(lit(1.0) - col("l_discount")) * 1e3).cast("long").as("x"),
+        floor(log(col("l_quantity")) * 1e3).cast("long").as("y"))
+    val m = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    m.select(col("n"),
+      (d(col("n") * col("sxy") - col("sx") * col("sy")) /
+        d(col("n") * col("sxx") - col("sx") * col("sx")))
+        .as("elasticity"))
+  }
+
+  private val elasticityOracle: String = s"""WITH pts AS (
+  SELECT
+    CAST(FLOOR(ln(${D("1.0")} - CAST(l_discount AS DOUBLE)) * ${D("1e3")})
+      AS BIGINT) AS x,
+    CAST(FLOOR(ln(CAST(l_quantity AS DOUBLE)) * ${D("1e3")}) AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / CAST(n * sxx - sx * sx AS DOUBLE) AS elasticity
+FROM m"""
+
   // --- sample-ratio mismatch (SRM) guard --------------------------------
   /** Sample-ratio-mismatch check for the experiment split every A/B
     * query in this repo hashes on (user_id parity): χ² of the observed
@@ -2726,6 +2771,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_durbin_watson", durbinWatson, Some(durbinWatsonOracle)),
     QueryDef("q_cochran_q", cochranQ, Some(cochranQOracle)),
     QueryDef("q_srm", srm, Some(srmOracle)),
+    QueryDef("q_elasticity", elasticity, Some(elasticityOracle)),
     QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),
     QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),

@@ -1311,6 +1311,45 @@ class StatQueriesSpec extends SparkSpec {
     assert(pis.sum > 0)
   }
 
+  test("ev_retention_halflife and q_elasticity: OLS-on-logs folds reproduce") {
+    val hl = run("ev_retention_halflife")
+      .select("n_ages", "slope_micro_per_day", "halflife_days")
+      .as[(Long, Double, Double)].head()
+    // driver recomputation of the blended-retention fit
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000"))
+      .as[(Long, Long)].collect()
+    val first = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val nUsers = first.size.toDouble
+    val nK = ev.map { case (u, d0) => (u, d0 - first(u)) }
+      .filter(r => r._2 >= 1 && r._2 <= 25).distinct
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    val pts = nK.toSeq.sortBy(_._1).map { case (k, n) =>
+      (k, math.floor(math.log(n / nUsers) * 1e6).toLong) }
+    val n = pts.length.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+    assert(hl._1 == n && hl._2 == slope)
+    assert(hl._3 == -693147.1805599453 / slope)
+    // elasticity: milli-floored log-log OLS
+    val el = run("q_elasticity").select("n", "elasticity")
+      .as[(Long, Double)].head()
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_discount"), col("l_quantity"))
+      .as[(Double, Double)].collect()
+    val p2 = li.map { case (disc, q) =>
+      (math.floor(math.log(1.0 - disc) * 1e3).toLong,
+        math.floor(math.log(q) * 1e3).toLong) }
+    val n2 = p2.length.toLong
+    val (sx2, sy2) = (p2.map(_._1).sum, p2.map(_._2).sum)
+    val sxx2 = p2.map(p => p._1 * p._1).sum
+    val sxy2 = p2.map(p => p._1 * p._2).sum
+    assert(el._1 == n2)
+    assert(el._2 == (n2 * sxy2 - sx2 * sy2).toDouble / (n2 * sxx2 - sx2 * sx2))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
