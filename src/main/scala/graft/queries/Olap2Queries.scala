@@ -2114,6 +2114,130 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- ROC AUC (rank formulation) ---------------------------------------
+  /** ROC AUC of order value as a classifier score for the URGENT/HIGH
+    * priority label — by the exact rank identity
+    * AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) with R₁ the positive ranks
+    * (Mann–Whitney's U rescaled), which needs NO threshold sweep and
+    * handles ties by midrank. Built off the per-value count table in
+    * DOUBLED rank units (the q_kruskal_wallis machinery) so every
+    * intermediate is an exact long: 2·AUC·n₁n₀ = R₁₂ − n₁(n₁+1) is an
+    * integer identity both engines compute bit-for-bit before the one
+    * final division.
+    */
+  private def auc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("v"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("pos"))
+    val perV = o.groupBy(col("v")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perV
+      .withColumn("cumb", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("cumb") + col("cnt") + 1L)
+    val agg = ranked.agg(
+      sum(col("p")).as("n1"),
+      sum(col("cnt") - col("p")).as("n0"),
+      sum(col("p") * col("rank2")).as("r12"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    agg.select(col("n1"), col("n0"),
+      (d(col("r12") - col("n1") * (col("n1") + 1)) /
+        (lit(2.0) * d(col("n1")) * d(col("n0")))).as("auc"))
+  }
+
+  private val aucOracle: String = s"""WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS v,
+    o_orderpriority IN ('1-URGENT', '2-HIGH') AS pos
+  FROM orders
+), perv AS (
+  SELECT v, COUNT(*) AS cnt,
+    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM o GROUP BY 1
+), ranked AS (
+  SELECT v, cnt, p,
+    2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      + cnt + 1 AS rank2
+  FROM perv
+), agg AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n1,
+    CAST(SUM(cnt - p) AS BIGINT) AS n0,
+    CAST(SUM(p * rank2) AS BIGINT) AS r12
+  FROM ranked
+)
+SELECT n1, n0,
+  CAST(r12 - n1 * (n1 + 1) AS DOUBLE)
+    / (${D("2.0")} * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS auc
+FROM agg"""
+
+  // --- categorical mutual information ------------------------------------
+  /** Mutual information (and its normalized form) between market
+    * segment and order priority — "does WHO you are predict HOW you
+    * order", the feature-selection readout beside q_chisq_indep's
+    * yes/no and q_cramers_v's effect size (MI is the information-units
+    * answer). Each cell term n_ij·ln(n_ij·N / (n_i·n_j)) runs on exact
+    * integer ratios, is floored to nano-NATS and integer-summed (the
+    * unbounded-float-sum convention; the 25-cell grid is aggregated,
+    * never trusted to engine float order), and MI = that sum / (N·1e9).
+    * Entropies for the normalization take the same path.
+    */
+  private def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), col("o_orderpriority").as("pri"))
+    val cells = o.groupBy(col("seg"), col("pri"))
+      .agg(count(lit(1)).as("nij"))
+    val margI = cells.groupBy(col("seg")).agg(sum(col("nij")).as("ni"))
+    val margJ = cells.groupBy(col("pri")).agg(sum(col("nij")).as("nj"))
+    val tot = cells.agg(sum(col("nij")).as("nn"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val terms = cells
+      .join(broadcast(margI), Seq("seg"))
+      .join(broadcast(margJ), Seq("pri"))
+      .crossJoin(broadcast(tot))
+      .select(col("nij"), col("ni"), col("nj"), col("nn"),
+        floor(d(col("nij")) *
+          log(d(col("nij")) * d(col("nn")) / (d(col("ni")) * d(col("nj"))))
+          * 1e9).cast("long").as("mi_nano"),
+        floor(d(col("nij")) * log(d(col("nij")) / d(col("nn"))) * 1e9)
+          .cast("long").as("hij_nano"))
+    terms.agg(max(col("nn")).as("n"),
+        sum(col("mi_nano")).as("mi_sum"), sum(col("hij_nano")).as("hj_sum"))
+      .select(col("n"),
+        (d(col("mi_sum")) / lit(1e9) / d(col("n"))).as("mi_nats"),
+        (d(col("mi_sum")) / -col("hj_sum").cast("double")).as("nmi_joint"))
+  }
+
+  private val mutualInfoOracle: String = s"""WITH o AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), cells AS (
+  SELECT seg, pri, COUNT(*) AS nij FROM o GROUP BY 1, 2
+), mi_ AS (SELECT seg, CAST(SUM(nij) AS BIGINT) AS ni FROM cells GROUP BY 1),
+mj AS (SELECT pri, CAST(SUM(nij) AS BIGINT) AS nj FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM cells),
+terms AS (
+  SELECT c.nij, t.nn,
+    CAST(FLOOR(CAST(c.nij AS DOUBLE)
+      * ln(CAST(c.nij AS DOUBLE) * CAST(t.nn AS DOUBLE)
+        / (CAST(i.ni AS DOUBLE) * CAST(j.nj AS DOUBLE))) * ${D("1e9")})
+      AS BIGINT) AS mi_nano,
+    CAST(FLOOR(CAST(c.nij AS DOUBLE)
+      * ln(CAST(c.nij AS DOUBLE) / CAST(t.nn AS DOUBLE)) * ${D("1e9")})
+      AS BIGINT) AS hij_nano
+  FROM cells c JOIN mi_ i ON c.seg = i.seg JOIN mj j ON c.pri = j.pri
+  CROSS JOIN tot t
+)
+SELECT CAST(MAX(nn) AS BIGINT) AS n,
+  CAST(SUM(mi_nano) AS DOUBLE) / ${D("1e9")} / CAST(MAX(nn) AS DOUBLE)
+    AS mi_nats,
+  CAST(SUM(mi_nano) AS DOUBLE) / -CAST(SUM(hij_nano) AS DOUBLE) AS nmi_joint
+FROM terms"""
+
   // --- log-log discount elasticity --------------------------------------
   /** Price (discount) elasticity of demand: OLS of ln(quantity) on
     * ln(1−discount) over line items — the log-log regression whose
@@ -2772,6 +2896,8 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_cochran_q", cochranQ, Some(cochranQOracle)),
     QueryDef("q_srm", srm, Some(srmOracle)),
     QueryDef("q_elasticity", elasticity, Some(elasticityOracle)),
+    QueryDef("q_auc", auc, Some(aucOracle)),
+    QueryDef("q_mutual_info", mutualInfo, Some(mutualInfoOracle)),
     QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),
     QueryDef("q_two_proportion_z", twoPropZ, Some(twoPropZOracle)),

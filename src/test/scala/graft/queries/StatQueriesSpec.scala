@@ -1350,6 +1350,54 @@ class StatQueriesSpec extends SparkSpec {
     assert(el._2 == (n2 * sxy2 - sx2 * sy2).toDouble / (n2 * sxx2 - sx2 * sx2))
   }
 
+  test("q_auc: rank identity equals a pairwise-comparison count") {
+    val row = run("q_auc").select("n1", "n0", "auc")
+      .as[(Long, Long, Double)].head()
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .as[(Long, Boolean)].collect()
+    val pos = o.filter(_._2).map(_._1)
+    val neg = o.filterNot(_._2).map(_._1)
+    assert((row._1, row._2) == ((pos.length.toLong, neg.length.toLong)))
+    // brute-force AUC: P(score_pos > score_neg) + 0.5 P(tie), via
+    // sorted-merge counting (sf0.001 is small enough)
+    val negSorted = neg.sorted
+    def countLE(v: Long, strict: Boolean): Long = {
+      // number of negatives < v (strict) or <= v
+      var lo = 0; var hi = negSorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        val c = if (strict) negSorted(mid) < v else negSorted(mid) <= v
+        if (c) lo = mid + 1 else hi = mid
+      }
+      lo.toLong
+    }
+    val num2 = pos.map(v => 2 * countLE(v, strict = true)
+      + (countLE(v, strict = false) - countLE(v, strict = true))).sum
+    val expect = num2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(row._3 - expect) < 1e-12)
+  }
+
+  test("q_mutual_info: MI is ~0 on independent columns and >0 on a copy") {
+    val row = run("q_mutual_info").select("n", "mi_nats", "nmi_joint")
+      .as[(Long, Double, Double)].head()
+    assert(row._2 >= -1e-6 && row._2 < 0.05,
+      s"independent synthetic columns must carry ~no MI: ${row._2}")
+    assert(row._3 >= -1e-6 && row._3 <= 1.0 + 1e-12)
+    // identity case driver-side: MI(X, X) = H(X) for the segment column
+    val segs = spark.read.parquet(s"$Sf/customer.parquet")
+      .select("c_mktsegment").as[String].collect()
+    val n = segs.length.toDouble
+    val h = -segs.groupBy(identity).values
+      .map(g => g.size / n * math.log(g.size / n)).sum
+    val miSelf = segs.groupBy(identity).values.map { g =>
+      val p = g.size / n; p * math.log(p / (p * p))
+    }.sum
+    assert(math.abs(miSelf - h) < 1e-12) // the identity the query's
+    // formula implements, sanity-checked in plain scala
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
