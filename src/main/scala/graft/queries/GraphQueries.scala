@@ -949,6 +949,92 @@ UNION ALL SELECT CAST(3 AS BIGINT), (SELECT COUNT(*) FROM e3), (SELECT COUNT(*) 
 ORDER BY round"""
   }
 
+  /** Conductance of the LPA communities — the cut-quality score beside
+    * `g_modularity`'s null-model score: φ(C) = cut(C) / min(vol(C),
+    * 2m − vol(C)), the fraction of a community's edge volume that
+    * LEAKS (low φ = a real cluster; φ near 1 = an arbitrary slice;
+    * the Kannan–Vempala–Vetta quality measure and the standard seed-set
+    * evaluation in local clustering). Per-community cut and volume are
+    * exact integer aggregates off the shared edge list + LPA labels;
+    * φ is one final division. Top 10 communities by volume.
+    */
+  private def conductance(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir).localCheckpoint()
+    locally {
+      val labels = lpaLabels(pairs)
+      val la = labels.select(col("node").as("a"), col("lbl").as("ca"))
+      val lb = labels.select(col("node").as("b"), col("lbl").as("cb"))
+      val m = pairs.count()
+      val lab = pairs.join(la, "a").join(lb, "b")
+      val cut = lab.where(col("ca") =!= col("cb"))
+        .select(explode(array(col("ca"), col("cb"))).as("community"))
+        .groupBy(col("community")).agg(count(lit(1)).as("cut_edges"))
+      val deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val vol = deg.join(labels, "node")
+        .groupBy(col("lbl").as("community")).agg(sum(col("d")).as("vol"))
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      vol.join(cut, Seq("community"), "left")
+        .select(col("community"), col("vol"),
+          coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+        .withColumn("conductance",
+          // a community holding the WHOLE graph has min(vol, 2m−vol)=0
+          // and no cut — φ is conventionally 0, not a division by zero
+          when(least(col("vol"), lit(2 * m) - col("vol")) === 0, lit(0.0))
+            .otherwise(dd(col("cut_edges")) /
+              dd(least(col("vol"), lit(2 * m) - col("vol")))))
+        .orderBy(col("vol").desc, col("community")).limit(10)
+    }
+  }
+
+  private val conductanceOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""c$i AS (
+  SELECT s.u, l.lbl, COUNT(*) AS c
+  FROM sym s JOIN l${i - 1} l ON s.v = l.node GROUP BY 1, 2
+), l$i AS (
+  SELECT u AS node, lbl FROM c$i
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY c DESC, lbl) = 1)"""
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS lbl FROM sym
+),
+$rounds,
+labels AS MATERIALIZED (SELECT node, lbl FROM l3),
+m AS (SELECT COUNT(*) AS m FROM p),
+lab AS (
+  SELECT p.a, p.b, la.lbl AS ca, lb.lbl AS cb
+  FROM p JOIN labels la ON p.a = la.node JOIN labels lb ON p.b = lb.node
+), cut AS (
+  SELECT community, COUNT(*) AS cut_edges FROM (
+    SELECT ca AS community FROM lab WHERE ca <> cb
+    UNION ALL SELECT cb FROM lab WHERE ca <> cb
+  ) GROUP BY 1
+), deg AS (
+  SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY 1
+), vol AS (
+  SELECT l.lbl AS community, CAST(SUM(d.d) AS BIGINT) AS vol
+  FROM deg d JOIN labels l ON d.node = l.node GROUP BY 1
+)
+SELECT community, vol,
+  CAST(COALESCE(cut.cut_edges, 0) AS BIGINT) AS cut_edges,
+  CASE WHEN LEAST(vol, 2 * (SELECT m FROM m) - vol) = 0
+    THEN ${D("0.0")}
+    ELSE CAST(COALESCE(cut.cut_edges, 0) AS DOUBLE)
+      / CAST(LEAST(vol, 2 * (SELECT m FROM m) - vol) AS DOUBLE)
+  END AS conductance
+FROM vol LEFT JOIN cut USING (community)
+ORDER BY vol DESC, community LIMIT 10"""
+  }
+
   /** Modularity of the LPA communities — the quality score that says
     * whether the detected partition beats random wiring: Q = Σ_c
     * (m_c/m − (d_c/2m)²) from three INTEGER sufficient statistics per
@@ -1650,6 +1736,7 @@ ORDER BY motif"""
     QueryDef("g_ktruss", ktruss, Some(ktrussOracle)),
     QueryDef("g_link_pred_aa", linkPredAa, Some(linkPredAaOracle)),
     QueryDef("g_stationary_dist", stationaryDist, Some(stationaryDistOracle)),
+    QueryDef("g_conductance", conductance, Some(conductanceOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_diameter_2sweep", diameter2Sweep, Some(diameter2SweepOracle)),

@@ -721,6 +721,90 @@ SELECT label, CAST(i AS INT) AS dim_i, COUNT(*) AS n,
   CAST(SUM(e) AS DOUBLE) / COUNT(*) / ${Similarity.Scale} AS mean
 FROM f GROUP BY 1, 2 ORDER BY label, dim_i"""
 
+  /** Centroid silhouette per label — the cluster-quality readout that
+    * says whether the labels are GEOMETRIC clusters at all: per point,
+    * a = distance to its own label centroid, b = the nearest OTHER
+    * centroid, s = (b−a)/max(a,b) (the simplified/medoid-free
+    * silhouette production evaluators use — exact pairwise silhouette
+    * is quadratic). Distances stay exact until the last step:
+    * Σ(n·qv − Σq)² per (point, centroid) is an exact long (centroids
+    * enter multiplied through by their count, never as float means),
+    * and dist = √num/n is one sqrt+division per pair. Per-point s is
+    * micro-floored before the per-label integer mean. Work is
+    * points × labels × dims via a broadcast 640-row centroid table —
+    * linear in corpus, never pairwise.
+    */
+  private def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").as("own"),
+        Similarity.quantize(col("embedding")).as("qv"))
+    val dims = e.select(col("vec_id"), col("own"),
+      posexplode(col("qv")).as(Seq("i0", "q")))
+      .select(col("vec_id"), col("own"), (col("i0") + 1).as("dim_i"),
+        col("q"))
+    val cent = Tables(s, dir, "embeddings")
+      .select(col("label").as("cl"),
+        posexplode(Similarity.quantize(col("embedding")))
+          .as(Seq("i0", "q")))
+      .groupBy(col("cl"), (col("i0") + 1).as("dim_i"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+    val d2 = dims.join(broadcast(cent), Seq("dim_i"))
+      .groupBy(col("vec_id"), col("own"), col("cl"))
+      .agg(max(col("n")).as("n"),
+        sum((col("n") * col("q") - col("sq")) *
+          (col("n") * col("q") - col("sq"))).as("num"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dist = d2.select(col("vec_id"), col("own"), col("cl"),
+      (sqrt(dd(col("num"))) / dd(col("n"))).as("dist"))
+    val a = dist.where(col("own") === col("cl"))
+      .select(col("vec_id"), col("own"), col("dist").as("a"))
+    val b = dist.where(col("own") =!= col("cl"))
+      .groupBy(col("vec_id")).agg(min(col("dist")).as("b"))
+    a.join(b, Seq("vec_id"))
+      .select(col("own").as("label"),
+        floor((col("b") - col("a")) / greatest(col("a"), col("b")) * 1e6)
+          .cast("long").as("s_micro"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_points"), sum(col("s_micro")).as("s_sum"))
+      .select(col("label"), col("n_points"),
+        (col("s_sum").cast("double") / lit(1e6)
+          / col("n_points").cast("double")).as("mean_silhouette"))
+      .orderBy("label")
+  }
+
+  private val silhouetteOracle: String = s"""WITH $quantCtes,
+lab AS (SELECT vec_id, label FROM embeddings),
+cent AS (
+  SELECT l.label AS cl, f.i AS dim_i, COUNT(*) AS n,
+    CAST(SUM(f.e) AS BIGINT) AS sq
+  FROM flat f JOIN lab l USING (vec_id) GROUP BY 1, 2
+), dims AS (
+  SELECT f.vec_id, l.label AS own, f.i AS dim_i, f.e AS q
+  FROM flat f JOIN lab l USING (vec_id)
+), d2 AS (
+  SELECT d.vec_id, d.own, c.cl, MAX(c.n) AS n,
+    CAST(SUM((c.n * d.q - c.sq) * (c.n * d.q - c.sq)) AS BIGINT) AS num
+  FROM dims d JOIN cent c ON d.dim_i = c.dim_i
+  GROUP BY 1, 2, 3
+), dist AS (
+  SELECT vec_id, own, cl,
+    sqrt(CAST(num AS DOUBLE)) / CAST(n AS DOUBLE) AS dist
+  FROM d2
+), a AS (
+  SELECT vec_id, own, dist AS a FROM dist WHERE own = cl
+), b AS (
+  SELECT vec_id, MIN(dist) AS b FROM dist WHERE own <> cl GROUP BY 1
+), sil AS (
+  SELECT a.own AS label,
+    CAST(FLOOR((b.b - a.a) / GREATEST(a.a, b.b) * ${D("1e6")}) AS BIGINT)
+      AS s_micro
+  FROM a JOIN b ON a.vec_id = b.vec_id
+)
+SELECT label, COUNT(*) AS n_points,
+  CAST(SUM(s_micro) AS DOUBLE) / ${D("1e6")} / CAST(COUNT(*) AS DOUBLE)
+    AS mean_silhouette
+FROM sil GROUP BY 1 ORDER BY label"""
+
   /** Embedding-cosine near-dup DEDUP decision: a vector is dropped when
     * any LSH-candidate neighbor with a smaller id has cosine >= τ
     * (keep-first policy, like the text dedup). Output = the full
@@ -1464,6 +1548,7 @@ ORDER BY f.q_id"""
     QueryDef("s_pq_topk", pq, Some(pqOracle)),
     QueryDef("s_ivfpq_topk", ivfpq, Some(ivfpqOracle)),
     QueryDef("s_label_centroids", labelCentroids, Some(labelCentroidsOracle)),
+    QueryDef("s_silhouette", silhouette, Some(silhouetteOracle)),
     QueryDef("s_lsh_buckets", buckets, Some(bucketsOracle)),
     QueryDef("s_bm25_topk", bm25, Some(bm25Oracle)),
     QueryDef("s_phrase_search", phraseSearch, Some(phraseSearchOracle)),

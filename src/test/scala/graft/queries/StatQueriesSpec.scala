@@ -1398,6 +1398,68 @@ class StatQueriesSpec extends SparkSpec {
     // formula implements, sanity-checked in plain scala
   }
 
+  test("g_conductance: phi in [0,1], and cut/vol reconcile with the edge list") {
+    val rows = run("g_conductance")
+      .select("community", "vol", "cut_edges", "conductance")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    for ((c, vol, cut, phi) <- rows) {
+      assert(cut <= vol, s"community $c: crossing edges bounded by volume")
+      assert(phi >= 0.0 && phi <= 1.0, s"community $c phi=$phi")
+    }
+    // volumes are emitted descending
+    val vols = rows.map(_._2)
+    assert(vols.zip(vols.tail).forall { case (a, b) => a >= b })
+    // total volume over ALL communities = 2m — check the top-10 subset
+    // stays under it
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .as[(Long, Long)].collect().distinct
+    val m = li.groupBy(_._1).values.flatMap { ps =>
+      val s0 = ps.map(_._2).sorted
+      for (i <- s0.indices; j <- (i + 1) until s0.length) yield (s0(i), s0(j))
+    }.toSet.size
+    assert(vols.sum <= 2L * m)
+  }
+
+  test("s_silhouette: scores equal a driver-side centroid recomputation") {
+    val got = run("s_silhouette")
+      .select("label", "n_points", "mean_silhouette")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val e = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("label").cast("long"),
+        col("embedding"))
+      .as[(Long, Long, Seq[Float])].collect()
+      .map { case (id, l, v) =>
+        (id, l,
+          v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong).toArray) }
+    val byLabel = e.groupBy(_._2)
+    val cents = byLabel.view.mapValues { vs =>
+      val n = vs.length.toLong
+      val sums = vs.map(_._3).transpose.map(_.sum)
+      (n, sums)
+    }.toMap
+    val sMicro = scala.collection.mutable.Map.empty[Long, List[Long]]
+    for ((_, own, qv) <- e) {
+      def distTo(l: Long): Double = {
+        val (n, sq) = cents(l)
+        val num = qv.zip(sq).map { case (q, s0) =>
+          val d0 = n * q - s0; d0 * d0 }.sum
+        math.sqrt(num.toDouble) / n.toDouble
+      }
+      val a = distTo(own)
+      val b = cents.keys.filter(_ != own).map(distTo).min
+      val s0 = math.floor((b - a) / math.max(a, b) * 1e6).toLong
+      sMicro(own) = s0 :: sMicro.getOrElse(own, Nil)
+    }
+    assert(got.keySet == byLabel.keySet)
+    for ((l, ss) <- sMicro) {
+      val (_, n, mean) = got(l)
+      assert(n == ss.length.toLong)
+      assert(mean == ss.sum.toDouble / 1e6 / ss.length, s"label $l")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
