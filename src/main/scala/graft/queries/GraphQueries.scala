@@ -400,8 +400,19 @@ ORDER BY lift DESC, a, b LIMIT 15"""
     } finally sym.unpersist(blocking = false)
   }
 
+  /** The 3-round LPA labels, materialized once per dir — three
+    * consumers (labelProp, modularity, conductance) each paid the full
+    * 3-round propagation before this seam (the coOrderTriangles
+    * lesson: a pipeline running a family of community analyses labels
+    * once and fans out).
+    */
+  private def coOrderLpaLabels(s: SparkSession, dir: String): DataFrame =
+    materialize(s, "coorder_lpa", dir) {
+      lpaLabels(coOrderPairs(s, dir))
+    }
+
   private def labelProp(s: SparkSession, dir: String): DataFrame =
-    lpaLabels(coOrderPairs(s, dir))
+    coOrderLpaLabels(s, dir)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("community")
@@ -961,7 +972,7 @@ ORDER BY round"""
   private def conductance(s: SparkSession, dir: String): DataFrame = {
     val pairs = coOrderPairs(s, dir).localCheckpoint()
     locally {
-      val labels = lpaLabels(pairs)
+      val labels = coOrderLpaLabels(s, dir)
       val la = labels.select(col("node").as("a"), col("lbl").as("ca"))
       val lb = labels.select(col("node").as("b"), col("lbl").as("cb"))
       val m = pairs.count()
@@ -1050,7 +1061,7 @@ ORDER BY vol DESC, community LIMIT 10"""
     // and the distinct self-join would recompute at collect time
     val pairs = coOrderPairs(s, dir).localCheckpoint()
     locally {
-      val labels = lpaLabels(pairs)
+      val labels = coOrderLpaLabels(s, dir)
       val la = labels.select(col("node").as("a"), col("lbl").as("ca"))
       val lb = labels.select(col("node").as("b"), col("lbl").as("cb"))
       val m = pairs.count() // one driver scalar: the global edge count
