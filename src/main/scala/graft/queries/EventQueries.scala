@@ -2088,6 +2088,83 @@ $outs
 ORDER BY lag"""
   }
 
+  // --- counterfactual intervention readout (CausalImpact-lite) ----------
+  /** Intervention-effect readout over the final week: fit an OLS trend
+    * to daily purchase revenue on the PRE period, project it as the
+    * counterfactual over the last 7 days, and report per-day and
+    * cumulative lift — the CausalImpact shape (minus the Bayesian
+    * state-space machinery) every launch review runs. Day index is
+    * re-based to the window start so the exact OLS moments stay small;
+    * predictions are one double tree over the moment longs (the
+    * q_durbin_watson residual form); per-day effects are floored to
+    * integer cents before the cumulative integer sum.
+    */
+  private def causalImpact(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(expr("unix_millis(ts) div 86400000").as("d"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("r"))
+    val bounds = daily.agg(min(col("d")).as("dlo"), max(col("d")).as("dhi"))
+    val based = daily.crossJoin(broadcast(bounds))
+      .select((col("d") - col("dlo")).as("x"), col("r"),
+        (col("d") > col("dhi") - 7).as("post"))
+    val fit = based.where(!col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("r")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("r")).as("sxy"))
+      .select((col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("n"), col("sx"), col("sy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val post = based.where(col("post")).crossJoin(broadcast(fit))
+      .select(col("x"), col("r"),
+        ((d(col("sy")) - d(col("num")) / d(col("den")) * d(col("sx")))
+          / d(col("n"))
+          + d(col("num")) / d(col("den")) * d(col("x"))).as("pred"))
+      .select(col("x").as("day_idx"), col("r").as("actual_cents"),
+        col("pred").as("predicted_cents"),
+        floor(d(col("r")) - col("pred")).cast("long").as("effect_cents"))
+    val wc = Window.orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    post.withColumn("cum_effect_cents", sum(col("effect_cents")).over(wc))
+      .orderBy("day_idx")
+  }
+
+  private val causalImpactOracle: String = """WITH daily AS (
+  SELECT epoch_ms(ts) // 86400000 AS d,
+    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS r
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+), bounds AS (SELECT MIN(d) AS dlo, MAX(d) AS dhi FROM daily),
+based AS (
+  SELECT d - dlo AS x, r, d > dhi - 7 AS post FROM daily CROSS JOIN bounds
+), fit AS (
+  SELECT n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, n, sx, sy
+  FROM (
+    SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+      CAST(SUM(r) AS BIGINT) AS sy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+      CAST(SUM(x * r) AS BIGINT) AS sxy
+    FROM based WHERE NOT post
+  )
+), post_ AS (
+  SELECT x AS day_idx, r AS actual_cents,
+    (CAST(sy AS DOUBLE) - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      + CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * CAST(x AS DOUBLE)
+      AS predicted_cents,
+    CAST(FLOOR(CAST(r AS DOUBLE)
+      - ((CAST(sy AS DOUBLE) - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        + CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * CAST(x AS DOUBLE)))
+      AS BIGINT) AS effect_cents
+  FROM based CROSS JOIN fit WHERE post
+)
+SELECT day_idx, actual_cents, predicted_cents, effect_cents,
+  CAST(SUM(effect_cents) OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)
+    AS BIGINT) AS cum_effect_cents
+FROM post_ ORDER BY day_idx"""
+
   // --- retention half-life (exponential-decay fit) ----------------------
   /** Retention half-life: fit ln r_k = a + b·k over blended day-age
     * retention (distinct users active at age k over the user universe,
@@ -2819,6 +2896,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_ltv_discounted", ltvDiscounted, Some(ltvDiscountedOracle)),
     QueryDef("ev_retention_halflife", retentionHalflife,
       Some(retentionHalflifeOracle)),
+    QueryDef("ev_causal_impact", causalImpact, Some(causalImpactOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),

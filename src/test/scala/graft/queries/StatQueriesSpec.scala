@@ -1460,6 +1460,38 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_causal_impact: counterfactual and effects equal a driver OLS fold") {
+    val got = run("ev_causal_impact")
+      .select("day_idx", "actual_cents", "predicted_cents", "effect_cents",
+        "cum_effect_cents")
+      .as[(Long, Long, Double, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 7)
+    val daily = Tables.events(spark, Sf)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(expr("unix_millis(ts) div 86400000"),
+        floor(col("value") * 100 + 0.5).cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val dlo = daily.keys.min; val dhi = daily.keys.max
+    val pre = daily.filter(_._1 <= dhi - 7).toSeq
+      .map { case (d0, r) => (d0 - dlo, r) }
+    val n = pre.length.toLong
+    val sx = pre.map(_._1).sum; val sy = pre.map(_._2).sum
+    val sxx = pre.map(p => p._1 * p._1).sum
+    val sxy = pre.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+    var cum = 0L
+    for ((dIdx, actual, pred, eff, cumGot) <- got) {
+      val expPred = (sy.toDouble - num.toDouble / den * sx) / n +
+        num.toDouble / den * dIdx
+      assert(actual == daily(dIdx + dlo))
+      assert(pred == expPred, s"day $dIdx")
+      assert(eff == math.floor(actual.toDouble - expPred).toLong)
+      cum += eff
+      assert(cumGot == cum)
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
