@@ -407,6 +407,96 @@ ORDER BY purchase_id, view_id NULLS FIRST"""
         .orderBy(col("event_type"), col("rk"))
     }
 
+  /** Streaming PSI drift monitor: [[EventStreams.dailyValueBands]]
+    * (watermarked daily windows over fixed $10 purchase-value bands)
+    * drained through a real streaming query, then each day's
+    * distribution scored against a STATIC baseline — the first 15
+    * replay days, computed batch-side as a production monitor would
+    * pin its reference window. Per-band terms are (p−q)·ln(p/q) with
+    * +1 smoothing, nano-floored and integer-summed per day (the
+    * q_psi_drift conventions); graded against the batch restatement of
+    * the same daily-band aggregate.
+    */
+  private def streamPsi(s: SparkSession, dir: String): DataFrame = {
+    val out = EventStreams.dailyValueBands(
+      EventStreams.eventsStream(s, s"$dir/events.parquet"))
+    // checkpoint: the readout self-joins the memory-sink view (days ×
+    // grid × daily), and re-referencing the same view thrice trips
+    // Catalyst's conflicting-reference resolution
+    val daily = EventStreams.runToMemory(s, out, "graft_stream_psi",
+      OutputMode.Complete()).localCheckpoint(true)
+    val base = Tables.events(s, dir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(expr("unix_millis(ts) div 86400000").as("d"),
+        least(floor(col("value") / 10), lit(9)).cast("long").as("band"))
+    val dlo = base.agg(min(col("d")).as("dlo"))
+    val baseline = base.crossJoin(broadcast(dlo))
+      .where(col("d") < col("dlo") + 15)
+      .groupBy(col("band")).agg(count(lit(1)).as("nb"))
+    val baseTot = baseline.agg(sum(col("nb")).as("tb"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    // dense day × band grid so absent bands smooth to (0+1) mass
+    val days = daily.select(col("day_epoch")).distinct()
+    val bands = s.range(0, 10).select(col("id").as("band"))
+    val grid = days.crossJoin(broadcast(bands))
+      .join(daily, Seq("day_epoch", "band"), "left")
+      .select(col("day_epoch"), col("band"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val dayTot = grid.groupBy(col("day_epoch")).agg(sum(col("n")).as("td"))
+    grid
+      .join(broadcast(dayTot), Seq("day_epoch"))
+      .join(broadcast(baseline.join(bands, Seq("band"), "right")
+        .select(col("band"), coalesce(col("nb"), lit(0L)).as("nb"))),
+        Seq("band"))
+      .crossJoin(broadcast(baseTot))
+      .select(col("day_epoch"), col("td"),
+        floor(((col("n") + 1).cast("double") / (col("td") + 10).cast("double")
+          - (col("nb") + 1).cast("double") / (col("tb") + 10).cast("double"))
+          * log(((col("n") + 1).cast("double")
+              / (col("td") + 10).cast("double"))
+            / ((col("nb") + 1).cast("double")
+              / (col("tb") + 10).cast("double"))) * 1e9)
+          .cast("long").as("term_nano"))
+      .groupBy(col("day_epoch"))
+      .agg(max(col("td")).as("n_day"), sum(col("term_nano")).as("psi_nano"))
+      .orderBy("day_epoch")
+  }
+
+  private val streamPsiOracle: String = """WITH p AS (
+  SELECT epoch_ms(ts) // 86400000 AS d,
+    LEAST(CAST(FLOOR(CAST(value AS DOUBLE) / 10) AS BIGINT), 9) AS band
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), daily AS (
+  SELECT d * 86400 AS day_epoch, band, COUNT(*) AS n FROM p GROUP BY 1, 2
+), dlo AS (SELECT MIN(d) AS dlo FROM p),
+baseline AS (
+  SELECT band, COUNT(*) AS nb FROM p CROSS JOIN dlo
+  WHERE d < dlo + 15 GROUP BY 1
+), basetot AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb FROM baseline),
+bands AS (SELECT unnest(generate_series(0, 9)) AS band),
+grid AS (
+  SELECT dy.day_epoch, b.band, CAST(COALESCE(d2.n, 0) AS BIGINT) AS n
+  FROM (SELECT DISTINCT day_epoch FROM daily) dy
+  CROSS JOIN bands b
+  LEFT JOIN daily d2 ON d2.day_epoch = dy.day_epoch AND d2.band = b.band
+), daytot AS (
+  SELECT day_epoch, CAST(SUM(n) AS BIGINT) AS td FROM grid GROUP BY 1
+), terms AS (
+  SELECT g.day_epoch, t.td,
+    CAST(FLOOR((CAST(g.n + 1 AS DOUBLE) / CAST(t.td + 10 AS DOUBLE)
+      - CAST(COALESCE(bl.nb, 0) + 1 AS DOUBLE) / CAST(bt.tb + 10 AS DOUBLE))
+      * ln((CAST(g.n + 1 AS DOUBLE) / CAST(t.td + 10 AS DOUBLE))
+        / (CAST(COALESCE(bl.nb, 0) + 1 AS DOUBLE)
+          / CAST(bt.tb + 10 AS DOUBLE))) * 1e9) AS BIGINT) AS term_nano
+  FROM grid g
+  JOIN daytot t ON g.day_epoch = t.day_epoch
+  LEFT JOIN baseline bl ON g.band = bl.band
+  CROSS JOIN basetot bt
+)
+SELECT day_epoch, MAX(td) AS n_day,
+  CAST(SUM(term_nano) AS BIGINT) AS psi_nano
+FROM terms GROUP BY 1 ORDER BY day_epoch"""
+
   /** [[EventStreams.streamingKmv]] end-to-end: the bounded-state
     * streaming distinct sketch. The sketch is a SET of the K smallest
     * hashes — permutation-invariant across micro-batches — so the
@@ -853,6 +943,7 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_sprt", streamSprt, Some(Olap2Queries.sprtOracle)),
     QueryDef("stream_topk", streamTopK, Some(streamTopKOracle)),
     QueryDef("stream_kmv", streamKmv, Some(streamKmvOracle)),
+    QueryDef("stream_psi", streamPsi, Some(streamPsiOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
     QueryDef("stream_session_window", streamSessionWindow, Some(streamSessionWindowOracle)),

@@ -53,6 +53,24 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("value_sum"))
 
+  /** Streaming drift-monitor input: per event-time DAY, purchase-value
+    * counts in fixed $10 bands — the windowed aggregate a PSI monitor
+    * consumes (the PSI itself is plain column math against a STATIC
+    * broadcast baseline in the readout; see `stream_psi`). Bands are
+    * fixed, never quantiles of the batch — a drifting monitor must not
+    * move its own goalposts (the q_psi_drift rule). Watermarked daily
+    * windows: state is days-in-horizon × 10 bands.
+    */
+  def dailyValueBands(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"),
+        least(floor(col("value") / 10), lit(9)).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("day_epoch"),
+        col("band"), col("n"))
+
   /** Sliding (hopping) 1-hour/15-minute event-time windows, streaming:
     * identical semantics to the batch `ev_hopping` query. Each event
     * joins width/slide = 4 window states; with the watermark, windows

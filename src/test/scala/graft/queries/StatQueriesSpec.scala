@@ -1492,6 +1492,40 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("stream_psi: daily PSI equals a batch driver fold; baseline days sit low") {
+    val got = run("stream_psi").select("day_epoch", "n_day", "psi_nano")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val p = Tables.events(spark, Sf)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(expr("unix_millis(ts) div 86400000"),
+        least(floor(col("value") / 10), lit(9)).cast("long"))
+      .as[(Long, Long)].collect()
+    val dlo = p.map(_._1).min
+    val baseline = p.filter(_._1 < dlo + 15).groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val tb = baseline.values.sum
+    val byDay = p.groupBy(_._1)
+    assert(got.map(_._1).toSeq == byDay.keys.toSeq.sorted.map(_ * 86400))
+    for ((dayEpoch, nDay, psiNano) <- got) {
+      val d0 = dayEpoch / 86400
+      val counts = byDay(d0).groupBy(_._2).view.mapValues(_.size.toLong)
+        .toMap
+      val td = counts.values.sum
+      assert(nDay == td)
+      val expect = (0L to 9L).map { b =>
+        val pr = (counts.getOrElse(b, 0L) + 1).toDouble / (td + 10)
+        val q = (baseline.getOrElse(b, 0L) + 1).toDouble / (tb + 10)
+        math.floor((pr - q) * math.log(pr / q) * 1e9).toLong
+      }.sum
+      assert(psiNano == expect, s"day $d0")
+    }
+    // PSI is a sum of (p-q)ln(p/q) >= 0 terms: each day's total can dip
+    // below zero only by the 10 nano-floor truncations (sf0.001's ~60
+    // purchases/day make absolute thresholds meaningless — sampling
+    // noise alone reads ~0.1-0.3 there)
+    assert(got.forall(_._3 >= -10L))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
