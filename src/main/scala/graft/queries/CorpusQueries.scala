@@ -2287,6 +2287,62 @@ WHERE t.pos <= 8 ORDER BY doc_id, pos"""
         '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE) AS chars_per_token
 FROM documents GROUP BY 1 ORDER BY lang"""
 
+  /** Vocabulary coverage curve: the share of total corpus token MASS
+    * covered by the top-k frequency-ranked words at k ∈ {10, 100,
+    * 1000, 10000} — the planning curve that sizes a tokenizer vocab or
+    * a stopword list (Zipfian text saturates fast: if the 1000-word
+    * prefix already covers 95%, a bigger vocab buys tail-only). Ranks
+    * come from one count aggregate + one bounded window over the
+    * vocabulary (types, not tokens); coverage is exact-integer
+    * cumulative mass over total mass.
+    */
+  private val CoverageKs = Seq(10L, 100L, 1000L, 10000L)
+
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(s, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("w"))
+    val ranked = cnt.withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("c").desc, col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cnt.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("vocab_size"))
+    val ks = s.createDataset(CoverageKs)(org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("k")
+    broadcast(ks).crossJoin(broadcast(tot))
+      .join(ranked.select(col("rk"), col("cum")),
+        col("rk") === col("k"), "left")
+      .select(col("k"), col("vocab_size"), col("total"),
+        // a k beyond the vocabulary covers everything
+        coalesce(col("cum"), col("total")).as("cum_mass"),
+        (coalesce(col("cum"), col("total")).cast("double")
+          / col("total").cast("double")).as("coverage"))
+      .orderBy("k")
+  }
+
+  private val vocabCoverageOracle: String = s"""WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT w, COUNT(*) AS c FROM tok WHERE w <> '' GROUP BY 1
+), ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+    CAST(SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING)
+      AS BIGINT) AS cum
+  FROM cnt
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS vocab_size FROM cnt
+), ks(k) AS (VALUES ${CoverageKs.map(k => s"($k)").mkString(", ")})
+SELECT CAST(k AS BIGINT) AS k, tot.vocab_size, tot.total,
+  CAST(COALESCE(r.cum, tot.total) AS BIGINT) AS cum_mass,
+  CAST(COALESCE(r.cum, tot.total) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+    AS coverage
+FROM ks CROSS JOIN tot LEFT JOIN ranked r ON r.rk = ks.k
+ORDER BY k"""
+
   /** Exact token-budget apportionment (largest-remainder / Hamilton
     * method): split a 1M-token training budget across sources in
     * proportion to their token counts such that the allocations are
@@ -2529,6 +2585,7 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_budget_apportion", budgetApportion, Some(budgetApportionOracle)),
     QueryDef("t_encode_tokens", encodeTokens, Some(encodeTokensOracle)),
     QueryDef("t_fertility", fertility, Some(fertilityOracle)),
+    QueryDef("t_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
     QueryDef("t_gram_novelty", gramNovelty, Some(gramNoveltyOracle)),
     QueryDef("t_idf_keywords", tfidfKeywords, Some(tfidfKeywordsOracle)),
     QueryDef("t_zipf_alpha", zipfAlpha, Some(zipfAlphaOracle)),

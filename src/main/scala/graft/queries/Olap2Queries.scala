@@ -2114,6 +2114,69 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- leaderboard rank churn ---------------------------------------------
+  /** Top-20 parts by revenue in the 1998+ period, annotated with their
+    * pre-1998 rank and a churn verdict (new / up / down / flat) — the
+    * leaderboard-stability readout every weekly business review wants
+    * beside the raw top-k (is the head STABLE or rotating?). Both
+    * period leaderboards are exact-cents aggregates ranked by
+    * (revenue desc, partkey) — a total order, so ranks can't tie-break
+    * differently across engines; the previous rank joins back by part.
+    */
+  private def rankChurn(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("part"),
+        cents(col("l_extendedprice")).as("c"),
+        (col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+          .as("post"))
+    def lead(post: Boolean) = {
+      val w = Window.orderBy(col("rev").desc, col("part"))
+      li.where(col("post") === post)
+        .groupBy(col("part")).agg(sum(col("c")).as("rev"))
+        .withColumn("rk", row_number().over(w))
+    }
+    val now = lead(post = true).where(col("rk") <= 20)
+      .select(col("part"), col("rk").as("rank_now"),
+        col("rev").as("rev_cents"))
+    val prev = lead(post = false).select(col("part"),
+      col("rk").as("rank_prev"))
+    now.join(prev, Seq("part"), "left")
+      .select(col("part"), col("rank_now"), col("rank_prev"),
+        col("rev_cents"),
+        when(col("rank_prev").isNull, "new")
+          .when(col("rank_prev") > col("rank_now"), "up")
+          .when(col("rank_prev") < col("rank_now"), "down")
+          .otherwise("flat").as("churn"))
+      .orderBy("rank_now")
+  }
+
+  private val rankChurnOracle: String = s"""WITH li AS (
+  SELECT l_partkey AS part,
+    CAST(FLOOR(l_extendedprice * 100 + ${D("0.5")}) AS BIGINT) AS c,
+    o_orderdate >= TIMESTAMP '1998-01-01' AS post
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), now_ AS (
+  SELECT part, rk AS rank_now, rev AS rev_cents FROM (
+    SELECT part, CAST(SUM(c) AS BIGINT) AS rev,
+      ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, part) AS rk
+    FROM li WHERE post GROUP BY part
+  ) WHERE rk <= 20
+), prev AS (
+  SELECT part, ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, part) AS rank_prev
+  FROM li WHERE NOT post GROUP BY part
+)
+SELECT n.part, CAST(n.rank_now AS BIGINT) AS rank_now,
+  CAST(p.rank_prev AS BIGINT) AS rank_prev, n.rev_cents,
+  CASE WHEN p.rank_prev IS NULL THEN 'new'
+       WHEN p.rank_prev > n.rank_now THEN 'up'
+       WHEN p.rank_prev < n.rank_now THEN 'down'
+       ELSE 'flat' END AS churn
+FROM now_ n LEFT JOIN prev p ON n.part = p.part
+ORDER BY rank_now"""
+
   // --- ROC AUC (rank formulation) ---------------------------------------
   /** ROC AUC of order value as a classifier score for the URGENT/HIGH
     * priority label — by the exact rank identity
@@ -2897,6 +2960,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_srm", srm, Some(srmOracle)),
     QueryDef("q_elasticity", elasticity, Some(elasticityOracle)),
     QueryDef("q_auc", auc, Some(aucOracle)),
+    QueryDef("q_rank_churn", rankChurn, Some(rankChurnOracle)),
     QueryDef("q_mutual_info", mutualInfo, Some(mutualInfoOracle)),
     QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),

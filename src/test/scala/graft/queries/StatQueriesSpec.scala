@@ -1526,6 +1526,60 @@ class StatQueriesSpec extends SparkSpec {
     assert(got.forall(_._3 >= -10L))
   }
 
+  test("q_rank_churn: verdicts agree with independently computed leaderboards") {
+    val got = run("q_rank_churn")
+      .select("part", "rank_now", "rank_prev", "rev_cents", "churn")
+      .as[(Long, Long, Option[Long], Long, String)].collect()
+    assert(got.length == 20 && got.map(_._2).toSeq == (1L to 20L))
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").cast("long"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+        (col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
+      .as[(Long, Long, Boolean)].collect()
+    def board(post: Boolean): Map[Long, Int] =
+      li.filter(_._3 == post).groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy { case (p, r) => (-r, p) }.zipWithIndex
+        .map { case ((p, _), i) => p -> (i + 1) }.toMap
+    val now = board(post = true); val prev = board(post = false)
+    for ((part, rn, rp, _, churn) <- got) {
+      assert(now(part) == rn.toInt, s"part $part")
+      assert(rp.map(_.toInt) == prev.get(part), s"part $part prev")
+      val expect = rp match {
+        case None => "new"
+        case Some(p0) if p0 > rn => "up"
+        case Some(p0) if p0 < rn => "down"
+        case _ => "flat"
+      }
+      assert(churn == expect, s"part $part")
+    }
+  }
+
+  test("t_vocab_coverage: curve is monotone and matches a driver fold") {
+    val got = run("t_vocab_coverage")
+      .select("k", "vocab_size", "total", "cum_mass", "coverage")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(10L, 100L, 1000L, 10000L))
+    val toks = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val total = cnt.map(_._2).sum
+    for ((k, vs, t, cm, cov) <- got) {
+      assert(vs == cnt.length.toLong && t == total)
+      val expect = cnt.take(k.toInt).map(_._2).sum match {
+        case s0 if k >= cnt.length => total
+        case s0 => s0
+      }
+      assert(cm == expect, s"k=$k")
+      assert(cov == expect.toDouble / total)
+    }
+    val covs = got.map(_._5)
+    assert(covs.zip(covs.tail).forall { case (a, b) => b >= a })
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
