@@ -2114,6 +2114,76 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- heterogeneous treatment effects ------------------------------------
+  /** Per-segment treatment effect: the md5-split "treatment" arm's
+    * order-value lift within each market segment, each with its own
+    * Welch z — the heterogeneity readout after a flat A/B (q_ab_welch)
+    * reads neutral: a launch can be +5% for BUILDING and −5% for
+    * MACHINERY and net to zero. Per-segment moments are exact longs
+    * from one conditional pass; each z is the same fixed double tree
+    * as q_ab_welch, evaluated per row of the 5-segment output (never a
+    * cross-segment float fold).
+    */
+  private def hte(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      // WHOLE DOLLARS, not cents: the Sigma c-squared moment of cents
+      // overflows int64 at sf0.1 order values (2.5e15 per row)
+      .select(col("seg"),
+        floor(col("o_totalprice") + 0.5).cast("long").as("c"),
+        (conv(substring(md5(col("o_custkey").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("treat"))
+    val m = o.groupBy(col("seg")).agg(
+      sum(when(col("treat"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("treat"), col("c")).otherwise(0L)).as("s1"),
+      sum(when(col("treat"), col("c") * col("c")).otherwise(0L)).as("ss1"),
+      sum(when(!col("treat"), 1L).otherwise(0L)).as("n0"),
+      sum(when(!col("treat"), col("c")).otherwise(0L)).as("s0"),
+      sum(when(!col("treat"), col("c") * col("c")).otherwise(0L)).as("ss0"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def meanOf(sc: String, nc: String) = d(col(sc)) / d(col(nc))
+    def varOf(ssc: String, sc: String, nc: String) =
+      (d(col(ssc)) - d(col(sc)) * d(col(sc)) / d(col(nc))) /
+        (d(col(nc)) - lit(1.0))
+    m.select(col("seg"), col("n1"), col("n0"),
+        (meanOf("s1", "n1") - meanOf("s0", "n0")).as("diff_mean_dollars"),
+        ((meanOf("s1", "n1") - meanOf("s0", "n0")) /
+          sqrt(varOf("ss1", "s1", "n1") / d(col("n1"))
+            + varOf("ss0", "s0", "n0") / d(col("n0")))).as("z"))
+      .orderBy("seg")
+  }
+
+  private val hteOracle: String = s"""WITH o AS (
+  SELECT c_mktsegment AS seg,
+    CAST(FLOOR(o_totalprice + ${D("0.5")}) AS BIGINT) AS c,
+    (strpos('0123456789abcdef',
+      substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1) < 8 AS treat
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), m AS (
+  SELECT seg,
+    CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN treat THEN c ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN treat THEN c * c ELSE 0 END) AS BIGINT) AS ss1,
+    CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN NOT treat THEN c ELSE 0 END) AS BIGINT) AS s0,
+    CAST(SUM(CASE WHEN NOT treat THEN c * c ELSE 0 END) AS BIGINT) AS ss0
+  FROM o GROUP BY 1
+)
+SELECT seg, n1, n0,
+  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS diff_mean_dollars,
+  (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+    - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+  / sqrt(((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - ${D("1.0")}))
+      / CAST(n1 AS DOUBLE)
+    + ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+        / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - ${D("1.0")}))
+      / CAST(n0 AS DOUBLE)) AS z
+FROM m ORDER BY seg"""
+
   // --- leaderboard rank churn ---------------------------------------------
   /** Top-20 parts by revenue in the 1998+ period, annotated with their
     * pre-1998 rank and a churn verdict (new / up / down / flat) — the
@@ -2961,6 +3031,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_elasticity", elasticity, Some(elasticityOracle)),
     QueryDef("q_auc", auc, Some(aucOracle)),
     QueryDef("q_rank_churn", rankChurn, Some(rankChurnOracle)),
+    QueryDef("q_hte", hte, Some(hteOracle)),
     QueryDef("q_mutual_info", mutualInfo, Some(mutualInfoOracle)),
     QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),

@@ -1580,6 +1580,41 @@ class StatQueriesSpec extends SparkSpec {
     assert(covs.zip(covs.tail).forall { case (a, b) => b >= a })
   }
 
+  test("q_hte: per-segment Welch stats equal a driver fold") {
+    val got = run("q_hte")
+      .select("seg", "n1", "n0", "diff_mean_dollars", "z")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .join(spark.read.parquet(s"$Sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        floor(col("o_totalprice") + 0.5).cast("long"),
+        col("o_custkey").cast("string"))
+      .as[(String, Long, String)].collect()
+      .map { case (seg, c, k) =>
+        val nib = Integer.parseInt(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(k.getBytes("UTF-8")).take(1).map("%02x".format(_))
+            .mkString.take(1), 16)
+        (seg, c, nib < 8)
+      }
+    for ((seg, rs) <- o.groupBy(_._1)) {
+      val t = rs.filter(_._3).map(_._2); val c0 = rs.filterNot(_._3).map(_._2)
+      val (n1, n0) = (t.length.toLong, c0.length.toLong)
+      def mean(xs: Array[Long]) = xs.sum.toDouble / xs.length
+      def varr(xs: Array[Long]) =
+        (xs.map(x => x.toDouble * x).sum - xs.sum.toDouble * xs.sum / xs.length) /
+          (xs.length - 1.0)
+      val (_, gn1, gn0, gd, gz) = got(seg)
+      assert(gn1 == n1 && gn0 == n0, s"seg $seg")
+      assert(math.abs(gd - (mean(t) - mean(c0))) < 1e-9)
+      val z = (mean(t) - mean(c0)) /
+        math.sqrt(varr(t) / n1 + varr(c0) / n0)
+      assert(math.abs(gz - z) < 1e-9, s"seg $seg")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
