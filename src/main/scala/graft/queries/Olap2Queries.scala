@@ -2114,6 +2114,85 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- duplicate-payment detection ------------------------------------------
+  /** Duplicate-payment candidates: same customer, order totals within
+    * \$500 of each other, order dates within 30 days — the
+    * payables-audit screen (double-submitted invoices cluster on
+    * near-identical amount + short gap; exact-cent equality is too
+    * strict once fees/rounding touch one copy). The self-join is keyed
+    * on CUSTOMER alone — per-key fanout is bounded by orders-per-
+    * customer (≤ tens, the basket-size bound, same budget as
+    * shingling), so the join scales as a hash join with bounded
+    * amplification; amount and date gaps are post-filters. Each pair
+    * emits once (smaller orderkey first).
+    */
+  private def duplicatePayments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("cust"), cents(col("o_totalprice")).as("c"),
+        col("o_orderkey").as("ok"),
+        expr("unix_millis(o_orderdate) div 86400000").as("d"))
+    val a = o.select(col("cust"), col("c").as("c_a"), col("ok").as("ok_a"),
+      col("d").as("d_a"))
+    val b = o.select(col("cust"), col("c").as("c_b"), col("ok").as("ok_b"),
+      col("d").as("d_b"))
+    a.join(b, Seq("cust"))
+      .where(col("ok_a") < col("ok_b") &&
+        abs(col("d_a") - col("d_b")) <= 30 &&
+        abs(col("c_a") - col("c_b")) <= 50000)
+      .select(col("cust"), col("c_a").as("amount_a_cents"),
+        col("c_b").as("amount_b_cents"), col("ok_a"), col("ok_b"),
+        abs(col("d_a") - col("d_b")).as("gap_days"))
+      .orderBy(col("cust"), col("ok_a"), col("ok_b"))
+  }
+
+  private val duplicatePaymentsOracle: String = s"""WITH o AS (
+  SELECT o_custkey AS cust,
+    CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS c,
+    o_orderkey AS ok, epoch_ms(o_orderdate) // 86400000 AS d
+  FROM orders
+)
+SELECT a.cust, a.c AS amount_a_cents, b.c AS amount_b_cents,
+  a.ok AS ok_a, b.ok AS ok_b, ABS(a.d - b.d) AS gap_days
+FROM o a JOIN o b ON a.cust = b.cust AND a.ok < b.ok
+WHERE ABS(a.d - b.d) <= 30 AND ABS(a.c - b.c) <= 50000
+ORDER BY a.cust, ok_a, ok_b"""
+
+  // --- round-number anomaly (forensic) ---------------------------------------
+  /** Round-number share beside q_benford: what fraction of order totals
+    * land on exact dollars / exact hundreds, against the ~1% / ~0.01%
+    * a smooth price process implies — fabricated or hand-keyed amounts
+    * over-index on round numbers long before Benford's first-digit
+    * curve bends (the complementary forensic screen). Exact integer
+    * modular counts; the excess ratios are two final divisions.
+    */
+  private def roundNumbers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(cents(col("o_totalprice")).as("c"))
+    def dd(c0: org.apache.spark.sql.Column) = c0.cast("double")
+    o.agg(count(lit(1)).as("n"),
+        sum(when(expr("c % 100") === 0, 1L).otherwise(0L)).as("n_dollar"),
+        sum(when(expr("c % 10000") === 0, 1L).otherwise(0L)).as("n_hundred"))
+      .select(col("n"), col("n_dollar"), col("n_hundred"),
+        (dd(col("n_dollar")) / dd(col("n")) * lit(100.0))
+          .as("dollar_exact_x"),
+        (dd(col("n_hundred")) / dd(col("n")) * lit(10000.0))
+          .as("hundred_exact_x"))
+  }
+
+  private val roundNumbersOracle: String = s"""WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS c
+  FROM orders
+)
+SELECT COUNT(*) AS n,
+  CAST(SUM(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dollar,
+  CAST(SUM(CASE WHEN c % 10000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hundred,
+  CAST(SUM(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) * ${D("100.0")} AS dollar_exact_x,
+  CAST(SUM(CASE WHEN c % 10000 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) * ${D("10000.0")} AS hundred_exact_x
+FROM o"""
+
   // --- heterogeneous treatment effects ------------------------------------
   /** Per-segment treatment effect: the md5-split "treatment" arm's
     * order-value lift within each market segment, each with its own
@@ -3032,6 +3111,9 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_auc", auc, Some(aucOracle)),
     QueryDef("q_rank_churn", rankChurn, Some(rankChurnOracle)),
     QueryDef("q_hte", hte, Some(hteOracle)),
+    QueryDef("q_duplicate_payments", duplicatePayments,
+      Some(duplicatePaymentsOracle)),
+    QueryDef("q_round_numbers", roundNumbers, Some(roundNumbersOracle)),
     QueryDef("q_mutual_info", mutualInfo, Some(mutualInfoOracle)),
     QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),

@@ -1615,6 +1615,35 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_duplicate_payments and q_round_numbers: forensic screens reproduce") {
+    val pairs = run("q_duplicate_payments")
+      .select("cust", "amount_a_cents", "amount_b_cents", "ok_a", "ok_b",
+        "gap_days")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val o = Tables(spark, Sf, "orders")
+      .select(col("o_custkey").cast("long"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+        col("o_orderkey").cast("long"),
+        expr("unix_millis(o_orderdate) div 86400000"))
+      .as[(Long, Long, Long, Long)].collect()
+    val expect = o.groupBy(_._1).values.flatMap { os =>
+      for {
+        x <- os; y <- os
+        if x._3 < y._3 && math.abs(x._4 - y._4) <= 30 &&
+          math.abs(x._2 - y._2) <= 50000
+      } yield (x._1, x._2, y._2, x._3, y._3, math.abs(x._4 - y._4))
+    }.toSet
+    assert(pairs.toSet == expect)
+    // round-number screen on the same amounts
+    val rn = run("q_round_numbers")
+      .select("n", "n_dollar", "n_hundred")
+      .as[(Long, Long, Long)].head()
+    val cents = o.map(_._2)
+    assert(rn == ((cents.length.toLong,
+      cents.count(_ % 100 == 0).toLong,
+      cents.count(_ % 10000 == 0).toLong)))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
