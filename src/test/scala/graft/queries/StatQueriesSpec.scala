@@ -1626,7 +1626,8 @@ class StatQueriesSpec extends SparkSpec {
         col("o_orderkey").cast("long"),
         expr("unix_millis(o_orderdate) div 86400000"))
       .as[(Long, Long, Long, Long)].collect()
-    val expect = o.groupBy(_._1).values.flatMap { os =>
+    val expect = o.groupBy(_._1).values.flatMap { osArr =>
+      val os = osArr.toSeq
       for {
         x <- os; y <- os
         if x._3 < y._3 && math.abs(x._4 - y._4) <= 30 &&
