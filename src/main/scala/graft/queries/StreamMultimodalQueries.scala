@@ -497,6 +497,57 @@ SELECT day_epoch, MAX(td) AS n_day,
   CAST(SUM(term_nano) AS BIGINT) AS psi_nano
 FROM terms GROUP BY 1 ORDER BY day_epoch"""
 
+  /** [[EventStreams.TokenBucketProcessor]] end-to-end: the per-user
+    * token-bucket rate limiter replaying the events file. The exact
+    * integer micro-token trajectory must land every user at the same
+    * (n, throttled, tokens) point as the batch recursive fold — graded
+    * against that restatement. Top 20 by throttle count (total order),
+    * the abuse-review queue.
+    */
+  private def streamTokenBucket(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.streamingTokenBucket(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"))
+      EventStreams.runToMemory(s, out, "graft_stream_bucket",
+          OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("n_throttled"),
+          col("tokens_micro"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.n_throttled").as("n_throttled"),
+          col("m.tokens_micro").as("tokens_micro"))
+        .orderBy(col("n_throttled").desc, col("user_id"))
+        .limit(20)
+    }
+
+  private val streamTokenBucketOracle: String = """WITH RECURSIVE e AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), h(user_id, rn, ms, tok, thr) AS (
+  SELECT user_id, CAST(1 AS BIGINT), ms, CAST(4000000 AS BIGINT),
+    CAST(0 AS BIGINT)
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, h.rn + 1, GREATEST(h.ms, e.ms),
+    CASE WHEN LEAST(5000000, h.tok + CASE WHEN e.ms > h.ms
+        THEN (e.ms - h.ms) * 1000000 // 600000 ELSE 0 END) >= 1000000
+      THEN LEAST(5000000, h.tok + CASE WHEN e.ms > h.ms
+        THEN (e.ms - h.ms) * 1000000 // 600000 ELSE 0 END) - 1000000
+      ELSE LEAST(5000000, h.tok + CASE WHEN e.ms > h.ms
+        THEN (e.ms - h.ms) * 1000000 // 600000 ELSE 0 END) END,
+    h.thr + CASE WHEN LEAST(5000000, h.tok + CASE WHEN e.ms > h.ms
+        THEN (e.ms - h.ms) * 1000000 // 600000 ELSE 0 END) >= 1000000
+      THEN 0 ELSE 1 END
+  FROM h JOIN e ON e.user_id = h.user_id AND e.rn = h.rn + 1
+), fin AS (
+  SELECT user_id, rn AS n_events, thr AS n_throttled, tok AS tokens_micro
+  FROM h
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+)
+SELECT user_id, n_events, n_throttled, tokens_micro FROM fin
+ORDER BY n_throttled DESC, user_id LIMIT 20"""
+
   /** [[EventStreams.streamingKmv]] end-to-end: the bounded-state
     * streaming distinct sketch. The sketch is a SET of the K smallest
     * hashes — permutation-invariant across micro-batches — so the
@@ -944,6 +995,8 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_topk", streamTopK, Some(streamTopKOracle)),
     QueryDef("stream_kmv", streamKmv, Some(streamKmvOracle)),
     QueryDef("stream_psi", streamPsi, Some(streamPsiOracle)),
+    QueryDef("stream_token_bucket", streamTokenBucket,
+      Some(streamTokenBucketOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
     QueryDef("stream_session_window", streamSessionWindow, Some(streamSessionWindowOracle)),

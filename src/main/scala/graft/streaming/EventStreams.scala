@@ -615,6 +615,70 @@ object EventStreams {
       .toDF()
   }
 
+  final case class BucketOut(user_id: Long, n_events: Long,
+      n_throttled: Long, tokens_micro: Long)
+
+  /** Per-user token-bucket rate limiter as carried state — THE
+    * streaming-systems primitive (API quotas, abuse throttles):
+    * capacity 5 tokens, refill 1 per 10 minutes, 1 token per event.
+    * Exactness: tokens are MICRO-token integers and the refill is the
+    * integer division (Δms · 1e6) div 600000, so the trajectory is an
+    * exact integer fold both engines replay bit-for-bit. Within a
+    * batch events fold in the repo's total event order; like the other
+    * sequential-fold twins this assumes cross-batch delivery respects
+    * event order (single-file replay here; documented on the clamped
+    * twin). State is 3 longs per user.
+    */
+  class TokenBucketProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, BucketOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    private val CapMicro = 5000000L
+    private val RefillDenMs = 600000L
+
+    @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long)]("bucket",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[BucketOut] = {
+      val sorted = rows.toSeq.sortBy(eventOrder)
+      // (n, throttled, tokensMicro, lastMs); a fresh bucket starts FULL
+      var (n, thr, tok, last) =
+        if (st.exists()) st.get() else (0L, 0L, CapMicro, Long.MinValue)
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        if (last != Long.MinValue && ms > last)
+          tok = math.min(CapMicro, tok + (ms - last) * 1000000L / RefillDenMs)
+        last = math.max(last, ms)
+        n += 1
+        if (tok >= 1000000L) tok -= 1000000L else thr += 1
+      }
+      st.update((n, thr, tok, last))
+      if (sorted.isEmpty) Iterator.empty
+      else Iterator(BucketOut(key, n, thr, tok))
+    }
+  }
+
+  /** [[TokenBucketProcessor]] wired to a stream (RocksDB required). */
+  def streamingTokenBucket(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new TokenBucketProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   final case class KmvState(n_seen: Long, ks: Seq[Long])
   final case class KmvOut(event_type: String, n_seen: Long, ks: Seq[Long])
 

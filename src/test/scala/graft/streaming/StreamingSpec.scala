@@ -906,6 +906,43 @@ class StreamingSpec extends SparkSpec {
       s"sketch must merge across the restart into the batch k-min: $fin")
   }
 
+  test("token bucket: refill/consume trajectory carries across a restart") {
+    val ckpt = Files.createTempDirectory("graft_tb_ck").toString
+    val outDir = Files.createTempDirectory("graft_tb_out").toString
+    val dir = Files.createTempDirectory("graft_tb_in").toString
+    def ev(id: Long, ms: Long): EventStreams.Event =
+      EventStreams.Event(id, new Timestamp(ms), 1L, "click", 0.0)
+    val t0 = 1704067200000L
+    // burst of 6 at t0 drains the 5-token bucket (1 throttled)...
+    writeBatch(dir, "b1", (1L to 6L).map(i => ev(i, t0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def start() = EventStreams.withRocksDbState(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      EventStreams.streamingTokenBucket(stream).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // ...after a restart, 5 minutes later: half a token refilled —
+    // still < 1, so the next event throttles too; 10 more minutes
+    // refill a full token and the next event passes
+    writeBatch(dir, "b2", Seq(ev(7L, t0 + 300000L)))
+    writeBatch(dir, "b3", Seq(ev(8L, t0 + 900000L)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val fin = spark.read.parquet(outDir)
+      .orderBy(col("n_events").desc).limit(1)
+      .select("n_events", "n_throttled", "tokens_micro")
+      .as[(Long, Long, Long)].head()
+    // trajectory: 5 allowed, then throttle at #6; #7 at +5min has
+    // 0 + 500000 micro -> throttled; #8 at +15min has 500000 + 1000000
+    // capped... = 1500000 -> allowed, leaving 500000
+    assert(fin == ((8L, 2L, 500000L)),
+      s"restart must carry the micro-token balance: $fin")
+  }
+
   test("observability: observe() metrics and state-operator progress surface") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
