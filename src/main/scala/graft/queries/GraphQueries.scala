@@ -1500,6 +1500,102 @@ SELECT c.scc_id, c.n_nodes,
 FROM cnt c LEFT JOIN ie USING (scc_id)
 ORDER BY n_nodes DESC, scc_id"""
 
+  /** Bow-tie decomposition of the k-transition digraph (Broder et al.
+    * WWW'00, the canonical shape analysis for directed behavioral
+    * graphs): size of the giant SCC core, IN (reaches the core), OUT
+    * (reachable from it), and the remainder (tendrils/disconnected) —
+    * "how much of the state space funnels through the recurrent
+    * core". Core = the largest SCC from the shared [[Graphs.scc]]
+    * labels (ties → smaller label); IN/OUT are frontier fixpoints over
+    * the edge list, lineage cut per round, rounds bounded by graph
+    * diameter on a ~|k|-node graph. The oracle reuses the SCC
+    * transitive-closure CTE — reach to/from any core node.
+    */
+  private def bowtie(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = kEdges(s, dir)
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct().localCheckpoint()
+    val labels = Graphs.scc(edges).localCheckpoint()
+    val giant = labels.groupBy(col("scc_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("scc_id")).limit(1)
+      .select(col("scc_id")).as[Long].head()
+    val core = labels.where(col("scc_id") === giant)
+      .select(col("node")).localCheckpoint()
+    def reachFrom(e: DataFrame): DataFrame = {
+      var r = core
+      var n = r.count()
+      var stable = false
+      while (!stable) {
+        val next = r.union(
+            e.join(r.withColumnRenamed("node", "src"), Seq("src"))
+              .select(col("dst").as("node")))
+          .distinct().localCheckpoint(eager = true)
+        val n2 = next.count()
+        stable = n2 == n
+        r = next; n = n2
+      }
+      r
+    }
+    val out = reachFrom(edges)
+    val in = reachFrom(edges.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val nodes = labels.select(col("node"))
+    val nCore = core.count()
+    val nOut = out.join(core, Seq("node"), "left_anti").count()
+    val nIn = in.join(core, Seq("node"), "left_anti").count()
+    val nAll = nodes.count()
+    Seq((nAll, nCore, nIn, nOut, nAll - nCore - nIn - nOut))
+      .toDF("n_nodes", "n_core", "n_in", "n_out", "n_other")
+  }
+
+  private val bowtieOracle: String = """WITH RECURSIVE ek AS (
+  SELECT user_id, ts, event_id,
+    CAST(regexp_extract(props, '"k"\s*:\s*(\d+)', 1) AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k AS src,
+    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ek
+), e AS (
+  SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT DISTINCT k AS n FROM ek
+), reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+), mutual AS (
+  SELECT a.src AS node, a.dst AS peer
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+), lab AS (
+  SELECT n AS node, COALESCE(MIN(peer), n) AS scc_id
+  FROM nodes LEFT JOIN mutual ON mutual.node = nodes.n GROUP BY n
+), giant AS (
+  SELECT scc_id FROM (
+    SELECT scc_id, COUNT(*) AS n,
+      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, scc_id) AS rk
+    FROM lab GROUP BY 1
+  ) WHERE rk = 1
+), core AS (
+  SELECT node FROM lab, giant WHERE lab.scc_id = giant.scc_id
+), outside AS (
+  SELECT DISTINCT r.dst AS node FROM reach r
+  JOIN core c ON r.src = c.node
+  WHERE r.dst NOT IN (SELECT node FROM core)
+), inside AS (
+  SELECT DISTINCT r.src AS node FROM reach r
+  JOIN core c ON r.dst = c.node
+  WHERE r.src NOT IN (SELECT node FROM core)
+)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+  (SELECT COUNT(*) FROM core) AS n_core,
+  (SELECT COUNT(*) FROM inside) AS n_in,
+  (SELECT COUNT(*) FROM outside) AS n_out,
+  (SELECT COUNT(*) FROM nodes) - (SELECT COUNT(*) FROM core)
+    - (SELECT COUNT(*) FROM inside) - (SELECT COUNT(*) FROM outside)
+    AS n_other"""
+
   /** [[Graphs.temporalEarliestArrival]] over the timestamped k-value
     * transition edges (dep = the earlier event's epoch-ms, arr = the
     * later's): earliest time each k-state is reachable from the
@@ -1748,6 +1844,7 @@ ORDER BY motif"""
     QueryDef("g_link_pred_aa", linkPredAa, Some(linkPredAaOracle)),
     QueryDef("g_stationary_dist", stationaryDist, Some(stationaryDistOracle)),
     QueryDef("g_conductance", conductance, Some(conductanceOracle)),
+    QueryDef("g_bowtie", bowtie, Some(bowtieOracle)),
     QueryDef("g_markov_accuracy", markovAccuracy, Some(markovAccuracyOracle)),
     QueryDef("g_bfs_hops", bfsHops, Some(bfsHopsOracle)),
     QueryDef("g_diameter_2sweep", diameter2Sweep, Some(diameter2SweepOracle)),

@@ -2114,6 +2114,64 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- ABC (Pareto-class) classification --------------------------------------
+  /** ABC classification of parts by revenue: A-parts carry the first
+    * 80% of revenue, B the next 15%, C the tail — the inventory-policy
+    * cut (count A tightly, C loosely) that generalizes q_pareto80's
+    * single 80/20 readout into the full three-class report. Class
+    * boundaries test the cumulative revenue BEFORE each part against
+    * exact integer cross-multiplications (5·cum_prev < 4·total for A,
+    * 20·cum_prev < 19·total for B) so no float compare can reclassify
+    * a boundary part; ranking is a total (revenue desc, part) order.
+    */
+  private def abcClass(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum(cents(col("l_extendedprice"))).as("r"))
+    val w = Window.orderBy(col("r").desc, col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = rev.agg(sum(col("r")).as("total"))
+    val classed = rev
+      .withColumn("cum_prev", coalesce(sum(col("r")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("part"), col("r"),
+        when(col("cum_prev") * 5 < col("total") * 4, "A")
+          .when(col("cum_prev") * 20 < col("total") * 19, "B")
+          .otherwise("C").as("abc"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    classed.groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("r")).as("revenue_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("abc"), col("n_parts"), col("revenue_cents"),
+        (d(col("revenue_cents")) / d(col("total"))).as("revenue_share"))
+      .orderBy("abc")
+  }
+
+  private val abcClassOracle: String = s"""WITH rev AS (
+  SELECT l_partkey AS part,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + ${D("0.5")}) AS BIGINT))
+      AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT CAST(SUM(r) AS BIGINT) AS total FROM rev),
+classed AS (
+  SELECT part, r,
+    CASE WHEN cum_prev * 5 < total * 4 THEN 'A'
+         WHEN cum_prev * 20 < total * 19 THEN 'B'
+         ELSE 'C' END AS abc
+  FROM (
+    SELECT part, r,
+      COALESCE(CAST(SUM(r) OVER (ORDER BY r DESC, part
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        AS cum_prev
+    FROM rev
+  ) CROSS JOIN tot
+)
+SELECT abc, COUNT(*) AS n_parts,
+  CAST(SUM(r) AS BIGINT) AS revenue_cents,
+  CAST(SUM(r) AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
+    AS revenue_share
+FROM classed GROUP BY 1 ORDER BY abc"""
+
   // --- duplicate-payment detection ------------------------------------------
   /** Duplicate-payment candidates: same customer, order totals within
     * \$500 of each other, order dates within 30 days — the
@@ -3114,6 +3172,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_duplicate_payments", duplicatePayments,
       Some(duplicatePaymentsOracle)),
     QueryDef("q_round_numbers", roundNumbers, Some(roundNumbersOracle)),
+    QueryDef("q_abc_class", abcClass, Some(abcClassOracle)),
     QueryDef("q_mutual_info", mutualInfo, Some(mutualInfoOracle)),
     QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),

@@ -1645,6 +1645,44 @@ class StatQueriesSpec extends SparkSpec {
       cents.count(_ % 10000 == 0).toLong)))
   }
 
+  test("q_abc_class: classes partition parts and match a driver fold") {
+    val got = run("q_abc_class")
+      .select("abc", "n_parts", "revenue_cents", "revenue_share")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val rev = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .groupBy(col("l_partkey").cast("long"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")))
+      .as[(Long, Long)].collect()
+    val total = rev.map(_._2).sum
+    val sorted = rev.sortBy { case (p, r) => (-r, p) }
+    var cum = 0L
+    val classes = sorted.map { case (p, r) =>
+      val c = if (cum * 5 < total * 4) "A"
+        else if (cum * 20 < total * 19) "B" else "C"
+      cum += r
+      (p, r, c)
+    }
+    for (cls <- Seq("A", "B", "C")) {
+      val members = classes.filter(_._3 == cls)
+      val (_, n, rc, share) = got(cls)
+      assert(n == members.length.toLong && rc == members.map(_._2).sum,
+        s"class $cls")
+      assert(share == rc.toDouble / total)
+    }
+    assert(got.values.map(_._2).sum == rev.length.toLong)
+  }
+
+  test("g_bowtie: components partition the node set") {
+    val row = run("g_bowtie")
+      .select("n_nodes", "n_core", "n_in", "n_out", "n_other")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (n, core, in, out, other) = row
+    assert(core >= 1 && in >= 0 && out >= 0 && other >= 0)
+    assert(core + in + out + other == n)
+    // IN/OUT exclude the core by construction
+    assert(in + core <= n && out + core <= n)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
