@@ -2114,6 +2114,90 @@ SELECT n, k, ssb_z, ssw_z,
 FROM parts"""
   }
 
+  // --- correlation matrix -------------------------------------------------
+  /** Pearson correlation matrix over the four line-item numerics
+    * (quantity, price-cents, discount-bps, tax-bps) — the first-look
+    * EDA grid beside the rank versions (q_spearman, q_kendall_tau).
+    * One pass accumulates every moment as an exact long (all four
+    * measures are integers; cross moments peak ~1e18 at sf0.1 —
+    * price-cents² is excluded by using dollars for price); each of the
+    * 6 pairs is then one fixed double tree over its five longs.
+    * Output is the upper triangle as rows — pinned pair order, never
+    * an engine-chosen pivot.
+    */
+  private def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq(
+      ("quantity", col("l_quantity").cast("long")),
+      ("price_dollars", floor(col("l_extendedprice") + 0.5).cast("long")),
+      ("discount_bps", floor(col("l_discount") * 10000 + 0.5).cast("long")),
+      ("tax_bps", floor(col("l_tax") * 10000 + 0.5).cast("long")))
+    val named = cols.map { case (n, c) => c.as(n) }
+    val li = Tables(s, dir, "lineitem").select(named: _*)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap { case (n, _) =>
+        Seq(sum(col(n)).as(s"s_$n"), sum(col(n) * col(n)).as(s"ss_$n"))
+      } ++
+      cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+        sum(col(a) * col(b)).as(s"sp_${a}_$b")
+      }.toSeq
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val pairs = cols.combinations(2).map { case Seq((a, _), (b, _)) =>
+      // cast BEFORE multiplying: n x Sigma-p-squared for the dollar
+      // column tops 2^63 as longs; the double-first tree is identical
+      // in both engines
+      m.select(lit(a).as("x"), lit(b).as("y"),
+        ((d(col("n")) * d(col(s"sp_${a}_$b"))
+            - d(col(s"s_$a")) * d(col(s"s_$b"))) /
+          (sqrt(d(col("n")) * d(col(s"ss_$a"))
+              - d(col(s"s_$a")) * d(col(s"s_$a"))) *
+           sqrt(d(col("n")) * d(col(s"ss_$b"))
+              - d(col(s"s_$b")) * d(col(s"s_$b")))))
+          .as("r"))
+    }.toSeq
+    pairs.reduce(_ union _).orderBy("x", "y")
+  }
+
+  private val corrMatrixOracle: String = {
+    val defs = Seq(
+      ("quantity", "CAST(l_quantity AS BIGINT)"),
+      ("price_dollars",
+        s"CAST(FLOOR(l_extendedprice + ${D("0.5")}) AS BIGINT)"),
+      ("discount_bps",
+        s"CAST(FLOOR(l_discount * 10000 + ${D("0.5")}) AS BIGINT)"),
+      ("tax_bps", s"CAST(FLOOR(l_tax * 10000 + ${D("0.5")}) AS BIGINT)"))
+    val sel = defs.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+    val moments = (Seq("COUNT(*) AS n") ++
+      defs.flatMap { case (n, _) =>
+        Seq(s"CAST(SUM($n) AS BIGINT) AS s_$n",
+          s"CAST(SUM($n * $n) AS BIGINT) AS ss_$n")
+      } ++
+      defs.map(_._1).combinations(2).map { case Seq(a, b) =>
+        s"CAST(SUM($a * $b) AS BIGINT) AS sp_${a}_$b"
+      }).mkString(",\n    ")
+    val rows = defs.map(_._1).combinations(2).map { case Seq(a, b) =>
+      s"""SELECT '$a' AS x, '$b' AS y,
+  (CAST(n AS DOUBLE) * CAST(sp_${a}_$b AS DOUBLE)
+    - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE)
+        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE)
+        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) AS r
+FROM m"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH li AS (
+  SELECT
+    $sel
+  FROM lineitem
+), m AS (
+  SELECT
+    $moments
+  FROM li
+)
+$rows
+ORDER BY x, y"""
+  }
+
   // --- ABC (Pareto-class) classification --------------------------------------
   /** ABC classification of parts by revenue: A-parts carry the first
     * 80% of revenue, B the next 15%, C the tail — the inventory-policy
@@ -3173,6 +3257,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
       Some(duplicatePaymentsOracle)),
     QueryDef("q_round_numbers", roundNumbers, Some(roundNumbersOracle)),
     QueryDef("q_abc_class", abcClass, Some(abcClassOracle)),
+    QueryDef("q_corr_matrix", corrMatrix, Some(corrMatrixOracle)),
     QueryDef("q_mutual_info", mutualInfo, Some(mutualInfoOracle)),
     QueryDef("q_mcnemar", mcnemar, Some(mcnemarOracle)),
     QueryDef("q_wilcoxon_signed", wilcoxonSigned, Some(wilcoxonSignedOracle)),

@@ -1683,6 +1683,38 @@ class StatQueriesSpec extends SparkSpec {
     assert(in + core <= n && out + core <= n)
   }
 
+  test("q_corr_matrix: six pairs match driver Pearson; r in [-1,1]") {
+    val got = run("q_corr_matrix").select("x", "y", "r")
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    assert(got.size == 6)
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_quantity").cast("long"),
+        floor(col("l_extendedprice") + 0.5).cast("long"),
+        floor(col("l_discount") * 10000 + 0.5).cast("long"),
+        floor(col("l_tax") * 10000 + 0.5).cast("long"))
+      .as[(Long, Long, Long, Long)].collect()
+    val names = Seq("quantity", "price_dollars", "discount_bps", "tax_bps")
+    val colsV = Seq(li.map(_._1), li.map(_._2), li.map(_._3), li.map(_._4))
+    val n = li.length.toDouble
+    for (i <- 0 until 4; j <- (i + 1) until 4) {
+      val (a, b) = (colsV(i), colsV(j))
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val ssa = a.map(v => v.toDouble * v).sum
+      val ssb = b.map(v => v.toDouble * v).sum
+      val sp = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val r = (n * sp - sa * sb) /
+        (math.sqrt(n * ssa - sa * sa) * math.sqrt(n * ssb - sb * sb))
+      val gr = got((names(i), names(j)))
+      assert(math.abs(gr - r) < 1e-9, s"${names(i)}/${names(j)}")
+      assert(gr >= -1.0 - 1e-12 && gr <= 1.0 + 1e-12)
+    }
+    // this generator draws price independently of quantity (unlike real
+    // TPC-H), so all six correlations should be near zero — a useful
+    // pin that the statistic isn't picking up phantom structure
+    assert(got.values.forall(v => math.abs(v) < 0.1))
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
