@@ -2343,6 +2343,45 @@ SELECT CAST(k AS BIGINT) AS k, tot.vocab_size, tot.total,
 FROM ks CROSS JOIN tot LEFT JOIN ranked r ON r.rk = ks.k
 ORDER BY k"""
 
+  /** Hapax share per source: the fraction of vocabulary TYPES seen
+    * exactly once and the token MASS they carry — the productivity/
+    * noise readout beside [[heapsLaw]]'s growth exponent (natural prose
+    * runs ~40-60% hapax types; template output collapses toward zero,
+    * OCR noise inflates it). Exact counts; two final divisions.
+    */
+  private def hapaxShare(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(s, dir, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    def d(c0: org.apache.spark.sql.Column) = c0.cast("double")
+    cnt.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("source"), col("n_types"), col("n_hapax"),
+        col("n_tokens"),
+        (d(col("n_hapax")) / d(col("n_types"))).as("hapax_type_share"),
+        (d(col("n_hapax")) / d(col("n_tokens"))).as("hapax_mass_share"))
+      .orderBy("source")
+  }
+
+  private val hapaxShareOracle: String = """WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, COUNT(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_types,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS hapax_type_share,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(c) AS DOUBLE) AS hapax_mass_share
+FROM cnt GROUP BY 1 ORDER BY source"""
+
   /** Exact token-budget apportionment (largest-remainder / Hamilton
     * method): split a 1M-token training budget across sources in
     * proportion to their token counts such that the allocations are
@@ -2586,6 +2625,7 @@ ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
     QueryDef("t_encode_tokens", encodeTokens, Some(encodeTokensOracle)),
     QueryDef("t_fertility", fertility, Some(fertilityOracle)),
     QueryDef("t_vocab_coverage", vocabCoverage, Some(vocabCoverageOracle)),
+    QueryDef("t_hapax_share", hapaxShare, Some(hapaxShareOracle)),
     QueryDef("t_gram_novelty", gramNovelty, Some(gramNoveltyOracle)),
     QueryDef("t_idf_keywords", tfidfKeywords, Some(tfidfKeywordsOracle)),
     QueryDef("t_zipf_alpha", zipfAlpha, Some(zipfAlphaOracle)),

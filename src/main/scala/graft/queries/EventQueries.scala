@@ -2088,6 +2088,44 @@ $outs
 ORDER BY lag"""
   }
 
+  // --- peak-to-mean ratio (capacity planning) ----------------------------
+  /** Per-day peak-to-mean ratio of hourly event counts — the capacity
+    * headroom number (provision for PAR × mean, not mean): PAR per day
+    * = max hourly count / mean hourly count over the day's 24 slots
+    * (zero-filled — an idle hour lowers the mean and RAISES the ratio,
+    * exactly what an autoscaler experiences). Exact integer max and
+    * sum; PAR = one cross-multiplied double (24·max / total).
+    */
+  private def peakToMean(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("x"))
+      .select(expr("h div 24").as("d"), col("h"), col("x"))
+    // zero-filling: per day, mean over 24 slots uses the fixed 24
+    // denominator, so absent hours need no explicit rows for max/sum
+    def dd(c0: org.apache.spark.sql.Column) = c0.cast("double")
+    c.groupBy(col("d"))
+      .agg(max(col("x")).as("peak_hour"), sum(col("x")).as("day_total"),
+        count(lit(1)).as("active_hours"))
+      .select(col("d").as("day"), col("active_hours"), col("peak_hour"),
+        col("day_total"),
+        (lit(24.0) * dd(col("peak_hour")) / dd(col("day_total")))
+          .as("peak_to_mean"))
+      .orderBy("day")
+  }
+
+  private val peakToMeanOracle: String = s"""WITH c AS (
+  SELECT epoch_ms(ts) // 3600000 AS h, COUNT(*) AS x FROM events GROUP BY 1
+), d AS (
+  SELECT h // 24 AS d, x FROM c
+)
+SELECT d AS day, COUNT(*) AS active_hours,
+  CAST(MAX(x) AS BIGINT) AS peak_hour,
+  CAST(SUM(x) AS BIGINT) AS day_total,
+  ${D("24.0")} * CAST(MAX(x) AS DOUBLE) / CAST(SUM(x) AS DOUBLE)
+    AS peak_to_mean
+FROM d GROUP BY 1 ORDER BY day"""
+
   // --- counterfactual intervention readout (CausalImpact-lite) ----------
   /** Intervention-effect readout over the final week: fit an OLS trend
     * to daily purchase revenue on the PRE period, project it as the
@@ -2897,6 +2935,7 @@ FROM b GROUP BY 1 ORDER BY bin"""
     QueryDef("ev_retention_halflife", retentionHalflife,
       Some(retentionHalflifeOracle)),
     QueryDef("ev_causal_impact", causalImpact, Some(causalImpactOracle)),
+    QueryDef("ev_peak_to_mean", peakToMean, Some(peakToMeanOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),

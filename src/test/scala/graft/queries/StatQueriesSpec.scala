@@ -1715,6 +1715,29 @@ class StatQueriesSpec extends SparkSpec {
     assert(got.values.forall(v => math.abs(v) < 0.1))
   }
 
+  test("t_hapax_share and ev_peak_to_mean: folds reproduce driver-side") {
+    val hp = run("t_hapax_share")
+      .select("source", "n_types", "n_hapax", "n_tokens")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("source", "text").as[(String, String)].collect()
+    for ((src, ds) <- docs.groupBy(_._1)) {
+      val cnt = ds.flatMap(_._2.trim.toLowerCase.split("\\s+"))
+        .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size).toMap
+      val (_, nt, nh, ntok) = hp(src)
+      assert(nt == cnt.size.toLong, s"$src types")
+      assert(nh == cnt.values.count(_ == 1).toLong, s"$src hapax")
+      assert(ntok == cnt.values.map(_.toLong).sum, s"$src tokens")
+    }
+    val pm = run("ev_peak_to_mean")
+      .select("day", "peak_hour", "day_total", "peak_to_mean")
+      .as[(Long, Long, Long, Double)].collect()
+    for ((_, peak, total, par) <- pm) {
+      assert(par == 24.0 * peak / total)
+      assert(par >= 1.0, "peak can never undercut a 24-slot mean floor")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
