@@ -2088,6 +2088,82 @@ $outs
 ORDER BY lag"""
   }
 
+  // --- growth accounting (user lifecycle flows) --------------------------
+  /** Weekly growth accounting: every active user classified as NEW
+    * (first-ever week), RETAINED (active this week and last),
+    * RESURRECTED (active now, inactive last week, not new), plus
+    * CHURNED (active last week, silent this week, counted into the
+    * week they went silent) — the Social-Capital-style flow ledger
+    * whose identity active_t = new + retained + resurrected and whose
+    * quick ratio (new+resurrected)/churned every growth review runs.
+    * One distinct (user, week) table, one lag per user, exact counts.
+    */
+  private def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("w"))
+      .distinct()
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("w"))
+    val flagged = uw
+      .withColumn("prev_w", lag(col("w"), 1).over(wl))
+      .withColumn("next_w", lead(col("w"), 1).over(wl))
+      .select(col("user_id"), col("w"),
+        when(col("prev_w").isNull, "new")
+          .when(col("prev_w") === col("w") - 1, "retained")
+          .otherwise("resurrected").as("state"),
+        // churn lands in the week AFTER the last active one
+        (col("next_w").isNull || col("next_w") > col("w") + 1)
+          .as("churns_after"))
+    val flows = flagged.groupBy(col("w")).agg(
+      count(lit(1)).as("active"),
+      sum(when(col("state") === "new", 1L).otherwise(0L)).as("new_users"),
+      sum(when(col("state") === "retained", 1L).otherwise(0L))
+        .as("retained"),
+      sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+        .as("resurrected"),
+      sum(when(col("churns_after"), 1L).otherwise(0L)).as("churning_out"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    flows.select(col("w").as("week"), col("active"), col("new_users"),
+        col("retained"), col("resurrected"), col("churning_out"),
+        // a zero-churn week has an undefined quick ratio (NULL on
+        // both sides; ANSI Spark would otherwise throw on the divide)
+        when(col("churning_out") === 0, lit(null).cast("double"))
+          .otherwise((dd(col("new_users")) + dd(col("resurrected"))) /
+            dd(col("churning_out"))).as("quick_ratio"))
+      .orderBy("week")
+  }
+
+  private val growthAccountingOracle: String = """WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS w FROM events
+), f AS (
+  SELECT user_id, w,
+    LAG(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+    LEAD(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+  FROM uw
+), st AS (
+  SELECT w,
+    CASE WHEN prev_w IS NULL THEN 'new'
+         WHEN prev_w = w - 1 THEN 'retained'
+         ELSE 'resurrected' END AS state,
+    (next_w IS NULL OR next_w > w + 1) AS churns_after
+  FROM f
+)
+SELECT w AS week, COUNT(*) AS active,
+  CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+    AS new_users,
+  CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+    AS retained,
+  CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+    AS resurrected,
+  CAST(SUM(CASE WHEN churns_after THEN 1 ELSE 0 END) AS BIGINT)
+    AS churning_out,
+  CASE WHEN SUM(CASE WHEN churns_after THEN 1 ELSE 0 END) = 0 THEN NULL
+    ELSE (CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS DOUBLE)
+      + CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+        AS DOUBLE))
+      / CAST(SUM(CASE WHEN churns_after THEN 1 ELSE 0 END) AS DOUBLE)
+  END AS quick_ratio
+FROM st GROUP BY 1 ORDER BY week"""
+
   // --- peak-to-mean ratio (capacity planning) ----------------------------
   /** Per-day peak-to-mean ratio of hourly event counts — the capacity
     * headroom number (provision for PAR × mean, not mean): PAR per day
@@ -2936,6 +3012,8 @@ FROM b GROUP BY 1 ORDER BY bin"""
       Some(retentionHalflifeOracle)),
     QueryDef("ev_causal_impact", causalImpact, Some(causalImpactOracle)),
     QueryDef("ev_peak_to_mean", peakToMean, Some(peakToMeanOracle)),
+    QueryDef("ev_growth_accounting", growthAccounting,
+      Some(growthAccountingOracle)),
     QueryDef("ev_rolling_median_mad", rollingMedianMad,
       Some(rollingMedianMadOracle)),
     QueryDef("ev_hurst_avm", hurstAvm, Some(hurstAvmOracle)),

@@ -1738,6 +1738,30 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("ev_growth_accounting: flows partition actives and balance over time") {
+    val rows = run("ev_growth_accounting")
+      .select("week", "active", "new_users", "retained", "resurrected",
+        "churning_out")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // the lifecycle identity: every active user is exactly one of
+    // new / retained / resurrected
+    for ((w, a, n, r, rs, _) <- rows)
+      assert(a == n + r + rs, s"week $w")
+    // conservation across consecutive weeks: next week's retained are
+    // exactly this week's actives who did NOT churn out
+    for (pair <- rows.sliding(2) if pair.length == 2
+         && pair(1)._1 == pair(0)._1 + 1) {
+      val (cur, nxt) = (pair(0), pair(1))
+      assert(nxt._4 == cur._2 - cur._6,
+        s"week ${cur._1}->${nxt._1}: retained must equal survivors")
+    }
+    // total new across all weeks = distinct users
+    val users = Tables.events(spark, Sf)
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    assert(rows.map(_._3).sum == users)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
