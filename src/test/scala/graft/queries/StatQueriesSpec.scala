@@ -1762,6 +1762,38 @@ class StatQueriesSpec extends SparkSpec {
     assert(rows.map(_._3).sum == users)
   }
 
+  test("g_robustness: 6-round labels equal the true fixpoint; identities hold") {
+    val row = run("g_robustness")
+      .select("n_nodes", "giant_before", "giant_after", "retention")
+      .as[(Long, Long, Long, Double)].head()
+    val (n, before, after, ret) = row
+    assert(before <= n && after <= before)
+    assert(ret == after.toDouble / before)
+    // the fixed-round label propagation must have converged: compare
+    // the before-giant against a driver-side exact union-find
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .as[(Long, Long)].collect().distinct
+    val pairs = li.groupBy(_._1).values.flatMap { ps =>
+      val s0 = ps.map(_._2).sorted
+      for (i <- s0.indices; j <- (i + 1) until s0.length) yield (s0(i), s0(j))
+    }.toSet
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2))
+    val giant = nodes.groupBy(find).values.map(_.size).max
+    assert(before == giant.toLong,
+      "6 min-label rounds must reach the exact component structure")
+    assert(n == nodes.size.toLong)
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
