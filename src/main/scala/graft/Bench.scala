@@ -116,6 +116,17 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: $e") }
+    // The harness that invokes this main keeps only the final ~2000 chars
+    // of sbt-wrapped stdout and parses a JSON line out of that tail; the
+    // full line above (~15 KB at 375 queries) never fits, so it records
+    // `parsed: null` every round. Emit a compact summary line LAST —
+    // total + the slowest queries, sized to survive a 2000-char tail even
+    // with sbt's trailing "[success] Total time" banner.
+    val slow = ok.sortBy(-_._2).take(30)
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$slow,"queries_note":"30 slowest of ${ok.size}; full set in $outPath","n_queries":${ok.size},"n_err":${errs.size},"sf":"$sfDir","reps":$reps}"""
+    println(compact)
     spark.stop()
   }
 }
