@@ -20,7 +20,7 @@ object SparkEntry {
       TextQueries.defs ++ SimilarityQueries.defs ++
       StreamMultimodalQueries.defs ++ ExtraQueries.defs ++ Olap2Queries.defs ++
       CorpusQueries.defs ++ GraphQueries.defs ++ BizQueries.defs ++
-      SignatureQueries.defs
+      SignatureQueries.defs ++ StatQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-QC wave (round 7): market-concentration (HHI), Lorenz
+  * curve, Tukey HSD post-hoc, Wald–Wolfowitz runs test, Grubbs outlier
+  * screen, process capability (Cp/Cpk), negative-binomial dispersion
+  * fit, and a two-sample Poisson rate test. All follow the package's
+  * oracle-parity ground rules (QueryDef scaladoc): exact integer
+  * aggregates first; where a statistic sums an UNBOUNDED set of float
+  * terms (HHI shares²) each term is floored to 1e-12 units and
+  * integer-summed; where the set is SMALL and FIXED (Tukey's 5
+  * priority groups) the terms are pivoted into pinned columns of one
+  * row and added in explicit left-to-right order on both sides.
+  */
+object StatQueries {
+
+  private def cents(c: Column): Column =
+    floor(c * 100 + 0.5).cast("long")
+  private def dollars(c: Column): Column =
+    floor(c).cast("long")
+  private def dd(c: Column): Column = c.cast("double")
+
+  // --- Herfindahl–Hirschman index --------------------------------------
+  /** Supplier concentration per nation as an HHI (0..10000 points):
+    * HHI = 10000·Σᵢ sᵢ² over supplier revenue shares within the
+    * nation. The share² terms form an unbounded per-nation set, so
+    * each is floored to 1e-12 units (share ≤ 1 ⇒ term ≤ 1e12, no
+    * overflow) and integer-summed — float-order-free. One shuffle to
+    * (nation, supplier) revenue, one supplier-cardinality window, one
+    * nation-cardinality aggregate; the nation dim joins broadcast.
+    */
+  private def hhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+      .agg(sum(cents(col("l_extendedprice"))).as("c"))
+    val withTotal = rev.withColumn("total",
+      sum(col("c")).over(Window.partitionBy(col("nk"))))
+    val share = dd(col("c")) / dd(col("total"))
+    val terms = withTotal
+      .withColumn("term", floor(share * share * lit(1000000000000L)))
+    terms.join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("term")).as("t"))
+      .select(col("nation"), col("n_suppliers"),
+        (dd(col("t")) / lit(100000000L)).as("hhi"))
+      .orderBy("nation")
+  }
+
+  private val hhiOracle = """WITH rev AS (
+  SELECT s_nationkey AS nk, l_suppkey AS sk,
+    SUM(CAST(FLOOR(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS c
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), t AS (
+  SELECT nk, c, SUM(c) OVER (PARTITION BY nk) AS total FROM rev
+), terms AS (
+  SELECT nk,
+    CAST(FLOOR((CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+      * (CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000000000) AS BIGINT) AS term
+  FROM t
+)
+SELECT n_name AS nation, COUNT(*) AS n_suppliers,
+  CAST(SUM(term) AS DOUBLE) / 100000000 AS hhi
+FROM terms JOIN nation ON nk = n_nationkey
+GROUP BY 1 ORDER BY nation"""
+
+  // --- Lorenz curve ----------------------------------------------------
+  /** Lorenz curve of customer revenue per market segment: for each
+    * decile d, the revenue share held by the poorest d/10 of the
+    * segment's customers (the curve q_gini integrates). Decile
+    * assignment is the exact integer ceil(10·i/n) off a deterministic
+    * (rev, custkey) rank; cumulative shares are BIGINT window sums
+    * over ≤10 rows per segment with ONE final float division.
+    */
+  private def lorenz(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(s, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("rev"))
+      .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("rev"), col("o_custkey"))
+    val d = rev
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("decile", expr("(i * 10 + n - 1) div n"))
+      .groupBy(col("c_mktsegment").as("segment"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
+    val ws = Window.partitionBy(col("segment")).orderBy(col("decile"))
+    d.withColumn("cum", sum(col("drev")).over(ws))
+      .withColumn("total", sum(col("drev")).over(Window.partitionBy(col("segment"))))
+      .select(col("segment"), col("decile"), col("n_customers"),
+        (dd(col("cum")) / dd(col("total"))).as("cum_share"))
+      .orderBy("segment", "decile")
+  }
+
+  private val lorenzOracle = """WITH rev AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT o_custkey, rev, c_mktsegment
+  FROM rev JOIN customer ON o_custkey = c_custkey
+), r AS (
+  SELECT c_mktsegment, rev,
+    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY rev, o_custkey) AS BIGINT) AS i,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+), d AS (
+  SELECT c_mktsegment AS segment, (i * 10 + n - 1) // n AS decile,
+    COUNT(*) AS n_customers, SUM(rev) AS drev
+  FROM r GROUP BY 1, 2
+)
+SELECT segment, decile, n_customers,
+  CAST(SUM(drev) OVER (PARTITION BY segment ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+    / CAST(SUM(drev) OVER (PARTITION BY segment) AS DOUBLE) AS cum_share
+FROM d ORDER BY segment, decile"""
+
+  // --- Tukey HSD post-hoc ----------------------------------------------
+  /** Tukey's honestly-significant-difference statistic for every pair
+    * of order priorities over whole-dollar order totals: the studentized
+    * range q = |μ̂ᵢ − μ̂ⱼ| / √((MSE/2)·(1/nᵢ + 1/nⱼ)) — the post-hoc
+    * that follows q_anova_f. Per-group n/Σx/Σx² are exact BIGINTs; the
+    * five within-group SS terms are pivoted into pinned columns of ONE
+    * row and added left-to-right (the q_kruskal_wallis float-order
+    * pattern), so MSE is bit-identical in both engines. 5 groups → 10
+    * output pairs via a broadcast self-join.
+    */
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), dollars(col("o_totalprice")).as("d"))
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sx"),
+        sum(col("d") * col("d")).as("qx"))
+    val ss = dd(col("qx")) - dd(col("sx")) * dd(col("sx")) / dd(col("n"))
+    val wide = g.groupBy()
+      .agg(
+        Priorities.zipWithIndex.map { case (p, i) =>
+          sum(when(col("pri") === p, ss)).as(s"ss$i") }.head,
+        Priorities.zipWithIndex.drop(1).map { case (p, i) =>
+          sum(when(col("pri") === p, ss)).as(s"ss$i") } ++
+          Seq(sum(col("n")).as("nn")): _*)
+      .select(((col("ss0") + col("ss1") + col("ss2") + col("ss3") + col("ss4"))
+        / dd(col("nn") - lit(5L))).as("mse"))
+    val a = g.select(col("pri").as("p1"), col("n").as("n1"), col("sx").as("s1"))
+    val b = g.select(col("pri").as("p2"), col("n").as("n2"), col("sx").as("s2"))
+    a.join(broadcast(b), col("p1") < col("p2"))
+      .crossJoin(broadcast(wide))
+      .select(col("p1"), col("p2"), col("n1"), col("n2"),
+        abs(dd(col("s1")) / dd(col("n1")) - dd(col("s2")) / dd(col("n2"))).as("mean_diff"),
+        (abs(dd(col("s1")) / dd(col("n1")) - dd(col("s2")) / dd(col("n2")))
+          / sqrt(col("mse") / lit(2L)
+            * (lit(1L) / dd(col("n1")) + lit(1L) / dd(col("n2"))))).as("q_stat"))
+      .orderBy("p1", "p2")
+  }
+
+  private val tukeyHsdOracle = {
+    val ssCase = Priorities.zipWithIndex.map { case (p, i) =>
+      s"SUM(CASE WHEN pri = '$p' THEN ss END) AS ss$i" }.mkString(",\n    ")
+    s"""WITH g AS (
+  SELECT o_orderpriority AS pri, COUNT(*) AS n,
+    SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS sx,
+    SUM(CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT)) AS qx
+  FROM orders GROUP BY 1
+), gss AS (
+  SELECT pri, n, sx,
+    CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS ss
+  FROM g
+), wide AS (
+  SELECT
+    $ssCase,
+    SUM(n) AS nn
+  FROM gss
+), mse AS (
+  SELECT (ss0 + ss1 + ss2 + ss3 + ss4) / CAST(nn - 5 AS DOUBLE) AS mse FROM wide
+)
+SELECT a.pri AS p1, b.pri AS p2, a.n AS n1, b.n AS n2,
+  ABS(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+    - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE)) AS mean_diff,
+  ABS(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+    - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+    / SQRT(mse / 2 * (1 / CAST(a.n AS DOUBLE) + 1 / CAST(b.n AS DOUBLE))) AS q_stat
+FROM gss a JOIN gss b ON a.pri < b.pri, mse
+ORDER BY p1, p2"""
+  }
+
+  // --- Wald–Wolfowitz runs test ----------------------------------------
+  /** Runs test for randomness of the daily-revenue sign sequence
+    * around its median: too few runs = trending, too many =
+    * oscillating. The series is the day-cardinality aggregate (not raw
+    * rows), so the single global window is bounded; counts and the
+    * run-boundary sum are exact integers, and μ_R / σ_R / z are the
+    * same literal float expression on both sides (n₁n₂ products stay
+    * well under 2⁶³).
+    */
+  private def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val med = daily.agg(expr("percentile(rev, 0.5D)").as("med"))
+    val w = Window.orderBy(col("d"))
+    val sg = daily.crossJoin(broadcast(med))
+      .withColumn("sgn", when(col("rev") > col("med"), 1L).otherwise(0L))
+      .withColumn("brk",
+        when(lag(col("sgn"), 1).over(w).isNull
+          || lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L).otherwise(0L))
+    sg.agg(count(lit(1)).as("n_days"), sum(col("sgn")).as("n_above"),
+        (count(lit(1)) - sum(col("sgn"))).as("n_below"), sum(col("brk")).as("runs"))
+      .select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+        (dd(lit(2L) * col("n_above") * col("n_below")) / dd(col("n_days")) + lit(1L))
+          .as("mu_runs"),
+        ((dd(col("runs")) - (dd(lit(2L) * col("n_above") * col("n_below"))
+            / dd(col("n_days")) + lit(1L)))
+          / sqrt(dd(lit(2L) * col("n_above") * col("n_below")
+              * (lit(2L) * col("n_above") * col("n_below") - col("n_days")))
+            / dd(col("n_days") * col("n_days") * (col("n_days") - lit(1L)))))
+          .as("z"))
+  }
+
+  private val runsTestOracle = """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT quantile_cont(rev, 0.5) AS med FROM daily
+), sg AS (
+  SELECT d, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
+  FROM daily, med
+), b AS (
+  SELECT sgn, CASE WHEN LAG(sgn) OVER (ORDER BY d) IS NULL
+      OR LAG(sgn) OVER (ORDER BY d) <> sgn THEN 1 ELSE 0 END AS brk
+  FROM sg
+), a AS (
+  SELECT COUNT(*) AS n_days, CAST(SUM(sgn) AS BIGINT) AS n_above,
+    COUNT(*) - CAST(SUM(sgn) AS BIGINT) AS n_below,
+    CAST(SUM(brk) AS BIGINT) AS runs
+  FROM b
+)
+SELECT n_days, n_above, n_below, runs,
+  CAST(2 * n_above * n_below AS DOUBLE) / CAST(n_days AS DOUBLE)
+    + CAST(1 AS DOUBLE) AS mu_runs,
+  (CAST(runs AS DOUBLE) - (CAST(2 * n_above * n_below AS DOUBLE)
+      / CAST(n_days AS DOUBLE) + CAST(1 AS DOUBLE)))
+    / SQRT(CAST(2 * n_above * n_below
+        * (2 * n_above * n_below - n_days) AS DOUBLE)
+      / CAST(n_days * n_days * (n_days - 1) AS DOUBLE)) AS z
+FROM a"""
+
+  // --- Grubbs max-outlier screen ---------------------------------------
+  /** Grubbs' statistic for the most extreme daily whole-dollar revenue:
+    * G = max|xᵢ − x̄| / s, with the offending day reported
+    * (|dev| ties broken by earliest day). n/Σx/Σx² are exact BIGINTs;
+    * x̄, s, and the per-day deviation are the same literal double
+    * expression on both sides, so the argmax ordering is identical.
+    */
+  private def grubbs(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(dollars(col("o_totalprice"))).as("x"))
+    val st = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("qx"))
+    val mean = dd(col("sx")) / dd(col("n"))
+    val sd = sqrt((dd(col("qx")) - dd(col("sx")) * dd(col("sx")) / dd(col("n")))
+      / dd(col("n") - lit(1L)))
+    daily.crossJoin(broadcast(st))
+      .select(col("d").as("peak_day"), col("n"), mean.as("mean_rev"),
+        sd.as("sd_rev"), (abs(dd(col("x")) - mean) / sd).as("g_stat"))
+      .orderBy(col("g_stat").desc, col("peak_day")).limit(1)
+  }
+
+  private val grubbsOracle = """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS qx FROM daily
+)
+SELECT d AS peak_day, n,
+  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_rev,
+  SQRT((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS sd_rev,
+  ABS(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+    / SQRT((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS g_stat
+FROM daily, st
+ORDER BY g_stat DESC, peak_day LIMIT 1"""
+
+  // --- Process capability (Cp / Cpk) ------------------------------------
+  /** Ship-latency process capability per order priority against spec
+    * limits [LSL=7, USL=120] days: Cp = (USL−LSL)/6s (potential),
+    * Cpk = min(USL−μ, μ−LSL)/3s (actual, penalizing off-center), plus
+    * the exact out-of-spec share. Latencies are small integers so
+    * Σx/Σx² stay far from overflow; one orderkey-shuffle join then a
+    * 5-group aggregate.
+    */
+  private val CpkLsl = 7L
+  private val CpkUsl = 120L
+
+  private def cpk(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        datediff(col("sd"), col("od")).cast("long").as("lat"))
+    val g = li.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("lat")).as("sx"),
+        sum(col("lat") * col("lat")).as("qx"),
+        sum(when(col("lat") < CpkLsl || col("lat") > CpkUsl, 1L).otherwise(0L))
+          .as("n_out"))
+    val mu = dd(col("sx")) / dd(col("n"))
+    val sd = sqrt((dd(col("qx")) - dd(col("sx")) * dd(col("sx")) / dd(col("n")))
+      / dd(col("n") - lit(1L)))
+    g.select(col("pri"), col("n"), mu.as("mean_lat"), sd.as("sd_lat"),
+        (dd(lit(CpkUsl - CpkLsl)) / (lit(6L) * sd)).as("cp"),
+        (least(dd(lit(CpkUsl)) - mu, mu - dd(lit(CpkLsl))) / (lit(3L) * sd)).as("cpk"),
+        (dd(col("n_out")) / dd(col("n"))).as("out_of_spec_share"))
+      .orderBy("pri")
+  }
+
+  private val cpkOracle = s"""WITH li AS (
+  SELECT o_orderpriority AS pri,
+    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), g AS (
+  SELECT pri, COUNT(*) AS n, SUM(lat) AS sx, SUM(lat * lat) AS qx,
+    CAST(SUM(CASE WHEN lat < $CpkLsl OR lat > $CpkUsl THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+  FROM li GROUP BY 1
+)
+SELECT pri, n,
+  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_lat,
+  SQRT((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS sd_lat,
+  CAST(${CpkUsl - CpkLsl} AS DOUBLE) / (6 * SQRT((CAST(qx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+    / CAST(n - 1 AS DOUBLE))) AS cp,
+  LEAST(CAST($CpkUsl AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE),
+      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - CAST($CpkLsl AS DOUBLE))
+    / (3 * SQRT((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) AS cpk,
+  CAST(n_out AS DOUBLE) / CAST(n AS DOUBLE) AS out_of_spec_share
+FROM g ORDER BY pri"""
+
+  // --- Negative-binomial dispersion fit ----------------------------------
+  /** Method-of-moments negative-binomial fit of per-customer order
+    * counts per market segment: r̂ = m²/(v−m), p̂ = m/v — the standard
+    * overdispersion readout (v ≤ m ⇒ Poisson or under-dispersed, r̂
+    * NULL). Counts are small exact integers; m and v are the same
+    * two-float-op expressions on both sides.
+    */
+  private def negbinFit(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("k"))
+      .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val g = perCust.groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+        sum(col("k") * col("k")).as("qk"))
+    val m = dd(col("sk")) / dd(col("n"))
+    val v = (dd(col("qk")) - dd(col("sk")) * dd(col("sk")) / dd(col("n"))) /
+      dd(col("n") - lit(1L))
+    g.select(col("segment"), col("n"), m.as("mean_orders"), v.as("var_orders"),
+        when(v > m, m * m / (v - m)).as("r_hat"),
+        when(v > m, m / v).as("p_hat"))
+      .orderBy("segment")
+  }
+
+  private val negbinFitOracle = """WITH pc AS (
+  SELECT o_custkey, COUNT(*) AS k FROM orders GROUP BY 1
+), j AS (
+  SELECT k, c_mktsegment FROM pc JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT c_mktsegment AS segment, COUNT(*) AS n, SUM(k) AS sk, SUM(k * k) AS qk
+  FROM j GROUP BY 1
+), mv AS (
+  SELECT segment, n,
+    CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+    (CAST(qk AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)
+      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS v
+  FROM g
+)
+SELECT segment, n, m AS mean_orders, v AS var_orders,
+  CASE WHEN v > m THEN m * m / (v - m) END AS r_hat,
+  CASE WHEN v > m THEN m / v END AS p_hat
+FROM mv ORDER BY segment"""
+
+  // --- Two-sample Poisson rate test --------------------------------------
+  /** Wald z-test comparing the purchase rate (events/day) between the
+    * first and second half of the event window (fixed split at
+    * 2024-01-16): z = (λ̂₁ − λ̂₂)/√(λ̂₁/d₁ + λ̂₂/d₂). Counts and
+    * active-day counts are exact; the statistic is four float ops.
+    * One pass over the scan, no join.
+    */
+  private def poissonRate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("d"))
+      .withColumn("h", when(col("d") < lit("2024-01-16").cast("date"), 1L).otherwise(2L))
+    val g = ev.groupBy()
+      .agg(
+        sum(when(col("h") === 1L, 1L).otherwise(0L)).as("c1"),
+        countDistinct(when(col("h") === 1L, col("d"))).as("d1"),
+        sum(when(col("h") === 2L, 1L).otherwise(0L)).as("c2"),
+        countDistinct(when(col("h") === 2L, col("d"))).as("d2"))
+    val r1 = dd(col("c1")) / dd(col("d1"))
+    val r2 = dd(col("c2")) / dd(col("d2"))
+    g.select(col("c1"), col("d1"), col("c2"), col("d2"),
+      r1.as("rate1"), r2.as("rate2"),
+      ((r1 - r2) / sqrt(r1 / dd(col("d1")) + r2 / dd(col("d2")))).as("z"))
+  }
+
+  private val poissonRateOracle = """WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d,
+    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 2 END AS h
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT
+    CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    COUNT(DISTINCT CASE WHEN h = 1 THEN d END) AS d1,
+    CAST(SUM(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    COUNT(DISTINCT CASE WHEN h = 2 THEN d END) AS d2
+  FROM ev
+)
+SELECT c1, d1, c2, d2,
+  CAST(c1 AS DOUBLE) / CAST(d1 AS DOUBLE) AS rate1,
+  CAST(c2 AS DOUBLE) / CAST(d2 AS DOUBLE) AS rate2,
+  (CAST(c1 AS DOUBLE) / CAST(d1 AS DOUBLE) - CAST(c2 AS DOUBLE) / CAST(d2 AS DOUBLE))
+    / SQRT(CAST(c1 AS DOUBLE) / CAST(d1 AS DOUBLE) / CAST(d1 AS DOUBLE)
+      + CAST(c2 AS DOUBLE) / CAST(d2 AS DOUBLE) / CAST(d2 AS DOUBLE)) AS z
+FROM g"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_hhi", hhi, Some(hhiOracle)),
+    QueryDef("q_lorenz_curve", lorenz, Some(lorenzOracle)),
+    QueryDef("q_tukey_hsd", tukeyHsd, Some(tukeyHsdOracle)),
+    QueryDef("q_runs_test", runsTest, Some(runsTestOracle)),
+    QueryDef("q_grubbs", grubbs, Some(grubbsOracle)),
+    QueryDef("q_cpk", cpk, Some(cpkOracle)),
+    QueryDef("q_negbin_fit", negbinFit, Some(negbinFitOracle)),
+    QueryDef("q_poisson_rate", poissonRate, Some(poissonRateOracle)))
+}
