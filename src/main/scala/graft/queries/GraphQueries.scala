@@ -1956,7 +1956,135 @@ UNION ALL
 SELECT 'feed_forward', CAST(n AS BIGINT) FROM ffl
 ORDER BY motif"""
 
+  // --- Katz centrality --------------------------------------------------
+  /** Katz centrality over the co-order graph, truncated at path length
+    * 3: katz(v) = Σₖ αᵏ·|walks of length k ending at v| — the
+    * prestige score that, unlike degree, credits a node for having
+    * well-connected neighbors (and unlike PageRank, does not split a
+    * neighbor's contribution by its out-degree). The walk counts s₁/s₂/
+    * s₃ are EXACT BIGINTs (each level is one join+aggregate against the
+    * previous level on the shared materialized edge list — the same
+    * synchronous-round shape as pagerank), so the only float work is
+    * the final three-term weighted sum with Scala-injected αᵏ
+    * constants added left-to-right on both sides. Top 20.
+    */
+  private val KatzAlpha = 0.01
+  private val KatzAlpha2 = KatzAlpha * KatzAlpha
+  private val KatzAlpha3 = KatzAlpha * KatzAlpha * KatzAlpha
+
+  private def katz(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir)
+    val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    try {
+      val s1 = sym.groupBy(col("u")).agg(count(lit(1)).as("s1"))
+        .localCheckpoint(eager = true)
+      val s2 = sym.join(s1.select(col("u").as("v"), col("s1")), "v")
+        .groupBy(col("u")).agg(sum(col("s1")).as("s2"))
+        .localCheckpoint(eager = true)
+      val s3 = sym.join(s2.select(col("u").as("v"), col("s2")), "v")
+        .groupBy(col("u")).agg(sum(col("s2")).as("s3"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      s1.join(s2, "u").join(s3, "u")
+        .select(col("u").as("node"), col("s1").as("deg"),
+          col("s2").as("paths2"), col("s3").as("paths3"),
+          (d(col("s1")) * lit(KatzAlpha) + d(col("s2")) * lit(KatzAlpha2)
+            + d(col("s3")) * lit(KatzAlpha3)).as("katz"))
+        .orderBy(col("katz").desc, col("node")).limit(20)
+    } finally sym.unpersist(blocking = false)
+  }
+
+  private val katzOracle: String = s"""WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p
+), s1 AS MATERIALIZED (
+  SELECT u, COUNT(*) AS s1 FROM sym GROUP BY 1
+), s2 AS MATERIALIZED (
+  SELECT sym.u, CAST(SUM(s1.s1) AS BIGINT) AS s2
+  FROM sym JOIN s1 ON sym.v = s1.u GROUP BY 1
+), s3 AS MATERIALIZED (
+  SELECT sym.u, CAST(SUM(s2.s2) AS BIGINT) AS s3
+  FROM sym JOIN s2 ON sym.v = s2.u GROUP BY 1
+)
+SELECT s1.u AS node, s1.s1 AS deg, s2.s2 AS paths2, s3.s3 AS paths3,
+  CAST(s1.s1 AS DOUBLE) * ${Sql.Dlit(KatzAlpha)}
+    + CAST(s2.s2 AS DOUBLE) * ${Sql.Dlit(KatzAlpha2)}
+    + CAST(s3.s3 AS DOUBLE) * ${Sql.Dlit(KatzAlpha3)} AS katz
+FROM s1 JOIN s2 ON s1.u = s2.u JOIN s3 ON s1.u = s3.u
+ORDER BY katz DESC, node LIMIT 20"""
+
+  // --- Item-item collaborative filtering ---------------------------------
+  /** Item-item co-purchase recommender: cosine similarity
+    * co(a,b)/√(d(a)·d(b)) between co-occurrence counts (shared orders)
+    * and per-item order frequencies, reported as the top-10 neighbor
+    * list for the 20 highest-frequency seed parts. The co-occurrence
+    * aggregate is the one orderkey-equi-join wedge (never all-pairs:
+    * only items sharing an order meet), the seed set broadcasts, and
+    * the per-seed top-10 window is bounded by seed count × candidate
+    * list — the classic Amazon-style item-to-item shape on Spark.
+    */
+  private def cfCosine(s: SparkSession, dir: String): DataFrame = {
+    val li = coOrderLi(s, dir)
+    val co = li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), "ok")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("co"))
+    val d = li.groupBy(col("pk")).agg(count(lit(1)).as("d"))
+    val seeds = d.orderBy(col("d").desc, col("pk")).limit(20)
+      .select(col("pk").as("seed"))
+    val cand = co.join(broadcast(seeds), col("a") === col("seed"))
+        .select(col("seed"), col("b").as("item"), col("co"))
+      .union(co.join(broadcast(seeds), col("b") === col("seed"))
+        .select(col("seed"), col("a").as("item"), col("co")))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val scored = cand
+      .join(broadcast(d.select(col("pk").as("seed"), col("d").as("ds"))), "seed")
+      .join(broadcast(d.select(col("pk").as("item"), col("d").as("di"))), "item")
+      .select(col("seed"), col("item"), col("co"),
+        (dbl(col("co")) / sqrt(dbl(col("ds")) * dbl(col("di")))).as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("seed"))
+        .orderBy(col("cosine").desc, col("item"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .select(col("seed"), col("item"), col("co").as("co_orders"),
+        col("cosine"), col("rnk"))
+      .orderBy("seed", "rnk")
+  }
+
+  private val cfCosineOracle: String = """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), co AS MATERIALIZED (
+  SELECT a.pk AS a, b.pk AS b, COUNT(*) AS co
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+), d AS MATERIALIZED (
+  SELECT pk, COUNT(*) AS d FROM li GROUP BY 1
+), seeds AS (
+  SELECT pk AS seed FROM d ORDER BY d DESC, pk LIMIT 20
+), cand AS (
+  SELECT s.seed, co.b AS item, co.co FROM co JOIN seeds s ON co.a = s.seed
+  UNION ALL
+  SELECT s.seed, co.a, co.co FROM co JOIN seeds s ON co.b = s.seed
+), sc AS (
+  SELECT seed, item, co,
+    CAST(co AS DOUBLE) / SQRT(CAST(ds.d AS DOUBLE) * CAST(di.d AS DOUBLE)) AS cosine
+  FROM cand JOIN d ds ON cand.seed = ds.pk JOIN d di ON cand.item = di.pk
+), r AS (
+  SELECT seed, item, co, cosine,
+    CAST(ROW_NUMBER() OVER (PARTITION BY seed ORDER BY cosine DESC, item) AS BIGINT) AS rnk
+  FROM sc
+)
+SELECT seed, item, co AS co_orders, cosine, rnk
+FROM r WHERE rnk <= 10 ORDER BY seed, rnk"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_katz", katz, Some(katzOracle)),
+    QueryDef("g_cf_cosine", cfCosine, Some(cfCosineOracle)),
     QueryDef("g_motifs", motifs, Some(motifsOracle)),
     QueryDef("g_closeness", closeness, Some(closenessOracle)),
     QueryDef("g_hits", hitsQ, Some(hitsOracle)),

@@ -439,7 +439,137 @@ SELECT c1, d1, c2, d2,
       + CAST(c2 AS DOUBLE) / CAST(d2 AS DOUBLE) / CAST(d2 AS DOUBLE)) AS z
 FROM g"""
 
+  // --- Delete-one-group jackknife ----------------------------------------
+  /** Jackknife uncertainty of the revenue-per-unit ratio estimator
+    * R = Σrev/Σqty, deleting one supplier nation at a time (g = 25
+    * groups): per-nation leave-one-out ratio, Tukey pseudo-value
+    * g·R − (g−1)·R₍ᵢ₎, and the jackknife SE. The LOO ratios are single
+    * float divisions off exact BIGINT totals; their mean and the
+    * squared deviations (unbounded-order sums over the 25 groups) are
+    * floored to 1e-9 / 1e-12 fixed-point units and integer-summed, so
+    * no float aggregation order can flip the hash. Two broadcast
+    * 1-row joins; everything else is nation-cardinality.
+    */
+  private def jackknifeRatio(s: SparkSession, dir: String): DataFrame = {
+    val byNation = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(sum(cents(col("l_extendedprice"))).as("r"),
+        sum(col("l_quantity").cast("long")).as("q"))
+    val tot = byNation.agg(count(lit(1)).as("g"), sum(col("r")).as("sr"),
+      sum(col("q")).as("sq"))
+    val loo = byNation.crossJoin(broadcast(tot))
+      .withColumn("loo_ratio", dd(col("sr") - col("r")) / dd(col("sq") - col("q")))
+      .withColumn("fix", floor(col("loo_ratio") * lit(1000000000L)))
+    val mean = loo.agg(sum(col("fix")).as("sfix"), count(lit(1)).as("g2"))
+    val dev = loo.crossJoin(broadcast(mean))
+      .withColumn("rbar", dd(col("sfix")) / lit(1000000000L) / dd(col("g2")))
+      .withColumn("t",
+        floor((col("loo_ratio") - col("rbar")) * (col("loo_ratio") - col("rbar"))
+          * lit(1000000000000L)))
+    val se = dev.agg(sum(col("t")).as("st"), count(lit(1)).as("g3"))
+      .select(sqrt(dd(col("g3") - lit(1L)) / dd(col("g3"))
+        * (dd(col("st")) / lit(1000000000000L))).as("jk_se"))
+    dev.crossJoin(broadcast(se))
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("r").as("rev_cents"),
+        col("q").as("qty"), col("loo_ratio"),
+        (dd(col("g")) * (dd(col("sr")) / dd(col("sq")))
+          - dd(col("g") - lit(1L)) * col("loo_ratio")).as("pseudo_value"),
+        col("jk_se"))
+      .orderBy("nation")
+  }
+
+  private val jackknifeRatioOracle = """WITH bn AS (
+  SELECT s_nationkey AS nk,
+    SUM(CAST(FLOOR(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS r,
+    SUM(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS g, SUM(r) AS sr, SUM(q) AS sq FROM bn
+), loo AS (
+  SELECT nk, r, q, g, sr, sq,
+    CAST(sr - r AS DOUBLE) / CAST(sq - q AS DOUBLE) AS loo_ratio,
+    CAST(FLOOR(CAST(sr - r AS DOUBLE) / CAST(sq - q AS DOUBLE)
+      * 1000000000) AS BIGINT) AS fix
+  FROM bn, tot
+), mn AS (
+  SELECT SUM(fix) AS sfix, COUNT(*) AS g2 FROM loo
+), dev AS (
+  SELECT loo.*,
+    CAST(FLOOR((loo_ratio - CAST(sfix AS DOUBLE) / 1000000000 / CAST(g2 AS DOUBLE))
+      * (loo_ratio - CAST(sfix AS DOUBLE) / 1000000000 / CAST(g2 AS DOUBLE))
+      * 1000000000000) AS BIGINT) AS t
+  FROM loo, mn
+), se AS (
+  SELECT SQRT(CAST(COUNT(*) - 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    * (CAST(SUM(t) AS DOUBLE) / 1000000000000)) AS jk_se
+  FROM dev
+)
+SELECT n_name AS nation, CAST(r AS BIGINT) AS rev_cents,
+  CAST(q AS BIGINT) AS qty, loo_ratio,
+  CAST(g AS DOUBLE) * (CAST(sr AS DOUBLE) / CAST(sq AS DOUBLE))
+    - CAST(g - 1 AS DOUBLE) * loo_ratio AS pseudo_value,
+  jk_se
+FROM dev, se JOIN nation ON nk = n_nationkey
+ORDER BY nation"""
+
+  // --- Gumbel extreme-value fit --------------------------------------------
+  /** Method-of-moments Gumbel fit of monthly maxima of daily
+    * whole-dollar revenue (the block-maxima EVT recipe): β̂ = s·√6/π,
+    * μ̂ = x̄ − γ·β̂ with the Euler–Mascheroni constant. Block maxima
+    * and their Σx/Σx² are exact BIGINTs; √6/π and γ are full-precision
+    * Scala constants injected shortest-round-trip on both sides, so
+    * the four final float ops are bit-identical.
+    */
+  private val GumbelC = math.sqrt(6.0) / math.Pi
+  private val EulerGamma = 0.5772156649015329
+
+  private def gumbelFit(s: SparkSession, dir: String): DataFrame = {
+    val monthlyMax = Tables(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(dollars(col("o_totalprice"))).as("x"))
+      .groupBy(trunc(col("d"), "month").as("m"))
+      .agg(max(col("x")).as("mx"))
+    val st = monthlyMax.agg(count(lit(1)).as("n"), sum(col("mx")).as("sx"),
+      sum(col("mx") * col("mx")).as("qx"))
+    val mean = dd(col("sx")) / dd(col("n"))
+    val sd = sqrt((dd(col("qx")) - dd(col("sx")) * dd(col("sx")) / dd(col("n")))
+      / dd(col("n") - lit(1L)))
+    st.select(col("n").as("n_months"), mean.as("mean_max"), sd.as("sd_max"),
+      (sd * lit(GumbelC)).as("beta_hat"),
+      (mean - lit(EulerGamma) * (sd * lit(GumbelC))).as("mu_hat"))
+  }
+
+  private val gumbelFitOracle = s"""WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+), mm AS (
+  SELECT date_trunc('month', d) AS m, MAX(x) AS mx FROM daily GROUP BY 1
+), st AS (
+  SELECT COUNT(*) AS n, SUM(mx) AS sx, SUM(mx * mx) AS qx FROM mm
+)
+SELECT n AS n_months,
+  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_max,
+  SQRT((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS sd_max,
+  SQRT((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) * ${Sql.Dlit(GumbelC)} AS beta_hat,
+  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+    - ${Sql.Dlit(EulerGamma)} * (SQRT((CAST(qx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      / CAST(n - 1 AS DOUBLE)) * ${Sql.Dlit(GumbelC)}) AS mu_hat
+FROM st"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_jackknife_ratio", jackknifeRatio, Some(jackknifeRatioOracle)),
+    QueryDef("q_gumbel_fit", gumbelFit, Some(gumbelFitOracle)),
     QueryDef("q_hhi", hhi, Some(hhiOracle)),
     QueryDef("q_lorenz_curve", lorenz, Some(lorenzOracle)),
     QueryDef("q_tukey_hsd", tukeyHsd, Some(tukeyHsdOracle)),
