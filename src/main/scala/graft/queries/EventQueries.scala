@@ -3001,7 +3001,137 @@ SELECT LEAST(9, GREATEST(0, CAST(FLOOR((b + 1) * 5) AS BIGINT))) AS bin,
   COUNT(*) AS n_users, MIN(b) AS min_b, MAX(b) AS max_b
 FROM b GROUP BY 1 ORDER BY bin"""
 
+  // --- SAX symbolic motifs -----------------------------------------------
+  /** SAX (Lin et al. '03) symbolization of the hourly event-count
+    * series: z-normalize against the global mean/sd (exact-integer
+    * Σx/Σx²), map each hour to one of 4 symbols at the Gaussian
+    * quartile breakpoints ±0.6745/0, slide a 3-symbol window, and
+    * count motif frequencies — the discretized shape vocabulary
+    * behind time-series motif discovery. The series is the
+    * hour-cardinality aggregate, so the one global lead-window is
+    * bounded; symbols derive from the same literal float compare on
+    * both sides. Top 15 motifs.
+    */
+  private val SaxLo = -0.6745
+  private val SaxHi = 0.6745
+
+  private def saxMotifs(s: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val hourlyN = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val st = hourlyN.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("qx"))
+    val mu = dd(col("sx")) / dd(col("n"))
+    val sd = sqrt((dd(col("qx")) - dd(col("sx")) * dd(col("sx")) / dd(col("n")))
+      / dd(col("n") - lit(1L)))
+    val z = (dd(col("x")) - mu) / sd
+    val sym = when(z < lit(SaxLo), "a").when(z < lit(0.0), "b")
+      .when(z < lit(SaxHi), "c").otherwise("d")
+    val w = Window.orderBy(col("h"))
+    hourlyN.crossJoin(broadcast(st))
+      .withColumn("s1", sym)
+      .withColumn("motif",
+        concat(col("s1"), lead(col("s1"), 1).over(w), lead(col("s1"), 2).over(w)))
+      .where(col("motif").isNotNull)
+      .groupBy(col("motif")).agg(count(lit(1)).as("n_windows"))
+      .orderBy(col("n_windows").desc, col("motif")).limit(15)
+  }
+
+  private val saxMotifsOracle = s"""WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1
+), st AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS qx FROM hourly
+), z AS (
+  SELECT h,
+    (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      / SQRT((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS z
+  FROM hourly, st
+), sym AS (
+  SELECT h, CASE WHEN z < ${Sql.Dlit(SaxLo)} THEN 'a'
+    WHEN z < ${D("0")} THEN 'b'
+    WHEN z < ${Sql.Dlit(SaxHi)} THEN 'c' ELSE 'd' END AS s1
+  FROM z
+), words AS (
+  SELECT s1 || LEAD(s1, 1) OVER (ORDER BY h)
+    || LEAD(s1, 2) OVER (ORDER BY h) AS motif
+  FROM sym
+)
+SELECT motif, COUNT(*) AS n_windows FROM words WHERE motif IS NOT NULL
+GROUP BY 1 ORDER BY n_windows DESC, motif LIMIT 15"""
+
+  // --- Seasonal strength ---------------------------------------------------
+  /** Hyndman's seasonal-strength statistic for the hourly count
+    * series: F_s = max(0, 1 − Var(residual)/Var(series)) where the
+    * seasonal fit is the hour-of-day mean profile — how much of the
+    * series' variance the 24-hour cycle explains. Var(series) comes
+    * straight off exact Σx/Σx²; the residuals are per-row doubles, so
+    * their first two moments are floored to 1e-6 fixed-point units and
+    * integer-summed before the one final variance expression — the
+    * float-order-free path the package uses for unbounded double sums.
+    */
+  private def seasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val hourlyN = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("hod", hour(col("h")).cast("long"))
+    val prof = hourlyN.groupBy(col("hod"))
+      .agg(sum(col("x")).as("sh"), count(lit(1)).as("nh"))
+      .select(col("hod"), (dd(col("sh")) / dd(col("nh"))).as("mh"))
+    val st = hourlyN.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("qx"))
+    val resid = hourlyN.join(broadcast(prof), "hod")
+      .select((dd(col("x")) - col("mh")).as("r"))
+      .select(floor(col("r") * lit(1000000L)).as("fr"),
+        floor(col("r") * col("r") * lit(1000000L)).as("fr2"))
+      .agg(sum(col("fr")).as("sfr"), sum(col("fr2")).as("sfr2"))
+    val varX = (dd(col("qx")) - dd(col("sx")) * dd(col("sx")) / dd(col("n"))) /
+      dd(col("n") - lit(1L))
+    val er = dd(col("sfr")) / lit(1000000L) / dd(col("n"))
+    val er2 = dd(col("sfr2")) / lit(1000000L) / dd(col("n"))
+    val varR = (er2 - er * er) * dd(col("n")) / dd(col("n") - lit(1L))
+    st.crossJoin(broadcast(resid))
+      .select(col("n").as("n_hours"), varX.as("var_series"),
+        varR.as("var_resid"),
+        greatest(lit(0.0), lit(1.0) - varR / varX).as("seasonal_strength"))
+  }
+
+  private val seasonalStrengthOracle = s"""WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS x FROM events GROUP BY 1
+), hh AS (
+  SELECT h, x, CAST(EXTRACT(hour FROM h) AS BIGINT) AS hod FROM hourly
+), prof AS (
+  SELECT hod, CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mh
+  FROM hh GROUP BY 1
+), st AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS qx FROM hh
+), resid AS (
+  SELECT
+    CAST(SUM(CAST(FLOOR((CAST(x AS DOUBLE) - mh) * 1000000) AS BIGINT)) AS BIGINT) AS sfr,
+    CAST(SUM(CAST(FLOOR((CAST(x AS DOUBLE) - mh) * (CAST(x AS DOUBLE) - mh)
+      * 1000000) AS BIGINT)) AS BIGINT) AS sfr2
+  FROM hh JOIN prof ON hh.hod = prof.hod
+)
+SELECT n AS n_hours,
+  (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+    / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_series,
+  (CAST(sfr2 AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)
+    - (CAST(sfr AS DOUBLE) / 1000000 / CAST(n AS DOUBLE))
+      * (CAST(sfr AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)))
+    * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS var_resid,
+  GREATEST(${D("0")}, ${D("1")} - ((CAST(sfr2 AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)
+    - (CAST(sfr AS DOUBLE) / 1000000 / CAST(n AS DOUBLE))
+      * (CAST(sfr AS DOUBLE) / 1000000 / CAST(n AS DOUBLE)))
+    * CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+    / ((CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) AS seasonal_strength
+FROM st, resid"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_sax_motifs", saxMotifs, Some(saxMotifsOracle)),
+    QueryDef("ev_seasonal_strength", seasonalStrength, Some(seasonalStrengthOracle)),
     QueryDef("ev_acf", acf, Some(acfOracle)),
     QueryDef("ev_pacf", pacf, Some(pacfOracle)),
     QueryDef("ev_croston", croston, Some(crostonOracle)),

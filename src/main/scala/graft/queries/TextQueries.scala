@@ -804,7 +804,128 @@ FROM f GROUP BY source ORDER BY source"""
   ${reaCount("lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'")} AS n_bpeish_tokens
 FROM documents ORDER BY doc_id"""
 
+  // --- RAKE keyword extraction -----------------------------------------
+  /** Rapid Automatic Keyword Extraction (Rose et al. '10): candidate
+    * phrases are maximal stopword-free token runs; each word scores
+    * degree/frequency (degree = Σ lengths of phrases containing it);
+    * a phrase scores the sum of its word scores. Word scores are
+    * single float divisions off exact counts, floored to 1e-6 units so
+    * the per-phrase sum is an integer — no float aggregation order.
+    * Phrase segmentation is one per-doc running-sum window over the
+    * stopword marks; the word-score table is vocabulary-sized and
+    * broadcasts. Top 20 phrases.
+    */
+  private def rakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dd(c: Column) = c.cast("double")
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val marked = toks
+      .withColumn("st", when(col("tok").isInCollection(Stopwords), 1L).otherwise(0L))
+      .withColumn("pid", sum(col("st"))
+        .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    val cand = marked.where(col("st") === 0)
+      .select(col("doc_id"), col("pid"), col("pos"), col("tok"))
+    val plen = cand.groupBy(col("doc_id"), col("pid"))
+      .agg(count(lit(1)).as("plen"))
+    val wfix = cand.join(plen, Seq("doc_id", "pid"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"),
+        floor(dd(col("deg")) / dd(col("freq")) * lit(1000000L)).as("fix"))
+    val pinst = cand.join(broadcast(wfix), "tok")
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"),
+        count(lit(1)).as("n_words"), sum(col("fix")).as("sfix"))
+    pinst.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        (dd(max(col("sfix"))) / lit(1000000L)).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(20)
+  }
+
+  private val rakeKeywordsOracle: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok,
+    unnest(generate_series(1, len(w))) AS pos
+  FROM words
+), marked AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END AS st,
+    SUM(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM toks
+), cand AS (
+  SELECT doc_id, pid, pos, tok FROM marked WHERE st = 0
+), plen AS (
+  SELECT doc_id, pid, COUNT(*) AS plen FROM cand GROUP BY 1, 2
+), wfix AS (
+  SELECT c.tok,
+    CAST(FLOOR(CAST(SUM(p.plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      * 1000000) AS BIGINT) AS fix
+  FROM cand c JOIN plen p ON c.doc_id = p.doc_id AND c.pid = p.pid
+  GROUP BY 1
+), pinst AS (
+  SELECT c.doc_id, c.pid,
+    string_agg(c.tok, ' ' ORDER BY c.pos) AS phrase,
+    COUNT(*) AS n_words, CAST(SUM(f.fix) AS BIGINT) AS sfix
+  FROM cand c JOIN wfix f ON c.tok = f.tok
+  GROUP BY 1, 2
+)
+SELECT phrase, n_words, COUNT(*) AS n_occurrences,
+  CAST(MAX(sfix) AS DOUBLE) / 1000000 AS score
+FROM pinst GROUP BY phrase, n_words
+ORDER BY score DESC, phrase LIMIT 20"""
+  }
+
+  // --- Simpson diversity index -------------------------------------------
+  /** Simpson's diversity of the token distribution per source:
+    * D = Σᵢ nᵢ(nᵢ−1) / (N(N−1)) — the probability two tokens drawn
+    * without replacement coincide — plus its inverse (effective
+    * vocabulary size). ENTIRELY exact integer arithmetic until two
+    * final float divisions, so no entropy-style fixed-point machinery
+    * is needed: the concentration twin of t_token_entropy.
+    */
+  private def simpsonIndex(s: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val g = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("ni"))
+    g.groupBy(col("source"))
+      .agg(sum(col("ni")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("ni") * (col("ni") - lit(1L))).as("coll"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (dd(col("coll")) / dd(col("n_tokens") * (col("n_tokens") - lit(1L))))
+          .as("simpson"),
+        (dd(col("n_tokens") * (col("n_tokens") - lit(1L))) / dd(col("coll")))
+          .as("effective_types"))
+      .orderBy("source")
+  }
+
+  private val simpsonIndexOracle = """WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), g AS (
+  SELECT source, tok, COUNT(*) AS ni FROM toks GROUP BY 1, 2
+), a AS (
+  SELECT source, CAST(SUM(ni) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+    CAST(SUM(ni * (ni - 1)) AS BIGINT) AS coll
+  FROM g GROUP BY 1
+)
+SELECT source, n_tokens, n_types,
+  CAST(coll AS DOUBLE) / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson,
+  CAST(n_tokens * (n_tokens - 1) AS DOUBLE) / CAST(coll AS DOUBLE) AS effective_types
+FROM a ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_rake_keywords", rakeKeywords, Some(rakeKeywordsOracle)),
+    QueryDef("t_simpson_index", simpsonIndex, Some(simpsonIndexOracle)),
     QueryDef("t_text_stats", stats, Some(statsOracle)),
     QueryDef("t_quality_by_source", quality, Some(qualityOracle)),
     QueryDef("t_langid", langid, Some(langidOracle)),
