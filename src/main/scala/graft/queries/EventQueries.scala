@@ -1154,7 +1154,7 @@ GROUP BY 1 ORDER BY channel"""
       .orderBy("user_id")
   }
 
-  private val holtOracle = """WITH RECURSIVE e AS (
+  private[queries] val holtOracle = """WITH RECURSIVE e AS (
   SELECT user_id, CAST(value AS DOUBLE) AS x,
     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events

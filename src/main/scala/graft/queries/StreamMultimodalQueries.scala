@@ -610,6 +610,25 @@ FROM (
 )
 WHERE rk <= 5 ORDER BY event_type, rk"""
 
+  /** [[EventStreams.streamingHolt]] over the bounded replay, graded
+    * against the SAME recursive-CTE oracle as the batch `ev_holt`:
+    * the per-user ValueState fold must reproduce the batch Holt
+    * recursion bitwise (same IEEE left-fold in micro-batch order).
+    * Each emitted row carries the running n (strictly increasing), so
+    * the max-n row per user IS the final fold state.
+    */
+  private def streamHolt(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.streamingHolt(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"))
+      EventStreams.runToMemory(s, out, "graft_stream_holt", OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("level"), col("trend"))).as("m"))
+        .select(col("user_id"), col("m.level").as("level"),
+          col("m.trend").as("trend"), col("m.n_events").as("n_events"))
+        .orderBy("user_id")
+    }
+
   private def streamEwma(s: SparkSession, dir: String): DataFrame =
     EventStreams.withRocksDbState(s) {
       val out = EventStreams.streamingEwma(
@@ -999,6 +1018,7 @@ FROM documents ORDER BY media_id"""
       Some(streamTokenBucketOracle)),
     QueryDef("stream_tws_running", streamTwsRunning, Some(streamTwsRunningOracle)),
     QueryDef("stream_ewma", streamEwma, Some(streamEwmaOracle)),
+    QueryDef("stream_holt", streamHolt, Some(EventQueries.holtOracle)),
     QueryDef("stream_session_window", streamSessionWindow, Some(streamSessionWindowOracle)),
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),

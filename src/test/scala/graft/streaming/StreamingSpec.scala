@@ -306,6 +306,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt resumes level AND trend from carried state") {
+    val dir = Files.createTempDirectory("graft_sholt").toString
+    def ev(id: Long, minute: Int, value: Double): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        7L, "click", value)
+
+    // batch 1: l=1, b=0; then l=(3+(1+0))/2=2, b=((2-1)+0)/2=0.5
+    writeBatch(dir, "b1", Seq(ev(1, 0, 1.0), ev(2, 5, 3.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val out = EventStreams.streamingHolt(stream)
+
+    spark.streams.active.filter(_.name == "sholt_test").foreach(_.stop())
+    val q = EventStreams.withRocksDbState(spark) {
+      out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName("sholt_test").start()
+    }
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("sholt_test")
+        .as[(Long, Double, Double, Long)].collect().toSet
+      assert(afterB1 == Set((7L, 2.0, 0.5, 2L)))
+
+      // batch 2 must resume BOTH components: l=(6+(2+0.5))/2=4.25,
+      // b=((4.25-2)+0.5)/2=1.375 — a restart-at-zero trend would differ
+      writeBatch(dir, "b2", Seq(ev(3, 10, 6.0)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sholt_test")
+        .as[(Long, Double, Double, Long)].collect().toSet
+      assert(afterB2 == afterB1 + ((7L, 4.25, 1.375, 3L)),
+        s"Holt level+trend must carry across micro-batches: $afterB2")
+    } finally q.stop()
+  }
+
   test("left-outer stream join: null rows emit only when the watermark releases them") {
     val dir = Files.createTempDirectory("graft_loj").toString
     def ev(id: Long, user: Long, kind: String, time: String): EventStreams.Event =
