@@ -567,7 +567,209 @@ SELECT n AS n_months,
       / CAST(n - 1 AS DOUBLE)) * ${Sql.Dlit(GumbelC)}) AS mu_hat
 FROM st"""
 
+  // --- Mantel–Haenszel stratified odds ratio -------------------------------
+  /** Mantel–Haenszel common odds ratio and CMH χ² (no continuity
+    * correction) for exposure = order total > $150k vs outcome =
+    * urgent/high priority, stratified by market segment — the
+    * confounding-adjusted 2×2 analysis. Per-stratum cells are exact
+    * integers; the four per-stratum float terms (ad/n, bc/n, E[a],
+    * Var[a]) are floored to 1e-6 fixed-point units and integer-summed,
+    * and the 1e-6 scale CANCELS in the OR ratio. One segment-grouped
+    * aggregate then a 5-row fold — nothing wider than the strata.
+    */
+  private def mantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice") > 150000.0).as("exp"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("out"))
+    val g = o.groupBy(col("seg")).agg(
+      sum(when(col("exp") && col("out"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("exp") && !col("out"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("exp") && col("out"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("exp") && !col("out"), 1L).otherwise(0L)).as("d"))
+    val n = col("a") + col("b") + col("c") + col("d")
+    val t = g.select(col("a"),
+      floor(dd(col("a") * col("d")) / dd(n) * lit(1000000L)).as("fad"),
+      floor(dd(col("b") * col("c")) / dd(n) * lit(1000000L)).as("fbc"),
+      floor(dd((col("a") + col("b")) * (col("a") + col("c"))) / dd(n)
+        * lit(1000000L)).as("fe"),
+      floor(dd((col("a") + col("b")) * (col("c") + col("d")))
+        * dd((col("a") + col("c")) * (col("b") + col("d")))
+        / dd(n * n * (n - lit(1L))) * lit(1000000L)).as("fv"))
+    val agg = t.agg(count(lit(1)).as("n_strata"), sum(col("a")).as("sum_a"),
+      sum(col("fad")).as("sfad"), sum(col("fbc")).as("sfbc"),
+      sum(col("fe")).as("sfe"), sum(col("fv")).as("sfv"))
+    val dlt = dd(col("sum_a")) - dd(col("sfe")) / lit(1000000L)
+    agg.select(col("n_strata"), col("sum_a"),
+      (dd(col("sfad")) / dd(col("sfbc"))).as("or_mh"),
+      (dlt * dlt / (dd(col("sfv")) / lit(1000000L))).as("cmh_chi2"))
+  }
+
+  private val mantelHaenszelOracle = """WITH o AS (
+  SELECT c_mktsegment AS seg,
+    o_totalprice > 150000 AS expo,
+    o_orderpriority IN ('1-URGENT', '2-HIGH') AS outc
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT seg,
+    CAST(SUM(CASE WHEN expo AND outc THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN expo AND NOT outc THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN NOT expo AND outc THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN NOT expo AND NOT outc THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM o GROUP BY 1
+), t AS (
+  SELECT a,
+    CAST(FLOOR(CAST(a * d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+      * 1000000) AS BIGINT) AS fad,
+    CAST(FLOOR(CAST(b * c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+      * 1000000) AS BIGINT) AS fbc,
+    CAST(FLOOR(CAST((a + b) * (a + c) AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+      * 1000000) AS BIGINT) AS fe,
+    CAST(FLOOR(CAST((a + b) * (c + d) AS DOUBLE) * CAST((a + c) * (b + d) AS DOUBLE)
+      / CAST((a + b + c + d) * (a + b + c + d) * (a + b + c + d - 1) AS DOUBLE)
+      * 1000000) AS BIGINT) AS fv
+  FROM g
+), agg AS (
+  SELECT COUNT(*) AS n_strata, CAST(SUM(a) AS BIGINT) AS sum_a,
+    CAST(SUM(fad) AS BIGINT) AS sfad, CAST(SUM(fbc) AS BIGINT) AS sfbc,
+    CAST(SUM(fe) AS BIGINT) AS sfe, CAST(SUM(fv) AS BIGINT) AS sfv
+  FROM t
+)
+SELECT n_strata, sum_a,
+  CAST(sfad AS DOUBLE) / CAST(sfbc AS DOUBLE) AS or_mh,
+  (CAST(sum_a AS DOUBLE) - CAST(sfe AS DOUBLE) / 1000000)
+    * (CAST(sum_a AS DOUBLE) - CAST(sfe AS DOUBLE) / 1000000)
+    / (CAST(sfv AS DOUBLE) / 1000000) AS cmh_chi2
+FROM agg"""
+
+  // --- Cochran–Armitage trend test ----------------------------------------
+  /** Cochran–Armitage test for a monotone trend in the high-value-order
+    * share across the ORDERED priority levels (scores w = 1..5 from the
+    * priority prefix digit): T = Σwₖaₖ − p̂·Σwₖnₖ,
+    * Var = p̂(1−p̂)(Σwₖ²nₖ − (Σwₖnₖ)²/N). Every Σ is an exact BIGINT
+    * (scores and counts are integers), so the statistic is six float
+    * ops at the very end — no per-group float terms at all.
+    */
+  private def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(
+      substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
+      when(col("o_totalprice") > 150000.0, 1L).otherwise(0L).as("y"))
+    val agg = o.agg(count(lit(1)).as("n"), sum(col("y")).as("a"),
+      sum(col("w") * col("y")).as("swa"), sum(col("w")).as("swn"),
+      sum(col("w") * col("w")).as("sw2n"))
+    val p = dd(col("a")) / dd(col("n"))
+    val tStat = dd(col("swa")) - p * dd(col("swn"))
+    val v = (p * (lit(1.0) - p)) *
+      (dd(col("sw2n")) - dd(col("swn")) * dd(col("swn")) / dd(col("n")))
+    agg.select(col("n").as("n_orders"), col("a").as("n_high"),
+      tStat.as("t_stat"), v.as("var_t"), (tStat / sqrt(v)).as("z"))
+  }
+
+  private val cochranArmitageOracle = """WITH o AS (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS w,
+    CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM orders
+), agg AS (
+  SELECT COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS a,
+    CAST(SUM(w * y) AS BIGINT) AS swa, CAST(SUM(w) AS BIGINT) AS swn,
+    CAST(SUM(w * w) AS BIGINT) AS sw2n
+  FROM o
+)
+SELECT n AS n_orders, a AS n_high,
+  CAST(swa AS DOUBLE) - CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+    * CAST(swn AS DOUBLE) AS t_stat,
+  CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+    * (CAST(1 AS DOUBLE) - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+    * (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+      / CAST(n AS DOUBLE)) AS var_t,
+  (CAST(swa AS DOUBLE) - CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+    * CAST(swn AS DOUBLE))
+    / SQRT(CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+      * (CAST(1 AS DOUBLE) - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+      * (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)
+        / CAST(n AS DOUBLE))) AS z
+FROM agg"""
+
+  // --- Bartlett equal-variance test ----------------------------------------
+  /** Bartlett's test that the five priority groups share one variance
+    * of whole-dollar order totals — the homoscedasticity gate before
+    * q_anova_f/q_tukey_hsd (Levene's rank-based cousin q_levene_bf
+    * already covers the robust path). Per-group (nᵢ−1)s²ᵢ come off
+    * exact BIGINT Σx/Σx²; the k=5 ln/reciprocal terms are pivoted into
+    * pinned per-priority columns and folded left-to-right on both
+    * sides (the q_kruskal_wallis pattern), so the only engine-shared
+    * assumption is ln itself, which every passing entropy query
+    * already leans on.
+    */
+  private def bartlett(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), dollars(col("o_totalprice")).as("x"))
+      .groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("qx"))
+    val ssg = dd(col("qx")) - dd(col("sx")) * dd(col("sx")) / dd(col("n"))
+    val wide = g.groupBy().agg(
+      Priorities.zipWithIndex.map { case (p, i) =>
+        sum(when(col("pri") === p, ssg)).as(s"ss$i") }.head,
+      (Priorities.zipWithIndex.drop(1).map { case (p, i) =>
+        sum(when(col("pri") === p, ssg)).as(s"ss$i") } ++
+        Priorities.zipWithIndex.map { case (p, i) =>
+          sum(when(col("pri") === p, col("n"))).as(s"n$i") } ++
+        Seq(sum(col("n")).as("nn"))): _*)
+    val k = Priorities.size
+    val nTot = col("nn")
+    val sp2 = (0 until k).map(i => col(s"ss$i")).reduce(_ + _) / dd(nTot - lit(k.toLong))
+    val sumLn = (0 until k).map(i =>
+      dd(col(s"n$i") - lit(1L)) * log(col(s"ss$i") / dd(col(s"n$i") - lit(1L))))
+      .reduce(_ + _)
+    val sumInv = (0 until k).map(i => lit(1.0) / dd(col(s"n$i") - lit(1L))).reduce(_ + _)
+    val cFac = lit(1.0) + (sumInv - lit(1.0) / dd(nTot - lit(k.toLong)))
+      ./(lit(3.0 * (k - 1)))
+    wide.select(nTot.as("n_total"), sp2.as("pooled_var"), cFac.as("c_factor"),
+      ((dd(nTot - lit(k.toLong)) * log(sp2) - sumLn) / cFac).as("bartlett_chi2"))
+  }
+
+  private val bartlettOracle: String = {
+    val k = Priorities.size
+    val ssCase = Priorities.zipWithIndex.map { case (p, i) =>
+      s"SUM(CASE WHEN pri = '$p' THEN ss END) AS ss$i" }.mkString(",\n    ")
+    val nCase = Priorities.zipWithIndex.map { case (p, i) =>
+      s"CAST(SUM(CASE WHEN pri = '$p' THEN n END) AS BIGINT) AS n$i" }.mkString(",\n    ")
+    val sp2p = "(" + (0 until k).map(i => s"ss$i").mkString(" + ") +
+      s") / CAST(nn - $k AS DOUBLE)"
+    val sumLn = (0 until k).map(i =>
+      s"CAST(n$i - 1 AS DOUBLE) * LN(ss$i / CAST(n$i - 1 AS DOUBLE))")
+      .mkString(" + ")
+    val sumInv = (0 until k).map(i =>
+      s"CAST(1 AS DOUBLE) / CAST(n$i - 1 AS DOUBLE)").mkString(" + ")
+    val cFac = s"CAST(1 AS DOUBLE) + ($sumInv - CAST(1 AS DOUBLE) / CAST(nn - $k AS DOUBLE)) / CAST(${3.0 * (k - 1)} AS DOUBLE)"
+    s"""WITH g AS (
+  SELECT o_orderpriority AS pri, COUNT(*) AS n,
+    SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS sx,
+    SUM(CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT)) AS qx
+  FROM orders GROUP BY 1
+), gss AS (
+  SELECT pri, n,
+    CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS ss
+  FROM g
+), wide AS (
+  SELECT
+    $ssCase,
+    $nCase,
+    CAST(SUM(n) AS BIGINT) AS nn
+  FROM gss
+)
+SELECT nn AS n_total, $sp2p AS pooled_var, $cFac AS c_factor,
+  (CAST(nn - $k AS DOUBLE) * LN($sp2p) - ($sumLn)) / ($cFac) AS bartlett_chi2
+FROM wide"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mantel_haenszel", mantelHaenszel, Some(mantelHaenszelOracle)),
+    QueryDef("q_cochran_armitage", cochranArmitage, Some(cochranArmitageOracle)),
+    QueryDef("q_bartlett", bartlett, Some(bartlettOracle)),
     QueryDef("q_jackknife_ratio", jackknifeRatio, Some(jackknifeRatioOracle)),
     QueryDef("q_gumbel_fit", gumbelFit, Some(gumbelFitOracle)),
     QueryDef("q_hhi", hhi, Some(hhiOracle)),
