@@ -1531,7 +1531,88 @@ FROM found f JOIN exact e ON f.q_id = e.q_id
 ORDER BY f.q_id"""
   }
 
+  // --- Johnson–Lindenstrauss distortion readout ---------------------------
+  /** Measured JL-lemma distortion of an Achlioptas ±1 sign projection
+    * from 64 → 16 dims: for every pair among the first 50 vectors,
+    * distortion = (‖P(x_a − x_b)‖²/16) / ‖x_a − x_b‖² — the quantity
+    * the lemma bounds near 1, and the empirical check behind every
+    * "project then bucket" ANN design in this engine. The projection
+    * matrix is derived (md5 parity of "i:j"), the difference vectors
+    * and their projections are EXACT quantized-integer sums (the
+    * projection is linear, so projecting the difference avoids a
+    * second pass), and the per-pair ratio is two float divisions; the
+    * mean over the 1225 pairs is a 1e-9 fixed-point integer sum.
+    */
+  private def jlDistortion(s: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val q = Tables(s, dir, "embeddings").where(col("vec_id") < 50)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val flat = q.select(col("vec_id"), posexplode(col("qv")).as(Seq("p", "e")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("e"))
+    val dx = flat.select(col("vec_id").as("ia"), col("i"), col("e").as("ea"))
+      .join(flat.select(col("vec_id").as("ib"), col("i"), col("e").as("eb")),
+        Seq("i"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("i"), (col("ea") - col("eb")).as("dx"))
+    val spark = s
+    val proj = spark.range(1, 65).select(col("id").as("i"))
+      .crossJoin(spark.range(1, 17).select(col("id").as("j")))
+      .select(col("i"), col("j"),
+        when(conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    val num = dx.join(broadcast(proj), "i")
+      .groupBy(col("ia"), col("ib"), col("j"))
+      .agg(sum(col("dx") * col("sgn")).as("y"))
+      .groupBy(col("ia"), col("ib")).agg(sum(col("y") * col("y")).as("num"))
+    val den = dx.groupBy(col("ia"), col("ib")).agg(sum(col("dx") * col("dx")).as("den"))
+    val dist = num.join(den, Seq("ia", "ib")).where(col("den") > 0)
+      .select((dd(col("num")) / lit(16L) / dd(col("den"))).as("dist"))
+    dist.agg(count(lit(1)).as("n_pairs"),
+        sum(floor(col("dist") * lit(1000000000L))).as("sfix"),
+        min(col("dist")).as("min_distortion"),
+        max(col("dist")).as("max_distortion"))
+      .select(col("n_pairs"),
+        (dd(col("sfix")) / lit(1000000000L) / dd(col("n_pairs")))
+          .as("mean_distortion"),
+        col("min_distortion"), col("max_distortion"))
+  }
+
+  private val jlDistortionOracle = s"""WITH q AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)
+      * ${Similarity.Scale} + ${D("0.5")}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 50
+), flat AS (
+  SELECT vec_id, unnest(qv) AS e, unnest(generate_series(1, len(qv))) AS i FROM q
+), dx AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, a.i, a.e - b.e AS dx
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+), proj AS (
+  SELECT i, j, CASE WHEN (strpos('0123456789abcdef',
+      substring(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1)
+      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT UNNEST(range(1, 65)) AS i), (SELECT UNNEST(range(1, 17)) AS j)
+), y AS (
+  SELECT dx.ia, dx.ib, p.j, CAST(SUM(dx.dx * p.sgn) AS BIGINT) AS y
+  FROM dx JOIN proj p ON dx.i = p.i
+  GROUP BY 1, 2, 3
+), num AS (
+  SELECT ia, ib, CAST(SUM(y * y) AS BIGINT) AS num FROM y GROUP BY 1, 2
+), den AS (
+  SELECT ia, ib, CAST(SUM(dx * dx) AS BIGINT) AS den FROM dx GROUP BY 1, 2
+), dist AS (
+  SELECT CAST(num AS DOUBLE) / 16 / CAST(den AS DOUBLE) AS dist
+  FROM num JOIN den USING (ia, ib) WHERE den > 0
+)
+SELECT COUNT(*) AS n_pairs,
+  CAST(SUM(CAST(FLOOR(dist * 1000000000) AS BIGINT)) AS DOUBLE)
+    / 1000000000 / CAST(COUNT(*) AS DOUBLE) AS mean_distortion,
+  MIN(dist) AS min_distortion, MAX(dist) AS max_distortion
+FROM dist"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("s_jl_distortion", jlDistortion, Some(jlDistortionOracle)),
     QueryDef("s_graph_ann", graphAnn, Some(graphAnnOracle)),
     QueryDef("s_mutual_knn", mutualKnn, Some(mutualKnnOracle)),
     QueryDef("s_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),

@@ -766,7 +766,72 @@ SELECT nn AS n_total, $sp2p AS pooled_var, $cFac AS c_factor,
 FROM wide"""
   }
 
+  // --- 1-D Wasserstein (earth mover's) distance ----------------------------
+  /** Wasserstein-1 distance between the order-price distributions of
+    * the first and last calendar year, over fixed $6000 bins:
+    * W₁ = Δ·Σ_b |F₁(b) − F₂(b)| — the mass-transport cost that, unlike
+    * q_ks_test's sup-norm, weighs HOW FAR mass must move. The CDF
+    * difference is kept as the exact integer cross-product
+    * |cum₁·N₂ − cum₂·N₁| (common denominator N₁N₂ factored out), so
+    * the entire sum is BIGINT and the distance is one final scaled
+    * division. Bin histogram → one bounded bin-cardinality window.
+    */
+  private def wasserstein(s: SparkSession, dir: String): DataFrame = {
+    val BinW = 6000L
+    val o = Tables(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"),
+        dollars(col("o_totalprice")).as("dol"))
+      .select(col("y"), expr(s"dol div $BinW").as("bin"))
+    val yrs = o.agg(min(col("y")).as("y1"), max(col("y")).as("y2"))
+    val h = o.crossJoin(broadcast(yrs))
+      .where(col("y") === col("y1") || col("y") === col("y2"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("y") === col("y1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("y") === col("y2"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("bin"))
+    val cum = h.withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val tot = cum.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("t"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("t")).as("st"))
+      .select(col("n1"), col("n2"), col("n_bins"),
+        (dd(col("st")) * lit(BinW.toDouble) / dd(col("n1") * col("n2")))
+          .as("w1_dollars"))
+  }
+
+  private val wassersteinOracle = """WITH o AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS y,
+    CAST(FLOOR(o_totalprice) AS BIGINT) // 6000 AS bin
+  FROM orders
+), yrs AS (
+  SELECT MIN(y) AS y1, MAX(y) AS y2 FROM o
+), h AS (
+  SELECT bin,
+    CAST(SUM(CASE WHEN y = y1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN y = y2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM o, yrs WHERE y = y1 OR y = y2
+  GROUP BY 1
+), cum AS (
+  SELECT bin,
+    SUM(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum1,
+    SUM(c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM h
+), tot AS (
+  SELECT MAX(cum1) AS n1, MAX(cum2) AS n2 FROM cum
+), t AS (
+  SELECT n1, n2, ABS(cum1 * n2 - cum2 * n1) AS t FROM cum, tot
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+  COUNT(*) AS n_bins,
+  CAST(SUM(t) AS DOUBLE) * CAST(6000 AS DOUBLE)
+    / CAST(n1 * n2 AS DOUBLE) AS w1_dollars
+FROM t GROUP BY n1, n2"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_wasserstein", wasserstein, Some(wassersteinOracle)),
     QueryDef("q_mantel_haenszel", mantelHaenszel, Some(mantelHaenszelOracle)),
     QueryDef("q_cochran_armitage", cochranArmitage, Some(cochranArmitageOracle)),
     QueryDef("q_bartlett", bartlett, Some(bartlettOracle)),

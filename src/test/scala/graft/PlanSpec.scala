@@ -725,4 +725,37 @@ class PlanSpec extends SparkSpec {
     val lv = planOf(SparkEntry.queries("q_levene_bf")(spark, Sf))
     assert(!lv.contains("SortMergeJoin"), lv.take(2000))
   }
+
+  test("round-7 additions keep their scale-safe shapes") {
+    // q_hhi: the 25-row nation dim must broadcast; supplier revenue
+    // never sort-merge-joins a dimension
+    val hhi = planOf(SparkEntry.queries("q_hhi")(spark, Sf))
+    assert(hhi.contains("BroadcastHashJoin"), hhi.take(2000))
+    assert(!hhi.contains("SortMergeJoin"), hhi.take(2000))
+    // g_cf_cosine: co-occurrence is the orderkey EQUI-join wedge and
+    // the seed/degree tables broadcast — an all-pairs cartesian over
+    // items must never appear
+    val cf = planOf(SparkEntry.queries("g_cf_cosine")(spark, Sf))
+    assert(!cf.contains("CartesianProduct"), cf.take(2000))
+    assert(cf.contains("BroadcastHashJoin"), cf.take(2000))
+    // t_rake_keywords: the vocabulary-sized word-score table joins
+    // back by BROADCAST (raw token rows must not shuffle for it)
+    val rake = planOf(SparkEntry.queries("t_rake_keywords")(spark, Sf))
+    assert(rake.contains("BroadcastHashJoin"), rake.take(2000))
+    assert(!rake.contains("CartesianProduct"), rake.take(2000))
+    // s_jl_distortion: the 1024-row projection matrix broadcasts; the
+    // only join over data rows is the dimension-index equi-join (the
+    // tiny range x range matrix build may nested-loop — what must
+    // never appear is a cartesian over vector-component rows)
+    val jl = planOf(SparkEntry.queries("s_jl_distortion")(spark, Sf))
+    assert(jl.contains("BroadcastHashJoin"), jl.take(2000))
+    assert(!jl.contains("CartesianProduct"), jl.take(2000))
+    // q_wasserstein / q_runs_test: day- and bin-cardinality series;
+    // the single global window is bounded by the AGGREGATE cardinality
+    // and must never pull a sort-merge join above it
+    val ws = planOf(SparkEntry.queries("q_wasserstein")(spark, Sf))
+    assert(!ws.contains("SortMergeJoin"), ws.take(2000))
+    val rt = planOf(SparkEntry.queries("q_runs_test")(spark, Sf))
+    assert(!rt.contains("SortMergeJoin"), rt.take(2000))
+  }
 }
