@@ -229,6 +229,55 @@ SELECT digit, n,
 FROM b, t ORDER BY digit"""
   }
 
+  // --- Benford second-digit audit ---------------------------------------
+  /** Second-significant-digit Benford audit (Nigrini's follow-up
+    * screen — round-number and invented-price manipulation shows up in
+    * the SECOND digit after the first-digit test passes): expected
+    * share of second digit d is Σₖ₌₁..₉ log₁₀(1 + 1/(10k+d)), a
+    * Scala-computed constant injected shortest-round-trip on both
+    * sides; digits come off the integer-cents string, so no float
+    * log touches the data path. Orders below 10 cents (no second
+    * digit) are excluded by construction of the substring.
+    */
+  private val benford2Expected: Seq[(Int, Double)] =
+    (0 to 9).map { d =>
+      d -> (1 to 9).map(k => math.log10(1.0 + 1.0 / (10 * k + d))).sum
+    }
+
+  private def benford2(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(cents(col("o_totalprice")).cast("string"), 2, 1).cast("long")
+    val expected = benford2Expected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, v)) => when(col("digit") === d.toLong, lit(v)).otherwise(acc)
+    }
+    val byDigit = Tables(s, dir, "orders")
+      .where(cents(col("o_totalprice")) >= 10L)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val tot = byDigit.agg(sum(col("n")).as("total"))
+    byDigit.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("expected", expected)
+      .withColumn("abs_dev", abs(col("share") - col("expected")))
+      .select(col("digit"), col("n"), col("share"), col("expected"), col("abs_dev"))
+      .orderBy("digit")
+  }
+
+  private val benford2Oracle: String = {
+    val cases = benford2Expected
+      .map { case (d, v) => s"WHEN $d THEN ${Sql.Dlit(v)}" }.mkString(" ")
+    s"""WITH b AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS VARCHAR), 2, 1) AS BIGINT) AS digit,
+    COUNT(*) AS n
+  FROM orders
+  WHERE CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) >= 10
+  GROUP BY 1
+), t AS (SELECT SUM(n) AS total FROM b)
+SELECT digit, n,
+  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+  CASE digit $cases END AS expected,
+  ABS(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - CASE digit $cases END) AS abs_dev
+FROM b, t ORDER BY digit"""
+  }
+
   // --- chi-square independence test -----------------------------------
   /** Pearson chi-square independence of `lang` × `source` over the
     * documents table. Observed counts and the row/column/grand totals
@@ -615,6 +664,7 @@ ORDER BY brand"""
     QueryDef("q_pareto80", pareto80, Some(pareto80Oracle)),
     QueryDef("q_gini", gini, Some(giniOracle)),
     QueryDef("q_benford", benford, Some(benfordOracle)),
+    QueryDef("q_benford2", benford2, Some(benford2Oracle)),
     QueryDef("q_chisq_indep", chisq, Some(chisqOracle)),
     QueryDef("q_cramers_v", cramersV, Some(cramersVOracle)),
     QueryDef("q_decile_lift", decileLift, Some(decileLiftOracle)),

@@ -3129,7 +3129,66 @@ SELECT n AS n_hours,
       / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))) AS seasonal_strength
 FROM st, resid"""
 
+  // --- Lead/lag cross-correlation -----------------------------------------
+  /** Cross-correlation between the hourly VIEW and PURCHASE count
+    * series at lags −3..+3 hours: r(ℓ) = corr(view_t, purchase_{t+ℓ})
+    * — does browsing lead buying, and by how many hours. Each lag's
+    * ten moment sums are exact BIGINTs off ONE hour-grain aggregate
+    * self-joined at the shifted hour (an equi-join on the lagged
+    * epoch, no window at all); the Pearson r is the same literal float
+    * expression per lag row. 7 output rows.
+    */
+  private def leadLagCorr(s: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val hourlyVp = Tables.events(s, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .localCheckpoint(eager = true)
+    val lags = s.range(-3, 4).select(col("id").as("lag"))
+    val shifted = hourlyVp.select(col("h"), col("p"))
+      .crossJoin(broadcast(lags))
+      .select(col("lag"), (col("h") - col("lag") * lit(3600L)).as("h"), col("p"))
+    val joined = hourlyVp.select(col("h"), col("v"))
+      .join(shifted, Seq("h"))
+    val g = joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), sum(col("p")).as("sp"),
+        sum(col("v") * col("v")).as("svv"), sum(col("p") * col("p")).as("spp"),
+        sum(col("v") * col("p")).as("svp"))
+    g.select(col("lag"), col("n"),
+        ((dd(col("n")) * dd(col("svp")) - dd(col("sv")) * dd(col("sp")))
+          / sqrt((dd(col("n")) * dd(col("svv")) - dd(col("sv")) * dd(col("sv")))
+            * (dd(col("n")) * dd(col("spp")) - dd(col("sp")) * dd(col("sp")))))
+          .as("xcorr"))
+      .orderBy("lag")
+  }
+
+  private val leadLagCorrOracle = """WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+), shifted AS (
+  SELECT lag, h - lag * 3600 AS h, p
+  FROM hourly, (SELECT UNNEST(range(-3, 4)) AS lag)
+), j AS (
+  SELECT s.lag, a.v, s.p
+  FROM hourly a JOIN shifted s ON a.h = s.h
+), g AS (
+  SELECT lag, COUNT(*) AS n, SUM(v) AS sv, SUM(p) AS sp,
+    SUM(v * v) AS svv, SUM(p * p) AS spp, SUM(v * p) AS svp
+  FROM j GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+  (CAST(n AS DOUBLE) * CAST(svp AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sp AS DOUBLE))
+    / SQRT((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+      * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS xcorr
+FROM g ORDER BY lag"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_lead_lag_corr", leadLagCorr, Some(leadLagCorrOracle)),
     QueryDef("ev_sax_motifs", saxMotifs, Some(saxMotifsOracle)),
     QueryDef("ev_seasonal_strength", seasonalStrength, Some(seasonalStrengthOracle)),
     QueryDef("ev_acf", acf, Some(acfOracle)),

@@ -2082,7 +2082,54 @@ ORDER BY katz DESC, node LIMIT 20"""
 SELECT seed, item, co AS co_orders, cosine, rnk
 FROM r WHERE rnk <= 10 ORDER BY seed, rnk"""
 
+  // --- Degree-distribution Gini ------------------------------------------
+  /** Gini coefficient of the co-order graph's degree distribution —
+    * the single-number hub-concentration readout beside g_rich_club's
+    * curve (G→0: egalitarian mesh; G→1: a few hub parts carry the
+    * basket structure). Same exact-integer rank formula as q_gini
+    * (2·Σi·dᵢ/(n·Σd) − (n+1)/n over ascending (degree, node) rank);
+    * the one global rank window runs over the NODE-cardinality degree
+    * aggregate, never raw edges.
+    */
+  private def degreeGini(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir)
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val w = Window.orderBy(col("d"), col("node"))
+    deg.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("sum_deg"),
+        sum(col("i") * col("d")).as("sid"))
+      .select(col("n_nodes"), col("sum_deg"),
+        ((lit(2L) * col("sid")).cast("double")
+          / (col("n_nodes") * col("sum_deg")).cast("double")
+          - (col("n_nodes") + lit(1L)).cast("double")
+            / col("n_nodes").cast("double")).as("degree_gini"))
+  }
+
+  private val degreeGiniOracle = """WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM p UNION ALL SELECT b FROM p
+  ) GROUP BY 1
+), r AS (
+  SELECT d, CAST(ROW_NUMBER() OVER (ORDER BY d, node) AS BIGINT) AS i FROM deg
+), a AS (
+  SELECT COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS sd,
+    CAST(SUM(i * d) AS BIGINT) AS sid
+  FROM r
+)
+SELECT n AS n_nodes, sd AS sum_deg,
+  CAST(2 * sid AS DOUBLE) / CAST(n * sd AS DOUBLE)
+    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS degree_gini
+FROM a"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g_degree_gini", degreeGini, Some(degreeGiniOracle)),
     QueryDef("g_katz", katz, Some(katzOracle)),
     QueryDef("g_cf_cosine", cfCosine, Some(cfCosineOracle)),
     QueryDef("g_motifs", motifs, Some(motifsOracle)),

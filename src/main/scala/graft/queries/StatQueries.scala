@@ -830,7 +830,226 @@ SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
     / CAST(n1 * n2 AS DOUBLE) AS w1_dollars
 FROM t GROUP BY n1, n2"""
 
+  // --- Partial correlation --------------------------------------------------
+  /** First-order partial correlation of whole-dollar price and quantity
+    * CONTROLLING for the discount (basis points):
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — does the
+    * price–quantity relation survive once the discount channel is
+    * removed. All ten moment sums are exact BIGINTs in one scan-side
+    * aggregate (dollar/qty/bps scaling keeps Σx² far from 2⁶³ even at
+    * sf1); the three Pearson r's and the partial are a fixed literal
+    * float expression over that single row.
+    */
+  private def partialCorr(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(
+      dollars(col("l_extendedprice")).as("x"),
+      col("l_quantity").cast("long").as("y"),
+      floor(col("l_discount") * 10000 + 0.5).cast("long").as("z"))
+    val agg = li.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"), sum(col("y") * col("z")).as("syz"))
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+      (dd(col("n")) * dd(sab) - dd(sa) * dd(sb)) /
+        sqrt((dd(col("n")) * dd(saa) - dd(sa) * dd(sa))
+          * (dd(col("n")) * dd(sbb) - dd(sb) * dd(sb)))
+    val withR = agg.withColumn("r_xy",
+        r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy")))
+      .withColumn("r_xz",
+        r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz")))
+      .withColumn("r_yz",
+        r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz")))
+    withR.select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+      ((col("r_xy") - col("r_xz") * col("r_yz"))
+        / sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
+          * (lit(1.0) - col("r_yz") * col("r_yz")))).as("r_xy_given_z"))
+  }
+
+  private val partialCorrOracle = """WITH li AS (
+  SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS x,
+    CAST(l_quantity AS BIGINT) AS y,
+    CAST(FLOOR(l_discount * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z
+  FROM lineitem
+), agg AS (
+  SELECT COUNT(*) AS n,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+    SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+  FROM li
+), rr AS (
+  SELECT n,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_xy,
+    (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+      / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_xz,
+    (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+      / SQRT((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))) AS r_yz
+  FROM agg
+)
+SELECT n, r_xy, r_xz, r_yz,
+  (r_xy - r_xz * r_yz)
+    / SQRT((CAST(1 AS DOUBLE) - r_xz * r_xz)
+      * (CAST(1 AS DOUBLE) - r_yz * r_yz)) AS r_xy_given_z
+FROM rr"""
+
+  // --- Exact order-statistic QQ ladder --------------------------------------
+  /** QQ comparison of the URGENT vs LOW order-price distributions at
+    * k/20 quantiles (k = 1..19) — read as points off the QQ plot. To
+    * dodge engine interpolation entirely, each quantile is the EXACT
+    * order statistic at 1-based rank ⌊(n−1)·k/20⌋ + 1 under the total
+    * (price, orderkey) order: pure integer rank arithmetic, one
+    * bounded per-group rank window, one final ratio division. The
+    * 19-row rank-target table broadcasts against the ranked rows.
+    */
+  private def qqLadder(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("c"))
+    val w = Window.partitionBy(col("pri")).orderBy(col("c"), col("o_orderkey"))
+    val ranked = o.withColumn("rn", row_number().over(w).cast("long"))
+    val sizes = o.groupBy(col("pri")).agg(count(lit(1)).as("n"))
+    val ks = s.range(1, 20).select(col("id").as("k"))
+    val targets = sizes.crossJoin(broadcast(ks))
+      .select(col("pri"), col("k"),
+        (expr("(n - 1) * k div 20") + lit(1L)).as("rk"))
+    val hit = ranked.join(broadcast(targets),
+      ranked("pri") === targets("pri") && col("rn") === col("rk"))
+      .select(col("k"), ranked("pri").as("pri"), col("rk"), col("c"))
+    val u = hit.where(col("pri") === "1-URGENT")
+      .select(col("k"), col("rk").as("rank_urgent"), col("c").as("q_urgent"))
+    val l = hit.where(col("pri") === "5-LOW")
+      .select(col("k"), col("rk").as("rank_low"), col("c").as("q_low"))
+    u.join(l, "k")
+      .select(col("k"), col("rank_urgent"), col("q_urgent"),
+        col("rank_low"), col("q_low"),
+        (dd(col("q_urgent")) / dd(col("q_low"))).as("qq_ratio"))
+      .orderBy("k")
+  }
+
+  private val qqLadderOracle = """WITH o AS (
+  SELECT o_orderpriority AS pri, o_orderkey,
+    CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), ranked AS (
+  SELECT pri, c,
+    CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY c, o_orderkey) AS BIGINT) AS rn
+  FROM o
+), sizes AS (
+  SELECT pri, COUNT(*) AS n FROM o GROUP BY 1
+), targets AS (
+  SELECT pri, k, (n - 1) * k // 20 + 1 AS rk
+  FROM sizes, (SELECT UNNEST(range(1, 20)) AS k)
+), hit AS (
+  SELECT t.k, t.pri, t.rk, r.c
+  FROM ranked r JOIN targets t ON r.pri = t.pri AND r.rn = t.rk
+)
+SELECT u.k AS k, u.rk AS rank_urgent, u.c AS q_urgent,
+  l.rk AS rank_low, l.c AS q_low,
+  CAST(u.c AS DOUBLE) / CAST(l.c AS DOUBLE) AS qq_ratio
+FROM hit u JOIN hit l ON u.k = l.k
+  AND u.pri = '1-URGENT' AND l.pri = '5-LOW'
+ORDER BY u.k"""
+
+  // --- Oaxaca–Blinder decomposition ----------------------------------------
+  /** Oaxaca–Blinder decomposition of the mean order-value gap between
+    * the AUTOMOBILE and BUILDING segments with order size (total
+    * quantity) as the covariate: gap = ȳ₁−ȳ₂ splits into the part
+    * explained by different order sizes, β₂(x̄₁−x̄₂), and the
+    * unexplained structural part (α₁−α₂) + x̄₁(β₁−β₂) — the standard
+    * wage-gap econometrics applied to baskets. Per-group OLS slopes
+    * come off exact BIGINT moment sums folded in ONE conditional
+    * aggregate row; everything after is a fixed literal float
+    * expression, so both engines produce the identical decomposition.
+    */
+  private def oaxaca(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+        dollars(col("o_totalprice")).as("y"))
+    val size = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity").cast("long")).as("x"))
+    val j = ord.join(size, col("o_orderkey") === col("l_orderkey"))
+    def cond(g: String, c: Column) = sum(when(col("seg") === g, c).otherwise(0L))
+    val agg = j.agg(
+      cond("AUTOMOBILE", lit(1L)).as("n1"), cond("AUTOMOBILE", col("x")).as("sx1"),
+      cond("AUTOMOBILE", col("y")).as("sy1"),
+      cond("AUTOMOBILE", col("x") * col("x")).as("sxx1"),
+      cond("AUTOMOBILE", col("x") * col("y")).as("sxy1"),
+      cond("BUILDING", lit(1L)).as("n2"), cond("BUILDING", col("x")).as("sx2"),
+      cond("BUILDING", col("y")).as("sy2"),
+      cond("BUILDING", col("x") * col("x")).as("sxx2"),
+      cond("BUILDING", col("x") * col("y")).as("sxy2"))
+    def beta(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column) =
+      (dd(n) * dd(sxy) - dd(sx) * dd(sy)) / (dd(n) * dd(sxx) - dd(sx) * dd(sx))
+    val w = agg
+      .withColumn("xb1", dd(col("sx1")) / dd(col("n1")))
+      .withColumn("yb1", dd(col("sy1")) / dd(col("n1")))
+      .withColumn("xb2", dd(col("sx2")) / dd(col("n2")))
+      .withColumn("yb2", dd(col("sy2")) / dd(col("n2")))
+      .withColumn("b1", beta(col("n1"), col("sx1"), col("sy1"), col("sxx1"), col("sxy1")))
+      .withColumn("b2", beta(col("n2"), col("sx2"), col("sy2"), col("sxx2"), col("sxy2")))
+    w.select(col("n1"), col("n2"), col("xb1"), col("xb2"),
+      col("b1"), col("b2"),
+      (col("yb1") - col("yb2")).as("gap"),
+      (col("b2") * (col("xb1") - col("xb2"))).as("explained"),
+      ((col("yb1") - col("b1") * col("xb1"))
+        - (col("yb2") - col("b2") * col("xb2"))
+        + col("xb1") * (col("b1") - col("b2"))).as("unexplained"))
+  }
+
+  private val oaxacaOracle = """WITH ord AS (
+  SELECT o_orderkey, c_mktsegment AS seg,
+    CAST(FLOOR(o_totalprice) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+), sz AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT seg, x, y FROM ord JOIN sz ON o_orderkey = l_orderkey
+), agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN x ELSE 0 END) AS BIGINT) AS sx1,
+    CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN y ELSE 0 END) AS BIGINT) AS sy1,
+    CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN x * x ELSE 0 END) AS BIGINT) AS sxx1,
+    CAST(SUM(CASE WHEN seg = 'AUTOMOBILE' THEN x * y ELSE 0 END) AS BIGINT) AS sxy1,
+    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN x ELSE 0 END) AS BIGINT) AS sx2,
+    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN y ELSE 0 END) AS BIGINT) AS sy2,
+    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN x * x ELSE 0 END) AS BIGINT) AS sxx2,
+    CAST(SUM(CASE WHEN seg = 'BUILDING' THEN x * y ELSE 0 END) AS BIGINT) AS sxy2
+  FROM j
+), w AS (
+  SELECT n1, n2,
+    CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS xb1,
+    CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS yb1,
+    CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS xb2,
+    CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS yb2,
+    (CAST(n1 AS DOUBLE) * CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+      / (CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)) AS b1,
+    (CAST(n2 AS DOUBLE) * CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+      / (CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) AS b2
+  FROM agg
+)
+SELECT n1, n2, xb1, xb2, b1, b2,
+  yb1 - yb2 AS gap,
+  b2 * (xb1 - xb2) AS explained,
+  (yb1 - b1 * xb1) - (yb2 - b2 * xb2) + xb1 * (b1 - b2) AS unexplained
+FROM w"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_oaxaca", oaxaca, Some(oaxacaOracle)),
+    QueryDef("q_partial_corr", partialCorr, Some(partialCorrOracle)),
+    QueryDef("q_qq_ladder", qqLadder, Some(qqLadderOracle)),
     QueryDef("q_wasserstein", wasserstein, Some(wassersteinOracle)),
     QueryDef("q_mantel_haenszel", mantelHaenszel, Some(mantelHaenszelOracle)),
     QueryDef("q_cochran_armitage", cochranArmitage, Some(cochranArmitageOracle)),
