@@ -1046,7 +1046,136 @@ SELECT n1, n2, xb1, xb2, b1, b2,
   (yb1 - b1 * xb1) - (yb2 - b2 * xb2) + xb1 * (b1 - b2) AS unexplained
 FROM w"""
 
+  // --- Instrumental-variable (2SLS) slope -----------------------------------
+  /** Wald/2SLS instrumental-variable estimate of the quantity→revenue
+    * slope using the discount as the instrument:
+    * β_IV = cov(z,y)/cov(z,x) (single-instrument 2SLS collapses to
+    * the ratio), alongside the OLS slope it corrects and the
+    * first-stage slope/F — the weak-instrument readout. One scan-side
+    * aggregate of exact BIGINT moments (dollar/qty/bps scaling), then
+    * a fixed literal float expression; the causal-inference shelf
+    * beside q_did/q_cuped/q_oaxaca.
+    */
+  private def iv2sls(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(
+      floor(col("l_discount") * 10000 + 0.5).cast("long").as("z"),
+      col("l_quantity").cast("long").as("x"),
+      dollars(col("l_extendedprice")).as("y"))
+    val agg = li.agg(count(lit(1)).as("n"),
+      sum(col("z")).as("sz"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("z") * col("z")).as("szz"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("z") * col("x")).as("szx"), sum(col("z") * col("y")).as("szy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val covZY = dd(col("n")) * dd(col("szy")) - dd(col("sz")) * dd(col("sy"))
+    val covZX = dd(col("n")) * dd(col("szx")) - dd(col("sz")) * dd(col("sx"))
+    val varZ = dd(col("n")) * dd(col("szz")) - dd(col("sz")) * dd(col("sz"))
+    val varX = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val covXY = dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+    val r2First = covZX * covZX / (varZ * varX)
+    agg.select(col("n"),
+      (covXY / varX).as("beta_ols"),
+      (covZY / covZX).as("beta_iv"),
+      (covZX / varZ).as("first_stage_slope"),
+      (r2First / (lit(1.0) - r2First) * dd(col("n") - lit(2L)))
+        .as("first_stage_f"))
+  }
+
+  private val iv2slsOracle = """WITH li AS (
+  SELECT CAST(FLOOR(l_discount * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS z,
+    CAST(l_quantity AS BIGINT) AS x,
+    CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(z) AS sz, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(z * z) AS szz, SUM(x * x) AS sxx,
+    SUM(z * x) AS szx, SUM(z * y) AS szy, SUM(x * y) AS sxy
+  FROM li
+), c AS (
+  SELECT n,
+    CAST(n AS DOUBLE) * CAST(szy AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) AS covzy,
+    CAST(n AS DOUBLE) * CAST(szx AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE) AS covzx,
+    CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS varz,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covxy
+  FROM agg
+)
+SELECT n,
+  covxy / varx AS beta_ols,
+  covzy / covzx AS beta_iv,
+  covzx / varz AS first_stage_slope,
+  covzx * covzx / (varz * varx)
+    / (CAST(1 AS DOUBLE) - covzx * covzx / (varz * varx))
+    * CAST(n - 2 AS DOUBLE) AS first_stage_f
+FROM c"""
+
+  // --- Mediation decomposition (Baron–Kenny) ---------------------------------
+  /** Product-of-coefficients mediation analysis: how much of the
+    * discount→revenue effect flows THROUGH quantity (x→m→y) vs
+    * directly. a = slope(m~x); (b, c′) come from the closed-form
+    * two-predictor regression y ~ x + m (2×2 normal equations);
+    * indirect = a·b; total = c from y ~ x, and c − c′ = a·b is the
+    * identity the output exposes. Everything is one exact-moment
+    * aggregate and a pinned float expression — no iteration, no
+    * matrix library.
+    */
+  private def mediation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(
+      floor(col("l_discount") * 10000 + 0.5).cast("long").as("x"),
+      col("l_quantity").cast("long").as("m"),
+      dollars(col("l_extendedprice")).as("y"))
+    val agg = li.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("m")).as("sm"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("m") * col("m")).as("smm"),
+      sum(col("x") * col("m")).as("sxm"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("m") * col("y")).as("smy"))
+    val sxxC = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val smmC = dd(col("n")) * dd(col("smm")) - dd(col("sm")) * dd(col("sm"))
+    val sxmC = dd(col("n")) * dd(col("sxm")) - dd(col("sx")) * dd(col("sm"))
+    val sxyC = dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))
+    val smyC = dd(col("n")) * dd(col("smy")) - dd(col("sm")) * dd(col("sy"))
+    val det = sxxC * smmC - sxmC * sxmC
+    val cPrime = (smmC * sxyC - sxmC * smyC) / det
+    val b = (sxxC * smyC - sxmC * sxyC) / det
+    val a = sxmC / sxxC
+    val c = sxyC / sxxC
+    agg.select(col("n"), a.as("a_xm"), b.as("b_my"),
+      cPrime.as("c_direct"), c.as("c_total"),
+      (a * b).as("indirect"),
+      (a * b / c).as("mediated_share"))
+  }
+
+  private val mediationOracle = """WITH li AS (
+  SELECT CAST(FLOOR(l_discount * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS x,
+    CAST(l_quantity AS BIGINT) AS m,
+    CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), agg AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(m) AS sm, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(m * m) AS smm,
+    SUM(x * m) AS sxm, SUM(x * y) AS sxy, SUM(m * y) AS smy
+  FROM li
+), c AS (
+  SELECT n,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS sxxc,
+    CAST(n AS DOUBLE) * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) AS smmc,
+    CAST(n AS DOUBLE) * CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE) AS sxmc,
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS sxyc,
+    CAST(n AS DOUBLE) * CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sy AS DOUBLE) AS smyc
+  FROM agg
+)
+SELECT n,
+  sxmc / sxxc AS a_xm,
+  (sxxc * smyc - sxmc * sxyc) / (sxxc * smmc - sxmc * sxmc) AS b_my,
+  (smmc * sxyc - sxmc * smyc) / (sxxc * smmc - sxmc * sxmc) AS c_direct,
+  sxyc / sxxc AS c_total,
+  sxmc / sxxc * ((sxxc * smyc - sxmc * sxyc) / (sxxc * smmc - sxmc * sxmc)) AS indirect,
+  sxmc / sxxc * ((sxxc * smyc - sxmc * sxyc) / (sxxc * smmc - sxmc * sxmc))
+    / (sxyc / sxxc) AS mediated_share
+FROM c"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_iv_2sls", iv2sls, Some(iv2slsOracle)),
+    QueryDef("q_mediation", mediation, Some(mediationOracle)),
     QueryDef("q_oaxaca", oaxaca, Some(oaxacaOracle)),
     QueryDef("q_partial_corr", partialCorr, Some(partialCorrOracle)),
     QueryDef("q_qq_ladder", qqLadder, Some(qqLadderOracle)),
