@@ -1794,6 +1794,142 @@ class StatQueriesSpec extends SparkSpec {
     assert(n == nodes.size.toLong)
   }
 
+  // --- round-7 additions: independent driver-side recomputations ---------
+
+  test("q_runs_test: runs/counts/z equal a driver-side fold over the day series") {
+    val row = run("q_runs_test")
+      .select("n_days", "n_above", "n_below", "runs", "z")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val daily = spark.read.parquet(s"$Sf/orders.parquet")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev"))
+      .orderBy("d").as[(java.sql.Date, Long)].collect().map(_._2)
+    val sorted = daily.sorted
+    val med = if (sorted.length % 2 == 1) sorted(sorted.length / 2).toDouble
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+    val signs = daily.map(r => if (r > med) 1L else 0L)
+    val runs = 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+    val n1 = signs.sum; val n = signs.length.toLong; val n2 = n - n1
+    assert(row._1 == n && row._2 == n1 && row._3 == n2 && row._4 == runs)
+    val mu = 2.0 * n1 * n2 / n + 1.0
+    val z = (runs - mu) /
+      math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.toDouble * n * (n - 1)))
+    assert(math.abs(row._5 - z) < 1e-9, s"${row._5} vs $z")
+  }
+
+  test("q_wasserstein: integer cross-product EMD equals a driver-side CDF fold") {
+    val row = run("q_wasserstein")
+      .select("n1", "n2", "n_bins", "w1_dollars")
+      .as[(Long, Long, Long, Double)].head()
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(year(col("o_orderdate")).as("y"),
+        (floor(col("o_totalprice")).cast("long")).as("dol"))
+      .as[(Int, Long)].collect()
+    val y1 = o.map(_._1).min; val y2 = o.map(_._1).max
+    val b1 = o.filter(_._1 == y1).map(_._2 / 6000L)
+    val b2 = o.filter(_._1 == y2).map(_._2 / 6000L)
+    val (nn1, nn2) = (b1.length.toLong, b2.length.toLong)
+    assert((row._1, row._2) == ((nn1, nn2)))
+    val bins = (b1 ++ b2).distinct.sorted
+    assert(row._3 == bins.length.toLong)
+    var c1 = 0L; var c2 = 0L; var st = 0L
+    val h1 = b1.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val h2 = b2.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for (b <- bins) {
+      c1 += h1.getOrElse(b, 0L); c2 += h2.getOrElse(b, 0L)
+      st += math.abs(c1 * nn2 - c2 * nn1)
+    }
+    val w1 = st.toDouble * 6000.0 / (nn1 * nn2).toDouble
+    assert(math.abs(row._4 - w1) < 1e-9, s"${row._4} vs $w1")
+  }
+
+  test("q_mediation: c_total - c_direct == a*b (the Baron-Kenny identity)") {
+    val r = run("q_mediation")
+      .select("a_xm", "b_my", "c_direct", "c_total", "indirect")
+      .as[(Double, Double, Double, Double, Double)].head()
+    val (a, b, cP, c, ind) = r
+    assert(math.abs(ind - a * b) < 1e-12)
+    assert(math.abs((c - cP) - a * b) < 1e-9 * math.max(1.0, math.abs(c)),
+      s"identity violated: c=$c c'=$cP ab=${a * b}")
+    // independent slope recomputation: a = cov(x,m)/var(x) off raw rows
+    val rows = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(floor(col("l_discount") * 10000 + 0.5).cast("long"),
+        col("l_quantity").cast("long"))
+      .as[(Long, Long)].collect()
+    val n = rows.length.toDouble
+    val sx = rows.map(_._1).sum.toDouble; val sm = rows.map(_._2).sum.toDouble
+    val sxx = rows.map(t => t._1 * t._1).sum.toDouble
+    val sxm = rows.map(t => t._1 * t._2).sum.toDouble
+    val aRef = (n * sxm - sx * sm) / (n * sxx - sx * sx)
+    assert(math.abs(a - aRef) < 1e-9, s"$a vs $aRef")
+  }
+
+  test("q_qq_ladder: every reported quantile IS the sorted order statistic") {
+    val got = run("q_qq_ladder")
+      .select("k", "rank_urgent", "q_urgent", "rank_low", "q_low")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 19)
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      .as[(String, Long, Long)].collect()
+    def sortedC(p: String) =
+      o.filter(_._1 == p).sortBy(t => (t._3, t._2)).map(_._3)
+    val u = sortedC("1-URGENT"); val l = sortedC("5-LOW")
+    for ((k, ru, qu, rl, ql) <- got) {
+      assert(ru == (u.length - 1).toLong * k / 20 + 1)
+      assert(rl == (l.length - 1).toLong * k / 20 + 1)
+      assert(qu == u((ru - 1).toInt), s"k=$k urgent")
+      assert(ql == l((rl - 1).toInt), s"k=$k low")
+    }
+  }
+
+  test("q_hhi: fixed-point share-squared sum tracks the plain double HHI") {
+    val got = run("q_hhi").select("nation", "n_suppliers", "hhi")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val nations = spark.read.parquet(s"$Sf/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    for ((nk, rs) <- li.groupBy(_._1)) {
+      val bySupp = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      val total = bySupp.map(_._2).sum.toDouble
+      val hhi = bySupp.map { case (_, c) => val s = c / total; s * s }.sum * 10000
+      val g = got(nations(nk))
+      assert(g._2 == bySupp.length.toLong)
+      // fixed-point floor bias is bounded by n_suppliers * 1e-12 * 1e4
+      assert(math.abs(g._3 - hhi) < 1e-4, s"${nations(nk)}: ${g._3} vs $hhi")
+    }
+  }
+
+  test("g_katz: walk counts equal an exact driver-side adjacency fold") {
+    val got = run("g_katz")
+      .select("node", "deg", "paths2", "paths3")
+      .as[(Long, Long, Long, Long)].collect()
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toList.distinct
+    val pairs = li.groupBy(_._1).values.toList.flatMap { g =>
+      val ps = g.map(_._2).distinct
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = (pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val s1 = adj.view.mapValues(_.length.toLong).toMap
+    val s2 = adj.view.mapValues(_.map(s1).sum).toMap
+    val s3 = adj.view.mapValues(_.map(s2).sum).toMap
+    for ((node, d, p2, p3) <- got) {
+      assert(d == s1(node), s"deg($node)")
+      assert(p2 == s2(node), s"paths2($node)")
+      assert(p3 == s3(node), s"paths3($node)")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
