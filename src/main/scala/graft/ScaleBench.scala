@@ -296,6 +296,85 @@ object ScaleBench {
             .groupBy().agg(count(lit(1)), countDistinct(col("h"))))
       }
 
+      // item-item CF wedge (round-7 g_cf_cosine): cost is Σ_order k²
+      // with basket size k bounded at 4-8, so the curve must stay
+      // ~linear in ORDERS — catalog growth (50k·m items, with a
+      // 200-item Zipf-head so hot items exist) must never bend it into
+      // an items×items join. Seeds broadcast; degree joins are AQE's
+      // call (the graded-query shape exactly).
+      val nOrders = 20000L * m
+      if (want("cf_cosine")) {
+        spark.range(nOrders).select(col("id").as("ok"),
+            explode(sequence(lit(1),
+              (pmod(xxhash64(col("id")), lit(5)) + 4).cast("int"))).as("slot"))
+          .select(col("ok"),
+            when(pmod(xxhash64(col("ok"), col("slot"), lit(51)), lit(25)) === 0,
+              pmod(xxhash64(col("ok"), col("slot"), lit(52)), lit(200)))
+              .otherwise(pmod(xxhash64(col("ok"), col("slot"), lit(53)),
+                lit(50000L * m)) + 200).as("pk"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$tmp/cf_$m")
+        val baskets = spark.read.parquet(s"$tmp/cf_$m")
+        record("cf_cosine", nOrders, () => {
+          val co = baskets.select(col("ok"), col("pk").as("a"))
+            .join(baskets.select(col("ok"), col("pk").as("b")), "ok")
+            .where(col("a") < col("b"))
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("co"))
+          val d = baskets.groupBy(col("pk")).agg(count(lit(1)).as("d"))
+          val seeds = d.orderBy(col("d").desc, col("pk")).limit(20)
+            .select(col("pk").as("seed"))
+          val cand = co.join(broadcast(seeds), col("a") === col("seed"))
+              .select(col("seed"), col("b").as("item"), col("co"))
+            .union(co.join(broadcast(seeds), col("b") === col("seed"))
+              .select(col("seed"), col("a").as("item"), col("co")))
+          cand
+            .join(d.select(col("pk").as("seed"), col("d").as("ds")), "seed")
+            .join(d.select(col("pk").as("item"), col("d").as("di")), "item")
+            .select(col("seed"), col("item"), col("co"),
+              (col("co").cast("double") /
+                sqrt(col("ds").cast("double") * col("di").cast("double")))
+                .as("cosine"))
+            .withColumn("rnk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("seed"))
+                .orderBy(col("cosine").desc, col("item"))))
+            .where(col("rnk") <= 10)
+        })
+      }
+
+      // Katz walk-count levels (round-7 g_katz): each level is ONE
+      // join + aggregate of the symmetric edge list against the
+      // previous level's node table, so 3 levels must grow ~linearly
+      // in edges. Same chain+random hard input as cc_stars.
+      val nKatzEdges = 50000L * m
+      if (want("katz_levels")) {
+        spark.range(nKatzEdges).select(
+            pmod(xxhash64(col("id"), lit(61)), lit(nKatzEdges / 4)).as("a"),
+            pmod(xxhash64(col("id"), lit(62)), lit(nKatzEdges / 4)).as("b"))
+          .where(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$tmp/katz_$m")
+        val kp = spark.read.parquet(s"$tmp/katz_$m")
+        record("katz_levels", nKatzEdges, () => {
+          val sym = kp.select(col("a").as("u"), col("b").as("v"))
+            .union(kp.select(col("b").as("u"), col("a").as("v")))
+          val s1 = sym.groupBy(col("u")).agg(count(lit(1)).as("s1"))
+            .localCheckpoint(eager = true)
+          val s2 = sym.join(s1.select(col("u").as("v"), col("s1")), "v")
+            .groupBy(col("u")).agg(sum(col("s1")).as("s2"))
+            .localCheckpoint(eager = true)
+          val s3 = sym.join(s2.select(col("u").as("v"), col("s2")), "v")
+            .groupBy(col("u")).agg(sum(col("s2")).as("s3"))
+          s1.join(s2, "u").join(s3, "u")
+            .select(col("u"),
+              (col("s1").cast("double") * lit(0.01)
+                + col("s2").cast("double") * lit(0.0001)
+                + col("s3").cast("double") * lit(0.000001)).as("katz"))
+            .orderBy(col("katz").desc, col("u")).limit(20)
+        })
+      }
+
       // running sums over FEW keys (2 arms): the global-window
       // formulation puts ALL rows into 2 window partitions — wall time
       // is bound by the slowest single task however many cores exist —

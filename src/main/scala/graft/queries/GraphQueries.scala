@@ -2042,9 +2042,13 @@ ORDER BY katz DESC, node LIMIT 20"""
       .union(co.join(broadcast(seeds), col("b") === col("seed"))
         .select(col("seed"), col("a").as("item"), col("co")))
     def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    // the SEED list is always 20 rows and broadcasts explicitly; the
+    // degree table is catalog-sized (could be 10⁸ items at 100 TB), so
+    // its two joins are left to AQE — broadcast while small, shuffle
+    // when the catalog outgrows the driver
     val scored = cand
-      .join(broadcast(d.select(col("pk").as("seed"), col("d").as("ds"))), "seed")
-      .join(broadcast(d.select(col("pk").as("item"), col("d").as("di"))), "item")
+      .join(d.select(col("pk").as("seed"), col("d").as("ds")), "seed")
+      .join(d.select(col("pk").as("item"), col("d").as("di")), "item")
       .select(col("seed"), col("item"), col("co"),
         (dbl(col("co")) / sqrt(dbl(col("ds")) * dbl(col("di")))).as("cosine"))
     scored
