@@ -3187,7 +3187,48 @@ SELECT CAST(lag AS BIGINT) AS lag, n,
       * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS xcorr
 FROM g ORDER BY lag"""
 
+  // --- Transition dwell times -----------------------------------------------
+  /** Mean dwell time on each event-type transition: for every
+    * consecutive (prev → next) pair inside a user's (ts, event_id)
+    * timeline, the milliseconds spent before the next event — the
+    * timing layer g_markov's pure transition PROBABILITIES drop. The
+    * gap sums are exact epoch-ms integers (one per-user lag window,
+    * the ev_sessionize core), so the 25-row transition matrix needs
+    * exactly one float division per cell.
+    */
+  private def dwellTime(s: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+    e.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"), sum(col("ms") - col("prev_ms")).as("sum_ms"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (dd(col("sum_ms")) / dd(col("n"))).as("mean_dwell_ms"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val dwellTimeOracle = """WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+  FROM events
+), g AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+    CAST(SUM(ms - prev_ms) AS BIGINT) AS sum_ms
+  FROM e WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+  CAST(sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS mean_dwell_ms
+FROM g ORDER BY prev_type, next_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_dwell_time", dwellTime, Some(dwellTimeOracle)),
     QueryDef("ev_lead_lag_corr", leadLagCorr, Some(leadLagCorrOracle)),
     QueryDef("ev_sax_motifs", saxMotifs, Some(saxMotifsOracle)),
     QueryDef("ev_seasonal_strength", seasonalStrength, Some(seasonalStrengthOracle)),

@@ -1173,7 +1173,144 @@ SELECT n,
     / (sxyc / sxxc) AS mediated_share
 FROM c"""
 
+  // --- ABC-XYZ inventory matrix ---------------------------------------------
+  /** The ABC×XYZ planning matrix: parts classed by revenue
+    * concentration (A: the prefix covering 80% of revenue under the
+    * exact-integer 5·cum<4·total cut, B: to 95% via 20·cum<19·total,
+    * C: rest — the q_pareto80 discipline) × demand variability (X:
+    * monthly-quantity CV < 0.5, Y: < 1.0, Z: else; CV is one
+    * sqrt/division off exact per-part Σq/Σq² over observed months).
+    * The output is the 9-cell matrix with part counts and exact
+    * revenue cents — what a supply planner pins replenishment policy
+    * to. One (part, month) aggregate, one part-cardinality window.
+    */
+  private def abcXyz(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(col("l_partkey").as("pk"),
+      trunc(to_date(col("l_shipdate")), "month").as("m"),
+      col("l_quantity").cast("long").as("q"),
+      cents(col("l_extendedprice")).as("c"))
+    val pm = li.groupBy(col("pk"), col("m"))
+      .agg(sum(col("q")).as("mq"), sum(col("c")).as("mc"))
+    val perPart = pm.groupBy(col("pk"))
+      .agg(count(lit(1)).as("nm"), sum(col("mq")).as("sq"),
+        sum(col("mq") * col("mq")).as("qq"), sum(col("mc")).as("rev"))
+    val mean = dd(col("sq")) / dd(col("nm"))
+    val sd = sqrt((dd(col("qq")) - dd(col("sq")) * dd(col("sq")) / dd(col("nm"))) /
+      dd(col("nm") - lit(1L)))
+    val cv = sd / mean
+    val xyz = when(col("nm") === 1L, "Z")
+      .when(cv < lit(0.5), "X").when(cv < lit(1.0), "Y").otherwise("Z")
+    val w = Window.orderBy(col("rev").desc, col("pk"))
+    val ranked = perPart
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+      .withColumn("abc_class",
+        when(lit(5L) * (col("cum") - col("rev")) < lit(4L) * col("total"), "A")
+          .when(lit(20L) * (col("cum") - col("rev")) < lit(19L) * col("total"), "B")
+          .otherwise("C"))
+      .withColumn("xyz_class", xyz)
+    ranked.groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
+  private val abcXyzOracle = """WITH li AS (
+  SELECT l_partkey AS pk, date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+    CAST(l_quantity AS BIGINT) AS q,
+    CAST(FLOOR(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS c
+  FROM lineitem
+), pm AS (
+  SELECT pk, m, CAST(SUM(q) AS BIGINT) AS mq, CAST(SUM(c) AS BIGINT) AS mc
+  FROM li GROUP BY 1, 2
+), pp AS (
+  SELECT pk, COUNT(*) AS nm, CAST(SUM(mq) AS BIGINT) AS sq,
+    CAST(SUM(mq * mq) AS BIGINT) AS qq, CAST(SUM(mc) AS BIGINT) AS rev
+  FROM pm GROUP BY 1
+), cvd AS (
+  SELECT pk, nm, rev,
+    SQRT((CAST(qq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+        / CAST(nm AS DOUBLE)) / CAST(nm - 1 AS DOUBLE))
+      / (CAST(sq AS DOUBLE) / CAST(nm AS DOUBLE)) AS cv
+  FROM pp
+), ranked AS (
+  SELECT pk, nm, rev, cv,
+    SUM(rev) OVER (ORDER BY rev DESC, pk ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(rev) OVER () AS total
+  FROM cvd
+), cls AS (
+  SELECT
+    CASE WHEN 5 * (cum - rev) < 4 * total THEN 'A'
+      WHEN 20 * (cum - rev) < 19 * total THEN 'B' ELSE 'C' END AS abc_class,
+    CASE WHEN nm = 1 THEN 'Z'
+      WHEN cv < CAST(0.5 AS DOUBLE) THEN 'X'
+      WHEN cv < CAST(1.0 AS DOUBLE) THEN 'Y' ELSE 'Z' END AS xyz_class,
+    rev
+  FROM ranked
+)
+SELECT abc_class, xyz_class, COUNT(*) AS n_parts,
+  CAST(SUM(rev) AS BIGINT) AS rev_cents
+FROM cls GROUP BY 1, 2 ORDER BY abc_class, xyz_class"""
+
+  // --- Classical seasonal indices --------------------------------------------
+  /** Ratio-to-moving-average seasonal indices for monthly revenue: each
+    * month's revenue over its centered 12-month moving TOTAL is the
+    * exact-integer ratio 12·rev/sum12 (one float division — the MA
+    * division by 12 cancels); per-calendar-month ratios are floored to
+    * 1e-9 units and integer-summed, and the normalized index is the
+    * all-integer share 12·sfixₘ/Σsfix — so the whole decomposition
+    * carries no float aggregation anywhere. Edge months without a full
+    * 12-month window are excluded exactly (window row count pinned).
+    */
+  private def seasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(s, dir, "orders")
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("m"))
+      .agg(sum(dollars(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("m")).rowsBetween(-6, 5)
+    val withMa = monthly
+      .withColumn("sum12", sum(col("rev")).over(w))
+      .withColumn("cnt12", count(lit(1)).over(w))
+      .where(col("cnt12") === 12L)
+      .withColumn("fix",
+        floor(dd(col("rev")) * lit(12L) / dd(col("sum12")) * lit(1000000000L)))
+    val byMonth = withMa.groupBy(month(col("m")).as("month"))
+      .agg(count(lit(1)).as("n_ratios"), sum(col("fix")).as("sfix"))
+    val tot = byMonth.agg(sum(col("sfix")).as("tfix"))
+    byMonth.crossJoin(broadcast(tot))
+      .select(col("month").cast("long").as("month"), col("n_ratios"),
+        (dd(col("sfix")) / lit(1000000000L) / dd(col("n_ratios")))
+          .as("seasonal_ratio"),
+        (dd(col("sfix") * lit(12L)) / dd(col("tfix"))).as("seasonal_index"))
+      .orderBy("month")
+  }
+
+  private val seasonalIndexOracle = """WITH monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+    CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), ma AS (
+  SELECT m, rev,
+    SUM(rev) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS sum12,
+    COUNT(*) OVER (ORDER BY m ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS cnt12
+  FROM monthly
+), fx AS (
+  SELECT CAST(EXTRACT(month FROM m) AS BIGINT) AS month,
+    CAST(FLOOR(CAST(rev AS DOUBLE) * 12 / CAST(sum12 AS DOUBLE)
+      * 1000000000) AS BIGINT) AS fix
+  FROM ma WHERE cnt12 = 12
+), bm AS (
+  SELECT month, COUNT(*) AS n_ratios, CAST(SUM(fix) AS BIGINT) AS sfix
+  FROM fx GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(sfix) AS BIGINT) AS tfix FROM bm
+)
+SELECT month, n_ratios,
+  CAST(sfix AS DOUBLE) / 1000000000 / CAST(n_ratios AS DOUBLE) AS seasonal_ratio,
+  CAST(sfix * 12 AS DOUBLE) / CAST(tfix AS DOUBLE) AS seasonal_index
+FROM bm, tot ORDER BY month"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_abc_xyz", abcXyz, Some(abcXyzOracle)),
+    QueryDef("q_seasonal_index", seasonalIndex, Some(seasonalIndexOracle)),
     QueryDef("q_iv_2sls", iv2sls, Some(iv2slsOracle)),
     QueryDef("q_mediation", mediation, Some(mediationOracle)),
     QueryDef("q_oaxaca", oaxaca, Some(oaxacaOracle)),
