@@ -3227,7 +3227,84 @@ SELECT prev_type, next_type, n,
   CAST(sum_ms AS DOUBLE) / CAST(n AS DOUBLE) AS mean_dwell_ms
 FROM g ORDER BY prev_type, next_type"""
 
+  // --- Qini uplift curve ------------------------------------------------------
+  /** Qini curve for a hashed pseudo-treatment: users ranked by activity
+    * (view count), cut into exact ceil(10i/n) deciles, and per
+    * cumulative prefix the incremental conversions
+    * Qini(k) = Cₜ(k) − C_c(k)·Nₜ(k)/N_c(k) — the uplift-modeling
+    * acceptance curve (Radcliffe), the treatment-aware refinement of
+    * q_decile_lift. Arm assignment is the md5-parity split the
+    * bootstrap family uses; every count is an exact BIGINT through the
+    * one user-cardinality window; two float ops per output row.
+    */
+  private def qiniUplift(s: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("treated",
+        conv(substring(md5(col("user_id").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8)
+    val w = Window.orderBy(col("score").desc, col("user_id"))
+    val d = perUser
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("decile", expr("(i * 10 + n - 1) div n"))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("treated"), col("conv")).otherwise(0L)).as("ct"),
+        sum(when(!col("treated"), col("conv")).otherwise(0L)).as("cc"))
+    val wc = Window.orderBy(col("decile"))
+    d.withColumn("cnt", sum(col("nt")).over(wc))
+      .withColumn("cnc", sum(col("nc")).over(wc))
+      .withColumn("cct", sum(col("ct")).over(wc))
+      .withColumn("ccc", sum(col("cc")).over(wc))
+      .select(col("decile"), col("nt"), col("nc"), col("ct"), col("cc"),
+        (dd(col("cct")) - dd(col("ccc")) * dd(col("cnt")) / dd(col("cnc")))
+          .as("qini"),
+        (dd(col("cct")) / dd(col("cnt")) - dd(col("ccc")) / dd(col("cnc")))
+          .as("cum_uplift"))
+      .orderBy("decile")
+  }
+
+  private val qiniUpliftOracle = """WITH pu AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+    (strpos('0123456789abcdef',
+      substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 8 AS treated
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS BIGINT) AS i,
+    COUNT(*) OVER () AS n
+  FROM pu
+), d AS (
+  SELECT (i * 10 + n - 1) // n AS decile,
+    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+    CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+    CAST(SUM(CASE WHEN treated THEN conv ELSE 0 END) AS BIGINT) AS ct,
+    CAST(SUM(CASE WHEN NOT treated THEN conv ELSE 0 END) AS BIGINT) AS cc
+  FROM r GROUP BY 1
+), c AS (
+  SELECT decile, nt, nc, ct, cc,
+    SUM(nt) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cnt,
+    SUM(nc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cnc,
+    SUM(ct) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cct,
+    SUM(cc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS ccc
+  FROM d
+)
+SELECT decile, nt, nc, ct, cc,
+  CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) * CAST(cnt AS DOUBLE)
+    / CAST(cnc AS DOUBLE) AS qini,
+  CAST(cct AS DOUBLE) / CAST(cnt AS DOUBLE)
+    - CAST(ccc AS DOUBLE) / CAST(cnc AS DOUBLE) AS cum_uplift
+FROM c ORDER BY decile"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_qini_uplift", qiniUplift, Some(qiniUpliftOracle)),
     QueryDef("ev_dwell_time", dwellTime, Some(dwellTimeOracle)),
     QueryDef("ev_lead_lag_corr", leadLagCorr, Some(leadLagCorrOracle)),
     QueryDef("ev_sax_motifs", saxMotifs, Some(saxMotifsOracle)),

@@ -1308,7 +1308,82 @@ SELECT month, n_ratios,
   CAST(sfix * 12 AS DOUBLE) / CAST(tfix AS DOUBLE) AS seasonal_index
 FROM bm, tot ORDER BY month"""
 
+  // --- Cramér–von Mises two-sample test ---------------------------------------
+  /** Cramér–von Mises two-sample statistic over ship latencies
+    * (urgent/high vs the rest — the q_ks_test cohorts):
+    * T = nm/(n+m)² · Σ_obs (F₁(x)−F₂(x))² — the INTEGRAL ECDF
+    * discrepancy that, unlike KS's single sup-point, weighs every
+    * crossing. ECDFs come from one distinct-value histogram + bounded
+    * value-cardinality window (never a per-row rank); each pooled
+    * value's (F₁−F₂)²·weight term is floored to 1e-12 units and
+    * integer-summed, so the statistic is order-free.
+    */
+  private def cramerVonMises(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("sd"), col("od")).cast("long").as("v"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("g1"))
+    val h = li.groupBy(col("v"))
+      .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("g1"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("v"))
+    val cum = h.withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val tot = cum.agg(max(col("cum1")).as("n"), max(col("cum2")).as("m"))
+    val diff = dd(col("cum1")) / dd(col("n")) - dd(col("cum2")) / dd(col("m"))
+    val terms = cum.crossJoin(broadcast(tot))
+      .select(col("n"), col("m"),
+        floor(diff * diff * dd(col("c1") + col("c2")) * lit(1000000000000L))
+          .as("t"))
+    terms.groupBy(col("n"), col("m"))
+      .agg(sum(col("t")).as("st"))
+      .select(col("n").as("n1"), col("m").as("n2"),
+        ((dd(col("n")) * dd(col("m"))
+          / ((dd(col("n")) + dd(col("m"))) * (dd(col("n")) + dd(col("m")))))
+          * (dd(col("st")) / lit(1000000000000L))).as("cvm_t"))
+  }
+
+  private val cramerVonMisesOracle = """WITH li AS (
+  SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      CAST(l_shipdate AS DATE)) AS BIGINT) AS v,
+    o_orderpriority IN ('1-URGENT', '2-HIGH') AS g1
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), h AS (
+  SELECT v,
+    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM li GROUP BY 1
+), cum AS (
+  SELECT v, c1, c2,
+    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM h
+), tot AS (
+  SELECT MAX(cum1) AS n, MAX(cum2) AS m FROM cum
+), terms AS (
+  SELECT n, m,
+    CAST(FLOOR((CAST(cum1 AS DOUBLE) / CAST(n AS DOUBLE)
+        - CAST(cum2 AS DOUBLE) / CAST(m AS DOUBLE))
+      * (CAST(cum1 AS DOUBLE) / CAST(n AS DOUBLE)
+        - CAST(cum2 AS DOUBLE) / CAST(m AS DOUBLE))
+      * CAST(c1 + c2 AS DOUBLE) * 1000000000000) AS BIGINT) AS t
+  FROM cum, tot
+), agg AS (
+  SELECT n, m, CAST(SUM(t) AS BIGINT) AS st FROM terms GROUP BY 1, 2
+)
+SELECT CAST(n AS BIGINT) AS n1, CAST(m AS BIGINT) AS n2,
+  (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+    / ((CAST(n AS DOUBLE) + CAST(m AS DOUBLE))
+      * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))))
+    * (CAST(st AS DOUBLE) / 1000000000000) AS cvm_t
+FROM agg"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cramer_von_mises", cramerVonMises, Some(cramerVonMisesOracle)),
     QueryDef("q_abc_xyz", abcXyz, Some(abcXyzOracle)),
     QueryDef("q_seasonal_index", seasonalIndex, Some(seasonalIndexOracle)),
     QueryDef("q_iv_2sls", iv2sls, Some(iv2slsOracle)),
