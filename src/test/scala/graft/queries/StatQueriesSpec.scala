@@ -1930,6 +1930,80 @@ class StatQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_cramer_von_mises: statistic equals a driver-side pooled-ECDF fold") {
+    val row = run("q_cramer_von_mises")
+      .select("n1", "n2", "cvm_t").as[(Long, Long, Double)].head()
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"),
+        col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    val g1 = li.filter(r => Set("1-URGENT", "2-HIGH")(r._2)).map(_._1)
+    val g2 = li.filterNot(r => Set("1-URGENT", "2-HIGH")(r._2)).map(_._1)
+    val (n, m) = (g1.length.toLong, g2.length.toLong)
+    assert((row._1, row._2) == ((n, m)))
+    val c1 = g1.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c2 = g2.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var cum1 = 0L; var cum2 = 0L; var s = 0.0
+    for (v <- (c1.keySet ++ c2.keySet).toSeq.sorted) {
+      cum1 += c1.getOrElse(v, 0L); cum2 += c2.getOrElse(v, 0L)
+      val d = cum1.toDouble / n - cum2.toDouble / m
+      s += d * d * (c1.getOrElse(v, 0L) + c2.getOrElse(v, 0L))
+    }
+    val t = n.toDouble * m / ((n + m).toDouble * (n + m)) * s
+    assert(math.abs(row._3 - t) < 1e-6, s"${row._3} vs $t")
+  }
+
+  test("ev_qini_uplift: final decile matches the unconditional arm totals") {
+    val rows = run("ev_qini_uplift")
+      .select("decile", "nt", "nc", "ct", "cc", "qini")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.length == 10 && rows.map(_._1).toSet == (1L to 10L).toSet)
+    val (tNt, tNc, tCt, tCc) =
+      (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum, rows.map(_._5).sum)
+    // the curve's last point is the full-population incremental lift
+    val last = rows.maxBy(_._1)
+    val expect = tCt.toDouble - tCc.toDouble * tNt / tNc
+    assert(math.abs(last._6 - expect) < 1e-9, s"${last._6} vs $expect")
+    // deciles partition every user exactly once
+    val users = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("user_id")).distinct().count()
+    assert(tNt + tNc == users)
+  }
+
+  test("q_abc_xyz: the 9-cell matrix partitions parts and conserves revenue") {
+    val rows = run("q_abc_xyz")
+      .select("abc_class", "xyz_class", "n_parts", "rev_cents")
+      .as[(String, String, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+    assert(rows.forall(r => Set("A", "B", "C")(r._1) && Set("X", "Y", "Z")(r._2)))
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val nParts = li.select(col("l_partkey")).distinct().count()
+    assert(rows.map(_._3).sum == nParts, "every part lands in exactly one cell")
+    val totalCents = li
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      .agg(sum(col("c"))).as[Long].head()
+    assert(rows.map(_._4).sum == totalCents, "revenue is conserved across cells")
+  }
+
+  test("q_seasonal_index: indices average to 1 (sum 12) by construction") {
+    val rows = run("q_seasonal_index")
+      .select("month", "seasonal_index").as[(Long, Double)].collect()
+    assert(rows.length == 12 && rows.map(_._1).toSet == (1L to 12L).toSet)
+    assert(math.abs(rows.map(_._2).sum - 12.0) < 1e-9,
+      s"normalization must make the 12 indices sum to 12: ${rows.map(_._2).sum}")
+  }
+
+  test("ev_dwell_time: transition count is exactly events minus users") {
+    val n = run("ev_dwell_time").agg(sum(col("n"))).as[Long].head()
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+    val events = ev.count()
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(n == events - users,
+      "each user's timeline contributes exactly (events-1) transitions")
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
