@@ -2004,6 +2004,74 @@ class StatQueriesSpec extends SparkSpec {
       "each user's timeline contributes exactly (events-1) transitions")
   }
 
+  test("q_mantel_haenszel: OR and CMH track a driver-side per-stratum fold") {
+    val row = run("q_mantel_haenszel")
+      .select("n_strata", "sum_a", "or_mh", "cmh_chi2")
+      .as[(Long, Long, Double, Double)].head()
+    val o = spark.read.parquet(s"$Sf/orders.parquet")
+      .join(spark.read.parquet(s"$Sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderpriority"))
+      .as[(String, Double, String)].collect()
+    val strata = o.groupBy(_._1).values.toList.map { rs =>
+      val a = rs.count(r => r._2 > 150000 && Set("1-URGENT", "2-HIGH")(r._3)).toLong
+      val b = rs.count(r => r._2 > 150000 && !Set("1-URGENT", "2-HIGH")(r._3)).toLong
+      val c = rs.count(r => r._2 <= 150000 && Set("1-URGENT", "2-HIGH")(r._3)).toLong
+      val d = rs.count(r => r._2 <= 150000 && !Set("1-URGENT", "2-HIGH")(r._3)).toLong
+      (a, b, c, d)
+    }
+    assert(row._1 == strata.length.toLong)
+    assert(row._2 == strata.map(_._1).sum)
+    def n(s: (Long, Long, Long, Long)) = s._1 + s._2 + s._3 + s._4
+    val orRef = strata.map(s => s._1.toDouble * s._4 / n(s)).sum /
+      strata.map(s => s._2.toDouble * s._3 / n(s)).sum
+    // fixed-point floors introduce <= strata * 1e-6 absolute bias per sum
+    assert(math.abs(row._3 - orRef) < 1e-3, s"${row._3} vs $orRef")
+    val e = strata.map(s => (s._1 + s._2).toDouble * (s._1 + s._3) / n(s)).sum
+    val v = strata.map { s =>
+      (s._1 + s._2).toDouble * (s._3 + s._4) * (s._1 + s._3) * (s._2 + s._4) /
+        (n(s).toDouble * n(s) * (n(s) - 1))
+    }.sum
+    val cmhRef = math.pow(strata.map(_._1).sum - e, 2) / v
+    assert(math.abs(row._4 - cmhRef) < 1e-2, s"${row._4} vs $cmhRef")
+  }
+
+  test("q_gumbel_fit: MoM parameters off the literal monthly maxima") {
+    val row = run("q_gumbel_fit")
+      .select("n_months", "mean_max", "beta_hat", "mu_hat")
+      .as[(Long, Double, Double, Double)].head()
+    val maxima = spark.read.parquet(s"$Sf/orders.parquet")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("x"))
+      .groupBy(trunc(col("d"), "month")).agg(max(col("x")))
+      .as[(java.sql.Date, Long)].collect().map(_._2)
+    assert(row._1 == maxima.length.toLong)
+    val n = maxima.length.toDouble
+    val mean = maxima.sum / n
+    val sd = math.sqrt(maxima.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    val beta = sd * math.sqrt(6.0) / math.Pi
+    assert(math.abs(row._2 - mean) < 1e-6 * mean)
+    assert(math.abs(row._3 - beta) < 1e-6 * beta, s"${row._3} vs $beta")
+    assert(math.abs(row._4 - (mean - 0.5772156649015329 * beta)) < 1e-6 * mean)
+  }
+
+  test("t_simpson_index: collision probability equals the hand count per source") {
+    val got = run("t_simpson_index")
+      .select("source", "n_tokens", "simpson")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    for ((src, rs) <- docs.groupBy(_._1)) {
+      val toks = rs.toList.flatMap(_._2.trim.split("\\s+"))
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val nTok = toks.size.toLong
+      val coll = counts.values.map(c => c * (c - 1)).sum
+      val simpson = coll.toDouble / (nTok * (nTok - 1)).toDouble
+      assert(got(src)._1 == nTok, s"$src token count")
+      assert(math.abs(got(src)._2 - simpson) < 1e-12, s"$src simpson")
+    }
+  }
+
   test("g_ppr: ranks are positive, sorted, and seeds dominate the walk mass") {
     val rows = run("g_ppr").select("node", "rank_micro")
       .as[(Long, Long)].collect()
