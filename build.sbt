@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the bench JSON out of the LAST ~2000 chars of
+// sbt stdout. Two things broke that in rounds 1-7: the forked run's
+// output was logged with an "[info] " prefix, and sbt's trailing
+// "[success] Total time" banner followed it. StdoutOutput passes the
+// forked JVM's stdout through verbatim; showSuccess drops the banner —
+// so the compact JSON line graft.Bench prints last IS the last stdout
+// line the driver sees.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -122,10 +122,14 @@ object Bench {
     // `parsed: null` every round. Emit a compact summary line LAST —
     // total + the slowest queries, sized to survive a 2000-char tail even
     // with sbt's trailing "[success] Total time" banner.
+    // Locale.ROOT: Scala's f-interpolator uses the JVM default locale,
+    // which under e.g. de_DE renders 287,92 — invalid JSON (ADVICE r7)
+    def d2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val slow = ok.sortBy(-_._2).take(30)
-      .map { case (k, v) => jstr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) => jstr(k) + ":" + d2(v) }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","queries":$slow,"queries_note":"30 slowest of ${ok.size}; full set in $outPath","n_queries":${ok.size},"n_err":${errs.size},"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$slow,"queries_note":"30 slowest of ${ok.size}; full set in $outPath","n_queries":${ok.size},"n_err":${errs.size},"sf":"$sfDir","reps":$reps}"""
     println(compact)
     spark.stop()
   }
