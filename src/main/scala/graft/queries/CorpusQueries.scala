@@ -1767,9 +1767,12 @@ FROM seg GROUP BY source ORDER BY source"""
     val perTok = dt.groupBy(col("token"))
       .agg(sum(col("x")).as("cf"), count(lit(1)).as("df"),
         sum(col("x") * col("x")).as("sxx"))
+    // top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heap + merge), NOT a vocab-cardinality global rank window; the
+    // residual row_number runs over the 20 survivors only
     val w = Window.orderBy(col("cf").desc, col("token"))
-    perTok.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 20)
+    perTok.orderBy(col("cf").desc, col("token")).limit(20)
+      .withColumn("rk", row_number().over(w))
       .crossJoin(broadcast(nDocs))
       .select(col("rk"), col("token"), col("cf"), col("df"),
         ((col("n_docs") * col("sxx") - col("cf") * col("cf")).cast("double") /
@@ -2303,8 +2306,13 @@ FROM documents GROUP BY 1 ORDER BY lang"""
       .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").desc, col("w"))
-    val ranked = cnt.withColumn("rk", row_number().over(w))
+    // only ranks <= max(CoverageKs) are ever read: take that bounded
+    // head via orderBy+limit (map-side top-k) and let the rank/cum
+    // window run over the 10k survivors, never the full vocabulary
+    val maxK = CoverageKs.max.toInt
+    val ranked = cnt.orderBy(col("c").desc, col("w")).limit(maxK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("w"))))
       .withColumn("cum", sum(col("c")).over(
         Window.orderBy(col("c").desc, col("w"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

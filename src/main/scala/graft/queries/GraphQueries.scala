@@ -2092,16 +2092,18 @@ FROM r WHERE rnk <= 10 ORDER BY seed, rnk"""
     * curve (G→0: egalitarian mesh; G→1: a few hub parts carry the
     * basket structure). Same exact-integer rank formula as q_gini
     * (2·Σi·dᵢ/(n·Σd) − (n+1)/n over ascending (degree, node) rank);
-    * the one global rank window runs over the NODE-cardinality degree
-    * aggregate, never raw edges.
+    * the global rank comes from [[graft.operators.Ids.assignGlobalIds]]
+    * (range-partitioned two-pass offsets) so no task ever holds the
+    * node-cardinality degree table — the r7-verdict window-funnel
+    * sweep.
     */
   private def degreeGini(s: SparkSession, dir: String): DataFrame = {
     val pairs = coOrderPairs(s, dir)
     val deg = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
-    val w = Window.orderBy(col("d"), col("node"))
-    deg.withColumn("i", row_number().over(w).cast("long"))
+    graft.operators.Ids.assignGlobalIds(
+        deg, Seq(col("d"), col("node")), 32, "i")
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("sum_deg"),
         sum(col("i") * col("d")).as("sid"))
       .select(col("n_nodes"), col("sum_deg"),

@@ -1093,16 +1093,21 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
     import org.apache.spark.sql.expressions.Window
     val r = Tables(s, dir, "lineitem").select(
       col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-    // 2·rank in Long arithmetic from the start: rank() is IntegerType,
-    // so an Int doubling would wrap past ~1.07e9 rows — inconsistent
-    // with the DECIMAL(38,0) guard on the cross-products below.
-    val rk = r.select(
-      (lit(2L) * rank().over(Window.orderBy(col("x"))).cast("long")
-        + count(lit(1)).over(Window.partitionBy(col("x"))) - 1)
-        .as("rx"),
-      (lit(2L) * rank().over(Window.orderBy(col("y"))).cast("long")
-        + count(lit(1)).over(Window.partitionBy(col("y"))) - 1)
-        .as("ry"))
+    // Doubled midrank 2·rank_min+cnt−1 per DISTINCT value, not per row:
+    // with cum the inclusive cumulative count over ascending values it
+    // equals 2·cum−cnt+1, computed on the per-value count table via
+    // prefixSumByKey (range-partitioned scan) and joined back onto the
+    // rows — the raw lineitem table never funnels through a
+    // partition-less rank window (r7-verdict sweep). Long arithmetic
+    // from the start, consistent with the DECIMAL(38,0) guard below.
+    def midrank2(c: String) = {
+      val perV = r.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      graft.operators.Ids.prefixSumByKey(
+          perV.withColumn("one", lit(1)), "one", Seq(c), "cnt", 32, "cum")
+        .select(col(c), (lit(2L) * col("cum") - col("cnt") + 1L).as(s"r_$c"))
+    }
+    val rk = r.join(midrank2("x"), Seq("x")).join(midrank2("y"), Seq("y"))
+      .select(col("r_x").as("rx"), col("r_y").as("ry"))
     // rank cross-products grow ~4n³ and would wrap a BIGINT sum past
     // ~1.3e6 rows — sum them as DECIMAL(38,0) (exact, order-free, like
     // DuckDB's HUGEINT sum) and only then drop to DOUBLE
@@ -2206,17 +2211,21 @@ ORDER BY x, y"""
     * boundaries test the cumulative revenue BEFORE each part against
     * exact integer cross-multiplications (5·cum_prev < 4·total for A,
     * 20·cum_prev < 19·total for B) so no float compare can reclassify
-    * a boundary part; ranking is a total (revenue desc, part) order.
+    * a boundary part; ranking is a total (revenue desc, part) order
+    * run through [[graft.operators.Ids.prefixSumByKey]] (range
+    * partitions over that order) rather than a part-cardinality
+    * partition-less window (r7-verdict sweep).
     */
   private def abcClass(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables(s, dir, "lineitem")
       .groupBy(col("l_partkey").as("part"))
       .agg(sum(cents(col("l_extendedprice"))).as("r"))
-    val w = Window.orderBy(col("r").desc, col("part"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val tot = rev.agg(sum(col("r")).as("total"))
-    val classed = rev
-      .withColumn("cum_prev", coalesce(sum(col("r")).over(w), lit(0L)))
+    val classed = graft.operators.Ids.prefixSumByKey(
+        rev.withColumn("negr", -col("r")).withColumn("one", lit(1)),
+        "one", Seq("negr", "part"), "r", 32, "cum")
+      .withColumn("cum_prev", col("cum") - col("r"))
+      .drop("negr", "one", "cum")
       .crossJoin(broadcast(tot))
       .select(col("part"), col("r"),
         when(col("cum_prev") * 5 < col("total") * 4, "A")
@@ -2423,18 +2432,34 @@ FROM m ORDER BY seg"""
         cents(col("l_extendedprice")).as("c"),
         (col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
           .as("post"))
-    def lead(post: Boolean) = {
-      val w = Window.orderBy(col("rev").desc, col("part"))
+    def revOf(post: Boolean) =
       li.where(col("post") === post)
         .groupBy(col("part")).agg(sum(col("c")).as("rev"))
-        .withColumn("rk", row_number().over(w))
-    }
-    val now = lead(post = true).where(col("rk") <= 20)
-      .select(col("part"), col("rk").as("rank_now"),
-        col("rev").as("rev_cents"))
-    val prev = lead(post = false).select(col("part"),
-      col("rk").as("rank_prev"))
-    now.join(prev, Seq("part"), "left")
+    // top-20 via orderBy+limit (map-side top-k merge); rank_now's
+    // row_number runs over the 20 survivors only
+    val now = revOf(post = true)
+      .orderBy(col("rev").desc, col("part")).limit(20)
+      .withColumn("rank_now", row_number().over(
+        Window.orderBy(col("rev").desc, col("part"))))
+      .select(col("part"), col("rank_now"), col("rev").as("rev_cents"))
+    // rank_prev only matters for the 20 candidates: count each one's
+    // strict predecessors in the (rev desc, part) order with a 20-row
+    // broadcast against the prev aggregate — never a part-cardinality
+    // global rank window (r7-verdict sweep)
+    val prevAgg = revOf(post = false)
+    val cand = now.select(col("part").as("cpart"))
+      .join(prevAgg.select(col("part").as("cpart"),
+        col("rev").as("crev")), Seq("cpart"))
+    val earlierCnt = prevAgg.join(broadcast(cand),
+        col("rev") > col("crev") ||
+          (col("rev") === col("crev") && col("part") < col("cpart")))
+      .groupBy(col("cpart")).agg(count(lit(1)).as("n_earlier"))
+    val prevRank = cand.select(col("cpart"))
+      .join(earlierCnt, Seq("cpart"), "left")
+      .select(col("cpart").as("part"),
+        (coalesce(col("n_earlier"), lit(0L)) + 1L).cast("int")
+          .as("rank_prev"))
+    now.join(prevRank, Seq("part"), "left")
       .select(col("part"), col("rank_now"), col("rank_prev"),
         col("rev_cents"),
         when(col("rank_prev").isNull, "new")
@@ -2486,11 +2511,13 @@ ORDER BY rank_now"""
     val perV = o.groupBy(col("v")).agg(
       count(lit(1)).as("cnt"),
       sum(when(col("pos"), 1L).otherwise(0L)).as("p"))
-    val wv = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perV
-      .withColumn("cumb", coalesce(sum(col("cnt")).over(wv), lit(0L)))
-      .withColumn("rank2", lit(2L) * col("cumb") + col("cnt") + 1L)
+    // the per-value table is price-cardinality (grows with scale): the
+    // exclusive cumulative count comes from prefixSumByKey's inclusive
+    // scan (cum − cnt), never a partition-less window (r7 sweep)
+    val ranked = graft.operators.Ids.prefixSumByKey(
+        perV.withColumn("one", lit(1)), "one", Seq("v"), "cnt", 32, "cum")
+      .withColumn("rank2",
+        lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
     val agg = ranked.agg(
       sum(col("p")).as("n1"),
       sum(col("cnt") - col("p")).as("n0"),
@@ -2910,9 +2937,11 @@ FROM terms GROUP BY 1 ORDER BY l_returnflag"""
     val calRes = cal.join(broadcast(model), Seq("seg"))
       .select(abs(col("c") - col("pred")).as("r"))
     val perR = calRes.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
-    val wv = Window.orderBy("r")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perR.withColumn("cum", sum(col("cnt")).over(wv))
+    // residual-cardinality scan: inclusive cumulative count via
+    // prefixSumByKey, never a partition-less window (r7 sweep)
+    val cum = graft.operators.Ids.prefixSumByKey(
+        perR.withColumn("one", lit(1)), "one", Seq("r"), "cnt", 32, "cum")
+      .drop("one")
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
     // k = ceil((n_cal + 1) * 0.9) in integer math
     val qhat = cum.crossJoin(broadcast(nCal))

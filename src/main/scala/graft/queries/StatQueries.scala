@@ -1182,7 +1182,12 @@ FROM c"""
     * sqrt/division off exact per-part Σq/Σq² over observed months).
     * The output is the 9-cell matrix with part counts and exact
     * revenue cents — what a supply planner pins replenishment policy
-    * to. One (part, month) aggregate, one part-cardinality window.
+    * to. One (part, month) aggregate; the cumulative-revenue rank
+    * runs through [[graft.operators.Ids.prefixSumByKey]] (range
+    * partitions over the (rev desc, pk) total order) instead of a
+    * partition-less running-SUM window, and the grand total rides a
+    * 1-row broadcast cross join — no task ever holds the whole part
+    * table (r7-verdict sweep of entity-cardinality window funnels).
     */
   private def abcXyz(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select(col("l_partkey").as("pk"),
@@ -1200,10 +1205,12 @@ FROM c"""
     val cv = sd / mean
     val xyz = when(col("nm") === 1L, "Z")
       .when(cv < lit(0.5), "X").when(cv < lit(1.0), "Y").otherwise("Z")
-    val w = Window.orderBy(col("rev").desc, col("pk"))
-    val ranked = perPart
-      .withColumn("cum", sum(col("rev")).over(w))
-      .withColumn("total", sum(col("rev")).over(Window.partitionBy()))
+    val cum = graft.operators.Ids.prefixSumByKey(
+      perPart.withColumn("negrev", -col("rev")).withColumn("one", lit(1)),
+      "one", Seq("negrev", "pk"), "rev", 32, "cum")
+      .drop("negrev", "one")
+    val total = cum.agg(sum(col("rev")).as("total"))
+    val ranked = cum.crossJoin(broadcast(total))
       .withColumn("abc_class",
         when(lit(5L) * (col("cum") - col("rev")) < lit(4L) * col("total"), "A")
           .when(lit(20L) * (col("cum") - col("rev")) < lit(19L) * col("total"), "B")

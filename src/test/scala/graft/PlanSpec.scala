@@ -758,4 +758,42 @@ class PlanSpec extends SparkSpec {
     val rt = planOf(SparkEntry.queries("q_runs_test")(spark, Sf))
     assert(!rt.contains("SortMergeJoin"), rt.take(2000))
   }
+
+  test("no partition-less window over entity-cardinality rows (r7 sweep)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    // The r7-verdict contract: a Window with NO partition key funnels its
+    // whole input through one task, so it is only admissible when the
+    // input is provably bounded — below a LIMIT, or above a grouped
+    // aggregate whose key cardinality is fixed (10 deciles). Queries in
+    // `zero` were rewritten onto Ids.assignGlobalIds / prefixSumByKey
+    // (range-partitioned two-pass scans) and must carry NO partition-less
+    // window at all; queries in `boundedResidue` keep one, and its child
+    // subtree must contain the bounding operator.
+    def emptyPartWindows(name: String) = {
+      val df = graft.SparkEntry.queries(name)(spark, Sf)
+      df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    }
+    for (q <- Seq("q_abc_xyz", "q_abc_class", "q_spearman", "q_auc",
+        "q_conformal", "g_degree_gini"))
+      assert(emptyPartWindows(q).isEmpty,
+        s"$q must not run a partition-less window over entity-cardinality rows")
+    for (q <- Seq("ev_qini_uplift", "q_rank_churn",
+        "t_token_dispersion", "t_vocab_coverage");
+        w <- emptyPartWindows(q)) {
+      val bounded = w.child.collect {
+        case l: GlobalLimitExec => l.toString
+        case t: TakeOrderedAndProjectExec => t.toString
+        case a: HashAggregateExec
+            if a.groupingExpressions.nonEmpty &&
+              a.groupingExpressions.forall(_.toString.contains("decile")) =>
+          a.toString
+      }
+      assert(bounded.nonEmpty,
+        s"$q: partition-less window over unbounded input:\n${w.toString.take(1500)}")
+    }
+  }
 }
