@@ -29,6 +29,19 @@ object Joins {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Broadcast hint gated on a COUNTED row threshold — for
+    * data-dependent intermediates (e.g. a peel round's dropped-edge
+    * set) whose size a forced `broadcast()` hint would assume and a
+    * 100× input could blow past driver/executor memory. Below
+    * `maxRows` the hint applies; above it the frame returns unhinted
+    * and the shuffle join (or AQE's own runtime broadcast, which DOES
+    * re-check sizes) takes over. Counting is only sensible when `df`
+    * is already materialized (checkpointed/cached) — otherwise the
+    * count itself re-runs the lineage.
+    */
+  def broadcastIfSmall(df: DataFrame, maxRows: Long): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
   /** Point-in-interval RANGE JOIN via interval bucketing — the
     * 100 TB-safe shape for `point >= lo AND point < hi` joins, which
     * Spark would otherwise execute as a broadcast nested loop (every

@@ -909,12 +909,19 @@ ORDER BY round"""
             col("a") === col("da") && col("b") === col("db"), "left_anti")
           .select(col("a").as("da"), col("b").as("db"))
           .localCheckpoint(eager = true)
+        // The dropped set is DATA-DEPENDENT (62k/22k/1.7k at sf0.1, but a
+        // sparser or shattered-core graph at 100x could drop millions in
+        // round 1): broadcast it only below a counted threshold — two
+        // longs/row, ~32 MB at the cap — and fall back to the plain
+        // shuffle anti-join (AQE still broadcasts small sides) above it.
+        // The count is free: dropped is already checkpoint-materialized.
+        val d0 = graft.operators.Joins.broadcastIfSmall(dropped, 2000000L)
         alive = alive
-          .join(broadcast(dropped),
+          .join(d0,
             col("e1a") === col("da") && col("e1b") === col("db"), "left_anti")
-          .join(broadcast(dropped),
+          .join(d0,
             col("e2a") === col("da") && col("e2b") === col("db"), "left_anti")
-          .join(broadcast(dropped),
+          .join(d0,
             col("e3a") === col("da") && col("e3b") === col("db"), "left_anti")
           .localCheckpoint(eager = true)
       }
@@ -1523,6 +1530,41 @@ ORDER BY n_nodes DESC, scc_id"""
     */
   private val RobustRounds = 4
 
+  /** [[RobustRounds]]-round synchronous min-label propagation over a
+    * symmetric (u, v) edge list (self-loops appended once so each
+    * round is ONE join + aggregate; measured 7.7 → 3.8 s for that
+    * change). Returns (node, lbl).
+    */
+  private def minLabelCc(sym0: DataFrame): DataFrame = {
+    val sym = sym0
+      .union(sym0.select(col("u")).distinct()
+        .select(col("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    var lab = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(eager = true)
+    for (_ <- 1 to RobustRounds) {
+      lab = sym
+        .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("nl")).as("lbl"))
+        .select(col("u").as("node"), col("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    lab
+  }
+
+  /** Full-co-order-graph min-label component labels, materialized once
+    * per dir (the coOrderTriangles / coOrderLpaLabels seam, r7-verdict
+    * #7): the "before" half of g_robustness — and any future consumer
+    * of full-graph components — stops re-paying the 4-round join
+    * chain on every run.
+    */
+  private def coOrderCcLabels(s: SparkSession, dir: String): DataFrame =
+    materialize(s, "coorder_cc4", dir) {
+      val pairs = coOrderPairs(s, dir)
+      minLabelCc(pairs.select(col("a").as("u"), col("b").as("v"))
+        .union(pairs.select(col("b").as("u"), col("a").as("v"))))
+    }
+
   private def robustness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = coOrderPairs(s, dir).localCheckpoint()
@@ -1533,40 +1575,21 @@ ORDER BY n_nodes DESC, scc_id"""
       val hubs = deg.orderBy(col("d").desc, col("node")).limit(5)
         .select(col("node")).localCheckpoint(eager = true)
       val nNodes = deg.count()
-      // BOTH labelings (full graph / hub-filtered) run as ONE tagged
-      // pipeline — labels keyed (grp, node), one join + aggregate per
-      // round instead of two separate round chains (halves the job
-      // count; the per-round volume is the same edges either way)
+      // "before" labels come from the SHARED materialization; only the
+      // hub-filtered graph's labeling runs per-query
+      val labA = coOrderCcLabels(s, dir)
       val filtered = pairs
         .join(hubs.select(col("node").as("a")), Seq("a"), "left_anti")
         .join(hubs.select(col("node").as("b")), Seq("b"), "left_anti")
-      val tagged = pairs.withColumn("grp", lit("A"))
-        .union(filtered.withColumn("grp", lit("B")))
-      val sym0 = tagged.select(col("grp"), col("a").as("u"),
-          col("b").as("v"))
-        .union(tagged.select(col("grp"), col("b").as("u"),
-          col("a").as("v")))
-      val sym = sym0
-        .union(sym0.select(col("grp"), col("u")).distinct()
-          .select(col("grp"), col("u"), col("u").as("v")))
-        .localCheckpoint(eager = true)
-      var lab = sym.select(col("grp"), col("u").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint(eager = true)
-      for (_ <- 1 to RobustRounds) {
-        lab = sym
-          .join(lab.select(col("grp"), col("node").as("v"),
-            col("lbl").as("nl")), Seq("grp", "v"))
-          .groupBy(col("grp"), col("u"))
-          .agg(min(col("nl")).as("lbl"))
-          .select(col("grp"), col("u").as("node"), col("lbl"))
-          .localCheckpoint(eager = true)
-      }
-      val giants = lab.groupBy(col("grp"), col("lbl"))
+      val labB = minLabelCc(
+        filtered.select(col("a").as("u"), col("b").as("v"))
+          .union(filtered.select(col("b").as("u"), col("a").as("v"))))
+      def giant(lab: DataFrame): Long = lab.groupBy(col("lbl"))
         .agg(count(lit(1)).as("n"))
-        .groupBy(col("grp")).agg(max(col("n")).as("giant"))
-        .as[(String, Long)].collect().toMap
-      val before = giants.getOrElse("A", 0L)
-      val after = giants.getOrElse("B", 0L)
+        .agg(coalesce(max(col("n")), lit(0L)).as("giant"))
+        .as[Long].head()
+      val before = giant(labA)
+      val after = giant(labB)
       Seq((nNodes, before, after, after.toDouble / before.toDouble))
         .toDF("n_nodes", "giant_before", "giant_after", "retention")
     }

@@ -197,4 +197,28 @@ class JoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("broadcastIfSmall: hint applies only under the counted threshold") {
+    // the g_ktruss delta-peel gate: a data-dependent dropped-edge set is
+    // broadcast only below the row cap; above it the frame must return
+    // UNHINTED so the planner (or AQE with its own size re-check) decides
+    val big = spark.range(1000).select(col("id").as("k"), col("id").as("v"))
+      .localCheckpoint(true)
+    val small = spark.range(10).select(col("id").as("k"))
+      .localCheckpoint(true)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val under = big.join(Joins.broadcastIfSmall(small, 100), Seq("k"), "left_anti")
+    val over = big.join(Joins.broadcastIfSmall(small, 5), Seq("k"), "left_anti")
+    assert(hinted(under), "under the threshold the broadcast hint must apply")
+    assert(!hinted(over), "over the threshold the frame must return unhinted")
+    assert(under.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // both shapes compute the identical anti-join
+    assert(under.collect().map(_.getLong(0)).sorted
+      .sameElements(over.collect().map(_.getLong(0)).sorted))
+  }
 }
