@@ -606,6 +606,51 @@ UNION ALL
 SELECT 'TOTAL', COUNT(DISTINCT user_id), TRUE FROM events
 ORDER BY event_type"""
 
+  // --- re-aggregatable KLL quantile-sketch rollup ----------------------
+  /** The q_hll_rollup property for RANKS: `approx_percentile` returns a
+    * number you cannot roll up, so percentile-over-history re-scans raw
+    * rows — while KLL sketches (graft.plans.KllSketch, deterministic
+    * KLL/MRL compaction) merge day-grain partials to the week without
+    * re-touching data. Per-day sketches of purchase value →
+    * `kll_merge` to weeks → median readout, graded like
+    * q_approx_median: the estimate's EXACT rank interval, re-derived
+    * against the raw rows, must contain 0.5·n within ±2.5% (k=512
+    * bounds worst-case deterministic rank error well inside that at
+    * graded volumes, for EVERY runtime merge order — which is why the
+    * graded output is counts + booleans, not the order-dependent
+    * estimate itself).
+    */
+  private def quantileRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(trunc(to_date(col("ts")), "week").as("w"), col("ts"),
+        col("value"))
+    val daily = ev
+      .groupBy(col("w"), to_date(col("ts")).as("d"))
+      .agg(graft.plans.KllSketch.kllAgg(col("value"), 512).as("sk"))
+    val weekly = daily.groupBy(col("w"))
+      .agg(graft.plans.KllSketch.kllMerge(col("sk")).as("sk"))
+      .select(col("w"),
+        graft.plans.KllSketch.kllQuantile(col("sk"), 0.5).as("est"))
+    ev.join(broadcast(weekly), Seq("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("n_lt"))
+      .select(col("w").as("week"), col("n"),
+        // the estimate is a real data value with exact-rank interval
+        // [n_lt+1, n_le]; the gate: that interval reaches the target
+        // rank band 0.5·n ± 2.5%·n (tie-robust form of |rank/n − 0.5|)
+        ((col("n_lt") + 1L) * 40L <= col("n") * 21L &&
+          col("n_le") * 40L >= col("n") * 19L)
+          .as("rank_ok"))
+      .orderBy("week")
+  }
+
+  private val quantileRollupOracle =
+    """SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
+  COUNT(*) AS n, TRUE AS rank_ok
+FROM events GROUP BY 1 ORDER BY week"""
+
   // --- data-quality expectation suite ---------------------------------
   /** A dbt-tests-style expectation run as ONE query: uniqueness,
     * not-null, accepted range, and referential integrity, each a
@@ -3309,6 +3354,7 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_ols_trend", olsTrend, Some(olsTrendOracle)),
     QueryDef("q_equidepth_hist", equidepthHist, Some(equidepthOracle)),
     QueryDef("q_hll_rollup", hllRollup, Some(hllRollupOracle)),
+    QueryDef("q_quantile_rollup", quantileRollup, Some(quantileRollupOracle)),
     QueryDef("q_dq_expectations", dqExpectations, Some(dqExpectationsOracle)),
     QueryDef("q_skyline", skyline, Some(skylineOracle)),
     QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggOracle)),
