@@ -718,8 +718,19 @@ FROM s GROUP BY user_id ORDER BY user_id"""
       .as[Multimodal.MediaRow]
   }
 
+  /** Containerized twin of [[media]]: image rows carry a genuine PNG
+    * signature+IHDR prefix, audio rows a RIFF/WAVE PCM header, video
+    * rows stay raw (the stub-path consumer). `m_payload_meta` /
+    * `m_frame_sample` / `m_resize_plan` / `m_payload_dedup` decode
+    * THESE bytes; the size-packing queries (shard manifest, audio
+    * windowing) stay on the raw payloads where a container prefix
+    * adds nothing to what they measure.
+    */
+  private def containerMedia(s: SparkSession, dir: String) =
+    Multimodal.containerize(media(s, dir))
+
   private def payloadMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeStub(media(s, dir)).toDF().orderBy("media_id")
+    Multimodal.decode(containerMedia(s, dir)).toDF().orderBy("media_id")
 
   /** STFT-style audio windowing plan for the `audio`-kind payloads:
     * 25 ms frames on a 10 ms hop (the Whisper/Kaldi front-end
@@ -770,7 +781,7 @@ ORDER BY media_id, win_idx"""
     * only (kind, checksum, bytes) rows aggregate.
     */
   private def payloadDedup(s: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeStub(media(s, dir)).toDF()
+    Multimodal.decode(containerMedia(s, dir)).toDF()
       .groupBy(col("kind"), col("checksum"))
       .agg(count(lit(1)).as("copies"), max(col("n_bytes")).as("n_bytes"))
       .groupBy(col("kind"))
@@ -783,10 +794,11 @@ ORDER BY media_id, win_idx"""
           / col("n_payloads").cast("double")).as("dup_ratio"))
       .orderBy("kind")
 
-  private val payloadDedupOracle: String = """WITH m AS (
+  private val payloadDedupOracle: String = s"""WITH m AS (
   SELECT doc_id AS media_id,
     ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
-    md5(text) AS checksum, octet_length(CAST(text AS BLOB)) AS n_bytes
+    md5(text) AS checksum,
+    octet_length(CAST(text AS BLOB)) + $sqlHdr AS n_bytes
   FROM documents
 ), per AS (
   SELECT kind, checksum, COUNT(*) AS copies,
@@ -916,23 +928,52 @@ FROM tot, same"""
   private val nib: Int => String = i =>
     s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
 
+  // per-kind generation rules the container bytes encode (the Spark
+  // side PARSES the bytes; the oracle recomputes the rule):
+  //   image: PNG IHDR width 64+(id%241)*8, height 64+(id%137)*8
+  //   audio: WAV rate [8000,16000,22050,44100,48000][id%5],
+  //          channels 1+(id%2), sample frames = data bytes // (2*ch)
+  //   video: raw bytes -> md5 stub rule (unchanged)
+  private def sqlRate: String =
+    "([8000,16000,22050,44100,48000])[CAST(doc_id % 5 AS INT) + 1]"
+  private def sqlCh: String = "(1 + CAST(doc_id % 2 AS INT))"
+  private def sqlHdr: String =
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 0 END"
+  private def sqlWidth(nibF: Int => String) =
+    s"""CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 64 + (doc_id % 241) * 8
+    WHEN 1 THEN $sqlRate
+    ELSE 256 + (${nibF(1)} * 16 + ${nibF(2)}) * 8 END"""
+  private def sqlHeight(nibF: Int => String) =
+    s"""CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 64 + (doc_id % 137) * 8
+    WHEN 1 THEN $sqlCh
+    ELSE 144 + (${nibF(3)} * 16 + ${nibF(4)}) * 4 END"""
+  private def sqlFrames(nibF: Int => String) =
+    s"""CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 1
+    WHEN 1 THEN octet_length(encode(text)) // (2 * $sqlCh)
+    ELSE 1 + ${nibF(5)} END"""
+
   private val payloadMetaOracle = s"""SELECT doc_id AS media_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  CAST(octet_length(encode(text)) + $sqlHdr AS INT) AS n_bytes,
   md5(text) AS checksum,
-  CAST(256 + (${nib(1)} * 16 + ${nib(2)}) * 8 AS INT) AS width,
-  CAST(144 + (${nib(3)} * 16 + ${nib(4)}) * 4 AS INT) AS height,
-  CAST(1 + ${nib(5)} AS INT) AS n_frames
+  CAST(${sqlWidth(nib)} AS INT) AS width,
+  CAST(${sqlHeight(nib)} AS INT) AS height,
+  CAST(${sqlFrames(nib)} AS INT) AS n_frames
 FROM documents ORDER BY media_id"""
 
   private val MaxFrames = 4
 
   private def frameSample(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(Multimodal.decodeStub(media(s, dir)), MaxFrames)
+    Multimodal.sampleFrames(Multimodal.decode(containerMedia(s, dir)), MaxFrames)
       .toDF().orderBy("media_id", "frame_idx")
 
   private val frameSampleOracle = s"""WITH meta AS (
-  SELECT doc_id AS media_id, least(1 + ${nib(5)}, $MaxFrames) AS n FROM documents
+  SELECT doc_id AS media_id,
+    least(${sqlFrames(nib)}, $MaxFrames) AS n
+  FROM documents
 )
 SELECT media_id, CAST(i AS INT) AS frame_idx,
   CASE WHEN n = 1 THEN ${Sql.D("0")}
@@ -944,14 +985,14 @@ ORDER BY media_id, frame_idx"""
   private val MaxH = 360
 
   private def resizePlan(s: SparkSession, dir: String): DataFrame =
-    Multimodal.resizePlan(Multimodal.decodeStub(media(s, dir)), MaxW, MaxH)
+    Multimodal.resizePlan(Multimodal.decode(containerMedia(s, dir)), MaxW, MaxH)
       .toDF().orderBy("media_id")
 
   private val resizePlanOracle = s"""WITH meta AS (
   SELECT doc_id AS media_id,
     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-    CAST(256 + (${nib(1)} * 16 + ${nib(2)}) * 8 AS INT) AS src_width,
-    CAST(144 + (${nib(3)} * 16 + ${nib(4)}) * 4 AS INT) AS src_height
+    CAST(${sqlWidth(nib)} AS INT) AS src_width,
+    CAST(${sqlHeight(nib)} AS INT) AS src_height
   FROM documents
 ), scaled AS (
   SELECT *, LEAST(CAST(1 AS DOUBLE),

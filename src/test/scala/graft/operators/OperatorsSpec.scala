@@ -361,6 +361,57 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("multimodal: decode parses genuine PNG/WAV header bytes") {
+    val text = "the quick brown fox".getBytes("UTF-8")
+    // hand-built containers with KNOWN fields — decode must read the
+    // bytes, not any generation rule
+    val png = Multimodal.pngPrefix(800, 600) ++ text
+    val wav = Multimodal.wavHeader(44100, 2, text.length) ++ text
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "audio", wav),
+      Multimodal.MediaRow(3L, "video", text)).toDS()
+    val meta = Multimodal.decode(media).collect().sortBy(_.media_id)
+    val img = meta(0); val aud = meta(1); val vid = meta(2)
+    assert(img.width == 800 && img.height == 600 && img.n_frames == 1)
+    assert(img.n_bytes == 33 + text.length)
+    assert(aud.width == 44100 && aud.height == 2)
+    assert(aud.n_frames == text.length / 4) // 16-bit stereo sample frames
+    assert(aud.n_bytes == 44 + text.length)
+    // checksum is CONTENT md5 (through the container) — all three equal
+    assert(img.checksum == vid.checksum && aud.checksum == vid.checksum)
+    // the PNG prefix carries a REAL CRC over the IHDR chunk
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 17)
+    val stored = java.nio.ByteBuffer.wrap(png, 29, 4).getInt
+    assert(stored == crc.getValue.toInt, "IHDR CRC must verify")
+    // flipping a header byte CHANGES the parsed answer (bytes, not rule)
+    val flipped = png.clone(); flipped(19) = (flipped(19) ^ 1).toByte
+    val meta2 = Multimodal.decode(
+      Seq(Multimodal.MediaRow(9L, "image", flipped)).toDS()).head()
+    assert(meta2.width == 801 || meta2.width == 799)
+    // truncated / foreign magic falls back to the stub path
+    val stub = Multimodal.decode(
+      Seq(Multimodal.MediaRow(4L, "image", "no magic here".getBytes("UTF-8"))).toDS())
+      .head()
+    assert(stub.width >= 256 && stub.height >= 144)
+  }
+
+  test("multimodal: containerize derives fields by the documented id rules") {
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image", "aaa".getBytes("UTF-8")),
+      Multimodal.MediaRow(7L, "audio", "bbbbbbbb".getBytes("UTF-8")),
+      Multimodal.MediaRow(2L, "video", "ccc".getBytes("UTF-8"))).toDS()
+    val meta = Multimodal.decode(Multimodal.containerize(rows))
+      .collect().sortBy(_.media_id)
+    val img = meta(0); val vid = meta(1); val aud = meta(2)
+    assert(img.width == 64 + (0 % 241) * 8 && img.height == 64)
+    assert(aud.width == Multimodal.WavRates(7 % 5) && aud.height == 1 + 7 % 2)
+    assert(aud.n_frames == 8 / (2 * 2)) // 8 data bytes, 16-bit x 2ch
+    // video stays raw: stub dims, checksum of the raw bytes
+    assert(vid.n_bytes == 3)
+  }
+
   test("multimodal: stub decode is deterministic, frames evenly spaced") {
     val media = Seq(
       Multimodal.MediaRow(1L, "video", "some video bytes".getBytes("UTF-8")),
