@@ -132,6 +132,78 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$path/quotes")
   }
 
+  /** Mirror of GraphQueries.ktruss's delta peel (3 rounds, k=4,
+    * broadcast gated at 2M dropped rows): round 1's support comes from
+    * the full once-enumerated triangle table; later rounds subtract
+    * only dropped-edge triangles. The curve's claim: per-round cost
+    * tracks the CHANGE, so wall time grows ~linearly in edges.
+    */
+  private def ktrussPeel(pairs: DataFrame): DataFrame = {
+    var alive = graft.operators.Graphs.triangleTriples(pairs)
+      .select(least(col("u"), col("x")).as("e1a"),
+        greatest(col("u"), col("x")).as("e1b"),
+        least(col("u"), col("y")).as("e2a"),
+        greatest(col("u"), col("y")).as("e2b"),
+        col("x").as("e3a"), col("y").as("e3b"))
+      .localCheckpoint(eager = true)
+    var e = pairs.select(col("a"), col("b"))
+    val stats = Seq.newBuilder[(Long, Long, Long)]
+    for (round <- 1 to 3) {
+      val nTri = alive.count()
+      val sup = alive.select(col("e1a").as("a"), col("e1b").as("b"))
+        .union(alive.select(col("e2a").as("a"), col("e2b").as("b")))
+        .union(alive.select(col("e3a").as("a"), col("e3b").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      val eNext = sup.where(col("sup") >= 2).select(col("a"), col("b"))
+        .localCheckpoint(eager = true)
+      if (round < 3) {
+        val dropped = e
+          .join(eNext.select(col("a").as("da"), col("b").as("db")),
+            col("a") === col("da") && col("b") === col("db"), "left_anti")
+          .select(col("a").as("da"), col("b").as("db"))
+          .localCheckpoint(eager = true)
+        val d0 = graft.operators.Joins.broadcastIfSmall(dropped, 2000000L)
+        alive = alive
+          .join(d0, col("e1a") === col("da") && col("e1b") === col("db"),
+            "left_anti")
+          .join(d0, col("e2a") === col("da") && col("e2b") === col("db"),
+            "left_anti")
+          .join(d0, col("e3a") === col("da") && col("e3b") === col("db"),
+            "left_anti")
+          .localCheckpoint(eager = true)
+      }
+      e = eNext
+      stats += ((round.toLong, e.count(), nTri))
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    stats.result().toDF("round", "n_edges", "n_tri_alive")
+  }
+
+  /** Mirror of GraphQueries.minLabelCc (the g_robustness labeling):
+    * 4 synchronous min-label rounds, one join+agg each, self-loops
+    * appended once. Claim: ~linear in edges per round.
+    */
+  private def minLabel4(pairs: DataFrame): DataFrame = {
+    val sym0 = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+    val sym = sym0
+      .union(sym0.select(col("u")).distinct()
+        .select(col("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    var lab = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(eager = true)
+    for (_ <- 1 to 4) {
+      lab = sym
+        .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("nl")).as("lbl"))
+        .select(col("u").as("node"), col("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    lab.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("giant"))
+  }
+
   /** Exact all-pairs cosine — the quadratic baseline LSH replaces. */
   private def brutePairs(emb: DataFrame): DataFrame = {
     val sig = emb.select(col("id"), Similarity.quantize(col("vec")).as("qv"))
@@ -339,6 +411,35 @@ object ScaleBench {
                 .orderBy(col("cosine").desc, col("item"))))
             .where(col("rnk") <= 10)
         })
+      }
+
+      // k-truss delta peel + fixed-round min-label CC (the g_ktruss /
+      // g_robustness shapes, r7-verdict #4) over basket-derived
+      // co-order pairs: bounded basket size 4-8 guarantees triangles;
+      // a 1% 200-item hot head keeps a realistic Zipf-ish df skew
+      // without letting hot-hot wedges go quadratic.
+      if (want("ktruss_peel") || want("minlabel4_cc")) {
+        val nOrd = 20000L * m
+        spark.range(nOrd).select(col("id").as("ok"),
+            explode(sequence(lit(1),
+              (pmod(xxhash64(col("id"), lit(71)), lit(5)) + 4).cast("int")))
+              .as("slot"))
+          .select(col("ok"),
+            when(pmod(xxhash64(col("ok"), col("slot"), lit(72)), lit(100)) === 0,
+              pmod(xxhash64(col("ok"), col("slot"), lit(73)), lit(200)))
+              .otherwise(pmod(xxhash64(col("ok"), col("slot"), lit(74)),
+                lit(50000L * m)) + 200).as("pk"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$tmp/ktb_$m")
+        val baskets = spark.read.parquet(s"$tmp/ktb_$m")
+        baskets.select(col("ok"), col("pk").as("a"))
+          .join(baskets.select(col("ok"), col("pk").as("b")), "ok")
+          .where(col("a") < col("b")).select("a", "b").distinct()
+          .write.mode("overwrite").parquet(s"$tmp/ktp_$m")
+        val ktPairs = spark.read.parquet(s"$tmp/ktp_$m")
+        val nEdges = ktPairs.count()
+        record("ktruss_peel", nEdges, () => ktrussPeel(ktPairs))
+        record("minlabel4_cc", nEdges, () => minLabel4(ktPairs))
       }
 
       // Katz walk-count levels (round-7 g_katz): each level is ONE

@@ -769,8 +769,13 @@ FROM wide"""
   // --- 1-D Wasserstein (earth mover's) distance ----------------------------
   /** Wasserstein-1 distance between the order-price distributions of
     * the first and last calendar year, over fixed $6000 bins:
-    * W₁ = Δ·Σ_b |F₁(b) − F₂(b)| — the mass-transport cost that, unlike
-    * q_ks_test's sup-norm, weighs HOW FAR mass must move. The CDF
+    * W₁ = Δ·Σ_b |F₁(b) − F₂(b)| with the sum running over OBSERVED
+    * bins only — a gap bin empty in BOTH years contributes nothing
+    * even where the CDFs differ there, so this is a lower bound on the
+    * densified (every-bin-on-the-spine) form; the oracle replicates
+    * the same observed-bins convention, so engine parity is exact.
+    * Unlike q_ks_test's sup-norm this weighs HOW FAR mass must move.
+    * The CDF
     * difference is kept as the exact integer cross-product
     * |cum₁·N₂ − cum₂·N₁| (common denominator N₁N₂ factored out), so
     * the entire sum is BIGINT and the distance is one final scaled
