@@ -175,9 +175,12 @@ object ScaleBench {
       e = eNext
       stats += ((round.toLong, e.count(), nTri))
     }
+    val rows = stats.result()
+    System.err.println(s"[scale-bench]   ktruss rounds (round, edges, tri): " +
+      rows.map { case (r, ne, nt) => s"$r:($ne,$nt)" }.mkString(" "))
     val spark = pairs.sparkSession
     import spark.implicits._
-    stats.result().toDF("round", "n_edges", "n_tri_alive")
+    rows.toDF("round", "n_edges", "n_tri_alive")
   }
 
   /** Mirror of GraphQueries.minLabelCc (the g_robustness labeling):
@@ -432,9 +435,19 @@ object ScaleBench {
           .distinct()
           .write.mode("overwrite").parquet(s"$tmp/ktb_$m")
         val baskets = spark.read.parquet(s"$tmp/ktb_$m")
+        // basket-derived pairs all sit in triangles (support >= 2), so a
+        // 10% sparse random layer over a DISJOINT id space is appended —
+        // those edges close almost no triangles and get PEELED in round
+        // 1, so the delta-subtraction path actually engages
+        val noise = spark.range(nOrd / 2).select(
+          (pmod(xxhash64(col("id"), lit(75)), lit(nOrd)) + 1000000000L).as("a"),
+          (pmod(xxhash64(col("id"), lit(76)), lit(nOrd)) + 1000000000L).as("b"))
+          .where(col("a") < col("b"))
         baskets.select(col("ok"), col("pk").as("a"))
           .join(baskets.select(col("ok"), col("pk").as("b")), "ok")
-          .where(col("a") < col("b")).select("a", "b").distinct()
+          .where(col("a") < col("b")).select("a", "b")
+          .unionByName(noise)
+          .distinct()
           .write.mode("overwrite").parquet(s"$tmp/ktp_$m")
         val ktPairs = spark.read.parquet(s"$tmp/ktp_$m")
         val nEdges = ktPairs.count()

@@ -1394,7 +1394,450 @@ SELECT CAST(n AS BIGINT) AS n1, CAST(m AS BIGINT) AS n2,
     * (CAST(st AS DOUBLE) / 1000000000000) AS cvm_t
 FROM agg"""
 
+  // --- exact distributed percentiles ----------------------------------
+  /** EXACT P10/P50/P90 of line price per return flag — no sketch, no
+    * global sort: per-(group, value) counts, a prefixSumByKey scan over
+    * ascending value (range partitions, never a partition-less window),
+    * and the smallest value whose inclusive cumulative count reaches
+    * ⌈q·n⌉ — integer cross-multiplied (cum·den ≥ n·num) so no float
+    * rank ever rounds. The exact counterpart of q_approx_median /
+    * q_quantile_rollup for when percentiles must be bit-exact at scale.
+    */
+  private def exactPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val pv = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("g"),
+        cents(col("l_extendedprice")).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.Ids.prefixSumByKey(pv, "g", Seq("v"), "cnt", 32, "cum")
+    val tot = cum.groupBy(col("g")).agg(max(col("cum")).as("n"))
+    val j = cum.join(broadcast(tot), Seq("g"))
+    def pick(num: Int, den: Int, name: String) =
+      j.where(col("cum") * den >= col("n") * num)
+        .groupBy(col("g")).agg(min(col("v")).as(name))
+    tot.join(pick(1, 10, "p10_cents"), Seq("g"))
+      .join(pick(1, 2, "p50_cents"), Seq("g"))
+      .join(pick(9, 10, "p90_cents"), Seq("g"))
+      .orderBy("g")
+  }
+
+  private val exactPercentilesOracle = """WITH pv AS (
+  SELECT l_returnflag AS g,
+    CAST(FLOOR(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+    COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM pv
+), tot AS (SELECT g, MAX(cum) AS n FROM cum GROUP BY 1)
+SELECT t.g, t.n,
+  (SELECT MIN(v) FROM cum c WHERE c.g = t.g AND c.cum * 10 >= t.n) AS p10_cents,
+  (SELECT MIN(v) FROM cum c WHERE c.g = t.g AND c.cum * 2 >= t.n) AS p50_cents,
+  (SELECT MIN(v) FROM cum c WHERE c.g = t.g AND c.cum * 10 >= t.n * 9) AS p90_cents
+FROM tot t ORDER BY t.g"""
+
+  // --- exact trimmed mean ----------------------------------------------
+  /** 5%-each-side trimmed mean of order value per priority — exact:
+    * each distinct value's KEPT multiplicity is
+    * max(0, min(cum, n−lo) − max(cum−cnt, lo)) with lo = ⌊n/20⌋, so
+    * boundary ties trim partially and the kept mass is exactly
+    * n − 2·lo. Σ v·kept runs in DECIMAL(38,0) (value·count
+    * cross-products can pass 2⁶³ at scale); one final division. The
+    * robust-location sibling of t_winsorize — mass is REMOVED here,
+    * not clamped.
+    */
+  private def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pv = Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("g"),
+        cents(col("o_totalprice")).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.Ids.prefixSumByKey(pv, "g", Seq("v"), "cnt", 32, "cum")
+    val tot = cum.groupBy(col("g")).agg(max(col("cum")).as("n"))
+    cum.join(broadcast(tot), Seq("g"))
+      .withColumn("lo", expr("n div 20"))
+      .withColumn("kept",
+        greatest(lit(0L),
+          least(col("cum"), col("n") - col("lo")) -
+            greatest(col("cum") - col("cnt"), col("lo"))))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), sum(col("kept")).as("n_kept"),
+        sum(dec(col("v")) * col("kept")).as("sv"))
+      .select(col("g"), col("n"), col("n_kept"),
+        (dd(col("sv")) / dd(col("n_kept"))).as("trimmed_mean_cents"))
+      .orderBy("g")
+  }
+
+  private val trimmedMeanOracle = """WITH pv AS (
+  SELECT o_orderpriority AS g,
+    CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v,
+    COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), cum AS (
+  SELECT g, v, cnt, CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM pv
+), tot AS (SELECT g, MAX(cum) AS n FROM cum GROUP BY 1),
+k AS (
+  SELECT c.g, c.v, t.n,
+    GREATEST(0, LEAST(c.cum, t.n - t.n // 20)
+      - GREATEST(c.cum - c.cnt, t.n // 20)) AS kept
+  FROM cum c JOIN tot t USING (g)
+)
+SELECT g, CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(kept) AS BIGINT) AS n_kept,
+  CAST(SUM(v * kept) AS DOUBLE) / CAST(SUM(kept) AS DOUBLE) AS trimmed_mean_cents
+FROM k GROUP BY 1 ORDER BY g"""
+
+  // --- upper-tail dependence -------------------------------------------
+  /** Empirical upper-tail dependence of (quantity, price):
+    * λ̂_U = P(X > qx ∧ Y > qy) / (1 − 0.95), with qx, qy the EXACT P95
+    * thresholds of each margin (smallest value whose cumulative count
+    * reaches ⌈0.95·n⌉ — cross-multiplied integers, thresholds via the
+    * same prefix-scan primitive as q_exact_percentiles). The copula
+    * readout q_corr_matrix's linear correlation misses: do extremes
+    * co-occur? All counts exact; one final scaled division.
+    */
+  private def tailDependence(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("x"),
+      cents(col("l_extendedprice")).as("y"))
+    def p95(cn: String) = {
+      val pv = li.groupBy(col(cn).as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("one", lit(1))
+      val cum = graft.operators.Ids.prefixSumByKey(
+        pv, "one", Seq("v"), "cnt", 32, "cum")
+      val tot = cum.agg(max(col("cum")).as("n"))
+      cum.crossJoin(broadcast(tot))
+        .where(col("cum") * 20L >= col("n") * 19L)
+        .agg(min(col("v")).as(s"q_$cn"))
+    }
+    val th = p95("x").crossJoin(p95("y"))
+    li.crossJoin(broadcast(th))
+      .agg(count(lit(1)).as("n"),
+        max(col("q_x")).as("qx"), max(col("q_y")).as("qy"),
+        sum(when(col("x") > col("q_x"), 1L).otherwise(0L)).as("n_x"),
+        sum(when(col("y") > col("q_y"), 1L).otherwise(0L)).as("n_y"),
+        sum(when(col("x") > col("q_x") && col("y") > col("q_y"), 1L)
+          .otherwise(0L)).as("n_joint"))
+      .select(col("n"), col("qx"), col("qy"), col("n_x"), col("n_y"),
+        col("n_joint"),
+        (dd(col("n_joint")) * lit(20.0) / dd(col("n"))).as("lambda_u"))
+  }
+
+  private val tailDependenceOracle = """WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+    CAST(FLOOR(l_extendedprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y
+  FROM lineitem
+), cx AS (
+  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM (SELECT x AS v, COUNT(*) AS cnt FROM li GROUP BY 1)
+), cy AS (
+  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM (SELECT y AS v, COUNT(*) AS cnt FROM li GROUP BY 1)
+), th AS (
+  SELECT
+    (SELECT MIN(v) FROM cx WHERE cum * 20 >= (SELECT MAX(cum) FROM cx) * 19) AS qx,
+    (SELECT MIN(v) FROM cy WHERE cum * 20 >= (SELECT MAX(cum) FROM cy) * 19) AS qy
+)
+SELECT COUNT(*) AS n, MAX(qx) AS qx, MAX(qy) AS qy,
+  CAST(SUM(CASE WHEN x > qx THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+  CAST(SUM(CASE WHEN y > qy THEN 1 ELSE 0 END) AS BIGINT) AS n_y,
+  CAST(SUM(CASE WHEN x > qx AND y > qy THEN 1 ELSE 0 END) AS BIGINT) AS n_joint,
+  CAST(SUM(CASE WHEN x > qx AND y > qy THEN 1 ELSE 0 END) AS DOUBLE)
+    * CAST(20 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS lambda_u
+FROM li, th"""
+
+  // --- Wilson score interval --------------------------------------------
+  /** Wilson 95% score interval for the urgent-order share per market
+    * segment — the proportion CI that stays inside [0,1] and behaves
+    * at small n where q_two_proportion_z's Wald form degenerates.
+    * Counts exact; the interval is fixed double arithmetic mirrored
+    * term-for-term (z = 1.96 literal, both engines IEEE).
+    */
+  private def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+    val agg = o.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("k"))
+    val z = lit(1.96)
+    val nD = dd(col("n"))
+    val p = dd(col("k")) / nD
+    val denom = lit(1.0) + z * z / nD
+    val center = (p + z * z / (lit(2.0) * nD)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+      z * z / (lit(4.0) * nD * nD)) / denom
+    agg.select(col("segment"), col("n"), col("k"),
+        (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+      .orderBy("segment")
+  }
+
+  private val wilsonCiOracle = """WITH a AS (
+  SELECT c_mktsegment AS segment, COUNT(*) AS n,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT segment, n, k,
+  (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+     + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+    / (CAST(1 AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       / CAST(n AS DOUBLE))
+  - CAST(1.96 AS DOUBLE) * SQRT(
+      CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        * (CAST(1 AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        / CAST(n AS DOUBLE)
+      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+        / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+    / (CAST(1 AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       / CAST(n AS DOUBLE)) AS wilson_lo,
+  (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+     + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)))
+    / (CAST(1 AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       / CAST(n AS DOUBLE))
+  + CAST(1.96 AS DOUBLE) * SQRT(
+      CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        * (CAST(1 AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        / CAST(n AS DOUBLE)
+      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+        / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+    / (CAST(1 AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       / CAST(n AS DOUBLE)) AS wilson_hi
+FROM a ORDER BY segment"""
+
+  // --- Shewhart c-chart ---------------------------------------------------
+  /** Shewhart control chart over daily order counts: center line and
+    * ±3σ limits from exact sufficient statistics (n_days, Σc, Σc² —
+    * sample variance), then the out-of-control day counts. The
+    * point-anomaly complement of ev_cusum's drift detector (CUSUM
+    * catches small sustained shifts; Shewhart catches single
+    * excursions). Integer compare c·√ vs double limit is mirrored
+    * exactly on both engines.
+    */
+  private def shewhartChart(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val st = daily.agg(count(lit(1)).as("nd"), sum(col("c")).as("s1"),
+      sum(col("c") * col("c")).as("s2"))
+    val mean = dd(col("s1")) / dd(col("nd"))
+    val sd = sqrt((dd(col("s2")) - dd(col("s1")) * dd(col("s1")) / dd(col("nd")))
+      / dd(col("nd") - lit(1L)))
+    daily.crossJoin(broadcast(st))
+      .select(col("d"), col("c"), col("nd"), mean.as("center"), sd.as("sigma"))
+      .agg(max(col("nd")).as("n_days"),
+        max(col("center")).as("center"), max(col("sigma")).as("sigma"),
+        sum(when(dd(col("c")) > col("center") + lit(3.0) * col("sigma"), 1L)
+          .otherwise(0L)).as("n_above_ucl"),
+        sum(when(dd(col("c")) < col("center") - lit(3.0) * col("sigma"), 1L)
+          .otherwise(0L)).as("n_below_lcl"))
+  }
+
+  private val shewhartChartOracle = """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS c FROM orders GROUP BY 1
+), st AS (
+  SELECT COUNT(*) AS nd, CAST(SUM(c) AS BIGINT) AS s1,
+    CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM daily
+), lim AS (
+  SELECT nd, CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE) AS center,
+    SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      / CAST(nd AS DOUBLE)) / CAST(nd - 1 AS DOUBLE)) AS sigma
+  FROM st
+)
+SELECT MAX(nd) AS n_days, MAX(center) AS center, MAX(sigma) AS sigma,
+  CAST(SUM(CASE WHEN CAST(c AS DOUBLE) > center + CAST(3 AS DOUBLE) * sigma
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_ucl,
+  CAST(SUM(CASE WHEN CAST(c AS DOUBLE) < center - CAST(3 AS DOUBLE) * sigma
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_below_lcl
+FROM daily, lim"""
+
+  // --- Theil's U2 (seasonal vs 1-step naive) -----------------------------
+  /** Theil's U2 for the 12-month seasonal-naive forecast of monthly
+    * revenue, benchmarked against the 1-month naive:
+    * U2 = √(Σ(yₜ−yₜ₋₁₂)² / Σ(yₜ−yₜ₋₁)²) over months where both lags
+    * exist. U2 < 1 ⇒ seasonality carries real signal beyond
+    * persistence. Squared cent differences sum in DECIMAL(38,0)
+    * (month-revenue diffs square past 2⁶³); the month-cardinality lag
+    * window is the documented bounded-post-agg class.
+    */
+  private def theilU2(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = Tables(s, dir, "orders")
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("m"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("m"))
+    val lagged = m
+      .withColumn("l1", lag(col("rev"), 1).over(w))
+      .withColumn("l12", lag(col("rev"), 12).over(w))
+      .where(col("l1").isNotNull && col("l12").isNotNull)
+    lagged.agg(count(lit(1)).as("n_months"),
+        sum(dec(col("rev") - col("l12")) * dec(col("rev") - col("l12")))
+          .as("num"),
+        sum(dec(col("rev") - col("l1")) * dec(col("rev") - col("l1")))
+          .as("den"))
+      .select(col("n_months"),
+        sqrt(dd(col("num")) / dd(col("den"))).as("u2"))
+  }
+
+  private val theilU2Oracle = """WITH m AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+      AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT rev, LAG(rev, 1) OVER (ORDER BY m) AS l1,
+    LAG(rev, 12) OVER (ORDER BY m) AS l12
+  FROM m
+)
+SELECT COUNT(*) AS n_months,
+  SQRT(CAST(SUM(CAST(rev - l12 AS HUGEINT) * CAST(rev - l12 AS HUGEINT)) AS DOUBLE)
+     / CAST(SUM(CAST(rev - l1 AS HUGEINT) * CAST(rev - l1 AS HUGEINT)) AS DOUBLE)) AS u2
+FROM lagged WHERE l1 IS NOT NULL AND l12 IS NOT NULL"""
+
+  // --- Mann-Kendall trend test --------------------------------------------
+  /** Mann–Kendall monotone-trend test on monthly revenue: S = Σ_{i<j}
+    * sign(yⱼ−yᵢ) over the bounded month table (a ~80² pair join, NOT
+    * data-cardinality), variance n(n−1)(2n+5)/18 without tie
+    * correction (cent-exact revenues don't tie), continuity-corrected
+    * z. The distribution-free complement of q_ols_trend/q_theil_sen —
+    * it tests direction without fitting a slope.
+    */
+  private def mkTrend(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables(s, dir, "orders")
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("m"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    val a = m.select(col("m").as("ma"), col("rev").as("ra"))
+    val b = m.select(col("m").as("mb"), col("rev").as("rb"))
+    val st = a.crossJoin(b).where(col("ma") < col("mb"))
+      .agg(sum(signum(col("rb") - col("ra")).cast("long")).as("s_stat"))
+    val n = m.agg(count(lit(1)).as("n_months"))
+    st.crossJoin(n)
+      .withColumn("var18",
+        col("n_months") * (col("n_months") - 1L) * (lit(2L) * col("n_months") + 5L))
+      .select(col("n_months"), col("s_stat"), col("var18"),
+        (dd(col("s_stat") - signum(col("s_stat")).cast("long"))
+          / sqrt(dd(col("var18")) / lit(18.0))).as("z"))
+  }
+
+  private val mkTrendOracle = """WITH m AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+      AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT CAST(SUM(SIGN(b.rev - a.rev)) AS BIGINT) AS s_stat
+  FROM m a JOIN m b ON a.m < b.m
+), nn AS (SELECT COUNT(*) AS n_months FROM m)
+SELECT n_months, s_stat,
+  CAST(n_months * (n_months - 1) * (2 * n_months + 5) AS BIGINT) AS var18,
+  CAST(s_stat - SIGN(s_stat) AS DOUBLE)
+    / SQRT(CAST(n_months * (n_months - 1) * (2 * n_months + 5) AS DOUBLE)
+      / CAST(18 AS DOUBLE)) AS z
+FROM st, nn"""
+
+  // --- inverse-propensity-weighted ATE --------------------------------------
+  /** Horvitz–Thompson / IPW average treatment effect for the md5-parity
+    * pseudo-treatment on order value, propensity estimated EXACTLY per
+    * market segment (p̂ = nt/n): ATE = (Σ_seg ŷt·n/nt − Σ_seg ŷc·n/nc)/N.
+    * The 5 segments are a small FIXED set, so their per-segment terms
+    * pivot into pinned columns of one row and add left-to-right (the
+    * q_tukey_hsd float-order convention); each term's cross-products
+    * stay (double·double)/double exactly as written on both engines.
+    * True effect is null by construction — the readout should hover
+    * near 0, and the naive difference-in-means rides along for
+    * contrast. The causal-shelf companion of q_did / q_cuped / q_hte.
+    */
+  private def ipwAte(s: SparkSession, dir: String): DataFrame = {
+    val Segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), cents(col("o_totalprice")).as("y"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 1), 16, 10)
+          .cast("int") < 8).as("t"))
+    val perSeg = o.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("syt"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("syc"))
+    def term(num: Column, den: Column) =
+      when(den > 0L, dd(num) * dd(col("n")) / dd(den))
+    val pivoted = perSeg.agg(
+      count(lit(1)).as("n_segs"),
+      sum(col("n")).as("nn"),
+      sum(col("nt")).as("nt_all"), sum(col("nc")).as("nc_all"),
+      sum(col("syt")).as("syt_all"), sum(col("syc")).as("syc_all"),
+      (Segs.map(sg =>
+        max(when(col("seg") === sg,
+          term(col("syt"), col("nt")) - term(col("syc"), col("nc"))))) :+
+        lit(0.0)).reduceLeft(_ + _).as("term_sum"))
+    pivoted.select(col("nn").as("n"), col("n_segs"),
+      (col("term_sum") / dd(col("nn"))).as("ate_ipw"),
+      (dd(col("syt_all")) / dd(col("nt_all"))
+        - dd(col("syc_all")) / dd(col("nc_all"))).as("naive_diff"))
+  }
+
+  private val ipwAteOracle = """WITH o AS (
+  SELECT c_mktsegment AS seg,
+    CAST(FLOOR(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS y,
+    (strpos('0123456789abcdef',
+      substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) < 8 AS t
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), perseg AS (
+  SELECT seg, COUNT(*) AS n,
+    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+    CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS syt,
+    CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS syc
+  FROM o GROUP BY 1
+), piv AS (
+  SELECT COUNT(*) AS n_segs, CAST(SUM(n) AS BIGINT) AS nn,
+    CAST(SUM(nt) AS BIGINT) AS nt_all, CAST(SUM(nc) AS BIGINT) AS nc_all,
+    CAST(SUM(syt) AS BIGINT) AS syt_all, CAST(SUM(syc) AS BIGINT) AS syc_all,
+    MAX(CASE WHEN seg = 'AUTOMOBILE' THEN
+      CASE WHEN nt > 0 THEN CAST(syt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) END
+      - CASE WHEN nc > 0 THEN CAST(syc AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) END END) AS t1,
+    MAX(CASE WHEN seg = 'BUILDING' THEN
+      CASE WHEN nt > 0 THEN CAST(syt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) END
+      - CASE WHEN nc > 0 THEN CAST(syc AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) END END) AS t2,
+    MAX(CASE WHEN seg = 'FURNITURE' THEN
+      CASE WHEN nt > 0 THEN CAST(syt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) END
+      - CASE WHEN nc > 0 THEN CAST(syc AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) END END) AS t3,
+    MAX(CASE WHEN seg = 'HOUSEHOLD' THEN
+      CASE WHEN nt > 0 THEN CAST(syt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) END
+      - CASE WHEN nc > 0 THEN CAST(syc AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) END END) AS t4,
+    MAX(CASE WHEN seg = 'MACHINERY' THEN
+      CASE WHEN nt > 0 THEN CAST(syt AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) END
+      - CASE WHEN nc > 0 THEN CAST(syc AS DOUBLE) * CAST(n AS DOUBLE) / CAST(nc AS DOUBLE) END END) AS t5
+  FROM perseg
+)
+SELECT nn AS n, n_segs,
+  (t1 + t2 + t3 + t4 + t5 + CAST(0 AS DOUBLE)) / CAST(nn AS DOUBLE) AS ate_ipw,
+  CAST(syt_all AS DOUBLE) / CAST(nt_all AS DOUBLE)
+    - CAST(syc_all AS DOUBLE) / CAST(nc_all AS DOUBLE) AS naive_diff
+FROM piv"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_exact_percentiles", exactPercentiles, Some(exactPercentilesOracle)),
+    QueryDef("q_trimmed_mean", trimmedMean, Some(trimmedMeanOracle)),
+    QueryDef("q_tail_dependence", tailDependence, Some(tailDependenceOracle)),
+    QueryDef("q_wilson_ci", wilsonCi, Some(wilsonCiOracle)),
+    QueryDef("q_shewhart_chart", shewhartChart, Some(shewhartChartOracle)),
+    QueryDef("q_theil_u2", theilU2, Some(theilU2Oracle)),
+    QueryDef("q_mk_trend", mkTrend, Some(mkTrendOracle)),
+    QueryDef("q_ipw_ate", ipwAte, Some(ipwAteOracle)),
     QueryDef("q_cramer_von_mises", cramerVonMises, Some(cramerVonMisesOracle)),
     QueryDef("q_abc_xyz", abcXyz, Some(abcXyzOracle)),
     QueryDef("q_seasonal_index", seasonalIndex, Some(seasonalIndexOracle)),
