@@ -2625,7 +2625,49 @@ SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
 FROM isl GROUP BY doc_id, grp
 ORDER BY span_tokens DESC, doc_id, start_tok LIMIT 30"""
 
+  // --- dedup savings forecast --------------------------------------------
+  /** What exact dedup would SAVE, per source: total vs post-dedup docs
+    * and whitespace tokens when one copy per distinct text survives
+    * (md5-keyed groups, the d_dedup_exact discipline — raw text never
+    * shuffles), plus the token-savings share. The cost forecast a
+    * pipeline runs BEFORE paying for the dedup pass — at 100 TB the
+    * answer decides whether the job is worth scheduling at all.
+    */
+  private def dedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("source"),
+      md5(col("text")).as("h"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    d.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("copies"), max(col("toks")).as("toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("copies")).as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(col("copies") * col("toks")).as("tokens_total"),
+        sum(col("toks")).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("tokens_total"), col("tokens_kept"),
+        (lit(1.0) - col("tokens_kept").cast("double")
+          / col("tokens_total").cast("double")).as("savings"))
+      .orderBy("source")
+  }
+
+  private val dedupImpactOracle = """WITH d AS (
+  SELECT source, md5(text) AS h,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+  FROM documents
+), per AS (
+  SELECT source, h, COUNT(*) AS copies, CAST(MAX(toks) AS BIGINT) AS toks
+  FROM d GROUP BY 1, 2
+)
+SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs,
+  COUNT(*) AS n_unique,
+  CAST(SUM(copies * toks) AS BIGINT) AS tokens_total,
+  CAST(SUM(toks) AS BIGINT) AS tokens_kept,
+  CAST(1 AS DOUBLE) - CAST(SUM(toks) AS DOUBLE)
+    / CAST(SUM(copies * toks) AS DOUBLE) AS savings
+FROM per GROUP BY 1 ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_dedup_impact", dedupImpact, Some(dedupImpactOracle)),
     QueryDef("d_dup_spans", dupSpans, Some(dupSpansOracle)),
     QueryDef("d_decontaminate", decontaminate, Some(decontaminateOracle)),
     QueryDef("t_dataset_card", datasetCard, Some(datasetCardOracle)),

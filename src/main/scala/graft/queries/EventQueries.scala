@@ -3318,7 +3318,64 @@ SELECT decile, nt, nc, ct, cc,
       - CAST(ccc AS DOUBLE) / CAST(cnc AS DOUBLE) END AS cum_uplift
 FROM c ORDER BY decile"""
 
+  // --- activity-segment migration matrix --------------------------------
+  /** Activity-segment migration between the replay's first and second
+    * fortnight: users classed heavy (≥36 events), light (28–35), low
+    * (<28) in each half (cuts at the replay's quartile shoulders so
+    * all three classes are LIVE at every SF), and the
+    * (before → after) transition matrix with
+    * user counts and shares — the cohort-movement layer behind
+    * retention dashboards (q_rfm is the point-in-time segmentation;
+    * this is how users MOVE between its cells). Fixed thresholds keep
+    * the classes exact; the split point is min(ts)+15d, broadcast.
+    */
+  private def rfmMigration(s: SparkSession, dir: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val t0 = e.agg(min(col("ms")).as("m0"))
+    val perUser = e.crossJoin(broadcast(t0))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ms") < col("m0") + lit(1296000000L), 1L)
+          .otherwise(0L)).as("n1"),
+        sum(when(col("ms") >= col("m0") + lit(1296000000L), 1L)
+          .otherwise(0L)).as("n2"))
+    def seg(c: Column) = when(c >= 36L, "heavy").when(c >= 28L, "light")
+      .otherwise("low")
+    val tot = perUser.agg(count(lit(1)).as("n_users"))
+    perUser
+      .select(seg(col("n1")).as("seg_before"), seg(col("n2")).as("seg_after"))
+      .groupBy(col("seg_before"), col("seg_after"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("seg_before"), col("seg_after"), col("n"),
+        (dd(col("n")) / dd(col("n_users"))).as("share"))
+      .orderBy("seg_before", "seg_after")
+  }
+
+  private val rfmMigrationOracle = """WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS ms FROM events
+), t0 AS (SELECT MIN(ms) AS m0 FROM e),
+pu AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN ms < m0 + 1296000000 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN ms >= m0 + 1296000000 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM e, t0 GROUP BY user_id
+), seg AS (
+  SELECT
+    CASE WHEN n1 >= 36 THEN 'heavy' WHEN n1 >= 28 THEN 'light'
+      ELSE 'low' END AS seg_before,
+    CASE WHEN n2 >= 36 THEN 'heavy' WHEN n2 >= 28 THEN 'light'
+      ELSE 'low' END AS seg_after
+  FROM pu
+), tot AS (SELECT COUNT(*) AS n_users FROM pu)
+SELECT seg_before, seg_after, COUNT(*) AS n,
+  CAST(COUNT(*) AS DOUBLE) / CAST(n_users AS DOUBLE) AS share
+FROM seg, tot GROUP BY 1, 2, n_users
+ORDER BY seg_before, seg_after"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("ev_rfm_migration", rfmMigration, Some(rfmMigrationOracle)),
     QueryDef("ev_qini_uplift", qiniUplift, Some(qiniUpliftOracle)),
     QueryDef("ev_dwell_time", dwellTime, Some(dwellTimeOracle)),
     QueryDef("ev_lead_lag_corr", leadLagCorr, Some(leadLagCorrOracle)),

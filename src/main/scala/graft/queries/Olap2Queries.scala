@@ -646,7 +646,7 @@ ORDER BY event_type"""
       .orderBy("week")
   }
 
-  private val quantileRollupOracle =
+  private[queries] val quantileRollupOracle =
     """SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
   COUNT(*) AS n, TRUE AS rank_ok
 FROM events GROUP BY 1 ORDER BY week"""

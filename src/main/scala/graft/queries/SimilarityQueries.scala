@@ -147,6 +147,45 @@ ranked AS (
 )
 SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K ORDER BY q_id, rank"""
 
+  /** Cosine RANGE search — every neighbor with cosine ≥ τ, not top-k:
+    * the retrieval mode threshold-dedup and graph construction need.
+    * The exact form scores each corpus vector against the BROADCAST
+    * query set in one scan (no window, no pair shuffle; queries ≪
+    * corpus); when the query set outgrows a broadcast, the banded-LSH
+    * candidate join (s_ann_lsh) becomes the discovery stage and this
+    * scoring is its verify. Quantized-integer dot products keep both
+    * engines bit-equal through the τ compare.
+    */
+  private def rangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val sig = emb(s, dir)
+      .select(col("id"), Similarity.quantize(col("vec")).as("qv"))
+      .withColumn("nn", Similarity.normSqQ(col("qv")))
+    val q = sig.where(pmod(col("id"), lit(QueryStride)) === 0)
+      .select(col("id").as("q_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    sig.crossJoin(broadcast(q))
+      .where(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        Similarity.cosineQ(Similarity.dotQ(col("qv"), col("q_qv")),
+          col("nn"), col("q_nn")).as("cosine"))
+      .where(col("cosine") >= lit(MinCos))
+      .orderBy("q_id", "n_id")
+  }
+
+  private lazy val rangeSearchOracle: String = s"""WITH $quantCtes,
+dots AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+), scored AS (
+  SELECT q_id, n_id,
+    CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cosine
+  FROM dots JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+)
+SELECT q_id, n_id, cosine FROM scored
+WHERE cosine >= ${D("0.25")}
+ORDER BY q_id, n_id"""
+
   private def lsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCandidates(emb(s, dir), planes, Bands, RowsPerBand, MinCos)
       .orderBy("a_id", "b_id")
@@ -1617,6 +1656,7 @@ FROM dist"""
     QueryDef("s_mutual_knn", mutualKnn, Some(mutualKnnOracle)),
     QueryDef("s_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
+    QueryDef("s_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("s_hard_negatives", hardNegatives, Some(hardNegativesOracle)),
     QueryDef("s_matryoshka_recall", matryoshkaRecall, Some(matryoshkaOracle)),
     QueryDef("s_semdedup", semdedup, Some(semdedupOracle)),

@@ -707,6 +707,36 @@ FROM e ORDER BY event_id"""
 SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM s GROUP BY user_id ORDER BY user_id"""
 
+  /** Streaming twin of `q_quantile_rollup`: per-week KLL sketches built
+    * BY THE STREAMING AGGREGATION itself — the TypedImperativeAggregate
+    * buffer (graft.plans.KllSketch) serializes into the state store
+    * between micro-batches, the mergeable-sketch contract running
+    * incrementally. Medians are read out of the final sketches and
+    * graded by the same exact-rank band (±2.5%) against the raw rows,
+    * so the stream must land inside the batch gate for ANY batch/merge
+    * order.
+    */
+  private def streamQuantile(s: SparkSession, dir: String): DataFrame = {
+    val src = EventStreams.eventsStream(s, s"$dir/events.parquet")
+      .groupBy(trunc(to_date(col("ts")), "week").as("w"))
+      .agg(graft.plans.KllSketch.kllAgg(col("value"), 512).as("sk"))
+    val weekly = EventStreams.runToMemory(s, src, "graft_stream_kll",
+        OutputMode.Complete())
+      .select(col("w"),
+        graft.plans.KllSketch.kllQuantile(col("sk"), 0.5).as("est"))
+    val ev = Tables.events(s, dir)
+      .select(trunc(to_date(col("ts")), "week").as("w"), col("value"))
+    ev.join(broadcast(weekly), Seq("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("n_lt"))
+      .select(col("w").as("week"), col("n"),
+        ((col("n_lt") + 1L) * 40L <= col("n") * 21L &&
+          col("n_le") * 40L >= col("n") * 19L).as("rank_ok"))
+      .orderBy("week")
+  }
+
   // --- multimodal -----------------------------------------------------
   private def media(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -731,6 +761,40 @@ FROM s GROUP BY user_id ORDER BY user_id"""
 
   private def payloadMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.decode(containerMedia(s, dir)).toDF().orderBy("media_id")
+
+  /** Column-space container sniff — no decode pass: dispatch each
+    * payload by its MAGIC BYTES (PNG signature / RIFF+WAVE / unknown),
+    * the first thing a multimodal ingest does at scale (route blobs to
+    * the right decoder pool, quarantine unknowns), and account header
+    * vs content bytes per (kind, container). Pure codegen'd column
+    * ops over the binary column; the oracle recomputes the generation
+    * rules while Spark reads the bytes.
+    */
+  private def codecDispatch(s: SparkSession, dir: String): DataFrame = {
+    val m = containerMedia(s, dir).toDF()
+    val isPng = hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A"
+    val isWav = substring(col("payload"), 1, 4) === lit("RIFF").cast("binary") &&
+      substring(col("payload"), 9, 4) === lit("WAVE").cast("binary")
+    val container = when(isPng, "png").when(isWav, "wav").otherwise("raw")
+    val hdr = when(isPng, 33L).when(isWav, 44L).otherwise(0L)
+    m.select(col("kind"), container.as("container"),
+        length(col("payload")).cast("long").as("len"), hdr.as("hdr"))
+      .groupBy(col("kind"), col("container"))
+      .agg(count(lit(1)).as("n"), sum(col("hdr")).as("header_bytes"),
+        sum(col("len") - col("hdr")).as("content_bytes"))
+      .orderBy("kind", "container")
+  }
+
+  private val codecDispatchOracle = """SELECT
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+    ELSE 'video' END AS kind,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+    ELSE 'raw' END AS container,
+  COUNT(*) AS n,
+  CAST(SUM(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 44
+    ELSE 0 END) AS BIGINT) AS header_bytes,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS content_bytes
+FROM documents GROUP BY 1, 2 ORDER BY kind, container"""
 
   /** STFT-style audio windowing plan for the `audio`-kind payloads:
     * 25 ms frames on a 10 ms hop (the Whisper/Kaldi front-end
@@ -1064,7 +1128,10 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_static_join", streamStaticJoin, Some(streamStaticJoinOracle)),
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
     QueryDef("stream_cdc_upsert", streamCdcUpsert, Some(streamCdcUpsertOracle)),
+    QueryDef("stream_quantile", streamQuantile,
+      Some(Olap2Queries.quantileRollupOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
+    QueryDef("m_codec_dispatch", codecDispatch, Some(codecDispatchOracle)),
     QueryDef("m_shard_manifest", shardManifest, Some(shardManifestOracle)),
     QueryDef("m_audio_windows", audioWindows, Some(audioWindowsOracle)),
     QueryDef("m_payload_dedup", payloadDedup, Some(payloadDedupOracle)),
