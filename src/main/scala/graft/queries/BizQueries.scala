@@ -229,6 +229,62 @@ SELECT digit, n,
 FROM b, t ORDER BY digit"""
   }
 
+  // --- Benford MAD conformity verdict --------------------------------------
+  /** Nigrini's Mean-Absolute-Deviation conformity VERDICT over the
+    * first-digit table — the accept/reject layer q_benford's raw
+    * deviations feed: MAD = (1/9)·Σ_d |share_d − expected_d| against
+    * the published first-digit thresholds (close < 0.006, acceptable
+    * < 0.012, marginal < 0.015, else nonconforming). The 9 digits are
+    * a small FIXED set, so their deviations pivot into pinned columns
+    * and add left-to-right on both engines (the q_tukey_hsd
+    * float-order convention); a digit absent from the data contributes
+    * its full expected share, exactly as Nigrini's MAD does.
+    */
+  private def benfordMad(s: SparkSession, dir: String): DataFrame = {
+    val digit = substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+      .cast("long")
+    val byDigit = Tables(s, dir, "orders")
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val devs = benfordExpected.map { case (d, v) =>
+      abs(coalesce(max(when(col("digit") === d.toLong,
+        col("n").cast("double") / col("total").cast("double"))), lit(0.0))
+        - lit(v))
+    }
+    val mad = (devs.reduceLeft(_ + _) / lit(9.0)).as("mad")
+    val tot = byDigit.agg(sum(col("n")).as("total"))
+    byDigit.crossJoin(broadcast(tot))
+      .agg(max(col("total")).as("n"), mad)
+      .select(col("n"), col("mad"),
+        when(col("mad") < 0.006, "close")
+          .when(col("mad") < 0.012, "acceptable")
+          .when(col("mad") < 0.015, "marginal")
+          .otherwise("nonconforming").as("verdict"))
+  }
+
+  private val benfordMadOracle: String = {
+    val devTerms = benfordExpected.map { case (d, v) =>
+      s"""ABS(COALESCE(MAX(CASE WHEN digit = $d THEN
+      CAST(n AS DOUBLE) / CAST(total AS DOUBLE) END), CAST(0 AS DOUBLE))
+      - ${Sql.Dlit(v)})"""
+    }.mkString("\n    + ")
+    s"""WITH b AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + ${D("0.5")}) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+    COUNT(*) AS n
+  FROM orders GROUP BY 1
+), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b),
+agg AS (
+  SELECT MAX(total) AS n,
+    ($devTerms) / CAST(9 AS DOUBLE) AS mad
+  FROM b, t
+)
+SELECT n, mad,
+  CASE WHEN mad < ${D("0.006")} THEN 'close'
+       WHEN mad < ${D("0.012")} THEN 'acceptable'
+       WHEN mad < ${D("0.015")} THEN 'marginal'
+       ELSE 'nonconforming' END AS verdict
+FROM agg"""
+  }
+
   // --- Benford second-digit audit ---------------------------------------
   /** Second-significant-digit Benford audit (Nigrini's follow-up
     * screen — round-number and invented-price manipulation shows up in
@@ -664,6 +720,7 @@ ORDER BY brand"""
     QueryDef("q_pareto80", pareto80, Some(pareto80Oracle)),
     QueryDef("q_gini", gini, Some(giniOracle)),
     QueryDef("q_benford", benford, Some(benfordOracle)),
+    QueryDef("q_benford_mad", benfordMad, Some(benfordMadOracle)),
     QueryDef("q_benford2", benford2, Some(benford2Oracle)),
     QueryDef("q_chisq_indep", chisq, Some(chisqOracle)),
     QueryDef("q_cramers_v", cramersV, Some(cramersVOracle)),

@@ -1278,6 +1278,67 @@ ORDER BY auth_micro DESC, a2.node LIMIT 20"""
       .limit(25)
   }
 
+  /** Degree-dependent clustering curve c(k): mean local clustering per
+    * log2-degree bin — the hierarchical-structure readout (c(k) ~ 1/k
+    * signals nested modularity; flat c(k) a random graph; Ravasz &
+    * Barabási '03). Rides the SAME materialized triangle and pair
+    * tables as g_local_clustering. Binning is the integer-exact
+    * `length(bin(deg)) − 1` (no float log2 near a bin edge); the
+    * unbounded per-bin coefficient set is floored to 1e-12 units and
+    * integer-summed (the q_hhi discipline), so the mean is one final
+    * division.
+    */
+  private def clusteringCurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = coOrderPairs(s, dir)
+    val tri = Graphs.localTrianglesOf(coOrderTriangles(s, dir))
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select((length(bin(col("deg"))) - 1).cast("long").as("b"),
+        floor((col("n_tri") * 2).cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double")
+          * lit(1000000000000L)).cast("long").as("cfix"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("cfix")).as("sfix"))
+      .select(col("b").as("bin"), col("n_nodes"),
+        (col("sfix").cast("double") / lit(1000000000000L).cast("double")
+          / col("n_nodes").cast("double")).as("mean_coeff"))
+      .orderBy("bin")
+  }
+
+  private val clusteringCurveOracle = """WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), p AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+), deg AS (
+  SELECT v AS node, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM p UNION ALL SELECT b AS v FROM p) GROUP BY 1
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM p e1 JOIN p e2 ON e1.b = e2.a
+    JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+), tn AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), cnt AS (
+  SELECT node, COUNT(*) AS n_tri FROM tn GROUP BY 1
+), c AS (
+  SELECT CAST(length(bin(d.deg)) - 1 AS BIGINT) AS bin,
+    CAST(FLOOR(CAST(2 * COALESCE(cn.n_tri, 0) AS DOUBLE)
+      / CAST(d.deg * (d.deg - 1) AS DOUBLE) * 1000000000000) AS BIGINT) AS cfix
+  FROM deg d LEFT JOIN cnt cn ON cn.node = d.node
+  WHERE d.deg >= 2
+)
+SELECT bin, COUNT(*) AS n_nodes,
+  CAST(SUM(cfix) AS DOUBLE) / CAST(1000000000000 AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mean_coeff
+FROM c GROUP BY 1 ORDER BY bin"""
+
   private val localClusteringOracle = """WITH li AS (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
 ), p AS (
@@ -2165,6 +2226,7 @@ FROM a"""
     QueryDef("g_closeness", closeness, Some(closenessOracle)),
     QueryDef("g_hits", hitsQ, Some(hitsOracle)),
     QueryDef("g_local_clustering", localClustering, Some(localClusteringOracle)),
+    QueryDef("g_clustering_curve", clusteringCurve, Some(clusteringCurveOracle)),
     QueryDef("g_link_pred_ra", linkPredRa, Some(linkPredRaOracle)),
     QueryDef("g_neighbor_jaccard", neighborJaccard, Some(neighborJaccardOracle)),
     QueryDef("g_modularity", modularity, Some(modularityOracle)),

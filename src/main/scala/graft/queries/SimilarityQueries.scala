@@ -125,6 +125,58 @@ dots AS (
 )
 SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  /** Embedding drift monitor: per label, the cosine between the SUM
+    * vectors (≡ centroid directions) of the even-id and odd-id halves
+    * of the corpus — the "did my embedding distribution move between
+    * snapshots" check a retrieval index runs before deciding to
+    * re-embed. Per-(label, half, dim) sums are exact quantized
+    * integers (one aggregate over exploded components — 2·labels·64
+    * rows out), the cosine is two float ops per label; nothing touches
+    * a pairwise join.
+    */
+  private def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(Similarity.quantize(col("embedding"))).as(Seq("i", "e")))
+    val sums = e
+      .groupBy(col("label"), (pmod(col("vec_id"), lit(2)) === 0).as("even"),
+        col("i"))
+      .agg(sum(col("e")).as("s"))
+    val a = sums.where(col("even"))
+      .select(col("label"), col("i"), col("s").as("sa"))
+    val b = sums.where(!col("even"))
+      .select(col("label"), col("i"), col("s").as("sb"))
+    a.join(b, Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("na"),
+        sum(col("sb") * col("sb")).as("nb"))
+      .select(col("label"), col("dot"),
+        (col("dot").cast("double")
+          / sqrt(col("na").cast("double") * col("nb").cast("double")))
+          .as("cosine"))
+      .orderBy("label")
+  }
+
+  private lazy val centroidDriftOracle: String = s"""WITH f AS (
+  SELECT vec_id, label,
+    unnest(list_transform(embedding, x ->
+      CAST(FLOOR(CAST(x AS DOUBLE) * ${Similarity.Scale} + ${D("0.5")}) AS BIGINT))) AS e,
+    unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), sums AS (
+  SELECT label, vec_id % 2 = 0 AS even, i, CAST(SUM(e) AS BIGINT) AS s
+  FROM f GROUP BY 1, 2, 3
+), j AS (
+  SELECT a.label AS label, a.s AS sa, b.s AS sb
+  FROM sums a JOIN sums b ON a.label = b.label AND a.i = b.i
+  WHERE a.even AND NOT b.even
+)
+SELECT label, CAST(SUM(sa * sb) AS BIGINT) AS dot,
+  CAST(SUM(sa * sb) AS DOUBLE)
+    / SQRT(CAST(SUM(sa * sa) AS DOUBLE) * CAST(SUM(sb * sb) AS DOUBLE)) AS cosine
+FROM j GROUP BY 1 ORDER BY label"""
+
   /** Shared oracle plumbing — the single [[Sql.quantCtes]] copy. */
   private val quantCtes: String = Sql.quantCtes
 
@@ -1657,6 +1709,7 @@ FROM dist"""
     QueryDef("s_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
     QueryDef("s_range_search", rangeSearch, Some(rangeSearchOracle)),
+    QueryDef("s_centroid_drift", centroidDrift, Some(centroidDriftOracle)),
     QueryDef("s_hard_negatives", hardNegatives, Some(hardNegativesOracle)),
     QueryDef("s_matryoshka_recall", matryoshkaRecall, Some(matryoshkaOracle)),
     QueryDef("s_semdedup", semdedup, Some(semdedupOracle)),

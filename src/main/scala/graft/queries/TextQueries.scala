@@ -272,6 +272,36 @@ sh AS (
   FROM docs WHERE len(w) >= 3
 )"""
 
+  /** Shingle document-frequency SPECTRUM — the tuning readout every
+    * LSH / prefix-filter dedup deployment reads before sizing bands:
+    * all-pairs cost is Σ_shingle df² (the hot head explodes it), while
+    * the prefix filter's win rides the rare tail. Per-3-gram df over
+    * the distinct (doc, shingle) table, log2-binned via the
+    * integer-exact `length(bin(df)) − 1` (no float log near a bin
+    * edge), with exact Σdf and Σdf² per bin — the Σdf² column IS the
+    * all-pairs candidate count a planner would pay per bin.
+    */
+  private def shingleStats(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextDedup.wordShingles(
+      Tables(s, dir, "documents"), "doc_id", "text", 3)
+    sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select((length(bin(col("df"))) - 1).cast("long").as("bin"), col("df"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_df"),
+        sum(col("df") * col("df")).as("sum_df2"))
+      .orderBy("bin")
+  }
+
+  private val shingleStatsOracle = s"""WITH $shingleCtes,
+dfx AS (
+  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+)
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bin,
+  COUNT(*) AS n_shingles,
+  CAST(SUM(df) AS BIGINT) AS sum_df,
+  CAST(SUM(df * df) AS BIGINT) AS sum_df2
+FROM dfx GROUP BY 1 ORDER BY bin"""
+
   private val jaccardOracle = s"""WITH $shingleCtes,
 sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 p AS (
@@ -936,6 +966,7 @@ FROM a ORDER BY source"""
     QueryDef("t_fingerprint", fingerprintQ, Some(fingerprintOracle)),
     QueryDef("d_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d_ngram_jaccard", jaccard, Some(jaccardOracle)),
+    QueryDef("d_shingle_stats", shingleStats, Some(shingleStatsOracle)),
     QueryDef("d_ppjoin_pairs", ppjoin, Some(jaccardOracle)),
     QueryDef("d_containment", containment, Some(containmentOracle)),
     QueryDef("d_minhash_lsh", minhashLsh, Some(minhashOracle)),
