@@ -40,16 +40,27 @@ object BizQueries {
     val dmax = o.agg(max(col("d")).as("dmax"))
     val base = perCust.crossJoin(broadcast(dmax))
       .withColumn("rec_days", datediff(col("dmax"), col("last_d")).cast("long"))
-    val cuts = base.agg(
-      expr("percentile(rec_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rc"),
-      expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fc"),
-      expr("percentile(mon_cents, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mc"))
-    def above(m: Column, cuts: Column): Column =
-      (0 to 3).map(i => when(m > cuts.getItem(i), 1L).otherwise(0L)).reduce(_ + _)
-    base.crossJoin(broadcast(cuts))
-      .withColumn("r_score", lit(5L) - above(col("rec_days"), col("rc")))
-      .withColumn("f_score", lit(1L) + above(col("freq"), col("fc")))
-      .withColumn("m_score", lit(1L) + above(col("mon_cents"), col("mc")))
+    // all three metrics' quintile cuts in ONE distributed per-value
+    // scan (melt → grouped interpolated quantiles) instead of Spark's
+    // `percentile`, whose buffer holds every customer's value on one
+    // task (the Quantiles scaladoc funnel); 12 cut values collect back
+    val melted = base.select(explode(array(
+        struct(lit("r").as("metric"), col("rec_days").as("v")),
+        struct(lit("f").as("metric"), col("freq").as("v")),
+        struct(lit("m").as("metric"), col("mon_cents").as("v")))).as("x"))
+      .select(col("x.metric").as("metric"), col("x.v").as("v"))
+    val qd = graft.operators.Quantiles.interpolated(
+        melted, "v", Seq("metric"), Seq(0.2, 0.4, 0.6, 0.8))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    def above(m: Column, metric: String): Column =
+      Seq(0.2, 0.4, 0.6, 0.8)
+        .map(p => when(m > lit(qd((metric, p))), 1L).otherwise(0L))
+        .reduce(_ + _)
+    base
+      .withColumn("r_score", lit(5L) - above(col("rec_days"), "r"))
+      .withColumn("f_score", lit(1L) + above(col("freq"), "f"))
+      .withColumn("m_score", lit(1L) + above(col("mon_cents"), "m"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("mon_cents")).cast("double") / lit(100.0)).as("segment_revenue"))

@@ -641,9 +641,17 @@ FROM per2 GROUP BY 1 ORDER BY entry_type"""
       .where(col("ms") >= col("v_ms"))
       .groupBy(col("user_id"))
       .agg((min(col("ms")) - max(col("v_ms"))).as("lat_ms"))
-    lat.agg(count(lit(1)).as("n_converted"),
-      floor(expr("percentile(lat_ms, 0.5)") + lit(0.5)).cast("long").as("p50_ms"),
-      floor(expr("percentile(lat_ms, 0.9)") + lit(0.5)).cast("long").as("p90_ms"))
+    // exact quantile_cont via the distributed per-value scan, not the
+    // every-value-in-one-buffer `percentile` aggregate (Quantiles doc)
+    val qd = graft.operators.Quantiles.interpolated(
+      lat, "lat_ms", Seq(), Seq(0.5, 0.9))
+    val piv = qd.agg(
+      max(when(col("p") === 0.5, col("q"))).as("q50"),
+      max(when(col("p") === 0.9, col("q"))).as("q90"))
+    lat.agg(count(lit(1)).as("n_converted")).crossJoin(broadcast(piv))
+      .select(col("n_converted"),
+        floor(col("q50") + lit(0.5)).cast("long").as("p50_ms"),
+        floor(col("q90") + lit(0.5)).cast("long").as("p90_ms"))
   }
 
   private val funnelLatencyOracle = s"""WITH v AS (

@@ -766,9 +766,12 @@ FROM t ORDER BY l_returnflag"""
     val li = Tables(s, dir, "lineitem")
       .select(cents(col("l_extendedprice")).as("c"))
     val ps = (1 to 9).map(_ / 10.0)
-    val bs = li.agg(expr(
-      s"percentile(c, array(${ps.mkString(",")}))").as("bs"))
-      .head().getSeq[Double](0).map(v => math.floor(v + 0.5).toLong)
+    // boundaries via the DISTRIBUTED interpolated-quantile scan (exact
+    // quantile_cont) — Spark's `percentile` buffers every value of the
+    // group on one task, the memory funnel this operator family avoids
+    val bs = graft.operators.Quantiles.interpolated(li, "c", Seq(), ps)
+      .orderBy("p").collect()
+      .map(r => math.floor(r.getDouble(1) + 0.5).toLong)
     val bucket = bs.foldLeft(lit(0L)) { (acc, b) =>
       acc + when(col("c") > b, 1L).otherwise(0L)
     }
@@ -807,15 +810,21 @@ FROM li, bs GROUP BY 1 ORDER BY bucket"""
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
     val li = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_shipdate"))
-    o.join(li, col("o_orderkey") === col("l_orderkey"))
+    val lat = o.join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat"))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"),
-        floor(expr("percentile(lat, 0.5)") + lit(0.5)).cast("long").as("p50_days"),
-        floor(expr("percentile(lat, 0.9)") + lit(0.5)).cast("long").as("p90_days"),
-        floor(expr("percentile(lat, 0.99)") + lit(0.5)).cast("long").as("p99_days"))
-      .orderBy("o_orderpriority")
+    val n = lat.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    // exact quantile_cont via the distributed per-value scan, not the
+    // every-value-in-one-buffer `percentile` aggregate (Quantiles doc)
+    val qd = graft.operators.Quantiles.interpolated(
+      lat, "lat", Seq("o_orderpriority"), Seq(0.5, 0.9, 0.99))
+    def pick(p: Double, name: String) =
+      floor(max(when(col("p") === p, col("q"))) + lit(0.5))
+        .cast("long").as(name)
+    val piv = qd.groupBy(col("o_orderpriority"))
+      .agg(pick(0.5, "p50_days"), pick(0.9, "p90_days"),
+        pick(0.99, "p99_days"))
+    n.join(piv, Seq("o_orderpriority")).orderBy("o_orderpriority")
   }
 
   private val shipLatencyOracle = s"""WITH j AS (
