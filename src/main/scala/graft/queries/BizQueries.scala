@@ -420,13 +420,16 @@ FROM t2 ORDER BY n_cells"""
       .agg(sum(when(col("y") === LiftY1, col("c")).otherwise(0L)).as("s1"),
         sum(when(col("y") === LiftY2, col("c")).otherwise(0L)).as("s2"))
       .where(col("s1") > 0)
-    val qs = (1 to 9).map(i => s"0.${i}D").mkString(", ")
-    val cuts = per.agg(expr(s"percentile(s1, array($qs))").as("qc"))
+    // customer-cardinality cutpoints via the distributed per-value scan
+    // (graft.operators.Quantiles scaladoc), 9 values collected back
+    val cutsArr = graft.operators.Quantiles.interpolated(
+        per.select(col("s1")), "s1", Seq(), (1 to 9).map(_ / 10.0))
+      .orderBy("p").collect().map(_.getDouble(1))
     val above = (0 to 8)
-      .map(i => when(col("s1") > col("qc").getItem(i), 1L).otherwise(0L))
+      .map(i => when(col("s1") > lit(cutsArr(i)), 1L).otherwise(0L))
       .reduce(_ + _)
     val tot = per.agg(sum(col("s2")).as("t2"), count(lit(1)).as("nc"))
-    per.crossJoin(broadcast(cuts))
+    per
       .withColumn("decile", lit(1L) + above)
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), sum(col("s2")).as("s2_cents"))

@@ -410,8 +410,11 @@ FROM c ORDER BY c_custkey"""
   private def qualityGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("lang"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
-    val med = docs.groupBy(col("lang"))
-      .agg(expr("percentile(n_tokens, 0.5)").as("median_tokens"))
+    // distributed per-value scan, not the every-value-in-one-buffer
+    // `percentile` aggregate (graft.operators.Quantiles scaladoc)
+    val med = graft.operators.Quantiles.interpolated(
+        docs, "n_tokens", Seq("lang"), Seq(0.5))
+      .select(col("lang"), col("q").as("median_tokens"))
     docs.join(broadcast(med), Seq("lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1025,9 +1028,16 @@ GROUP BY 1 ORDER BY doc_id"""
     */
   private def winsorize(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val bounds = docs.groupBy(col("source"))
-      .agg(graft.etl.Transform.round2(expr("percentile(n_chars, 0.05)")).as("lo"),
-        graft.etl.Transform.round2(expr("percentile(n_chars, 0.95)")).as("hi"))
+    // distributed per-value scan (Quantiles scaladoc), both bounds in
+    // one pass
+    val bounds = graft.operators.Quantiles.interpolated(
+        docs.select(col("source"), col("n_chars")),
+        "n_chars", Seq("source"), Seq(0.05, 0.95))
+      .groupBy(col("source"))
+      .agg(graft.etl.Transform.round2(
+          max(when(col("p") === 0.05, col("q")))).as("lo"),
+        graft.etl.Transform.round2(
+          max(when(col("p") === 0.95, col("q")))).as("hi"))
     docs.join(bounds, Seq("source"))
       .withColumn("w", least(greatest(col("n_chars").cast("double"),
         col("lo")), col("hi")))
@@ -1063,12 +1073,18 @@ GROUP BY d.source ORDER BY d.source"""
     */
   private def robustScale(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val med = docs.groupBy(col("source"))
-      .agg(graft.etl.Transform.round2(expr("percentile(n_chars, 0.5)")).as("med"))
+    // both medians via the distributed per-value scan (Quantiles
+    // scaladoc); adev's half-step doubles group exactly on both engines
+    val med = graft.operators.Quantiles.interpolated(
+        docs.select(col("source"), col("n_chars")),
+        "n_chars", Seq("source"), Seq(0.5))
+      .select(col("source"), graft.etl.Transform.round2(col("q")).as("med"))
     val dev = docs.join(med, Seq("source"))
       .withColumn("adev", abs(col("n_chars").cast("double") - col("med")))
-    val mad = dev.groupBy(col("source"))
-      .agg(graft.etl.Transform.round2(expr("percentile(adev, 0.5)")).as("mad"))
+    val mad = graft.operators.Quantiles.interpolated(
+        dev.select(col("source"), col("adev")),
+        "adev", Seq("source"), Seq(0.5))
+      .select(col("source"), graft.etl.Transform.round2(col("q")).as("mad"))
     dev.join(mad, Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -482,18 +482,27 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     * combinable aggregations; the percentile runs over one row PER KEY,
     * not per fact row.
     */
-  private def skewMetrics(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "orders")
+  private def skewMetrics(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables(s, dir, "orders")
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+    // key-cardinality percentiles via the distributed per-value scan
+    // (graft.operators.Quantiles scaladoc), not a single value buffer
+    val piv = graft.operators.Quantiles.interpolated(
+        keyed.select(col("c")), "c", Seq(), Seq(0.5, 0.99))
+      .agg(graft.etl.Transform.round2(
+          max(when(col("p") === 0.5, col("q")))).as("p50"),
+        graft.etl.Transform.round2(
+          max(when(col("p") === 0.99, col("q")))).as("p99"))
+    keyed
       .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
-        max(col("c")).as("max_key_rows"),
-        graft.etl.Transform.round2(expr("percentile(c, 0.5)")).as("p50"),
-        graft.etl.Transform.round2(expr("percentile(c, 0.99)")).as("p99"))
+        max(col("c")).as("max_key_rows"))
+      .crossJoin(broadcast(piv))
       .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
         col("p50"), col("p99"),
         (col("max_key_rows").cast("double") /
           (col("n_rows").cast("double") / col("n_keys").cast("double")))
           .as("skew_ratio"))
+  }
 
   private val skewMetricsOracle = s"""WITH c AS (
   SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY 1

@@ -349,15 +349,25 @@ FROM w ORDER BY b, h"""
   /** Exact interpolated quantiles ((n−1)·p definition in both engines),
     * rounded to 2 dp to absorb any last-ulp interpolation difference.
     */
-  private def quantiles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "orders")
+  private def quantiles(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    // distributed per-value scan, not the every-value-in-one-buffer
+    // `percentile` aggregate (graft.operators.Quantiles scaladoc);
+    // both engines group on the identical parquet doubles
+    val piv = graft.operators.Quantiles.interpolated(
+        o, "o_totalprice", Seq("o_orderpriority"), Seq(0.5, 0.9))
       .groupBy(col("o_orderpriority"))
-      .agg(
-        Transform.round2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
-        Transform.round2(expr("percentile(o_totalprice, 0.9)")).as("p90"),
-        min(col("o_totalprice")).as("lo"),
+      .agg(Transform.round2(max(when(col("p") === 0.5, col("q")))).as("p50"),
+        Transform.round2(max(when(col("p") === 0.9, col("q")))).as("p90"))
+    o.groupBy(col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("lo"),
         max(col("o_totalprice")).as("hi"))
+      .join(piv, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("p50"), col("p90"),
+        col("lo"), col("hi"))
       .orderBy("o_orderpriority")
+  }
 
   private val quantilesOracle = s"""SELECT o_orderpriority,
   ${Sql.round2("quantile_cont(o_totalprice, 0.5)")} AS p50,
