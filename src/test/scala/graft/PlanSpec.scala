@@ -676,11 +676,15 @@ class PlanSpec extends SparkSpec {
     // would serialize the stream)
     val sp = planOf(SparkEntry.queries("q_sprt")(spark, Sf))
     assert(!sp.contains("Window "), s"q_sprt must be window-free:\n${sp.take(2000)}")
-    // q_decile_lift: cutpoints and totals are 1-row broadcasts; the
-    // only sort allowed is the final 10-row display ordering
+    // q_decile_lift: cutpoints come from the DISTRIBUTED quantile scan
+    // and return as plan LITERALS (9 CASE WHEN thresholds) — no
+    // percentile buffer aggregate, no SortMergeJoin; the only sort
+    // allowed is the final 10-row display ordering
     val dl = planOf(SparkEntry.queries("q_decile_lift")(spark, Sf))
     assert(!dl.contains("SortMergeJoin"), dl.take(2000))
-    assert(dl.contains("percentile"), dl.take(2000))
+    assert(!dl.contains("percentile"),
+      s"cutpoints must be pre-resolved literals, not a value-buffer aggregate:\n${dl.take(2000)}")
+    assert(dl.contains("CASE WHEN"), dl.take(2000))
     // t_js_divergence: per-source totals join AFTER alignment by
     // broadcast; no cartesian anywhere
     val js = planOf(SparkEntry.queries("t_js_divergence")(spark, Sf))
