@@ -526,17 +526,32 @@ object TextDedup {
   /** Content-defined chunking by the ASYMMETRIC-EXTREMUM rule (Zhang
     * et al.; see `d_cdc_chunks` for the full motivation): a cut lands
     * at position i when that character's 32-bit hash strictly exceeds
-    * every hash in the preceding w=31 positions — a bounded window
-    * MAX, no sequential rolling carry, so chunking distributes over
-    * (doc, pos) keys at any corpus size. Input needs (doc_id, text);
-    * returns one row per chunk: (doc_id, start, len, h = md5(chunk)).
-    * Heavy strings drop before the window shuffle (only
-    * (doc_id, pos, hash) moves); text re-joins at boundary rows only.
-    * Gear hash is inline md5-per-char — a broadcast alphabet lookup
-    * was measured SLOWER (the distinct-alphabet build re-pays the
-    * position explode, 8.6 s vs 4.2 s at sf0.1).
+    * every hash in the preceding w=31 positions. Input needs
+    * (doc_id, text); returns one row per chunk:
+    * (doc_id, start, len, h = md5(chunk)).
+    *
+    * Production path is the native one-pass monotonic-deque expression
+    * [[graft.plans.AeChunkBoundaries]]: the whole chunking happens
+    * inside the scan stage — zero intermediate rows, no shuffle. The
+    * declarative window-MAX formulation it bit-matches is kept as
+    * [[aeChunksDeclarative]] (the oracle-shaped reference twin,
+    * property-tested equal in AeChunkSpec).
     */
-  def aeChunks(docs: DataFrame): DataFrame = {
+  def aeChunks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.plans.AeChunkBoundaries.of(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.start").as("start"),
+        col("c.len").as("len"), col("c.h").as("h"))
+
+  /** Declarative reference twin of [[aeChunks]] — the bounded-window
+    * MAX formulation over an exploded (doc, pos, hash) keyspace. Kept
+    * as the spec oracle for the native expression; the explode moves
+    * ~16× the text bytes through a shuffle, which is why production
+    * uses the native. Gear hash is inline md5-per-char — a broadcast
+    * alphabet lookup was measured SLOWER (the distinct-alphabet build
+    * re-pays the position explode, 8.6 s vs 4.2 s at sf0.1).
+    */
+  def aeChunksDeclarative(docs: DataFrame): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
     val chars = d
       .select(col("doc_id"),
