@@ -139,43 +139,12 @@ object ScaleBench {
     * tracks the CHANGE, so wall time grows ~linearly in edges.
     */
   private def ktrussPeel(pairs: DataFrame): DataFrame = {
-    var alive = graft.operators.Graphs.triangleTriples(pairs)
-      .select(least(col("u"), col("x")).as("e1a"),
-        greatest(col("u"), col("x")).as("e1b"),
-        least(col("u"), col("y")).as("e2a"),
-        greatest(col("u"), col("y")).as("e2b"),
-        col("x").as("e3a"), col("y").as("e3b"))
-      .localCheckpoint(eager = true)
-    var e = pairs.select(col("a"), col("b"))
-    val stats = Seq.newBuilder[(Long, Long, Long)]
-    for (round <- 1 to 3) {
-      val nTri = alive.count()
-      val sup = alive.select(col("e1a").as("a"), col("e1b").as("b"))
-        .union(alive.select(col("e2a").as("a"), col("e2b").as("b")))
-        .union(alive.select(col("e3a").as("a"), col("e3b").as("b")))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
-      val eNext = sup.where(col("sup") >= 2).select(col("a"), col("b"))
-        .localCheckpoint(eager = true)
-      if (round < 3) {
-        val dropped = e
-          .join(eNext.select(col("a").as("da"), col("b").as("db")),
-            col("a") === col("da") && col("b") === col("db"), "left_anti")
-          .select(col("a").as("da"), col("b").as("db"))
-          .localCheckpoint(eager = true)
-        val d0 = graft.operators.Joins.broadcastIfSmall(dropped, 2000000L)
-        alive = alive
-          .join(d0, col("e1a") === col("da") && col("e1b") === col("db"),
-            "left_anti")
-          .join(d0, col("e2a") === col("da") && col("e2b") === col("db"),
-            "left_anti")
-          .join(d0, col("e3a") === col("da") && col("e3b") === col("db"),
-            "left_anti")
-          .localCheckpoint(eager = true)
-      }
-      e = eNext
-      stats += ((round.toLong, e.count(), nTri))
-    }
-    val rows = stats.result()
+    // the query's OWN loop (r8-advice: no re-implementation drift) —
+    // triangleTriples enumeration + the shared delta peel
+    val rows = graft.operators.Graphs
+      .trussPeelStats(graft.operators.Graphs.triangleTriples(pairs), pairs,
+        rounds = 3, k = 4, broadcastCap = 2000000L)
+      .filter(_._1 >= 1L) // the curve's readout starts at round 1
     System.err.println(s"[scale-bench]   ktruss rounds (round, edges, tri): " +
       rows.map { case (r, ne, nt) => s"$r:($ne,$nt)" }.mkString(" "))
     val spark = pairs.sparkSession
@@ -188,21 +157,10 @@ object ScaleBench {
     * appended once. Claim: ~linear in edges per round.
     */
   private def minLabel4(pairs: DataFrame): DataFrame = {
-    val sym0 = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
-    val sym = sym0
-      .union(sym0.select(col("u")).distinct()
-        .select(col("u"), col("u").as("v")))
-      .localCheckpoint(eager = true)
-    var lab = sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(eager = true)
-    for (_ <- 1 to 4) {
-      lab = sym
-        .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("nl")).as("lbl"))
-        .select(col("u").as("node"), col("lbl"))
-        .localCheckpoint(eager = true)
-    }
+    // the query's OWN loop (r8-advice: no re-implementation drift)
+    val lab = graft.operators.Graphs.minLabelRounds(
+      pairs.select(col("a").as("u"), col("b").as("v"))
+        .union(pairs.select(col("b").as("u"), col("a").as("v"))), 4)
     lab.groupBy(col("lbl")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("giant"))
   }

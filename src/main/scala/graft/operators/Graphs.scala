@@ -250,20 +250,29 @@ object Graphs {
           .na.fill(0L, Seq(scoreCol))
       }
       var hub = nds.withColumn("h", lit(1000000L))
+      var hubOwned = false // round 0's hub is a plain projection, not ours
       // assigned on the first pass — `iterations >= 1` is required, so
       // no initial auth vector is ever read
       var auth: DataFrame = null
       for (_ <- 1 to iterations) {
         val rawAuth = e.join(hub.select(col("node").as("src"), col("h")), "src")
           .groupBy(col("dst").as("node")).agg(sum(col("h") * col("w")).as("a"))
-        auth = normalized(rawAuth, "a").localCheckpoint()
+        val nextAuth = Checkpoints.round(normalized(rawAuth, "a"))
+        if (auth != null) Checkpoints.free(auth)
+        auth = nextAuth
         val rawHub = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
           .groupBy(col("src").as("node")).agg(sum(col("a") * col("w")).as("h"))
-        hub = normalized(rawHub, "h").localCheckpoint()
+        val nextHub = Checkpoints.round(normalized(rawHub, "h"))
+        if (hubOwned) Checkpoints.free(hub)
+        hub = nextHub
+        hubOwned = true
       }
-      auth.join(hub, "node")
+      val out = auth.join(hub, "node")
         .select(col("node"), col("a").as("auth_micro"), col("h").as("hub_micro"))
         .localCheckpoint(eager = true)
+      Checkpoints.free(auth)
+      Checkpoints.free(hub)
+      out
     } finally {
       e.unpersist(blocking = false)
       nds.unpersist(blocking = false)
@@ -389,17 +398,21 @@ object Graphs {
       var done = frontier.isEmpty
       while (!done && hop < maxHops) {
         hop += 1
-        val next = frontier.join(e, col("node") === col("src"))
+        val next = Checkpoints.round(frontier.join(e, col("node") === col("src"))
           .select(col("dst").as("node"), lit(hop).as("hop"))
           .distinct()
           .join(visited.select(col("node").as("vn")), col("node") === col("vn"),
-            "left_anti")
-          .localCheckpoint()
+            "left_anti"))
         done = next.isEmpty
         if (!done) {
+          val nextVisited = Checkpoints.round(visited.unionByName(next))
+          // old frontier/visited fully consumed by the two eager
+          // checkpoints above; round 1's frontier IS the initial visited
+          if (frontier ne visited) Checkpoints.free(frontier)
+          Checkpoints.free(visited)
           frontier = next
-          visited = visited.unionByName(next).localCheckpoint()
-        }
+          visited = nextVisited
+        } else Checkpoints.free(next)
       }
       visited.select(col("node"), col("hop").cast("long").as("hops"))
     } finally e.unpersist(blocking = false)
@@ -429,26 +442,27 @@ object Graphs {
     try {
       val nodes = e.select(col("src").as("n"))
         .union(e.select(col("dst"))).distinct()
-      var visited = nodes
-        .select(col("n").as("source"), col("n").as("node"), lit(0).as("hop"))
-        .localCheckpoint()
+      var visited = Checkpoints.round(nodes
+        .select(col("n").as("source"), col("n").as("node"), lit(0).as("hop")))
       var frontier = visited
       var hop = 0
       var done = frontier.isEmpty
       while (!done && hop < maxHops) {
         hop += 1
-        val next = frontier.join(e, col("node") === col("src"))
+        val next = Checkpoints.round(frontier.join(e, col("node") === col("src"))
           .select(col("source"), col("dst").as("node"), lit(hop).as("hop"))
           .distinct()
           .join(visited.select(col("source").as("vs"), col("node").as("vn")),
             col("source") === col("vs") && col("node") === col("vn"),
-            "left_anti")
-          .localCheckpoint()
+            "left_anti"))
         done = next.isEmpty
         if (!done) {
+          val nextVisited = Checkpoints.round(visited.unionByName(next))
+          if (frontier ne visited) Checkpoints.free(frontier)
+          Checkpoints.free(visited)
           frontier = next
-          visited = visited.unionByName(next).localCheckpoint()
-        }
+          visited = nextVisited
+        } else Checkpoints.free(next)
       }
       visited.select(col("source"), col("node"), col("hop").cast("long").as("hops"))
     } finally e.unpersist(blocking = false)
@@ -479,18 +493,19 @@ object Graphs {
     try {
       val nodes = e.select(col("src").as("n"))
         .union(e.select(col("dst"))).distinct()
-      var reach = e.localCheckpoint()
+      var reach = Checkpoints.round(e.toDF())
       var n = reach.count()
       var stable = false
       while (!stable) {
-        val doubled = reach
+        val doubled = Checkpoints.round(reach
           .join(reach.select(col("src").as("m"), col("dst").as("d2")),
             col("dst") === col("m"))
           .select(col("src"), col("d2").as("dst"))
-          .union(reach).distinct().localCheckpoint()
+          .union(reach).distinct())
         val n2 = doubled.count()
         stable = n2 == n
         n = n2
+        Checkpoints.free(reach) // doubled is materialized (eager round)
         reach = doubled
       }
       val mutual = reach
@@ -503,6 +518,138 @@ object Graphs {
         .agg(least(min(col("peer")), min(col("n"))).as("scc_id"))
         .select(col("node"), col("scc_id"))
     } finally e.unpersist(blocking = false)
+  }
+
+  /** Fixed-round synchronous min-label propagation over a symmetric
+    * (u, v) edge list — the labeling behind `g_robustness` and the
+    * ScaleBench CC curve (one shared implementation so the curve
+    * measures the query's actual loop; r8-advice). Self-loops are
+    * appended once so each round is ONE join + aggregate
+    * (lbl' = min over N(u) ∪ {u} without a second join back to the old
+    * labels; measured 7.7 → 3.8 s). FIXED round count, not a fixpoint,
+    * so an unrolled oracle computes the identical label set by
+    * construction. Returns (node, lbl).
+    *
+    * Round state is one (long, long) row per node, checkpointed
+    * spill-safe per round ([[Checkpoints.round]]); superseded rounds
+    * are freed, so live blocks stay O(nodes), not O(rounds).
+    */
+  def minLabelRounds(sym0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val sym = Checkpoints.round(sym0
+      .union(sym0.select(col("u")).distinct()
+        .select(col("u"), col("u").as("v"))))
+    var lab = Checkpoints.round(sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")))
+    for (_ <- 1 to rounds) {
+      val next = Checkpoints.round(sym
+        .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("nl")).as("lbl"))
+        .select(col("u").as("node"), col("lbl")))
+      Checkpoints.free(lab)
+      lab = next
+    }
+    Checkpoints.free(sym)
+    lab
+  }
+
+  /** DELTA k-truss peel over a once-enumerated triangle table — the
+    * shared loop behind `g_ktruss` and the ScaleBench peel curve
+    * (one implementation so the curve measures the query's actual
+    * rounds; r8-advice). Round 1's support basis is the FULL triple
+    * table (every edge is still present, so every enumerated triangle
+    * is alive — no aliveness join at all); each later round subtracts
+    * only the triangles touching a DROPPED edge. The dropped set is
+    * orders of magnitude smaller than the survivors (62k/22k/1.7k vs
+    * 1.1M edges at sf0.1), so the subtraction is three anti-joins
+    * against the CHANGE, not the graph — broadcast only below the
+    * counted `broadcastCap` ([[Joins.broadcastIfSmall]]; the count is
+    * free, the dropped set is checkpoint-materialized), shuffled
+    * above it.
+    *
+    * Round state (alive triples, surviving edges) checkpoints
+    * spill-safe ([[Checkpoints.round]]) and superseded rounds are
+    * freed — at the m=40 scale point the ~20M-row triple table is what
+    * previously thrashed an undersized block manager (SCALE_r08 memory
+    * guard).
+    *
+    * @param triples (u, x, y) degree-oriented triangle corners, each
+    *                triangle exactly once ([[triangleTriples]] shape)
+    * @param edges   (a, b) canonical a<b undirected edge list
+    * @return one (round, n_edges, n_tri_alive) tuple per round,
+    *         round 0 = the input census
+    */
+  def trussPeelStats(triples: DataFrame, edges: DataFrame, rounds: Int,
+      k: Int, broadcastCap: Long): Seq[(Long, Long, Long)] = {
+    require(rounds >= 1 && k >= 3)
+    var alive = Checkpoints.round(triples
+      .select(least(col("u"), col("x")).as("e1a"),
+        greatest(col("u"), col("x")).as("e1b"),
+        least(col("u"), col("y")).as("e2a"),
+        greatest(col("u"), col("y")).as("e2b"),
+        col("x").as("e3a"), col("y").as("e3b")))
+    var e = edges.select(col("a"), col("b"))
+    var eOwned = false // whether `e` is a checkpoint this loop created
+    val stats = Seq.newBuilder[(Long, Long, Long)]
+    stats += ((0L, e.count(), alive.count()))
+    var round = 1
+    var done = false
+    while (!done && round <= rounds) {
+      val nTri = alive.count()
+      val sup = alive.select(col("e1a").as("a"), col("e1b").as("b"))
+        .union(alive.select(col("e2a").as("a"), col("e2b").as("b")))
+        .union(alive.select(col("e3a").as("a"), col("e3b").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      val eNext = Checkpoints.round(
+        sup.where(col("sup") >= k - 2).select(col("a"), col("b")))
+      var fixpoint = false
+      if (round < rounds) { // the final round's alive set has no consumer
+        val dropped = Checkpoints.round(e
+          .join(eNext.select(col("a").as("da"), col("b").as("db")),
+            col("a") === col("da") && col("b") === col("db"), "left_anti")
+          .select(col("a").as("da"), col("b").as("db")))
+        if (dropped.isEmpty) {
+          // FIXPOINT: nothing dropped → eNext == e, alive unchanged, so
+          // every remaining round recounts the identical support. Emit
+          // the remaining cascade rows without recomputation — the
+          // delta peel's cost tracks the change even when the change
+          // hits zero (the m=40 scale point spent 2/3 of its wall on
+          // two no-op recounts before this exit).
+          fixpoint = true
+          Checkpoints.free(dropped)
+        } else {
+          val d0 = Joins.broadcastIfSmall(dropped, broadcastCap)
+          val nextAlive = Checkpoints.round(alive
+            .join(d0,
+              col("e1a") === col("da") && col("e1b") === col("db"), "left_anti")
+            .join(d0,
+              col("e2a") === col("da") && col("e2b") === col("db"), "left_anti")
+            .join(d0,
+              col("e3a") === col("da") && col("e3b") === col("db"), "left_anti"))
+          Checkpoints.free(alive)
+          Checkpoints.free(dropped)
+          alive = nextAlive
+        }
+      }
+      // `e`'s last consumer was this round's dropped-edge anti-join
+      // (already materialized — Checkpoints.round is eager here)
+      if (eOwned) Checkpoints.free(e)
+      e = eNext
+      eOwned = true
+      val nEdges = e.count()
+      stats += ((round.toLong, nEdges, nTri))
+      if (fixpoint) {
+        // alive is unchanged and e == previous e: rounds round+1..rounds
+        // all read (nEdges, |alive|), and |alive| is exactly this
+        // round's already-counted basis (nothing was subtracted)
+        for (r <- round + 1 to rounds) stats += ((r.toLong, nEdges, nTri))
+        done = true
+      }
+      round += 1
+    }
+    Checkpoints.free(alive)
+    Checkpoints.free(e)
+    stats.result()
   }
 
   /** Earliest-arrival temporal reachability: over timestamped edges
@@ -530,15 +677,17 @@ object Graphs {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("dep_ms").cast("long"), col("arr_ms").cast("long")).persist()
     try {
-      var arr = seeds.select(col("node").cast("long"), col("t").cast("long"))
-        .groupBy("node").agg(min(col("t")).as("t")).localCheckpoint()
+      var arr = Checkpoints.round(
+        seeds.select(col("node").cast("long"), col("t").cast("long"))
+          .groupBy("node").agg(min(col("t")).as("t")))
       for (_ <- 1 to rounds) {
         val relaxed = arr.join(e, col("node") === col("src"))
           .where(col("dep_ms") >= col("t"))
           .select(col("dst").as("node"), col("arr_ms").as("t"))
-        arr = arr.union(relaxed)
-          .groupBy("node").agg(min(col("t")).as("t"))
-          .localCheckpoint()
+        val next = Checkpoints.round(arr.union(relaxed)
+          .groupBy("node").agg(min(col("t")).as("t")))
+        Checkpoints.free(arr)
+        arr = next
       }
       arr.select(col("node"), col("t").as("arrival_ms"))
     } finally e.unpersist(blocking = false)

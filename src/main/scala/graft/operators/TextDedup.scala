@@ -381,31 +381,25 @@ object TextDedup {
     * long chains would want the large-star/small-star variant, which
     * bounds rounds by log(n) instead of the diameter.
     */
-  /** Frees the MEMORY_AND_DISK blocks behind an eager `localCheckpoint`
-    * result (the checkpointed RDD sits directly in the `LogicalRDD`
-    * leaf). `localCheckpoint` never releases its blocks on its own, so
-    * an iterative algorithm MUST free each superseded round or it
-    * strands O(rounds) block sets in the block manager for the session
-    * lifetime.
+  /** Per-round lineage cut + block release, shared with every iterative
+    * operator: [[Checkpoints.round]] stores round state SERIALIZED with
+    * disk fallback (the SCALE_r08 memory-cliff fix); [[Checkpoints.free]]
+    * releases each superseded round so live blocks stay O(nodes), not
+    * O(rounds).
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+  private def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges
+    val sym = Checkpoints.round(edges
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .union(edges
-        .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
-      .localCheckpoint(eager = false)
+        .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst"))),
+      eager = false)
     // lazy checkpoints: the convergence agg is the round's ONE action
     // and materializes the checkpoint as a side effect — an eager
     // checkpoint would run a second job per round just to persist
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(eager = false)
+    var labels = Checkpoints.round(sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")), eager = false)
     // coalesce: an EMPTY edge list (legitimate — e.g. a density
     // clustering round with no core-core pairs) sums to NULL, and a
     // bare getLong would throw ROW_VALUE_IS_NULL
@@ -419,10 +413,10 @@ object TextDedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = Checkpoints.round(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(eager = false)
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")),
+        eager = false)
       val newSum = compSum(next)
       freeCheckpoint(labels) // next is materialized by the agg — previous round's blocks can go
       labels = next
@@ -482,9 +476,9 @@ object TextDedup {
   def connectedComponentsStars(edges: DataFrame, maxIter: Int = 40): DataFrame = {
     val raw = edges
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
-    var e = raw.where(col("u") =!= col("v"))
+    var e = Checkpoints.round(raw.where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct(), eager = false)
     // cheap per-round fingerprint: (edge count, hash-sum mod p) — the
     // mod keeps the ANSI sum from overflowing at any edge count; on a
     // fingerprint match the fixpoint is CONFIRMED with an exact except
@@ -501,7 +495,7 @@ object TextDedup {
     while (!converged && iter < maxIter) {
       // lazy: the fingerprint agg is the round's one action and
       // materializes the checkpoint as a side effect
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val next = Checkpoints.round(smallStar(largeStar(e)), eager = false)
       val nfp = fingerprint(next)
       converged = nfp == fp && next.exceptAll(e).isEmpty
       freeCheckpoint(e)

@@ -876,59 +876,16 @@ ORDER BY round"""
     */
   private def ktruss(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // DELTA peel: round 1's support basis is the FULL triple table (every
-    // edge is still present, so every enumerated triangle is alive — no
-    // aliveness join at all), and each later round subtracts only the
-    // triangles touching a DROPPED edge. The dropped set is orders of
-    // magnitude smaller than the survivors (62k/22k/1.7k vs 1.1M edges
-    // at sf0.1), so the subtraction is three broadcast anti-joins
-    // instead of three shuffle joins against the surviving edge set —
-    // the peel's cost tracks the CHANGE, not the graph.
-    // (u,x),(u,y) are degree-oriented — canonicalize to a<b edge keys.
-    var alive = coOrderTriangles(s, dir)
-      .select(least(col("u"), col("x")).as("e1a"),
-        greatest(col("u"), col("x")).as("e1b"),
-        least(col("u"), col("y")).as("e2a"),
-        greatest(col("u"), col("y")).as("e2b"),
-        col("x").as("e3a"), col("y").as("e3b"))
-      .localCheckpoint(eager = true)
-    var e = coOrderPairs(s, dir)
-    val stats = Seq.newBuilder[(Long, Long, Long)]
-    stats += ((0L, e.count(), alive.count()))
-    for (round <- 1 to 3) {
-      val nTri = alive.count()
-      val sup = alive.select(col("e1a").as("a"), col("e1b").as("b"))
-        .union(alive.select(col("e2a").as("a"), col("e2b").as("b")))
-        .union(alive.select(col("e3a").as("a"), col("e3b").as("b")))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
-      val eNext = sup.where(col("sup") >= 2).select(col("a"), col("b"))
-        .localCheckpoint(eager = true)
-      if (round < 3) { // the final round's alive set has no consumer
-        val dropped = e
-          .join(eNext.select(col("a").as("da"), col("b").as("db")),
-            col("a") === col("da") && col("b") === col("db"), "left_anti")
-          .select(col("a").as("da"), col("b").as("db"))
-          .localCheckpoint(eager = true)
-        // The dropped set is DATA-DEPENDENT (62k/22k/1.7k at sf0.1, but a
-        // sparser or shattered-core graph at 100x could drop millions in
-        // round 1): broadcast it only below a counted threshold — two
-        // longs/row, ~32 MB at the cap — and fall back to the plain
-        // shuffle anti-join (AQE still broadcasts small sides) above it.
-        // The count is free: dropped is already checkpoint-materialized.
-        val d0 = graft.operators.Joins.broadcastIfSmall(dropped, 2000000L)
-        alive = alive
-          .join(d0,
-            col("e1a") === col("da") && col("e1b") === col("db"), "left_anti")
-          .join(d0,
-            col("e2a") === col("da") && col("e2b") === col("db"), "left_anti")
-          .join(d0,
-            col("e3a") === col("da") && col("e3b") === col("db"), "left_anti")
-          .localCheckpoint(eager = true)
-      }
-      e = eNext
-      stats += ((round.toLong, e.count(), nTri))
-    }
-    stats.result().toDF("round", "n_edges", "n_tri_alive").orderBy("round")
+    // DELTA peel — the shared [[graft.operators.Graphs.trussPeelStats]]
+    // loop (also the ScaleBench peel curve, so the curve measures THIS
+    // query's rounds): round 1's support basis is the full triple
+    // table; later rounds subtract only dropped-edge triangles via the
+    // counted 2M-row broadcast gate. (u,x),(u,y) are degree-oriented;
+    // the operator canonicalizes to a<b edge keys.
+    graft.operators.Graphs
+      .trussPeelStats(coOrderTriangles(s, dir), coOrderPairs(s, dir),
+        rounds = 3, k = 4, broadcastCap = 2000000L)
+      .toDF("round", "n_edges", "n_tri_alive").orderBy("round")
   }
 
   private val ktrussOracle: String = {
@@ -1592,26 +1549,13 @@ ORDER BY n_nodes DESC, scc_id"""
   private val RobustRounds = 4
 
   /** [[RobustRounds]]-round synchronous min-label propagation over a
-    * symmetric (u, v) edge list (self-loops appended once so each
-    * round is ONE join + aggregate; measured 7.7 → 3.8 s for that
-    * change). Returns (node, lbl).
+    * symmetric (u, v) edge list — the shared
+    * [[graft.operators.Graphs.minLabelRounds]] loop (also the
+    * ScaleBench CC curve, so the curve measures this query's rounds).
+    * Returns (node, lbl).
     */
-  private def minLabelCc(sym0: DataFrame): DataFrame = {
-    val sym = sym0
-      .union(sym0.select(col("u")).distinct()
-        .select(col("u"), col("u").as("v")))
-      .localCheckpoint(eager = true)
-    var lab = sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(eager = true)
-    for (_ <- 1 to RobustRounds) {
-      lab = sym
-        .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("nl")).as("lbl"))
-        .select(col("u").as("node"), col("lbl"))
-        .localCheckpoint(eager = true)
-    }
-    lab
-  }
+  private def minLabelCc(sym0: DataFrame): DataFrame =
+    graft.operators.Graphs.minLabelRounds(sym0, RobustRounds)
 
   /** Full-co-order-graph min-label component labels, materialized once
     * per dir (the coOrderTriangles / coOrderLpaLabels seam, r7-verdict

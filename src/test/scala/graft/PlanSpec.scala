@@ -706,14 +706,18 @@ class PlanSpec extends SparkSpec {
     // what must never appear is a cartesian over token rows)
     val tr = planOf(SparkEntry.queries("t_textrank")(spark, Sf))
     assert(!tr.contains("CartesianProduct"), tr.take(2000))
-    // d_cdc_chunks: the char-level window shuffles ONLY skinny
-    // (doc, pos, hash) rows — the text column must not appear in the
-    // window operator's schema (it re-joins at boundary rows)
+    // d_cdc_chunks (round 9): chunking happens INSIDE the scan stage —
+    // the native graft_ae_chunks expression replaced the per-character
+    // explode + window-MAX + lag + text re-join, so the plan must carry
+    // NO Window operator and no per-character sequence explode at all
     val cdc = SparkEntry.queries("d_cdc_chunks")(spark, Sf)
     val cdcPlan = planOf(cdc)
-    val winLine = cdcPlan.linesIterator.find(_.contains("Window "))
-    assert(winLine.isDefined && !winLine.get.contains("text"),
-      s"CDC window must not carry text:\n${winLine.getOrElse("")}")
+    assert(cdcPlan.contains("graft_ae_chunks"),
+      s"CDC must chunk via the native expression:\n${cdcPlan.take(2000)}")
+    assert(!cdcPlan.contains("Window "),
+      s"CDC must not re-grow a per-character window:\n${cdcPlan.take(2000)}")
+    assert(!cdcPlan.contains("sequence(1"),
+      s"CDC must not explode per-character positions:\n${cdcPlan.take(2000)}")
     // q_kmv_intersect: the sketch build partially aggregates map-side
     // (ObjectHashAggregate partial_kmin), so each task ships <= K longs
     val kmv = planOf(SparkEntry.queries("q_kmv_intersect")(spark, Sf))
