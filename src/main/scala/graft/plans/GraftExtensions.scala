@@ -54,6 +54,15 @@ object DotToNormSq extends Rule[LogicalPlan] {
 
 object GraftFunctions {
 
+  /** SQL numeric literals arrive as Int/Long/Double OR as
+    * `types.Decimal` (the parser's default for `0.5`); normalize.
+    */
+  private def litDouble(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => other.toString.toDouble
+  }
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_hamming"),
@@ -80,7 +89,36 @@ object GraftFunctions {
     (FunctionIdentifier("graft_char_ngrams"),
       new ExpressionInfo(classOf[CharNGrams].getName, "graft_char_ngrams"),
       (exprs: Seq[Expression]) => CharNGrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        exprs(1).eval().asInstanceOf[Number].intValue())),
+    // the mergeable-quantile contract through the SQL front door:
+    // graft_kll_agg(x, 1024) -> binary sketch; graft_kll_merge(sk)
+    // re-aggregates partials; graft_kll_quantile(sk, 0.5) /
+    // graft_kll_quantiles(sk, array(0.25, 0.5)) read it out. k and the
+    // p's are literals (analysis-time), like graft_quantize's scale.
+    (FunctionIdentifier("graft_kll_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_agg"),
+      (exprs: Seq[Expression]) => KllSketchAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "graft_kll_merge"),
+      (exprs: Seq[Expression]) => KllMergeAgg(exprs(0))),
+    (FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName, "graft_kll_quantile"),
+      (exprs: Seq[Expression]) => KllQuantileExpr(exprs(0), litDouble(exprs(1)))),
+    (FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantilesExpr].getName, "graft_kll_quantiles"),
+      (exprs: Seq[Expression]) => KllQuantilesExpr(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+          children.map(litDouble)
+        case arr =>
+          arr.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toObjectArray(arr.dataType
+              .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType)
+            .map {
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case n: Number => n.doubleValue()
+            }.toSeq
+      })))
 
   /** Register on a live session (temp functions, session-scoped). */
   def register(spark: SparkSession): Unit =

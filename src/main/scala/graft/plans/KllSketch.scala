@@ -94,7 +94,14 @@ object KllSketch {
 
     /** Smallest value whose estimated rank reaches q·n (weighted
       * lower-quantile walk). */
-    def quantile(q: Double): Double = {
+    def quantile(q: Double): Double = quantiles(Seq(q))(0)
+
+    /** Multi-p readout from ONE sort: the (value, weight) items are
+      * sorted and cumulative-weighted once, then each p resolves by
+      * the same smallest-value-reaching-rank walk as [[quantile]]
+      * (bit-identical per p, any input order of `qs`).
+      */
+    def quantiles(qs: Seq[Double]): Array[Double] = {
       val items = ArrayBuffer.empty[(Double, Long)]
       var l = 0
       while (l < levels.size) {
@@ -102,17 +109,27 @@ object KllSketch {
         levels(l).foreach(v => items += ((v, w)))
         l += 1
       }
-      if (items.isEmpty) return Double.NaN
+      if (items.isEmpty) return Array.fill(qs.size)(Double.NaN)
       val sorted = items.sortBy(_._1)
-      val target = math.max(1L, math.ceil(q * n).toLong)
-      var cum = 0L
+      val cum = new Array[Long](sorted.size)
+      var c = 0L
       var i = 0
-      while (i < sorted.size) {
-        cum += sorted(i)._2
-        if (cum >= target) return sorted(i)._1
-        i += 1
-      }
-      sorted.last._1
+      while (i < sorted.size) { c += sorted(i)._2; cum(i) = c; i += 1 }
+      qs.iterator.map { q =>
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        // first index with cum >= target (binary search over the
+        // monotone prefix weights); past-the-end clamps to the max
+        var lo = 0
+        var hi = sorted.size - 1
+        if (cum(hi) < target) sorted(hi)._1
+        else {
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cum(mid) >= target) hi = mid else lo = mid + 1
+          }
+          sorted(lo)._1
+        }
+      }.toArray
     }
 
     def serialize(): Array[Byte] = {
@@ -159,6 +176,14 @@ object KllSketch {
   def kllQuantile(sketch: Column, q: Double): Column =
     ColumnBridge.column(
       KllQuantileExpr(ColumnBridge.expression(sketch), q))
+
+  /** Read a whole quantile ladder out of ONE sketch column in one
+    * deserialize + one sort: `kll_quantiles(sk, Seq(.25,.5,.9,.99))`
+    * → array<double> aligned with `qs` (posexplode for per-p rows).
+    */
+  def kllQuantiles(sketch: Column, qs: Seq[Double]): Column =
+    ColumnBridge.column(
+      KllQuantilesExpr(ColumnBridge.expression(sketch), qs))
 }
 
 /** Aggregate: values → serialized KLL sketch. Map-side combines (the
@@ -279,5 +304,36 @@ case class KllQuantileExpr(child: Expression, q: Double)
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): KllQuantileExpr =
+    copy(child = newChildren.head)
+}
+
+/** Scalar readout of a whole quantile ladder: one deserialize + one
+  * sort serves every p (vs one [[KllQuantileExpr]] per p re-sorting the
+  * same sketch). Returns array<double> aligned with `qs`; null for a
+  * null or empty sketch. Evaluated per GROUP, so CodegenFallback costs
+  * nothing measurable.
+  */
+case class KllQuantilesExpr(child: Expression, qs: Seq[Double])
+    extends Expression with CodegenFallback {
+  require(qs.nonEmpty, "qs must be non-empty")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = child.foldable
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val buf = KllSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf.n == 0L) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buf.quantiles(qs))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllQuantilesExpr =
     copy(child = newChildren.head)
 }

@@ -624,9 +624,10 @@ ORDER BY event_type"""
     * re-touching data. Per-day sketches of purchase value →
     * `kll_merge` to weeks → median readout, graded like
     * q_approx_median: the estimate's EXACT rank interval, re-derived
-    * against the raw rows, must contain 0.5·n within ±2.5% (k=512
-    * bounds worst-case deterministic rank error well inside that at
-    * graded volumes, for EVERY runtime merge order — which is why the
+    * against the raw rows, must contain 0.5·n within ±2.5% (k=1024:
+    * worst-case deterministic-parity rank error ≈ log2(n/k)/(2k) stays
+    * ~1% even at 1e9 rows/week — the gate clears with margin at 100×
+    * target volumes, for EVERY runtime merge order — which is why the
     * graded output is counts + booleans, not the order-dependent
     * estimate itself).
     */
@@ -636,7 +637,7 @@ ORDER BY event_type"""
         col("value"))
     val daily = ev
       .groupBy(col("w"), to_date(col("ts")).as("d"))
-      .agg(graft.plans.KllSketch.kllAgg(col("value"), 512).as("sk"))
+      .agg(graft.plans.KllSketch.kllAgg(col("value"), 1024).as("sk"))
     val weekly = daily.groupBy(col("w"))
       .agg(graft.plans.KllSketch.kllMerge(col("sk")).as("sk"))
       .select(col("w"),
@@ -660,6 +661,89 @@ ORDER BY event_type"""
     """SELECT date_trunc('week', CAST(ts AS DATE)) AS week,
   COUNT(*) AS n, TRUE AS rank_ok
 FROM events GROUP BY 1 ORDER BY week"""
+
+  /** [[quantileRollup]] restated through the SQL FRONT DOOR — the
+    * `graft_kll_agg` / `graft_kll_merge` / `graft_kll_quantile`
+    * FunctionIdentifiers that [[graft.plans.GraftExtensions]] injects
+    * (r8-verdict #3: the rollup contract must be reachable like
+    * `graft_dot`). Identical plan intent and the identical oracle; the
+    * only Scala here is the temp view + a defensive `register` for
+    * sessions built without the extensions conf.
+    */
+  private def quantileRollupSql(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    Tables.events(s, dir).createOrReplaceTempView("graft_kll_events")
+    s.sql("""
+WITH ev AS (
+  SELECT trunc(to_date(ts), 'week') AS w, to_date(ts) AS d, value
+  FROM graft_kll_events
+), daily AS (
+  SELECT w, d, graft_kll_agg(value, 1024) AS sk FROM ev GROUP BY w, d
+), weekly AS (
+  SELECT w, graft_kll_quantile(graft_kll_merge(sk), 0.5) AS est
+  FROM daily GROUP BY w
+)
+SELECT ev.w AS week, COUNT(*) AS n,
+  (SUM(CASE WHEN value < est THEN 1 ELSE 0 END) + 1L) * 40L <= COUNT(*) * 21L
+    AND SUM(CASE WHEN value <= est THEN 1 ELSE 0 END) * 40L >= COUNT(*) * 19L
+    AS rank_ok
+FROM ev JOIN weekly ON ev.w = weekly.w
+GROUP BY ev.w ORDER BY week""")
+  }
+
+  // --- multi-p KLL ladder over a two-level re-merge ---------------------
+  /** The FULL q_hll_rollup analogy for ranks: day-grain KLL sketches
+    * merge to weeks, the week partials re-merge to the month — two
+    * mergeable levels, raw rows touched exactly once — and the month
+    * sketch answers a whole quantile LADDER (p ∈ {.25, .5, .9, .99})
+    * from ONE readout ([[graft.plans.KllSketchAgg]]'s `kll_quantiles`:
+    * one deserialize + one sort serves every p). Grading mirrors
+    * q_quantile_rollup per p: each estimate is a real data value whose
+    * EXACT rank interval [n_lt+1, n_le], re-derived against the raw
+    * rows, must reach the target band p·n ± 2.5%·n (k=1024 holds the
+    * worst-case deterministic rank error ~1% at 1e9-row months — the
+    * bound holds for every runtime merge order, so booleans are graded,
+    * never the order-dependent estimates).
+    */
+  private def kllLadder(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    val ev = Tables.events(s, dir)
+      .select(trunc(to_date(col("ts")), "month").as("m"), col("ts"),
+        col("value"))
+    val daily = ev
+      .groupBy(col("m"), trunc(to_date(col("ts")), "week").as("w"),
+        to_date(col("ts")).as("d"))
+      .agg(graft.plans.KllSketch.kllAgg(col("value"), 1024).as("sk"))
+    val weekly = daily.groupBy(col("m"), col("w"))
+      .agg(graft.plans.KllSketch.kllMerge(col("sk")).as("sk"))
+    val monthly = weekly.groupBy(col("m"))
+      .agg(graft.plans.KllSketch.kllMerge(col("sk")).as("sk"))
+      .select(col("m"),
+        posexplode(graft.plans.KllSketch.kllQuantiles(col("sk"), ps)))
+      .select(col("m"),
+        element_at(typedLit(ps.map(p => (p * 1000).round)), col("pos") + 1)
+          .as("p_mille"),
+        col("col").as("est"))
+    ev.join(broadcast(monthly), Seq("m"))
+      .groupBy(col("m"), col("p_mille"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("n_lt"))
+      .select(col("m").as("month"), col("p_mille"), col("n"),
+        // exact-rank interval [n_lt+1, n_le] must reach p·n ± 2.5%·n
+        // (all-integer: ranks ×1000 vs n×(p_mille ± 25))
+        ((col("n_lt") + 1L) * 1000L <= col("n") * (col("p_mille") + 25L) &&
+          col("n_le") * 1000L >= col("n") * (col("p_mille") - 25L))
+          .as("rank_ok"))
+      .orderBy("month", "p_mille")
+  }
+
+  private val kllLadderOracle =
+    """SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+  CAST(p_mille AS BIGINT) AS p_mille, COUNT(*) AS n, TRUE AS rank_ok
+FROM events
+CROSS JOIN (SELECT UNNEST([250, 500, 900, 990]) AS p_mille)
+GROUP BY 1, 2 ORDER BY month, p_mille"""
 
   // --- data-quality expectation suite ---------------------------------
   /** A dbt-tests-style expectation run as ONE query: uniqueness,
@@ -3374,6 +3458,9 @@ FROM cum WHERE 2 * cw >= wt GROUP BY flag ORDER BY flag"""
     QueryDef("q_equidepth_hist", equidepthHist, Some(equidepthOracle)),
     QueryDef("q_hll_rollup", hllRollup, Some(hllRollupOracle)),
     QueryDef("q_quantile_rollup", quantileRollup, Some(quantileRollupOracle)),
+    QueryDef("q_quantile_rollup_sql", quantileRollupSql,
+      Some(quantileRollupOracle)),
+    QueryDef("q_kll_ladder", kllLadder, Some(kllLadderOracle)),
     QueryDef("q_dq_expectations", dqExpectations, Some(dqExpectationsOracle)),
     QueryDef("q_skyline", skyline, Some(skylineOracle)),
     QueryDef("q_incremental_agg", incrementalAgg, Some(incrementalAggOracle)),

@@ -719,7 +719,7 @@ FROM s GROUP BY user_id ORDER BY user_id"""
   private def streamQuantile(s: SparkSession, dir: String): DataFrame = {
     val src = EventStreams.eventsStream(s, s"$dir/events.parquet")
       .groupBy(trunc(to_date(col("ts")), "week").as("w"))
-      .agg(graft.plans.KllSketch.kllAgg(col("value"), 512).as("sk"))
+      .agg(graft.plans.KllSketch.kllAgg(col("value"), 1024).as("sk"))
     val weekly = EventStreams.runToMemory(s, src, "graft_stream_kll",
         OutputMode.Complete())
       .select(col("w"),

@@ -104,4 +104,39 @@ class KllSketchSpec extends SparkSpec {
     assert(plan.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
       "map-side partial KLL aggregate missing")
   }
+
+  test("multi-p readout == per-p quantile, bit-identical, any qs order") {
+    val rng = new scala.util.Random(17)
+    val b = sketchOf(Seq.fill(30000)(rng.nextGaussian() * 100))
+    val ps = Seq(0.99, 0.25, 0.5, 0.9, 0.01) // deliberately unsorted
+    val multi = b.quantiles(ps)
+    ps.zipWithIndex.foreach { case (p, i) =>
+      assert(multi(i) == b.quantile(p), s"p=$p: ${multi(i)} != ${b.quantile(p)}")
+    }
+    // empty sketch → NaNs; the Column form returns null for it
+    assert(sketchOf(Seq.empty).quantiles(Seq(0.5)).forall(_.isNaN))
+  }
+
+  test("SQL front door: graft_kll_agg/merge/quantile(s) via FunctionRegistry") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 20000).map(i => (i % 13, rng.nextDouble() * 500))
+    rows.toDF("d", "v").createOrReplaceTempView("kll_sql_probe")
+    val xs = rows.map(_._2)
+    val r = spark.sql(s"""
+      WITH daily AS (
+        SELECT d, graft_kll_agg(v, $K) AS sk FROM kll_sql_probe GROUP BY d
+      ), merged AS (
+        SELECT graft_kll_merge(sk) AS sk FROM daily
+      )
+      SELECT graft_kll_quantile(sk, 0.5) AS med,
+             graft_kll_quantiles(sk, array(0.25D, 0.5D, 0.9D)) AS ladder
+      FROM merged""").head()
+    val med = r.getDouble(0)
+    val ladder = r.getSeq[Double](1)
+    assert(rankOk(xs, med, 0.5, 0.02), "sql median")
+    assert(ladder(1) == med, "ladder p50 must equal the scalar readout")
+    assert(rankOk(xs, ladder(0), 0.25, 0.02), "sql p25")
+    assert(rankOk(xs, ladder(2), 0.9, 0.02), "sql p90")
+  }
 }
