@@ -24,7 +24,16 @@ object SimilarityQueries {
   private val Dim = 64
   private val MinCos = 0.25
 
+  // s_range_search_lsh: banding tuned to ITS τ (see the query scaladoc
+  // for the collision-curve arithmetic) — at τ=0.25, 8 bands × 4 rows
+  // recalls ~0.62 of exact-threshold pairs (vs ~0.39 for the ANN
+  // queries' shared 4×4) at ~2× their candidate volume
+  private val RangeTau = 0.25
+  private val RangeBands = 8
+  private val RangeRows = 4
+
   private lazy val planes = Similarity.planes(NPlanes, Dim)
+  private lazy val rangePlanes = Similarity.planes(RangeBands * RangeRows, Dim)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -238,21 +247,104 @@ SELECT q_id, n_id, cosine FROM scored
 WHERE cosine >= ${D("0.25")}
 ORDER BY q_id, n_id"""
 
+  /** The banded-LSH DISCOVERY twin of [[rangeSearch]] (r8-verdict #7):
+    * when the query set outgrows a broadcast, range search becomes
+    * LSH-bucketed candidates → τ-verify — exactly the composition
+    * [[Similarity.lshCandidates]] runs — and this query GRADES it the
+    * way `d_minhash_accuracy` grades banding vs exact Jaccard. The
+    * banding is TUNED TO ITS τ from the hyperplane collision curve
+    * (p = 1 − arccos(c)/π; per-pair recall = 1 − (1 − p^r)^b): at
+    * τ=0.25 the 4×4 banding the ANN queries share recalls only ~0.39
+    * of threshold pairs (measured 0.39 mean at sf0.1), so this runs
+    * 8 bands × 4 rows — predicted 0.62 per pair at the threshold,
+    * measured per-query mean 0.63 / min 0.47 at BOTH SFs, for ~2× the
+    * 4-band candidate volume (a τ this near the random-pair cosine is
+    * intrinsically expensive to recall; the curve is the cost model a
+    * platform tunes with). Per query: exact τ-neighborhood size, how
+    * many the banded path returned (verified candidates are a SUBSET
+    * of the exact set by construction — same quantized-integer
+    * cosine, so precision is 1 and only recall can be lost, by pairs
+    * no band collides), the recall, and a ≥ 0.4 recall gate (below
+    * the measured 0.47 min, above the 4×4 configuration's 0.21) —
+    * deterministic, both engines enumerate identical band keys.
+    */
+  private def rangeSearchLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = emb(s, dir)
+      .select(col("id"), Similarity.quantize(col("vec")).as("qv"))
+      .withColumn("nn", Similarity.normSqQ(col("qv")))
+    val q = sig.where(pmod(col("id"), lit(QueryStride)) === 0)
+      .select(col("id").as("q_id"), col("qv").as("q_qv"), col("nn").as("q_nn"))
+    val exact = sig.crossJoin(broadcast(q))
+      .where(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        Similarity.cosineQ(Similarity.dotQ(col("qv"), col("q_qv")),
+          col("nn"), col("q_nn")).as("cosine"))
+      .where(col("cosine") >= lit(RangeTau))
+      .select(col("q_id"), col("n_id"))
+    val found = Similarity.lshCandidates(emb(s, dir), rangePlanes, RangeBands,
+        RangeRows, RangeTau)
+      .select(explode(array(
+        struct(col("a_id").as("q_id"), col("b_id").as("n_id")),
+        struct(col("b_id").as("q_id"), col("a_id").as("n_id")))).as("x"))
+      .select(col("x.q_id").as("q_id"), col("x.n_id").as("n_id"))
+      .where(pmod(col("q_id"), lit(QueryStride)) === 0)
+    exact.join(found.withColumn("hit", lit(1L)), Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("q_id"), col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact").cast("double"))
+          .as("recall"),
+        (col("n_found") * 5L >= col("n_exact") * 2L).as("recall_ok"))
+      .orderBy("q_id")
+  }
+
+  private lazy val rangeSearchLshOracle: String = s"""WITH $quantCtes,
+${lshCandCtesFor(rangePlanes, RangeBands, RangeRows)},
+found AS (
+  SELECT q_id, n_id FROM (
+    SELECT a_id AS q_id, b_id AS n_id, cosine FROM scored_cand
+    UNION ALL SELECT b_id, a_id, cosine FROM scored_cand
+  ) WHERE q_id % $QueryStride = 0 AND cosine >= ${D(RangeTau)}
+),
+exd AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id, CAST(SUM(a.e * b.e) AS BIGINT) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % $QueryStride = 0
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT q_id, n_id FROM exd
+  JOIN norms na ON q_id = na.vec_id JOIN norms nb ON n_id = nb.vec_id
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+    >= ${D(RangeTau)}
+)
+SELECT e.q_id, COUNT(*) AS n_exact,
+  CAST(SUM(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+  CAST(SUM(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS recall,
+  CAST(SUM(CASE WHEN f.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 5
+    >= COUNT(*) * 2 AS recall_ok
+FROM exact e LEFT JOIN found f ON e.q_id = f.q_id AND e.n_id = f.n_id
+GROUP BY e.q_id ORDER BY e.q_id"""
+
   private def lsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshCandidates(emb(s, dir), planes, Bands, RowsPerBand, MinCos)
       .orderBy("a_id", "b_id")
 
   /** The LSH-candidate CTE chain (planes → bits → buckets → bands →
-    * cand → scored), shared by the candidate-listing oracle and the
-    * recall-measurement oracle.
+    * cand → scored), shared by the candidate-listing oracle, the
+    * recall-measurement oracle, and (re-parameterized) the
+    * range-search discovery oracle.
     */
-  private lazy val lshCandCtes: String = {
+  private def lshCandCtesFor(ps: Seq[Seq[Int]], nBands: Int,
+      rowsPerBand: Int): String = {
     val planeValues = (for {
-      (plane, p) <- planes.zipWithIndex
+      (plane, p) <- ps.zipWithIndex
       (r, i) <- plane.zipWithIndex
     } yield s"($p,${i + 1},$r)").mkString(",")
-    val bandSelects = (0 until Bands).map { b =>
-      s"SELECT vec_id, $b AS band, substring(bucket, ${b * RowsPerBand + 1}, $RowsPerBand) AS bkey FROM buckets"
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT vec_id, $b AS band, substring(bucket, ${b * rowsPerBand + 1}, $rowsPerBand) AS bkey FROM buckets"
     }.mkString(" UNION ALL ")
     s"""planes(p, i, r) AS (VALUES $planeValues),
 bits AS (
@@ -282,6 +374,9 @@ scored_cand AS (
   FROM dots JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
 )"""
   }
+
+  private lazy val lshCandCtes: String =
+    lshCandCtesFor(planes, Bands, RowsPerBand)
 
   // --- density clustering (DBSCAN over the LSH neighbor graph) --------
   /** DBSCAN over embeddings with the ε-neighborhood taken from the SAME
@@ -1709,6 +1804,7 @@ FROM dist"""
     QueryDef("s_mmr_rerank", mmrRerank, Some(mmrRerankOracle)),
     QueryDef("s_cosine_topk", topk, Some(topkOracle)),
     QueryDef("s_range_search", rangeSearch, Some(rangeSearchOracle)),
+    QueryDef("s_range_search_lsh", rangeSearchLsh, Some(rangeSearchLshOracle)),
     QueryDef("s_centroid_drift", centroidDrift, Some(centroidDriftOracle)),
     QueryDef("s_hard_negatives", hardNegatives, Some(hardNegativesOracle)),
     QueryDef("s_matryoshka_recall", matryoshkaRecall, Some(matryoshkaOracle)),

@@ -737,6 +737,43 @@ FROM s GROUP BY user_id ORDER BY user_id"""
       .orderBy("week")
   }
 
+  /** [[EventStreams.KllWeeklyProcessor]] end-to-end — the BOUNDED-STATE
+    * streaming quantile shape (r8-verdict #5): the serialized KLL
+    * buffer rides per-week `transformWithState` ValueState (state =
+    * one O(k·log(n/k)) buffer per live key; idle-key TTL eviction is
+    * the processor's production knob, off here because a TTL'd
+    * operator needs an AvailableNow trigger — see its scaladoc),
+    * where [[streamQuantile]]'s Complete-mode memory sink (kept as
+    * the batch-parity harness) retains every group on the driver.
+    * Each batch re-emits a week's running
+    * (n, sketch); n is strictly increasing, so max-n is the final
+    * sketch. Graded against the SAME oracle as the batch rollup: the
+    * median readout's exact rank interval must land in the ±2.5% band
+    * — which holds for every batch split and merge order.
+    */
+  private def streamKllTws(s: SparkSession, dir: String): DataFrame =
+    EventStreams.withRocksDbState(s) {
+      val out = EventStreams.streamingKllWeekly(
+        EventStreams.eventsStream(s, s"$dir/events.parquet"), 1024)
+      val rows = EventStreams.runToMemory(s, out, "graft_stream_kll_tws",
+        OutputMode.Append())
+      val weekly = rows.groupBy(col("week"))
+        .agg(max_by(col("sketch"), col("n")).as("sk"))
+        .select(to_date(col("week")).as("w"),
+          graft.plans.KllSketch.kllQuantile(col("sk"), 0.5).as("est"))
+      val ev = Tables.events(s, dir)
+        .select(trunc(to_date(col("ts")), "week").as("w"), col("value"))
+      ev.join(broadcast(weekly), Seq("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("n_le"),
+          sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("n_lt"))
+        .select(col("w").as("week"), col("n"),
+          ((col("n_lt") + 1L) * 40L <= col("n") * 21L &&
+            col("n_le") * 40L >= col("n") * 19L).as("rank_ok"))
+        .orderBy("week")
+    }
+
   // --- multimodal -----------------------------------------------------
   private def media(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -1129,6 +1166,8 @@ FROM documents ORDER BY media_id"""
     QueryDef("stream_foreach_latest", streamForeachLatest, Some(streamForeachLatestOracle)),
     QueryDef("stream_cdc_upsert", streamCdcUpsert, Some(streamCdcUpsertOracle)),
     QueryDef("stream_quantile", streamQuantile,
+      Some(Olap2Queries.quantileRollupOracle)),
+    QueryDef("stream_kll_tws", streamKllTws,
       Some(Olap2Queries.quantileRollupOracle)),
     QueryDef("m_payload_meta", payloadMeta, Some(payloadMetaOracle)),
     QueryDef("m_codec_dispatch", codecDispatch, Some(codecDispatchOracle)),

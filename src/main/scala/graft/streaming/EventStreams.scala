@@ -682,6 +682,92 @@ object EventStreams {
   final case class KmvState(n_seen: Long, ks: Seq[Long])
   final case class KmvOut(event_type: String, n_seen: Long, ks: Seq[Long])
 
+  final case class KllWeeklyOut(week: String, n: Long, sketch: Array[Byte])
+
+  /** Per-key mergeable KLL quantile sketch carried as SERIALIZED
+    * `transformWithState` state — the bounded-state shape for an
+    * UNBOUNDED key space: each live key holds exactly one
+    * O(k·log(n/k)) [[graft.plans.KllSketch]] wire buffer in the
+    * RocksDB store, and keys idle past the TTL are evicted (the
+    * expiry a watermark gives windowed aggregates, expressed as state
+    * TTL because grain keys — weeks — stop arriving rather than
+    * close). Contrast `stream_quantile`'s Complete-mode memory sink,
+    * which is batch-parity harness only: it retains every group on
+    * the driver forever. Sketch inserts are PERMUTATION-INVARIANT up
+    * to the graded rank band (the deterministic-compaction error
+    * bound holds for every arrival order), so no cross-batch ordering
+    * caveat applies; each batch re-emits the key's running
+    * (n, sketch), n strictly increasing, so max-n is the final state.
+    *
+    * `ttl` is the idle-key eviction horizon (e.g. 35 days — one spare
+    * week over a monthly re-read window). State TTL is processing-time
+    * only in Spark 4, and a TTL'd stateful operator schedules
+    * maintenance micro-batches FOREVER — that is how TTL works — so
+    * the query is a continuous one: measured here, neither
+    * `processAllAvailable` (3,600+ empty hot-loop batches on the
+    * default trigger) nor `Trigger.AvailableNow` ever terminates it.
+    * The supported TTL shape is a PACED processing-time trigger +
+    * lifecycle stop (spec-pinned); the deterministic replay harnesses
+    * pass `ttl = None` → `TimeMode.None`, no timers at all.
+    */
+  class KllWeeklyProcessor(k: Int, ttl: Option[java.time.Duration] = None)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, KllWeeklyOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var st: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("kll", Encoders.BINARY,
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+        timers: TimerValues): Iterator[KllWeeklyOut] = {
+      val buf =
+        if (st.exists()) graft.plans.KllSketch.deserialize(st.get())
+        else new graft.plans.KllSketch.Buf(k)
+      val n0 = buf.n
+      rows.foreach(e => buf.insert(e.value))
+      val bytes = buf.serialize()
+      st.update(bytes)
+      if (buf.n == n0) Iterator.empty
+      else Iterator(KllWeeklyOut(key, buf.n, bytes))
+    }
+  }
+
+  /** ISO-Monday week key in UTC — the same bucket as the batch
+    * `trunc(to_date(ts), 'week')` the paired oracle groups by.
+    */
+  private def weekKeyUtc(ts: java.sql.Timestamp): String =
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      .`with`(java.time.temporal.TemporalAdjusters
+        .previousOrSame(java.time.DayOfWeek.MONDAY))
+      .toString
+
+  /** [[KllWeeklyProcessor]] wired to a stream (RocksDB required — run
+    * under [[withRocksDbState]]). With a TTL the operator needs
+    * processing-time mode and runs as a continuous query (paced
+    * trigger + lifecycle stop — see the processor scaladoc); without
+    * one it is timer-free and drains normally.
+    */
+  def streamingKllWeekly(events: DataFrame, k: Int,
+      ttl: Option[java.time.Duration] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val mode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Event]
+      .groupByKey(e => weekKeyUtc(e.ts))
+      .transformWithState(new KllWeeklyProcessor(k, ttl), mode,
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** Streaming K-Minimum-Values distinct sketch per event type — the
     * continuous twin of the batch `KMinValuesAgg` build (`q_kmv_*`):
     * one `ValueState` carries the K smallest distinct 32-bit md5

@@ -1165,4 +1165,96 @@ class StreamingSpec extends SparkSpec {
         s"seq must be (ms, id)-ordered 'vp' and match v.*p: $rows")
     } finally q.stop()
   }
+
+  test("kll tws: checkpointed restart resumes the serialized sketch state") {
+    val dir = Files.createTempDirectory("graft_kllr_in").toString
+    val ckpt = Files.createTempDirectory("graft_kllr_ck").toString
+    val outDir = Files.createTempDirectory("graft_kllr_out").toString
+    def ev(id: Long, day: Int, value: Double): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"),
+        7L, "click", value)
+
+    // k=64 >> value count: the sketch never compacts, so level 0 holds
+    // every value EXACTLY and the median readout is the exact
+    // lower-median order statistic — restart correctness is graded on
+    // exact numbers, not a rank band. Jan 1 2024 is a Monday; days
+    // 1-7 land in one week key, day 8 opens a second key.
+    writeBatch(dir, "b1", Seq(ev(1, 1, 10.0), ev(2, 2, 20.0), ev(3, 3, 30.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    def start() = EventStreams.withRocksDbState(spark) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      EventStreams.streamingKllWeekly(stream, 64).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    def latest(): Map[String, (Long, Double)] = {
+      val df = spark.read.parquet(outDir)
+      df.groupBy(col("week"))
+        .agg(max_by(col("sketch"), col("n")).as("sk"), max(col("n")).as("n"))
+        .select(col("week"), col("n"),
+          graft.plans.KllSketch.kllQuantile(col("sk"), 0.5).as("med"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    }
+    assert(latest() == Map("2024-01-01" -> ((3L, 20.0))))
+
+    // restart: the serialized buffer must resume at n=3 — two more
+    // values make n=5, exact median 25.0; a reset-to-empty state would
+    // read n=2 / median 40.0
+    writeBatch(dir, "b2", Seq(ev(4, 4, 25.0), ev(5, 5, 40.0)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(latest() == Map("2024-01-01" -> ((5L, 25.0))),
+      "sketch state must survive the restart")
+
+    // second restart, new week key: day 8 opens 2024-01-08 while the
+    // first week's state stays intact
+    writeBatch(dir, "b3", Seq(ev(6, 8, 99.0), ev(7, 6, 35.0)))
+    val q3 = start(); q3.processAllAvailable(); q3.stop()
+    assert(latest() == Map(
+      "2024-01-01" -> ((6L, 25.0)), // values 10,20,25,30,35,40 → lower median 25
+      "2024-01-08" -> ((1L, 99.0))))
+  }
+
+  test("kll tws: TTL'd processing-time variant computes the sketch, stops clean") {
+    // a TTL'd stateful operator schedules maintenance micro-batches
+    // forever — that IS how state TTL works — so the query is a
+    // continuous one: processAllAvailable()/AvailableNow never
+    // terminate it (measured both). The supported production shape is
+    // a PACED processing-time trigger + lifecycle stop; this pins it:
+    // the sketch lands correctly and the query stops cleanly.
+    val dir = Files.createTempDirectory("graft_kllttl").toString
+    def ev(id: Long, day: Int, value: Double): EventStreams.Event =
+      EventStreams.Event(id, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"),
+        7L, "click", value)
+    writeBatch(dir, "b1", Seq(ev(1, 1, 10.0), ev(2, 2, 20.0), ev(3, 3, 30.0)))
+    val schema = spark.read.parquet(s"$dir/b1.parquet").schema
+    spark.streams.active.filter(_.name == "kllttl_test").foreach(_.stop())
+    val q = EventStreams.withRocksDbState(spark) {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      EventStreams.streamingKllWeekly(stream, 64,
+          ttl = Some(java.time.Duration.ofDays(35)))
+        .writeStream.outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .format("memory").queryName("kllttl_test").start()
+    }
+    try {
+      def rows(): Map[String, (Long, Double)] = spark.table("kllttl_test")
+        .groupBy(col("week"))
+        .agg(max_by(col("sketch"), col("n")).as("sk"), max(col("n")).as("n"))
+        .select(col("week"), col("n"),
+          graft.plans.KllSketch.kllQuantile(col("sk"), 0.5).as("med"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val deadline = System.currentTimeMillis() + 120000
+      var got = rows()
+      while (got.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500); got = rows()
+      }
+      assert(got == Map("2024-01-01" -> ((3L, 20.0))))
+    } finally q.stop()
+  }
 }
