@@ -35,12 +35,27 @@ object Joins {
     * 100× input could blow past driver/executor memory. Below
     * `maxRows` the hint applies; above it the frame returns unhinted
     * and the shuffle join (or AQE's own runtime broadcast, which DOES
-    * re-check sizes) takes over. Counting is only sensible when `df`
-    * is already materialized (checkpointed/cached) — otherwise the
-    * count itself re-runs the lineage.
+    * re-check sizes) takes over.
+    *
+    * The count needs a materialized input or it re-runs the lineage
+    * twice (count + join) — previously a documented-but-unenforced
+    * precondition (r8-advice); now ENFORCED: a frame that is not
+    * already a checkpoint/cache leaf is checkpointed here (spill-safe
+    * [[Checkpoints.round]]) and the checkpointed frame is what gets
+    * counted, hinted, and returned.
     */
-  def broadcastIfSmall(df: DataFrame, maxRows: Long): DataFrame =
-    if (df.count() <= maxRows) broadcast(df) else df
+  def broadcastIfSmall(df: DataFrame, maxRows: Long): DataFrame = {
+    val materialized = df.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df // checkpoint leaf
+      case plan if {
+        val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        cs.sharedState.cacheManager.lookupCachedData(cs, plan).isDefined
+      } => df // cached — the count reads the cache, not the lineage
+      case _ => Checkpoints.round(df)
+    }
+    if (materialized.count() <= maxRows) broadcast(materialized)
+    else materialized
+  }
 
   /** Point-in-interval RANGE JOIN via interval bucketing — the
     * 100 TB-safe shape for `point >= lo AND point < hi` joins, which

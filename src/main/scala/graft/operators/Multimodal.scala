@@ -161,7 +161,10 @@ object Multimodal {
           val channels = leShort(p, 22)
           val rate = leInt(p, 24)
           val blockAlign = leShort(p, 32)
-          val dataLen = leInt(p, 40)
+          // clamp the header's declared data length to the bytes that
+          // actually follow: a truncated/malformed header must not
+          // inflate n_frames past the payload (r8-advice)
+          val dataLen = math.max(0, math.min(leInt(p, 40), p.length - 44))
           DecodedMeta(r.media_id, r.kind, p.length, hex(p, 44),
             width = rate, height = channels,
             n_frames = if (blockAlign > 0) dataLen / blockAlign else 0)

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** One row per (group, p) with the interpolated quantile `q` as
-    * double. `valueCol` must be integral (it is grouped on — the
-    * per-value count table is the whole point). `groupCols` empty →
-    * global quantiles, output columns (p, q).
+    * double. `valueCol` is GROUPED ON (the per-value count table is
+    * the whole point), so the real precondition is group-by-equality
+    * soundness, not integrality: integral/decimal columns always
+    * qualify; double columns qualify when every engine being compared
+    * reads bit-identical values (parquet-sourced doubles do — the
+    * callers passing doubles, o_totalprice / robust-scale deviations,
+    * hash-match their oracles on exactly that), and must not contain
+    * NaN or signed zeros (distinct group keys that compare equal).
+    * `groupCols` empty → global quantiles, output columns (p, q).
     */
   def interpolated(df: DataFrame, valueCol: String, groupCols: Seq[String],
       ps: Seq[Double], nPartitions: Int = 32): DataFrame = {

@@ -395,6 +395,13 @@ class OperatorsSpec extends SparkSpec {
       Seq(Multimodal.MediaRow(4L, "image", "no magic here".getBytes("UTF-8"))).toDS())
       .head()
     assert(stub.width >= 256 && stub.height >= 144)
+    // a WAV header LYING about its data length (declares 1 MB, carries
+    // 19 bytes) must clamp n_frames to the bytes actually present
+    val lying = Multimodal.wavHeader(44100, 2, 1 << 20) ++ text
+    val liar = Multimodal.decode(
+      Seq(Multimodal.MediaRow(5L, "audio", lying)).toDS()).head()
+    assert(liar.n_frames == text.length / 4,
+      s"declared-length overrun must clamp, got ${liar.n_frames}")
   }
 
   test("multimodal: containerize derives fields by the documented id rules") {
