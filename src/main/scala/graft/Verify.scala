@@ -24,15 +24,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // the plan-lint sweep rides the dump for free (every frame is
+    // built here anyway): refreshes PLANLINT.json each gate run, so a
+    // cartesian / global window / unbounded forced broadcast that
+    // sneaks into a query surfaces in the driver round, not only in
+    // the sbt-test sweep (PlanLintSpec)
+    val lintHits = Seq.newBuilder[graft.plans.PlanLint.Hit]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        try lintHits ++= graft.plans.PlanLint.lint(name, df)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name lint skipped: ${e.getMessage}")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // full-surface runs refresh the repo artifact; filtered dev-loop
+    // runs only report (a subset sweep must not shrink the record)
+    val hits = lintHits.result()
+    if (only.isEmpty)
+      Files.writeString(Paths.get("PLANLINT.json"),
+        graft.plans.PlanLint.report(hits) + "\n")
+    if (hits.nonEmpty)
+      System.err.println(s"[verify] PLAN LINT: ${hits.size} hits: " +
+        hits.map(h => s"${h.query}/${h.rule}").mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
