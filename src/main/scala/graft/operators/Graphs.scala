@@ -398,12 +398,15 @@ object Graphs {
       var done = frontier.isEmpty
       while (!done && hop < maxHops) {
         hop += 1
+        // lazy checkpoint + full count: ONE job per round materializes
+        // the frontier and decides termination (isEmpty's take(1) would
+        // leave the checkpoint partially materialized)
         val next = Checkpoints.round(frontier.join(e, col("node") === col("src"))
           .select(col("dst").as("node"), lit(hop).as("hop"))
           .distinct()
           .join(visited.select(col("node").as("vn")), col("node") === col("vn"),
-            "left_anti"))
-        done = next.isEmpty
+            "left_anti"), eager = false)
+        done = next.count() == 0
         if (!done) {
           val nextVisited = Checkpoints.round(visited.unionByName(next))
           // old frontier/visited fully consumed by the two eager
@@ -449,13 +452,14 @@ object Graphs {
       var done = frontier.isEmpty
       while (!done && hop < maxHops) {
         hop += 1
+        // lazy checkpoint + full count — see bfsHops
         val next = Checkpoints.round(frontier.join(e, col("node") === col("src"))
           .select(col("source"), col("dst").as("node"), lit(hop).as("hop"))
           .distinct()
           .join(visited.select(col("source").as("vs"), col("node").as("vn")),
             col("source") === col("vs") && col("node") === col("vn"),
-            "left_anti"))
-        done = next.isEmpty
+            "left_anti"), eager = false)
+        done = next.count() == 0
         if (!done) {
           val nextVisited = Checkpoints.round(visited.unionByName(next))
           if (frontier ne visited) Checkpoints.free(frontier)
@@ -493,7 +497,9 @@ object Graphs {
     try {
       val nodes = e.select(col("src").as("n"))
         .union(e.select(col("dst"))).distinct()
-      var reach = Checkpoints.round(e.toDF())
+      // lazy round checkpoints: the convergence count is the action
+      // that materializes each round — one job per round, not two
+      var reach = Checkpoints.round(e.toDF(), eager = false)
       var n = reach.count()
       var stable = false
       while (!stable) {
@@ -501,11 +507,11 @@ object Graphs {
           .join(reach.select(col("src").as("m"), col("dst").as("d2")),
             col("dst") === col("m"))
           .select(col("src"), col("d2").as("dst"))
-          .union(reach).distinct())
+          .union(reach).distinct(), eager = false)
         val n2 = doubled.count()
         stable = n2 == n
         n = n2
-        Checkpoints.free(reach) // doubled is materialized (eager round)
+        Checkpoints.free(reach) // doubled is materialized by its count
         reach = doubled
       }
       val mutual = reach
@@ -536,11 +542,14 @@ object Graphs {
     */
   def minLabelRounds(sym0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // sym and the identity labeling checkpoint LAZILY: round 1's eager
+    // checkpoint job materializes both as side effects — two fewer
+    // jobs per call, same blocks
     val sym = Checkpoints.round(sym0
       .union(sym0.select(col("u")).distinct()
-        .select(col("u"), col("u").as("v"))))
+        .select(col("u"), col("u").as("v"))), eager = false)
     var lab = Checkpoints.round(sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node")))
+      .withColumn("lbl", col("node")), eager = false)
     for (_ <- 1 to rounds) {
       val next = Checkpoints.round(sym
         .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
@@ -582,33 +591,42 @@ object Graphs {
   def trussPeelStats(triples: DataFrame, edges: DataFrame, rounds: Int,
       k: Int, broadcastCap: Long): Seq[(Long, Long, Long)] = {
     require(rounds >= 1 && k >= 3)
+    // lazy checkpoints throughout: each intermediate's census count is
+    // the action that materializes it, so no round pays a separate
+    // persist job (the connectedComponents agg-materializes pattern;
+    // measured ~10 fewer jobs over the 3-round peel)
     var alive = Checkpoints.round(triples
       .select(least(col("u"), col("x")).as("e1a"),
         greatest(col("u"), col("x")).as("e1b"),
         least(col("u"), col("y")).as("e2a"),
         greatest(col("u"), col("y")).as("e2b"),
-        col("x").as("e3a"), col("y").as("e3b")))
+        col("x").as("e3a"), col("y").as("e3b")), eager = false)
+    var nTri = alive.count() // materializes the checkpoint
     var e = edges.select(col("a"), col("b"))
     var eOwned = false // whether `e` is a checkpoint this loop created
     val stats = Seq.newBuilder[(Long, Long, Long)]
-    stats += ((0L, e.count(), alive.count()))
+    stats += ((0L, e.count(), nTri))
     var round = 1
     var done = false
     while (!done && round <= rounds) {
-      val nTri = alive.count()
+      val basisTri = nTri // this round's support basis (alive BEFORE subtraction)
       val sup = alive.select(col("e1a").as("a"), col("e1b").as("b"))
         .union(alive.select(col("e2a").as("a"), col("e2b").as("b")))
         .union(alive.select(col("e3a").as("a"), col("e3b").as("b")))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
       val eNext = Checkpoints.round(
-        sup.where(col("sup") >= k - 2).select(col("a"), col("b")))
+        sup.where(col("sup") >= k - 2).select(col("a"), col("b")), eager = false)
+      val nEdges = eNext.count() // materializes eNext
       var fixpoint = false
       if (round < rounds) { // the final round's alive set has no consumer
         val dropped = Checkpoints.round(e
           .join(eNext.select(col("a").as("da"), col("b").as("db")),
             col("a") === col("da") && col("b") === col("db"), "left_anti")
-          .select(col("a").as("da"), col("b").as("db")))
-        if (dropped.isEmpty) {
+          .select(col("a").as("da"), col("b").as("db")), eager = false)
+        // ONE count materializes `dropped` and serves BOTH the fixpoint
+        // test and the broadcast gate (broadcastIfSmall would re-count)
+        val nDropped = dropped.count()
+        if (nDropped == 0) {
           // FIXPOINT: nothing dropped → eNext == e, alive unchanged, so
           // every remaining round recounts the identical support. Emit
           // the remaining cascade rows without recomputation — the
@@ -618,31 +636,33 @@ object Graphs {
           fixpoint = true
           Checkpoints.free(dropped)
         } else {
-          val d0 = Joins.broadcastIfSmall(dropped, broadcastCap)
+          val d0 = if (nDropped <= broadcastCap) broadcast(dropped) else dropped
           val nextAlive = Checkpoints.round(alive
             .join(d0,
               col("e1a") === col("da") && col("e1b") === col("db"), "left_anti")
             .join(d0,
               col("e2a") === col("da") && col("e2b") === col("db"), "left_anti")
             .join(d0,
-              col("e3a") === col("da") && col("e3b") === col("db"), "left_anti"))
+              col("e3a") === col("da") && col("e3b") === col("db"), "left_anti"),
+            eager = false)
+          val nNextTri = nextAlive.count() // materializes before the frees
           Checkpoints.free(alive)
           Checkpoints.free(dropped)
           alive = nextAlive
+          nTri = nNextTri
         }
       }
       // `e`'s last consumer was this round's dropped-edge anti-join
-      // (already materialized — Checkpoints.round is eager here)
+      // (already materialized by its count)
       if (eOwned) Checkpoints.free(e)
       e = eNext
       eOwned = true
-      val nEdges = e.count()
-      stats += ((round.toLong, nEdges, nTri))
+      stats += ((round.toLong, nEdges, basisTri))
       if (fixpoint) {
         // alive is unchanged and e == previous e: rounds round+1..rounds
         // all read (nEdges, |alive|), and |alive| is exactly this
         // round's already-counted basis (nothing was subtracted)
-        for (r <- round + 1 to rounds) stats += ((r.toLong, nEdges, nTri))
+        for (r <- round + 1 to rounds) stats += ((r.toLong, nEdges, basisTri))
         done = true
       }
       round += 1

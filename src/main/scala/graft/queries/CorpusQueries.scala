@@ -1534,31 +1534,39 @@ FROM chunks GROUP BY 1 ORDER BY source"""
   private def textrank(s: SparkSession, dir: String): DataFrame = {
     def wid(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    // unfiltered positions: pairing offsets are defined over the raw
+    // split positions (empty tokens hold a slot but never form a pair —
+    // identical to the exploded original, which filtered AFTER posexplode)
     val tok = Tables(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(split(trim(lower(col("text"))), "\\s+"))
           .as(Seq("pos", "w")))
-      .where(col("w") =!= "")
-    val a = tok.select(col("doc_id"), col("pos"), col("w").as("wa"))
-    val b = tok.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
-      col("w").as("wb"))
-    // offset equi-join (the ev_acf lag trick), NOT a per-doc band join:
-    // each token pairs with exactly the +1/+2 positions, so the
-    // intermediate is 2·tokens rows — linear however long docs get
-    val offs = s.range(1, 3).select(col("id").as("off"))
-    val co = a.crossJoin(broadcast(offs))
-      .join(b, col("doc_b") === col("doc_id") &&
-        col("pos_b") === col("pos") + col("off"))
-      .where(col("wa") =!= col("wb"))
-      .select(least(col("wa"), col("wb")).as("x"),
-        greatest(col("wa"), col("wb")).as("y"))
+    // ±1/±2 co-occurrence via lead over the per-doc position order: ONE
+    // tokenization scan and ONE doc_id exchange, where the previous
+    // offset self-join tokenized twice and shuffled both sides on
+    // (doc, pos). Same pair set by construction (lead k = the token at
+    // pos + k; posexplode positions are dense).
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val co = tok
+      .withColumn("w1", lead(col("w"), 1).over(wl))
+      .withColumn("w2", lead(col("w"), 2).over(wl))
+      .select(col("w"), explode(array(col("w1"), col("w2"))).as("wb"))
+      .where(col("w") =!= "" && col("wb").isNotNull && col("wb") =!= "" &&
+        col("w") =!= col("wb"))
+      .select(least(col("w"), col("wb")).as("x"),
+        greatest(col("w"), col("wb")).as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
     val edges = co.select(wid(col("x")).as("src"), wid(col("y")).as("dst"),
         col("w"))
       .union(co.select(wid(col("y")).as("src"), wid(col("x")).as("dst"),
         col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-    val words = tok.select(col("w")).distinct()
+    // vocabulary is tiny next to the token stream — checkpoint it once
+    // and reuse for the node universe AND the final display join (each
+    // consumer previously re-ran the whole tokenization scan)
+    val words = tok.where(col("w") =!= "").select(col("w")).distinct()
+      .localCheckpoint()
     val nodes = words.select(wid(col("w")).as("node")).distinct()
     val ranks = graft.operators.Graphs.pageRank(edges, nodes, 5)
     ranks.join(words.select(wid(col("w")).as("node"), col("w").as("word")),

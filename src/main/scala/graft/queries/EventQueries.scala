@@ -1320,7 +1320,10 @@ FROM f, arr ORDER BY f.t"""
     * back-to-back sessions never double-count.
     */
   private def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val sess = sessionSpans(s, dir)
+    // sess feeds THREE consumers (both boundary-union branches + the
+    // n_sessions agg) — checkpoint once so the events scan + session
+    // window run once, not three times
+    val sess = graft.operators.Checkpoints.round(sessionSpans(s, dir))
     val bounds = sess.select(col("user_id"), col("sid"),
         col("start_ms").as("ms"), lit(1L).as("delta"))
       .unionByName(sess.select(col("user_id"), col("sid"),

@@ -814,9 +814,14 @@ GROUP BY e.src ORDER BY e.src"""
   private def kcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = coOrderPairs(s, dir)
-    var e = pairs.select(col("a").as("u"), col("b").as("v"))
-      .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
+    // lazy spill-safe round checkpoints: each round's census agg is the
+    // action that materializes that round's edge set — no separate
+    // persist job per round (the connectedComponents pattern), and a
+    // previous round's blocks are freed once superseded
+    var e = graft.operators.Checkpoints.round(
+      pairs.select(col("a").as("u"), col("b").as("v"))
+        .union(pairs.select(col("b").as("u"), col("a").as("v"))),
+      eager = false)
     val first = e.agg(count(lit(1)).as("m"),
       countDistinct(col("u")).as("n")).head()
     val k = first.getLong(0) * 8 / (first.getLong(1) * 10)
@@ -825,13 +830,17 @@ GROUP BY e.src ORDER BY e.src"""
     for (round <- 1 to 3) {
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select(col("u").as("kn"))
-      e = e.join(keep, col("u") === col("kn"), "left_semi")
-        .join(keep.select(col("kn").as("kv")), col("v") === col("kv"), "left_semi")
-        .localCheckpoint()
-      val st = e.agg(coalesce(count(lit(1)), lit(0L)),
+      val next = graft.operators.Checkpoints.round(
+        e.join(keep, col("u") === col("kn"), "left_semi")
+          .join(keep.select(col("kn").as("kv")), col("v") === col("kv"), "left_semi"),
+        eager = false)
+      val st = next.agg(coalesce(count(lit(1)), lit(0L)),
         coalesce(countDistinct(col("u")), lit(0L))).head()
+      graft.operators.Checkpoints.free(e)
+      e = next
       stats += ((round.toLong, st.getLong(1), st.getLong(0)))
     }
+    graft.operators.Checkpoints.free(e)
     stats.result().toDF("round", "n_nodes", "n_halfedges").orderBy("round")
   }
 
@@ -1105,10 +1114,14 @@ ORDER BY dc.community"""
     val li = coOrderLi(s, dir)
     val a = li.select(col("ok"), col("pk").as("a"))
     val b = li.select(col("ok"), col("pk").as("b"))
-    val top = a.join(b, "ok").where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("n_orders").desc, col("a"), col("b"))
-      .limit(JaccardTopEdges)
+    // top (50 rows) is read twice (the broadcast probe + the final
+    // join): checkpoint it so the wedge join + weight agg + TakeOrdered
+    // behind it run ONCE, not per consumer
+    val top = graft.operators.Checkpoints.round(
+      a.join(b, "ok").where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("a"), col("b"))
+        .limit(JaccardTopEdges))
     val pairs = coOrderPairs(s, dir)
     val sym = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))

@@ -857,8 +857,10 @@ FROM t ORDER BY l_returnflag"""
     * exact cents.
     */
   private def equidepthHist(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem")
-      .select(cents(col("l_extendedprice")).as("c"))
+    // li is scanned by the quantile collect AND the bucket-assignment
+    // pass — checkpoint the 1-column projection so lineitem is read once
+    val li = graft.operators.Checkpoints.round(Tables(s, dir, "lineitem")
+      .select(cents(col("l_extendedprice")).as("c")))
     val ps = (1 to 9).map(_ / 10.0)
     // boundaries via the DISTRIBUTED interpolated-quantile scan (exact
     // quantile_cont) — Spark's `percentile` buffers every value of the
@@ -1239,8 +1241,12 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
     */
   private def spearman(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val r = Tables(s, dir, "lineitem").select(
-      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+    // r feeds three subplans (both midrank groupBys + the rank join) —
+    // checkpoint the 2-column projection once instead of re-scanning
+    // lineitem per consumer
+    val r = graft.operators.Checkpoints.round(
+      Tables(s, dir, "lineitem").select(
+        col("l_quantity").as("x"), col("l_extendedprice").as("y")))
     // Doubled midrank 2·rank_min+cnt−1 per DISTINCT value, not per row:
     // with cum the inclusive cumulative count over ascending values it
     // equals 2·cum−cnt+1, computed on the per-value count table via

@@ -413,18 +413,25 @@ scored_cand AS (
     // connectedComponentsStars — measured here, stars' extra per-round
     // shuffles cost more than the diameter saves (2.4 s vs 4.3 s)
     val comp = TextDedup.connectedComponents(coreEdges)
+    // (id, cluster) over core points is read by THREE consumers (both
+    // border join sides + the core role rows) — checkpoint it once
+    // instead of re-running the degree groupBy + label join per use
     val coreClusters = core
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
+      .localCheckpoint(eager = true)
     val borders = sym
       .join(coreClusters.select(col("id").as("nb"), col("cluster")),
         Seq("nb"))
       .join(coreClusters.select(col("id")), Seq("id"), "left_anti")
       .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    // assigned feeds the noise anti-join AND the final union — one
+    // checkpoint saves the second border recompute
     val assigned = coreClusters
       .select(col("id"), lit("core").as("role"), col("cluster"))
       .union(borders.select(col("id"), lit("border").as("role"),
         col("cluster")))
+      .localCheckpoint(eager = true)
     val noise = emb(s, dir).select(col("id"))
       .join(assigned.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))

@@ -1411,13 +1411,18 @@ FROM agg"""
     val cum = graft.operators.Ids.prefixSumByKey(pv, "g", Seq("v"), "cnt", 32, "cum")
     val tot = cum.groupBy(col("g")).agg(max(col("cum")).as("n"))
     val j = cum.join(broadcast(tot), Seq("g"))
-    def pick(num: Int, den: Int, name: String) =
-      j.where(col("cum") * den >= col("n") * num)
-        .groupBy(col("g")).agg(min(col("v")).as(name))
-    tot.join(pick(1, 10, "p10_cents"), Seq("g"))
-      .join(pick(1, 2, "p50_cents"), Seq("g"))
-      .join(pick(9, 10, "p90_cents"), Seq("g"))
-      .orderBy("g")
+    // all three picks in ONE conditional-min aggregation over j (min
+    // ignores the null the `when` leaves below a percentile's rank
+    // threshold) — was three where+groupBy passes over j re-joined one
+    // by one (4 aggregations + 3 joins → 2 aggregations + 1 join),
+    // byte-identical picks
+    def pick(num: Int, den: Int) =
+      min(when(col("cum") * den >= col("n") * num, col("v")))
+    val picks = j.groupBy(col("g")).agg(
+      pick(1, 10).as("p10_cents"),
+      pick(1, 2).as("p50_cents"),
+      pick(9, 10).as("p90_cents"))
+    tot.join(picks, Seq("g")).orderBy("g")
   }
 
   private val exactPercentilesOracle = """WITH pv AS (
@@ -1498,9 +1503,13 @@ FROM k GROUP BY 1 ORDER BY g"""
     * co-occur? All counts exact; one final scaled division.
     */
   private def tailDependence(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables(s, dir, "lineitem").select(
-      col("l_quantity").cast("long").as("x"),
-      cents(col("l_extendedprice")).as("y"))
+    // li feeds three subplans (both margins' P95 scans + the final
+    // joint-tail agg) — checkpoint the 2-long projection once instead
+    // of re-scanning lineitem per consumer
+    val li = graft.operators.Checkpoints.round(
+      Tables(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        cents(col("l_extendedprice")).as("y")))
     def p95(cn: String) = {
       val pv = li.groupBy(col(cn).as("v")).agg(count(lit(1)).as("cnt"))
         .withColumn("one", lit(1))
