@@ -675,13 +675,17 @@ FROM p GROUP BY 1 ORDER BY pct_bucket"""
         sup.where(length(col("nm")) <= 4), 2)
       .where(least(length(col("a_nm")), length(col("b_nm"))) <= 2)
       .select("a_id", "b_id")
-    val edges = graft.operators.EditBlocking.passJoinCandidates(sup, 2)
-      .select("a_id", "b_id")
-      .union(shortCand)
-      .distinct()
-      .join(a, "a_id").join(b, "b_id")
-      .where(levenshtein(col("a_nm"), col("b_nm")) <= 2)
-      .select("a_id", "b_id")
+    // connectedComponents reads its edge input twice (both union
+    // branches of the symmetrization) — checkpoint so the PassJoin
+    // candidate generation + levenshtein verify run once
+    val edges = graft.operators.Checkpoints.round(
+      graft.operators.EditBlocking.passJoinCandidates(sup, 2)
+        .select("a_id", "b_id")
+        .union(shortCand)
+        .distinct()
+        .join(a, "a_id").join(b, "b_id")
+        .where(levenshtein(col("a_nm"), col("b_nm")) <= 2)
+        .select("a_id", "b_id"))
     val labels = TextDedup.connectedComponents(edges) // (id, comp=min id)
     sup.join(labels, Seq("id"), "left")
       .select(coalesce(col("comp"), col("id")).as("entity_id"))

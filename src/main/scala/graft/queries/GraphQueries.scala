@@ -1362,7 +1362,10 @@ ORDER BY coeff DESC, d.node LIMIT 25"""
     val pairs = coOrderPairs(s, dir).localCheckpoint()
     val sym = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // deg is read twice (source ranking + the per-neighbor weight
+    // join): checkpoint so the degree agg over sym runs once
+    val deg = graft.operators.Checkpoints.round(
+      sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
     val sources = deg.orderBy(col("deg").desc, col("u"))
       .limit(LinkPredSources).select(col("u").as("s"))
     val hop1 = broadcast(sources)
@@ -1424,7 +1427,10 @@ ORDER BY source, aa_nano DESC, candidate"""
     val pairs = coOrderPairs(s, dir).localCheckpoint()
     val sym = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // deg is read twice (source ranking + the per-neighbor weight
+    // join): checkpoint so the degree agg over sym runs once
+    val deg = graft.operators.Checkpoints.round(
+      sym.groupBy(col("u")).agg(count(lit(1)).as("deg")))
     val sources = deg.orderBy(col("deg").desc, col("u"))
       .limit(LinkPredSources).select(col("u").as("s"))
     val hop1 = broadcast(sources)
@@ -2078,10 +2084,16 @@ ORDER BY katz DESC, node LIMIT 20"""
     val d = li.groupBy(col("pk")).agg(count(lit(1)).as("d"))
     val seeds = d.orderBy(col("d").desc, col("pk")).limit(20)
       .select(col("pk").as("seed"))
-    val cand = co.join(broadcast(seeds), col("a") === col("seed"))
-        .select(col("seed"), col("b").as("item"), col("co"))
-      .union(co.join(broadcast(seeds), col("b") === col("seed"))
-        .select(col("seed"), col("a").as("item"), col("co")))
+    // both directions from ONE pass over co: explode the two
+    // orientations and broadcast-join the 20 seeds once — the previous
+    // per-direction joins each re-ran the wedge join + weight agg
+    // behind co (same multiset: union-all of the directional joins)
+    val cand = co.select(explode(array(
+        struct(col("a").as("seed"), col("b").as("item"), col("co")),
+        struct(col("b").as("seed"), col("a").as("item"), col("co")))).as("x"))
+      .select(col("x.seed").as("seed"), col("x.item").as("item"),
+        col("x.co").as("co"))
+      .join(broadcast(seeds), "seed")
     def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
     // the SEED list is always 20 rows and broadcasts explicitly; the
     // degree table is catalog-sized (could be 10⁸ items at 100 TB), so

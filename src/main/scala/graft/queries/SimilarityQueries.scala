@@ -402,8 +402,12 @@ scored_cand AS (
       .localCheckpoint(eager = true) // feeds degree, core-edges, borders
     val sym = cand.select(col("a_id").as("id"), col("b_id").as("nb"))
       .union(cand.select(col("b_id").as("id"), col("a_id").as("nb")))
-    val core = sym.groupBy(col("id")).agg(count(lit(1)).as("n_nbrs"))
-      .where(col("n_nbrs") >= DbMinPts).select(col("id"))
+    // core (a bare id list) feeds five consumers (both core-edge semi
+    // joins — which CC's symmetrization doubles — plus the cluster and
+    // border joins): checkpoint so the degree agg runs once
+    val core = graft.operators.Checkpoints.round(
+      sym.groupBy(col("id")).agg(count(lit(1)).as("n_nbrs"))
+        .where(col("n_nbrs") >= DbMinPts).select(col("id")))
     val coreEdges = cand
       .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
       .join(core.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
