@@ -542,23 +542,32 @@ object Graphs {
     */
   def minLabelRounds(sym0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    // sym and the identity labeling checkpoint LAZILY: round 1's eager
-    // checkpoint job materializes both as side effects — two fewer
-    // jobs per call, same blocks
+    // ONE distinct serves both the self-loop append and the identity
+    // labeling: sym0 is symmetric (every caller passes u→v ∪ v→u), so
+    // its u-universe IS the node universe — the previous second
+    // `sym.select(u).distinct()` re-shuffled the larger self-looped
+    // list for the same set. nodes/sym checkpoint LAZILY: round 1's
+    // eager checkpoint job materializes both as side effects.
+    // MEASURED NEGATIVE (r9): hash-repartitioning sym on v before the
+    // checkpoint (hoping rounds reuse the partitioning) does not
+    // survive the AQE + localCheckpoint boundary — g_robustness
+    // shuffle grew 212→275 MB; each round pays its own exchange.
+    val nodes = Checkpoints.round(sym0.select(col("u")).distinct(),
+      eager = false)
     val sym = Checkpoints.round(sym0
-      .union(sym0.select(col("u")).distinct()
-        .select(col("u"), col("u").as("v"))), eager = false)
-    var lab = Checkpoints.round(sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node")), eager = false)
+      .union(nodes.select(col("u"), col("u").as("v"))), eager = false)
+    var lab: DataFrame = nodes.select(col("u").as("node"))
+      .withColumn("lbl", col("node"))
     for (_ <- 1 to rounds) {
       val next = Checkpoints.round(sym
         .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
         .groupBy(col("u")).agg(min(col("nl")).as("lbl"))
         .select(col("u").as("node"), col("lbl")))
-      Checkpoints.free(lab)
+      Checkpoints.free(lab) // no-op on round 0's plain projection
       lab = next
     }
     Checkpoints.free(sym)
+    Checkpoints.free(nodes)
     lab
   }
 
@@ -610,10 +619,16 @@ object Graphs {
     var done = false
     while (!done && round <= rounds) {
       val basisTri = nTri // this round's support basis (alive BEFORE subtraction)
-      val sup = alive.select(col("e1a").as("a"), col("e1b").as("b"))
-        .union(alive.select(col("e2a").as("a"), col("e2b").as("b")))
-        .union(alive.select(col("e3a").as("a"), col("e3b").as("b")))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      // ONE pass over the (large) alive checkpoint: explode each
+      // triple's three edge keys instead of a 3-way union that reads
+      // the blocks three times — identical multiset into the same
+      // map-side partial count
+      val sup = alive.select(explode(array(
+          struct(col("e1a").as("a"), col("e1b").as("b")),
+          struct(col("e2a").as("a"), col("e2b").as("b")),
+          struct(col("e3a").as("a"), col("e3b").as("b")))).as("e"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("sup"))
       val eNext = Checkpoints.round(
         sup.where(col("sup") >= k - 2).select(col("a"), col("b")), eager = false)
       val nEdges = eNext.count() // materializes eNext

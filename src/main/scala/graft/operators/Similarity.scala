@@ -559,8 +559,13 @@ object Similarity {
       emb: DataFrame, planes: Seq[Seq[Int]], bands: Int, rowsPerBand: Int,
       minCosine: Double): DataFrame = {
     require(planes.size == bands * rowsPerBand)
-    val sig = emb.select(col("id"), quantize(col("vec")).as("qv"))
-      .withColumn("nn", normSqQ(col("qv")))
+    // sig feeds the band explode AND both vector re-fetch joins —
+    // checkpoint the computed (quantize + normSq) projection once
+    // instead of re-scanning + re-quantizing the embeddings per
+    // consumer (r9; the ppjoin computed-intermediate rule)
+    val sig = Checkpoints.round(
+      emb.select(col("id"), quantize(col("vec")).as("qv"))
+        .withColumn("nn", normSqQ(col("qv"))))
     val bandRows = sig
       .withColumn("bucket", bucketSignature(col("qv"), planes))
       .select(col("id"),
