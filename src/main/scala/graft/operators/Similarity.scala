@@ -559,13 +559,13 @@ object Similarity {
       emb: DataFrame, planes: Seq[Seq[Int]], bands: Int, rowsPerBand: Int,
       minCosine: Double): DataFrame = {
     require(planes.size == bands * rowsPerBand)
-    // sig feeds the band explode AND both vector re-fetch joins —
-    // checkpoint the computed (quantize + normSq) projection once
-    // instead of re-scanning + re-quantizing the embeddings per
-    // consumer (r9; the ppjoin computed-intermediate rule)
-    val sig = Checkpoints.round(
-      emb.select(col("id"), quantize(col("vec")).as("qv"))
-        .withColumn("nn", normSqQ(col("qv"))))
+    // MEASURED NEGATIVE twice (r6 persist, r9 checkpoint): materializing
+    // sig for its three consumers loses ~0.1-0.2 s per caller at sf0.1 —
+    // the eager checkpoint job outweighs re-running cheap codegen'd
+    // quantize arithmetic over a small scan (BASELINE.md r6 entry;
+    // r9 A/B over 6 callers). Leave sig recomputable.
+    val sig = emb.select(col("id"), quantize(col("vec")).as("qv"))
+      .withColumn("nn", normSqQ(col("qv")))
     val bandRows = sig
       .withColumn("bucket", bucketSignature(col("qv"), planes))
       .select(col("id"),
