@@ -814,14 +814,17 @@ GROUP BY e.src ORDER BY e.src"""
   private def kcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = coOrderPairs(s, dir)
-    // lazy spill-safe round checkpoints: each round's census agg is the
-    // action that materializes that round's edge set — no separate
-    // persist job per round (the connectedComponents pattern), and a
-    // previous round's blocks are freed once superseded
-    var e = graft.operators.Checkpoints.round(
-      pairs.select(col("a").as("u"), col("b").as("v"))
-        .union(pairs.select(col("b").as("u"), col("a").as("v"))),
-      eager = false)
+    // MEASURED: lazy SERIALIZED round checkpoints (the
+    // connectedComponents pattern) were tried here in r9 and REVERTED —
+    // they saved a job per round but the per-round serialize/deserialize
+    // of the 2.2M-row edge rounds cost ~+1 s net (3×5-rep A/B:
+    // 3.9–4.6 s eager-deserialized vs 5.0–5.2 s lazy-SER). The eager
+    // deserialized per-round localCheckpoint below is the faster shape
+    // at this state size; blocks are swept by the harness between
+    // queries.
+    var e = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
     val first = e.agg(count(lit(1)).as("m"),
       countDistinct(col("u")).as("n")).head()
     val k = first.getLong(0) * 8 / (first.getLong(1) * 10)
@@ -830,17 +833,13 @@ GROUP BY e.src ORDER BY e.src"""
     for (round <- 1 to 3) {
       val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select(col("u").as("kn"))
-      val next = graft.operators.Checkpoints.round(
-        e.join(keep, col("u") === col("kn"), "left_semi")
-          .join(keep.select(col("kn").as("kv")), col("v") === col("kv"), "left_semi"),
-        eager = false)
-      val st = next.agg(coalesce(count(lit(1)), lit(0L)),
+      e = e.join(keep, col("u") === col("kn"), "left_semi")
+        .join(keep.select(col("kn").as("kv")), col("v") === col("kv"), "left_semi")
+        .localCheckpoint()
+      val st = e.agg(coalesce(count(lit(1)), lit(0L)),
         coalesce(countDistinct(col("u")), lit(0L))).head()
-      graft.operators.Checkpoints.free(e)
-      e = next
       stats += ((round.toLong, st.getLong(1), st.getLong(0)))
     }
-    graft.operators.Checkpoints.free(e)
     stats.result().toDF("round", "n_nodes", "n_halfedges").orderBy("round")
   }
 
