@@ -72,7 +72,9 @@ object MetricsBench {
         // quiet for 300 ms (max 3 s)
         var last = -1
         var quiet = 0
-        while (quiet < 1 && last != acc.tasks.get) { // settle loop
+        var tries = 0
+        while (quiet < 1 && last != acc.tasks.get && tries < 10) { // settle loop, 3 s cap
+          tries += 1
           last = acc.tasks.get
           Thread.sleep(300)
           if (acc.tasks.get == last) quiet += 1

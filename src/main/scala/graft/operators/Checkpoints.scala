@@ -33,7 +33,23 @@ object Checkpoints {
     * pressure point SER reads 47.9 s vs 59.5 s deserialized at the 8g
     * heap — compact pages defer eviction and spill cheaper.
     */
-  val RoundLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER
+  val RoundLevel: StorageLevel = sys.env.get("SPARK_GRAFT_ROUND_LEVEL") match {
+    case Some("deser") => StorageLevel.MEMORY_AND_DISK // A/B experiment seam
+    case _ => StorageLevel.MEMORY_AND_DISK_SER
+  }
+
+  /** `SPARK_GRAFT_RELIABLE_CHECKPOINT` routes round state to RELIABLE
+    * `Dataset.checkpoint` against a checkpoint directory instead of
+    * `localCheckpoint`: on a real cluster an executor loss makes
+    * locally-checkpointed round state unrecoverable (lineage is
+    * truncated), so the cluster profile trades the extra write for
+    * fault tolerance. Value = the checkpoint dir (an HDFS/DBFS path in
+    * production); local mode keeps the default localCheckpoint path.
+    */
+  private def reliableDir: Option[String] =
+    sys.props.get("spark.graft.reliableCheckpoint") // test seam
+      .orElse(sys.env.get("SPARK_GRAFT_RELIABLE_CHECKPOINT"))
+      .filter(_.nonEmpty)
 
   /** Cut lineage on a round intermediate, spill-safe. `eager = false`
     * lets the round's one action (a convergence agg, a count)
@@ -41,7 +57,13 @@ object Checkpoints {
     * there would run a second job per round.
     */
   def round(df: DataFrame, eager: Boolean = true): DataFrame =
-    df.localCheckpoint(eager, RoundLevel)
+    reliableDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager, RoundLevel)
+    }
 
   /** Frees the block-manager blocks behind a `localCheckpoint` result
     * (the checkpointed RDD sits directly in the `LogicalRDD` leaf).

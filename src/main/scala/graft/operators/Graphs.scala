@@ -600,90 +600,157 @@ object Graphs {
   def trussPeelStats(triples: DataFrame, edges: DataFrame, rounds: Int,
       k: Int, broadcastCap: Long): Seq[(Long, Long, Long)] = {
     require(rounds >= 1 && k >= 3)
-    // lazy checkpoints throughout: each intermediate's census count is
-    // the action that materializes it, so no round pays a separate
-    // persist job (the connectedComponents agg-materializes pattern;
-    // measured ~10 fewer jobs over the 3-round peel)
+    // INCREMENTAL support (r10): round 1 counts support with one full
+    // explode-aggregate over the triple table and annotates every edge
+    // with it; each later round SUBTRACTS the dropped-triangle counts
+    // from the previous round's annotated edge table instead of
+    // recounting from scratch. The dropped set is orders of magnitude
+    // smaller than the survivors (62k/22k/1.7k vs 1.1M edges at
+    // sf0.1), so after round 1 nothing edge- or triple-sized is
+    // shuffled at all: the delta aggregate is the only exchange, and
+    // the alive/edge passes are single scans against broadcast hash
+    // sides (guide §2.3/§2.4 — shuffle the change, not the graph).
+    // Equivalence: sup_{r+1}(e) = sup_r(e) − #dropped triangles ∋ e,
+    // because alive_{r+1} = alive_r \ dead_r exactly (TrussPeelSpec
+    // pins this against a naive full recount on random graphs).
+    // `dead` marks triangles subtracted by the LAST round's dropped
+    // edges: the marked pass flags instead of filtering, so one
+    // checkpoint serves both the surviving set (dead = false) and the
+    // delta aggregate (dead = true) without a second materialization
     var alive = Checkpoints.round(triples
       .select(least(col("u"), col("x")).as("e1a"),
         greatest(col("u"), col("x")).as("e1b"),
         least(col("u"), col("y")).as("e2a"),
         greatest(col("u"), col("y")).as("e2b"),
-        col("x").as("e3a"), col("y").as("e3b")), eager = false)
+        col("x").as("e3a"), col("y").as("e3b"))
+      .withColumn("dead", lit(false)), eager = false)
     var nTri = alive.count() // materializes the checkpoint
-    var e = edges.select(col("a"), col("b"))
-    var eOwned = false // whether `e` is a checkpoint this loop created
+    val e0 = edges.select(col("a"), col("b"))
     val stats = Seq.newBuilder[(Long, Long, Long)]
-    stats += ((0L, e.count(), nTri))
+    stats += ((0L, e0.count(), nTri))
+    // eAnn: the current edge set annotated with (sup, pass) — one
+    // checkpoint per round serves the census count, the dropped-edge
+    // broadcast AND next round's subtraction base (3 consumers, the
+    // fused replacement for the separate eNext/dropped checkpoints).
+    var eAnn: DataFrame = null
+    // delta: per-edge dead-triangle counts from the PREVIOUS round's
+    // marked alive pass; null ⇒ recount support in full (round 1, or
+    // after a dropped set too large for the broadcast gate).
+    var delta: DataFrame = null
     var round = 1
     var done = false
     while (!done && round <= rounds) {
       val basisTri = nTri // this round's support basis (alive BEFORE subtraction)
-      // ONE pass over the (large) alive checkpoint: explode each
-      // triple's three edge keys instead of a 3-way union that reads
-      // the blocks three times — identical multiset into the same
-      // map-side partial count
-      val sup = alive.select(explode(array(
-          struct(col("e1a").as("a"), col("e1b").as("b")),
-          struct(col("e2a").as("a"), col("e2b").as("b")),
-          struct(col("e3a").as("a"), col("e3b").as("b")))).as("e"))
-        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
-        .agg(count(lit(1)).as("sup"))
-      val eNext = Checkpoints.round(
-        sup.where(col("sup") >= k - 2).select(col("a"), col("b")), eager = false)
-      val nEdges = eNext.count() // materializes eNext
+      val eAnnNext = Checkpoints.round((
+        if (delta == null) {
+          // full recount: ONE explode pass over the alive checkpoint
+          // (identical multiset to a 3-way union, read once), then
+          // annotate the surviving edge list — edges outside any alive
+          // triangle count as support 0
+          val sup = alive.where(!col("dead")).select(explode(array(
+              struct(col("e1a").as("a"), col("e1b").as("b")),
+              struct(col("e2a").as("a"), col("e2b").as("b")),
+              struct(col("e3a").as("a"), col("e3b").as("b")))).as("e"))
+            .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+            .agg(count(lit(1)).as("sup"))
+          val base = if (eAnn == null) e0
+            else eAnn.where(col("pass")).select(col("a"), col("b"))
+          base.join(sup, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              coalesce(col("sup"), lit(0L)).as("sup"))
+        } else {
+          // incremental: survivors of the previous round, support
+          // reduced by their dead-triangle counts — a broadcast left
+          // join, no shuffle of the edge set
+          eAnn.where(col("pass"))
+            .join(broadcast(delta.select(col("a"), col("b"),
+              col("d"))), Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("sup") - coalesce(col("d"), lit(0L))).as("sup"))
+        }).withColumn("pass", col("sup") >= k - 2), eager = false)
+      // ONE job materializes the annotated edges and reads off both
+      // census numbers (the census count and the fixpoint/broadcast
+      // gate — previously two checkpoints and two counts)
+      val cnt = eAnnNext.agg(
+        coalesce(sum(when(col("pass"), 1L).otherwise(0L)), lit(0L)),
+        count(lit(1))).head()
+      val nEdges = cnt.getLong(0)
+      val nDropped = cnt.getLong(1) - nEdges
+      if (eAnn != null) Checkpoints.free(eAnn)
+      eAnn = eAnnNext
+      delta = null
       var fixpoint = false
       if (round < rounds) { // the final round's alive set has no consumer
-        val dropped = Checkpoints.round(e
-          .join(eNext.select(col("a").as("da"), col("b").as("db")),
-            col("a") === col("da") && col("b") === col("db"), "left_anti")
-          .select(col("a").as("da"), col("b").as("db")), eager = false)
-        // ONE count materializes `dropped` and serves BOTH the fixpoint
-        // test and the broadcast gate (broadcastIfSmall would re-count)
-        val nDropped = dropped.count()
         if (nDropped == 0) {
-          // FIXPOINT: nothing dropped → eNext == e, alive unchanged, so
-          // every remaining round recounts the identical support. Emit
-          // the remaining cascade rows without recomputation — the
-          // delta peel's cost tracks the change even when the change
-          // hits zero (the m=40 scale point spent 2/3 of its wall on
-          // two no-op recounts before this exit).
+          // FIXPOINT: nothing dropped → the edge set, alive set and
+          // support are all unchanged; every remaining round reads the
+          // identical census. Emit the rows without recomputation.
           fixpoint = true
-          Checkpoints.free(dropped)
-        } else {
-          val d0 = if (nDropped <= broadcastCap) broadcast(dropped) else dropped
-          val nextAlive = Checkpoints.round(alive
-            .join(d0,
-              col("e1a") === col("da") && col("e1b") === col("db"), "left_anti")
-            .join(d0,
-              col("e2a") === col("da") && col("e2b") === col("db"), "left_anti")
-            .join(d0,
-              col("e3a") === col("da") && col("e3b") === col("db"), "left_anti"),
-            eager = false)
-          val nNextTri = nextAlive.count() // materializes before the frees
+        } else if (nDropped <= broadcastCap) {
+          // mark dead triangles in ONE pass over the alive checkpoint:
+          // three broadcast left-join probes of the SAME dropped-edge
+          // relation (identical build subtree → Spark reuses one
+          // broadcast exchange), dead = any edge matched
+          val d0 = broadcast(eAnn.where(!col("pass"))
+            .select(col("a").as("da"), col("b").as("db"),
+              lit(true).as("dm")))
+          def mark(df: DataFrame, ka: String, kb: String, m: String) =
+            df.join(d0, col(ka) === col("da") && col(kb) === col("db"),
+                "left")
+              .withColumn(m, coalesce(col("dm"), lit(false)))
+              .drop("da", "db", "dm")
+          val marked = Checkpoints.round(
+            mark(mark(mark(alive.where(!col("dead")).drop("dead"),
+              "e1a", "e1b", "m1"), "e2a", "e2b", "m2"), "e3a", "e3b", "m3")
+              .withColumn("dead", col("m1") || col("m2") || col("m3"))
+              .drop("m1", "m2", "m3"), eager = false)
+          val nNextTri = marked.agg(coalesce(
+            sum(when(!col("dead"), 1L).otherwise(0L)), lit(0L)))
+            .head().getLong(0)
           Checkpoints.free(alive)
-          Checkpoints.free(dropped)
+          alive = marked
+          nTri = nNextTri
+          // next round's support subtraction: dead triangles exploded
+          // to edge keys — evaluated lazily inside the broadcast build,
+          // against the marked checkpoint's blocks
+          delta = marked.where(col("dead")).select(explode(array(
+              struct(col("e1a").as("a"), col("e1b").as("b")),
+              struct(col("e2a").as("a"), col("e2b").as("b")),
+              struct(col("e3a").as("a"), col("e3b").as("b")))).as("e"))
+            .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+            .agg(count(lit(1)).as("d"))
+        } else {
+          // dropped set too large to broadcast (cluster-scale guard):
+          // shuffled anti-joins subtract it, and the NEXT round falls
+          // back to a full support recount (delta stays null)
+          val dropped = eAnn.where(!col("pass"))
+            .select(col("a").as("da"), col("b").as("db"))
+          val nextAlive = Checkpoints.round(alive.where(!col("dead"))
+            .join(dropped,
+              col("e1a") === col("da") && col("e1b") === col("db"), "left_anti")
+            .join(dropped,
+              col("e2a") === col("da") && col("e2b") === col("db"), "left_anti")
+            .join(dropped,
+              col("e3a") === col("da") && col("e3b") === col("db"), "left_anti"),
+            eager = false) // keeps dead = false on every surviving row
+          val nNextTri = nextAlive.count() // materializes before the free
+          Checkpoints.free(alive)
           alive = nextAlive
           nTri = nNextTri
         }
       }
-      // `e`'s last consumer was this round's dropped-edge anti-join
-      // (already materialized by its count)
-      if (eOwned) Checkpoints.free(e)
-      e = eNext
-      eOwned = true
       stats += ((round.toLong, nEdges, basisTri))
       if (fixpoint) {
-        // alive is unchanged and e == previous e: rounds round+1..rounds
-        // all read (nEdges, |alive|), and |alive| is exactly this
-        // round's already-counted basis (nothing was subtracted)
+        // alive, the edge set and the support are unchanged: rounds
+        // round+1..rounds all read (nEdges, |alive|), and |alive| is
+        // exactly this round's already-counted basis
         for (r <- round + 1 to rounds) stats += ((r.toLong, nEdges, basisTri))
         done = true
       }
       round += 1
     }
     Checkpoints.free(alive)
-    Checkpoints.free(e)
+    if (eAnn != null) Checkpoints.free(eAnn)
     stats.result()
   }
 

@@ -93,13 +93,8 @@ object TextDedup {
     // keys instead of 3-word strings. Any global total order satisfies
     // the prefix-filter guarantee, so (df ASC, h ASC) replaces
     // (df ASC, shingle ASC).
-    // FIVE consumers read the hashed table (sizes, dfreq, the prefix
-    // join, both intersection sides) and each would otherwise re-run
-    // the whole shingling pipeline (scan + explode + distinct + md5) —
-    // checkpoint it once, serialized/spill-safe (blocks are swept by
-    // the bench/verify harness between queries)
-    val sh = Checkpoints.round(shingles.select(col("doc_id"),
-      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h")))
+    val sh = shingles.select(col("doc_id"),
+      conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -107,14 +102,12 @@ object TextDedup {
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     // rank and doc size ride the SAME doc_id exchange (row_number's sort
     // serves both) — no separate sizes join on the prefix path
-    // both sides of the candidate self-join read `prefix` — checkpoint
-    // so the df join + two windows run once, not twice
-    val prefix = Checkpoints.round(sh.join(dfreq, Seq("h"))
+    val prefix = sh.join(dfreq, Seq("h"))
       .withColumn("rk", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wn))
       .where(col("rk") <=
         col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
-      .select(col("doc_id"), col("h"), col("rk"), col("n")))
+      .select(col("doc_id"), col("h"), col("rk"), col("n"))
     // PPJoin's two candidate prunes (Xiao et al. WWW'08), both in exact
     // integer arithmetic so neither boundary can drift:
     //  - length filter: J >= τ forces τ·na <= nb <= na/τ;

