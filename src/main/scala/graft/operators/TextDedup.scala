@@ -390,16 +390,27 @@ object TextDedup {
   private def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // self-loops appended ONCE: each round's update is then
+    // lbl'(u) = min over N(u) ∪ {u} — a single join + aggregate, where
+    // the previous shape paid a second join to fold the node's own
+    // label back in (the minLabelRounds trick; one join + one exchange
+    // fewer per round, identical label trajectory round-for-round)
+    val nodes = Checkpoints.round(edges
+      .select(col("a_id").cast("long").as("n"))
+      .union(edges.select(col("b_id").cast("long").as("n")))
+      .distinct(), eager = false)
     val sym = Checkpoints.round(edges
       .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
       .union(edges
-        .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst"))),
+        .select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .union(nodes.select(col("n").as("src"), col("n").as("dst"))),
       eager = false)
     // lazy checkpoints: the convergence agg is the round's ONE action
     // and materializes the checkpoint as a side effect — an eager
     // checkpoint would run a second job per round just to persist
-    var labels = Checkpoints.round(sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")), eager = false)
+    var labels: DataFrame = nodes.select(col("n").as("id"))
+      .withColumn("comp", col("id"))
+    var labelsOwned = false // round 0 is a plain projection over nodes
     // coalesce: an EMPTY edge list (legitimate — e.g. a density
     // clustering round with no core-core pairs) sums to NULL, and a
     // bare getLong would throw ROW_VALUE_IS_NULL
@@ -410,21 +421,20 @@ object TextDedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = sym
+      val next = Checkpoints.round(sym
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      val next = Checkpoints.round(labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")),
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("comp")),
         eager = false)
       val newSum = compSum(next)
-      freeCheckpoint(labels) // next is materialized by the agg — previous round's blocks can go
+      if (labelsOwned) freeCheckpoint(labels) // next is materialized by the agg
       labels = next
+      labelsOwned = true
       converged = newSum == sum
       sum = newSum
       iter += 1
     }
     freeCheckpoint(sym)
+    if (labelsOwned) freeCheckpoint(nodes) // else labels still reads nodes
     // The returned frame reads the LAST round's checkpoint blocks (one
     // small (id, comp) set — O(nodes), not O(rounds)); they are freed by
     // the session-level sweep between bench/verify queries.
