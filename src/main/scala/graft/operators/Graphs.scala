@@ -542,33 +542,49 @@ object Graphs {
     */
   def minLabelRounds(sym0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    // ONE distinct serves both the self-loop append and the identity
-    // labeling: sym0 is symmetric (every caller passes u→v ∪ v→u), so
-    // its u-universe IS the node universe — the previous second
-    // `sym.select(u).distinct()` re-shuffled the larger self-looped
-    // list for the same set. nodes/sym checkpoint LAZILY: round 1's
-    // eager checkpoint job materializes both as side effects.
-    // MEASURED NEGATIVE (r9): hash-repartitioning sym on v before the
-    // checkpoint (hoping rounds reuse the partitioning) does not
-    // survive the AQE + localCheckpoint boundary — g_robustness
-    // shuffle grew 212→275 MB; each round pays its own exchange.
-    val nodes = Checkpoints.round(sym0.select(col("u")).distinct(),
-      eager = false)
-    val sym = Checkpoints.round(sym0
-      .union(nodes.select(col("u"), col("u").as("v"))), eager = false)
-    var lab: DataFrame = nodes.select(col("u").as("node"))
-      .withColumn("lbl", col("node"))
+    // PARTITIONER-PRESERVING round state (r10): the DataFrame loop
+    // re-shuffled the whole symmetric edge list EVERY round, because a
+    // localCheckpoint under AQE drops outputPartitioning (measured in
+    // r9: pre-repartitioning by v did not survive the boundary; each
+    // g_robustness round shuffled ~26 MB of edges). RDD partitioners
+    // DO survive persistence: key the edge list by v once
+    // (`partitionBy`), key each round's label vector the same way, and
+    // every round's join is a narrow co-partitioned zip — the only
+    // per-round shuffle left is the map-side-combined (u, min lbl)
+    // reduce, which re-lands on the SAME partitioner and feeds the next
+    // round without any exchange of the edges. With a FIXED round
+    // count there is no per-round action either: the caller's one
+    // action executes all rounds pipelined (g_robustness: 12 round
+    // jobs → the consumer's own job; 105 → ~40 MB shuffle).
+    // Labels evolve identically: lbl'(u) = min over N(u) ∪ {u} via the
+    // appended self-loops, exact longs (TrussPeelSpec pins the
+    // fixpoint against a union-find reference).
+    val spark = sym0.sparkSession
+    // (v, u): the round join looks up v's label and emits it to u
+    val symPairs = sym0.select(col("v").cast("long"), col("u").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // partition count tracks the input's natural parallelism (scan
+    // splits ∝ data size — scale-adaptive, not a local[32] constant)
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, symPairs.getNumPartitions))
+    val nodes = symPairs.map { case (v, _) => (v, ()) }
+      .reduceByKey(part, (a, _) => a) // distinct u-universe, keyed+partitioned
+    val sym = symPairs
+      .union(nodes.map { case (n, _) => (n, n) }) // self-loops
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.mapPartitions( // identity labels, still on `part`
+      _.map { case (n, _) => (n, n) }, preservesPartitioning = true)
     for (_ <- 1 to rounds) {
-      val next = Checkpoints.round(sym
-        .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("nl")).as("lbl"))
-        .select(col("u").as("node"), col("lbl")))
-      Checkpoints.free(lab) // no-op on round 0's plain projection
-      lab = next
+      lab = sym.join(lab) // narrow: both sides on `part`
+        .map { case (_, (u, lbl)) => (u, lbl) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // map-side combine; re-lands on `part`
     }
-    Checkpoints.free(sym)
-    Checkpoints.free(nodes)
-    lab
+    import spark.implicits._
+    val out = lab.toDF("node", "lbl")
+    // sym's cached blocks are released by the harness sweep between
+    // queries (getPersistentRDDs), same as every checkpoint here
+    out
   }
 
   /** DELTA k-truss peel over a once-enumerated triangle table — the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Graphs
+import graft.operators.{Checkpoints, Graphs}
 import Sql.D
 
 /** Graph analytics over graphs DERIVED from the test tables — a user
@@ -814,32 +814,47 @@ GROUP BY e.src ORDER BY e.src"""
   private def kcore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = coOrderPairs(s, dir)
-    // MEASURED: lazy SERIALIZED round checkpoints (the
-    // connectedComponents pattern) were tried here in r9 and REVERTED —
-    // they saved a job per round but the per-round serialize/deserialize
-    // of the 2.2M-row edge rounds cost ~+1 s net (3×5-rep A/B:
-    // 3.9–4.6 s eager-deserialized vs 5.0–5.2 s lazy-SER). The eager
-    // deserialized per-round localCheckpoint below is the faster shape
-    // at this state size; blocks are swept by the harness between
+    // Edge rounds stay DESERIALIZED (r9 A/B: SER round state cost ~+1 s
+    // of per-round serialize/deserialize on the 2.2M-row halfedge
+    // table); lazy now, because the census agg below materializes each
+    // round as a side effect. Blocks are swept by the harness between
     // queries.
     var e = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint()
-    val first = e.agg(count(lit(1)).as("m"),
-      countDistinct(col("u")).as("n")).head()
+      .localCheckpoint(eager = false) // round 0's census agg materializes it
+    // Each round's census (n_nodes = distinct u, n_halfedges = |e|) is
+    // exactly an aggregate of the NEXT degree table (count of groups /
+    // sum of degrees), so one degree pass per round serves the census,
+    // the keep filter AND next round's basis — the r9 shape re-scanned
+    // the halfedge checkpoint three times per round (degree agg, the
+    // filter, a separate census agg; 1499 MB of block reads at sf0.1).
+    def degrees(of: DataFrame): DataFrame = Checkpoints.round(
+      of.groupBy(col("u")).agg(count(lit(1)).as("d")), eager = false)
+    var deg = degrees(e)
+    val first = deg.agg(coalesce(sum(col("d")), lit(0L)),
+      count(lit(1))).head()
     val k = first.getLong(0) * 8 / (first.getLong(1) * 10)
     val stats = Seq.newBuilder[(Long, Long, Long)]
     stats += ((0L, first.getLong(1), first.getLong(0)))
     for (round <- 1 to 3) {
-      val keep = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .where(col("d") >= k).select(col("u").as("kn"))
-      e = e.join(keep, col("u") === col("kn"), "left_semi")
+      // keep is degree-table-sized (one row per node): broadcast-sized
+      // at any SF where the degree table fits the driver gate, and
+      // Catalyst sizes it from the checkpoint
+      val keep = deg.where(col("d") >= k).select(col("u").as("kn"))
+      val eNext = e.join(keep, col("u") === col("kn"), "left_semi")
         .join(keep.select(col("kn").as("kv")), col("v") === col("kv"), "left_semi")
-        .localCheckpoint()
-      val st = e.agg(coalesce(count(lit(1)), lit(0L)),
-        coalesce(countDistinct(col("u")), lit(0L))).head()
+        .localCheckpoint(eager = false)
+      val degNext = degrees(eNext) // materializes eNext as a side effect
+      val st = degNext.agg(coalesce(sum(col("d")), lit(0L)),
+        count(lit(1))).head() // materializes degNext
+      Checkpoints.free(deg)
+      Checkpoints.free(e)
+      e = eNext
+      deg = degNext
       stats += ((round.toLong, st.getLong(1), st.getLong(0)))
     }
+    Checkpoints.free(deg)
+    Checkpoints.free(e)
     stats.result().toDF("round", "n_nodes", "n_halfedges").orderBy("round")
   }
 
@@ -1590,14 +1605,22 @@ ORDER BY n_nodes DESC, scc_id"""
 
   private def robustness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = coOrderPairs(s, dir).localCheckpoint()
+    // pairs IS already a materialized parquet artifact (coOrderPairs):
+    // checkpointing it again only re-read and re-wrote 35 MB of blocks
+    // (r10; the pre-materialization shape needed it, this one doesn't)
+    val pairs = coOrderPairs(s, dir)
     locally {
-      val deg = pairs.select(col("a").as("node"))
-        .union(pairs.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      // deg feeds the hub pick AND the node count: lazy checkpoint so
+      // the union + groupBy over pairs runs once, not twice (the hub
+      // TakeOrdered materializes it; count reads blocks)
+      val deg = graft.operators.Checkpoints.round(
+        pairs.select(col("a").as("node"))
+          .union(pairs.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d")), eager = false)
       val hubs = deg.orderBy(col("d").desc, col("node")).limit(5)
         .select(col("node")).localCheckpoint(eager = true)
       val nNodes = deg.count()
+      graft.operators.Checkpoints.free(deg)
       // "before" labels come from the SHARED materialization; only the
       // hub-filtered graph's labeling runs per-query
       val labA = coOrderCcLabels(s, dir)
