@@ -491,7 +491,16 @@ object Graphs {
     * @param edges (src, dst) long-castable directed edge list
     * @return (node, scc_id) — scc_id = min node id of the component
     */
-  def scc(edges: DataFrame): DataFrame = {
+  def scc(edges: DataFrame): DataFrame = sccWithClosure(edges)._1
+
+  /** [[scc]] labels PLUS the transitive-closure pair set the loop
+    * builds anyway — (src, dst) for every src ↝ dst path of ≥ 1 edge,
+    * as a materialized round checkpoint. Consumers that need
+    * reachability to/from a node set (bow-tie IN/OUT) read it directly
+    * instead of re-running their own frontier fixpoint over the edge
+    * list (r10: g_bowtie dropped both reach loops).
+    */
+  def sccWithClosure(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst")).distinct().persist()
     try {
@@ -518,11 +527,12 @@ object Graphs {
         .join(reach.select(col("dst").as("r_src"), col("src").as("r_dst")),
           col("src") === col("r_src") && col("dst") === col("r_dst"))
         .select(col("src").as("node"), col("dst").as("peer"))
-      nodes
+      val labels = nodes
         .join(mutual, col("n") === col("node"), "left")
         .groupBy(col("n").as("node"))
         .agg(least(min(col("peer")), min(col("n"))).as("scc_id"))
         .select(col("node"), col("scc_id"))
+      (labels, reach)
     } finally e.unpersist(blocking = false)
   }
 

@@ -1710,35 +1710,27 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
     val edges = kEdges(s, dir)
       .where(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct().localCheckpoint()
-    val labels = Graphs.scc(edges).localCheckpoint()
+    // IN/OUT come straight off the SCC loop's transitive closure —
+    // reach(src, dst) ⊇ every ≥1-edge path — instead of re-running two
+    // frontier fixpoints over the edge list (r10; the oracle reads the
+    // same closure CTE): out = {r.dst : r.src ∈ core},
+    // in = {r.src : r.dst ∈ core}, core excluded by the anti-join.
+    val (labelsRaw, reach) = Graphs.sccWithClosure(edges)
+    val labels = labelsRaw.localCheckpoint()
     val giant = labels.groupBy(col("scc_id")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("scc_id")).limit(1)
       .select(col("scc_id")).as[Long].head()
     val core = labels.where(col("scc_id") === giant)
       .select(col("node")).localCheckpoint()
-    def reachFrom(e: DataFrame): DataFrame = {
-      var r = core
-      var n = r.count()
-      var stable = false
-      while (!stable) {
-        val next = r.union(
-            e.join(r.withColumnRenamed("node", "src"), Seq("src"))
-              .select(col("dst").as("node")))
-          .distinct().localCheckpoint(eager = true)
-        val n2 = next.count()
-        stable = n2 == n
-        r = next; n = n2
-      }
-      r
-    }
-    val out = reachFrom(edges)
-    val in = reachFrom(edges.select(col("dst").as("src"),
-      col("src").as("dst")))
+    def reachSet(coreKey: String, emit: String): DataFrame =
+      reach.join(core.withColumnRenamed("node", coreKey), Seq(coreKey))
+        .select(col(emit).as("node")).distinct()
     val nodes = labels.select(col("node"))
     val nCore = core.count()
-    val nOut = out.join(core, Seq("node"), "left_anti").count()
-    val nIn = in.join(core, Seq("node"), "left_anti").count()
+    val nOut = reachSet("src", "dst").join(core, Seq("node"), "left_anti").count()
+    val nIn = reachSet("dst", "src").join(core, Seq("node"), "left_anti").count()
     val nAll = nodes.count()
+    graft.operators.Checkpoints.free(reach)
     Seq((nAll, nCore, nIn, nOut, nAll - nCore - nIn - nOut))
       .toDF("n_nodes", "n_core", "n_in", "n_out", "n_other")
   }

@@ -1601,9 +1601,14 @@ SELECT q_id, pick, n_id, mmr_score FROM (
 
   private def graphAnn(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // LAZY checkpoints throughout this query (r10): the walk has a
+    // FIXED round count and no intermediate action, so the final noop
+    // materializes base/graph/every beam round in ONE job — the eager
+    // variants ran six extra materialization jobs per run while the
+    // lazy LogicalRDD leaves keep the per-round plans just as shallow
     val base = e.select(col("id"), Similarity.quantize(col("vec")).as("qv"))
       .withColumn("nn", Similarity.normSqQ(col("qv")))
-      .localCheckpoint() // feeds graph build + every round's scoring
+      .localCheckpoint(eager = false) // feeds graph build + every round's scoring
     val cand = Similarity.lshCandidates(e, planes, Bands, RowsPerBand, MinCos)
     val sym = cand
       .select(col("a_id").as("node"), col("b_id").as("nbr"), col("cosine"))
@@ -1614,7 +1619,7 @@ SELECT q_id, pick, n_id, mmr_score FROM (
         col("cosine"), col("nbr").cast("long")).as("top"))
       .select(col("node"), explode(col("top")).as("x"))
       .select(col("node"), col("x._2").as("nbr"))
-      .localCheckpoint() // reused every round
+      .localCheckpoint(eager = false) // reused every round
     val queries = base.where(pmod(col("id"), lit(QueryStride)) === 0)
       .select(col("id").as("q_id"), col("qv").as("qqv"), col("nn").as("qn"))
     // multiple spread entry points cut the expected path length to the
@@ -1641,7 +1646,7 @@ SELECT q_id, pick, n_id, mmr_score FROM (
       beam = Similarity.perQueryTopK(scored, WalkBeam)
         .select(col("q_id"), col("rank"), col("n_id").as("cand"),
           col("cosine"))
-        .localCheckpoint() // cut per-round lineage
+        .localCheckpoint(eager = false) // cut per-round lineage, no round job
     }
     val exact = Similarity.bruteForceTopK(
         e, e.where(pmod(col("id"), lit(QueryStride)) === 0), 1)
