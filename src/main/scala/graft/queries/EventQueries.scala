@@ -1322,8 +1322,11 @@ FROM f, arr ORDER BY f.t"""
   private def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
     // sess feeds THREE consumers (both boundary-union branches + the
     // n_sessions agg) — checkpoint once so the events scan + session
-    // window run once, not three times
-    val sess = graft.operators.Checkpoints.round(sessionSpans(s, dir))
+    // window run once, not three times; LAZY, because prefixSumByKey's
+    // internal pass is the first action and materializes it (r10: the
+    // eager variant paid one extra job per run)
+    val sess = graft.operators.Checkpoints.round(sessionSpans(s, dir),
+      eager = false)
     val bounds = sess.select(col("user_id"), col("sid"),
         col("start_ms").as("ms"), lit(1L).as("delta"))
       .unionByName(sess.select(col("user_id"), col("sid"),

@@ -685,7 +685,8 @@ FROM p GROUP BY 1 ORDER BY pct_bucket"""
         .distinct()
         .join(a, "a_id").join(b, "b_id")
         .where(levenshtein(col("a_nm"), col("b_nm")) <= 2)
-        .select("a_id", "b_id"))
+        .select("a_id", "b_id"),
+      eager = false) // CC's first convergence agg materializes it
     val labels = TextDedup.connectedComponents(edges) // (id, comp=min id)
     sup.join(labels, Seq("id"), "left")
       .select(coalesce(col("comp"), col("id")).as("entity_id"))

@@ -1135,7 +1135,8 @@ ORDER BY dc.community"""
       a.join(b, "ok").where(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("a"), col("b"))
-        .limit(JaccardTopEdges))
+        .limit(JaccardTopEdges),
+      eager = false) // the broadcast-probe build materializes it
     val pairs = coOrderPairs(s, dir)
     val sym = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))

@@ -399,7 +399,10 @@ scored_cand AS (
     val cand = Similarity
       .lshCandidates(emb(s, dir), planes, Bands, RowsPerBand, DbEps)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(eager = true) // feeds degree, core-edges, borders
+      // lazy: CC's first convergence agg is the earliest action and
+      // materializes the whole cand -> core chain (r10; the eager
+      // variants paid four extra materialization jobs per run)
+      .localCheckpoint(eager = false) // feeds degree, core-edges, borders
     val sym = cand.select(col("a_id").as("id"), col("b_id").as("nb"))
       .union(cand.select(col("b_id").as("id"), col("a_id").as("nb")))
     // core (a bare id list) feeds five consumers (both core-edge semi
@@ -407,7 +410,7 @@ scored_cand AS (
     // border joins): checkpoint so the degree agg runs once
     val core = graft.operators.Checkpoints.round(
       sym.groupBy(col("id")).agg(count(lit(1)).as("n_nbrs"))
-        .where(col("n_nbrs") >= DbMinPts).select(col("id")))
+        .where(col("n_nbrs") >= DbMinPts).select(col("id")), eager = false)
     val coreEdges = cand
       .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
       .join(core.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
@@ -423,7 +426,7 @@ scored_cand AS (
     val coreClusters = core
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val borders = sym
       .join(coreClusters.select(col("id").as("nb"), col("cluster")),
         Seq("nb"))
@@ -435,7 +438,7 @@ scored_cand AS (
       .select(col("id"), lit("core").as("role"), col("cluster"))
       .union(borders.select(col("id"), lit("border").as("role"),
         col("cluster")))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val noise = emb(s, dir).select(col("id"))
       .join(assigned.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
