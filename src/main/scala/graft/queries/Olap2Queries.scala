@@ -1669,6 +1669,13 @@ ORDER BY bin"""
         if (k == 0) when(col("u") < t, 0L) else acc.when(col("u") < t, k.toLong)
       }.otherwise(7L)
     val rep = rows
+      // spread the purchase rows across the cores BEFORE the B=200
+      // explode + per-row md5 RNG: the filtered rows fit one scan split,
+      // so without this the whole 200x resample stream is hashed on one
+      // task (measured 6 tasks / 2.8 s at 32 cores — guide §2.5 input
+      // skew). Cores-proportional; integer sums make the result
+      // partitioning-invariant.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("event_id"), col("is_a"), col("c"),
         explode(sequence(lit(0), lit(B - 1))).as("b"))
       .withColumn("u", u).withColumn("w", w)
