@@ -552,49 +552,45 @@ object Graphs {
     */
   def minLabelRounds(sym0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    // PARTITIONER-PRESERVING round state (r10): the DataFrame loop
-    // re-shuffled the whole symmetric edge list EVERY round, because a
-    // localCheckpoint under AQE drops outputPartitioning (measured in
-    // r9: pre-repartitioning by v did not survive the boundary; each
-    // g_robustness round shuffled ~26 MB of edges). RDD partitioners
-    // DO survive persistence: key the edge list by v once
-    // (`partitionBy`), key each round's label vector the same way, and
-    // every round's join is a narrow co-partitioned zip — the only
-    // per-round shuffle left is the map-side-combined (u, min lbl)
-    // reduce, which re-lands on the SAME partitioner and feeds the next
-    // round without any exchange of the edges. With a FIXED round
-    // count there is no per-round action either: the caller's one
-    // action executes all rounds pipelined (g_robustness: 12 round
-    // jobs → the consumer's own job; 105 → ~40 MB shuffle).
-    // Labels evolve identically: lbl'(u) = min over N(u) ∪ {u} via the
-    // appended self-loops, exact longs (TrussPeelSpec pins the
-    // fixpoint against a union-find reference).
-    val spark = sym0.sparkSession
-    // (v, u): the round join looks up v's label and emits it to u
-    val symPairs = sym0.select(col("v").cast("long"), col("u").cast("long"))
-      .rdd.map(r => (r.getLong(0), r.getLong(1)))
-    // partition count tracks the input's natural parallelism (scan
-    // splits ∝ data size — scale-adaptive, not a local[32] constant)
-    val part = new org.apache.spark.HashPartitioner(
-      math.max(1, symPairs.getNumPartitions))
-    val nodes = symPairs.map { case (v, _) => (v, ()) }
-      .reduceByKey(part, (a, _) => a) // distinct u-universe, keyed+partitioned
-    val sym = symPairs
-      .union(nodes.map { case (n, _) => (n, n) }) // self-loops
-      .partitionBy(part)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var lab = nodes.mapPartitions( // identity labels, still on `part`
-      _.map { case (n, _) => (n, n) }, preservesPartitioning = true)
+    // ONE distinct serves both the self-loop append and the identity
+    // labeling (sym0 is symmetric, so its u-universe IS the node
+    // universe); nodes/sym checkpoint LAZILY — round 1's eager
+    // checkpoint job materializes both as side effects.
+    //
+    // Round shape: eager DataFrame checkpoint per round. Three
+    // alternatives MEASURED and REJECTED on this host (r10, interleaved
+    // A/Bs at the 6.5M/13M-edge scale points + g_robustness at sf0.1):
+    //  - RDD partitioner-preserving loop (partitionBy(v) once + narrow
+    //    co-partitioned join + reduceByKey(min) — VERDICT-r9 #4): cuts
+    //    per-round edge shuffle to ~0 and g_robustness to 14 jobs, but
+    //    Java-serialized Tuple2 shuffle/cache loses whole-stage codegen
+    //    at scale: 10.8/11.3 s vs 9.1/10.1 at 6.5M edges, 35.8/42.3 vs
+    //    26.2/37.9 at 13M (−12…−25%);
+    //  - single-action lazy loop (no per-round checkpoint, all rounds
+    //    pipelined): best at sf0.1 volumes (8.7 s at 6.5M), but 1.6-3×
+    //    WORSE at 13M (38.8/63.6 vs 23.7/21.1) — per-round eager
+    //    checkpoints give each round accurate materialized stats and
+    //    bound the in-flight state, which dominates once rounds are
+    //    compute-bound;
+    //  - r9's pre-repartition of sym by v: does not survive the
+    //    AQE + localCheckpoint boundary (shuffle grew 212→275 MB).
+    val nodes = Checkpoints.round(sym0.select(col("u")).distinct(),
+      eager = false)
+    val sym = Checkpoints.round(sym0
+      .union(nodes.select(col("u"), col("u").as("v"))), eager = false)
+    var lab: DataFrame = nodes.select(col("u").as("node"))
+      .withColumn("lbl", col("node"))
     for (_ <- 1 to rounds) {
-      lab = sym.join(lab) // narrow: both sides on `part`
-        .map { case (_, (u, lbl)) => (u, lbl) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // map-side combine; re-lands on `part`
+      val next = Checkpoints.round(sym
+        .join(lab.select(col("node").as("v"), col("lbl").as("nl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("nl")).as("lbl"))
+        .select(col("u").as("node"), col("lbl")))
+      Checkpoints.free(lab) // no-op on round 0's plain projection
+      lab = next
     }
-    import spark.implicits._
-    val out = lab.toDF("node", "lbl")
-    // sym's cached blocks are released by the harness sweep between
-    // queries (getPersistentRDDs), same as every checkpoint here
-    out
+    Checkpoints.free(sym)
+    Checkpoints.free(nodes)
+    lab
   }
 
   /** DELTA k-truss peel over a once-enumerated triangle table — the
